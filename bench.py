@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the `noop` sink (full computation, no
+driver-side materialization cost). Session boot is excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "flagship_minute_resample",
+    "epoch_normalize_multiscale",
+    "agg_pricing_summary",
+    "agg_value_stats",
+    "join_broadcast_star",
+    "join_fact_fact",
+    "join_top_revenue",
+    "join_five_way",
+    "window_sessionize",
+    "window_topk_per_group",
+    "sort_topk",
+    "distinct_multi",
+]
+
+
+def main() -> None:
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+    # Warm the JVM/codegen path once (tiny table) so q1 isn't charged for it.
+    queries["count_rows"](spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,22 @@
+"""PySpark-native analytics engine with the query/data-processing surface of
+FauzanAcyuto/enterprise-iot-bigdata-pipeline (IoT telemetry ELT + analytics), re-expressed
+Spark-first (DataFrame/SQL/Catalyst/Structured Streaming), plus LLM-data-pipeline
+operators (dedup, similarity search, text analysis, multimodal columns) designed
+for 100 TB scale.
+
+Layout
+------
+- ``session``    — SparkSession factory (UTC-pinned, AQE on).
+- ``functions``  — pure Column→Column expression library (epoch normalizer,
+  sentinel cleaning, S3-key parsing, text metrics, vector math).
+- ``sources``    — readers/writers (NDJSON micro-batch, partitioned parquet
+  lake, CSV, JDBC-gated).
+- ``operators``  — DataFrame→DataFrame ops (compaction, repair, dedup,
+  similarity search, multimodal plumbing).
+- ``plans``      — the SURVEY §2 operator inventory as named queries with
+  DuckDB oracle SQL adjacent (the driver correctness gate).
+- ``streaming``  — Structured Streaming ingest (file source + checkpoint
+  replaces the reference's MSSQL claim pattern).
+"""
+
+__version__ = "0.1.0"

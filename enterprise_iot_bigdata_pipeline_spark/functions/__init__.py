@@ -1,0 +1,26 @@
+"""Pure Column→Column expression library (unit-testable, no session state)."""
+
+from enterprise_iot_bigdata_pipeline_spark.functions.cleaning import (
+    error_rate,
+    gps_status,
+    replace_sentinel,
+)
+from enterprise_iot_bigdata_pipeline_spark.functions.epoch import (
+    derive_hiveperiod,
+    normalize_epoch_auto,
+    to_local,
+)
+from enterprise_iot_bigdata_pipeline_spark.functions.keys import parse_s3_key
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import davg, dsum
+
+__all__ = [
+    "davg",
+    "derive_hiveperiod",
+    "dsum",
+    "error_rate",
+    "gps_status",
+    "normalize_epoch_auto",
+    "parse_s3_key",
+    "replace_sentinel",
+    "to_local",
+]

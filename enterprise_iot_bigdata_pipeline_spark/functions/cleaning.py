@@ -1,0 +1,30 @@
+"""Sensor-data cleaning expressions (SURVEY §2.3 E6–E9).
+
+Reference: streamlit-iot-monitoring-dashboard/streamlit-app.py:141-153 —
+sentinel replacement (-9999 → -1), GPS-validity derivation
+(gpslat < -8880 → "false"), absolute error between two speed sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MISSING_SENTINEL = -9999
+INVALID_GPS_LAT = -8880
+
+
+def replace_sentinel(c: Column, sentinel: float = MISSING_SENTINEL, value: float = -1) -> Column:
+    """-9999 missing-marker → -1 (streamlit-app.py:143-145)."""
+    return F.when(c == F.lit(sentinel), F.lit(value)).otherwise(c)
+
+
+def gps_status(gpslat: Column, threshold: float = INVALID_GPS_LAT) -> Column:
+    """String 'true'/'false' validity flag — the reference keeps the
+    boolean-as-string encoding (streamlit-app.py:146-149)."""
+    return F.when(gpslat < F.lit(threshold), F.lit("false")).otherwise(F.lit("true"))
+
+
+def error_rate(a: Column, b: Column) -> Column:
+    """abs(a - b) disagreement metric (streamlit-app.py:152-153)."""
+    return F.abs(a - b)

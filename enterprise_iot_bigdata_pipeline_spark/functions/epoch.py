@@ -1,0 +1,72 @@
+"""Epoch/time expressions — the engine's signature scalar computation.
+
+Semantics match the reference's multi-scale epoch normalizer (SURVEY §2.3 E1;
+reference: v1-basic-etl/gzip-to-parquet-etl.py:228-243,
+v2-orchestrated-pipeline/airflow_home/dags/s3_datalog_processor.py:138-153):
+a 4-way CASE ladder detects the epoch scale of a BIGINT ``heartbeat`` by
+magnitude and normalizes to microsecond precision, then shifts +8h (WITA)
+to derive the partition date (``hiveperiod``) and a local naive timestamp
+(``datetime_wita``).
+
+Scale ladder (reference spec v2 README:239-248):
+  heartbeat < 1e10  → seconds      → ×1_000_000
+  heartbeat < 1e13  → milliseconds → ×1_000
+  heartbeat < 1e16  → microseconds → ×1
+  else              → nanoseconds  → ÷1000 (DOUBLE division, round-to-
+                       nearest on the BIGINT cast — DuckDB CAST(DOUBLE AS
+                       BIGINT) rounds, Spark's truncates, hence the
+                       explicit round())
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SECONDS_MAX = 10_000_000_000  # 1e10
+MILLIS_MAX = 10_000_000_000_000  # 1e13
+MICROS_MAX = 10_000_000_000_000_000  # 1e16
+
+
+def normalize_epoch_auto(heartbeat: Column) -> Column:
+    """BIGINT epoch at unknown scale (s/ms/µs/ns) → timestamp_ntz (UTC wall).
+
+    Output is TIMESTAMP_NTZ so the naive-timestamp semantics of the
+    reference (DuckDB ``make_timestamp(BIGINT)`` = µs → naive TIMESTAMP)
+    carry over without session-timezone coupling.
+    """
+    micros = (
+        F.when(heartbeat < F.lit(SECONDS_MAX), heartbeat * F.lit(1_000_000))
+        .when(heartbeat < F.lit(MILLIS_MAX), heartbeat * F.lit(1_000))
+        .when(heartbeat < F.lit(MICROS_MAX), heartbeat)
+        # ns branch: double division then *rounding* cast (DuckDB semantics).
+        .otherwise(F.round(heartbeat / F.lit(1000)).cast("long"))
+    )
+    return F.timestamp_micros(micros.cast("long")).cast("timestamp_ntz")
+
+
+def to_local(ts: Column, hours: int = 8) -> Column:
+    """Shift a naive timestamp by a fixed UTC offset (WITA = UTC+8).
+
+    Reference: ``+ INTERVAL 8 HOURS`` (gzip-to-parquet-etl.py:234,
+    streamlit-app.py:96).
+    """
+    return ts + F.expr(f"INTERVAL {hours} HOURS")
+
+
+def derive_hiveperiod(heartbeat: Column, hours: int = 8) -> Column:
+    """Partition date = date(normalize(heartbeat) + 8h) — the invariant the
+    reference's repair audit checks (data-cleaner.py:109-117)."""
+    return to_local(normalize_epoch_auto(heartbeat), hours).cast("date")
+
+
+# Equivalent DuckDB SQL fragment for oracles/tests (kept adjacent so the
+# two never drift). {col} is substituted with the epoch column name.
+NORMALIZE_EPOCH_SQL = """
+    CASE
+        WHEN {col} < 10000000000 THEN make_timestamp(CAST({col} * 1000000 AS BIGINT))
+        WHEN {col} < 10000000000000 THEN make_timestamp(CAST({col} * 1000 AS BIGINT))
+        WHEN {col} < 10000000000000000 THEN make_timestamp(CAST({col} AS BIGINT))
+        ELSE make_timestamp(CAST({col} / 1000 AS BIGINT))
+    END
+"""

@@ -1,0 +1,27 @@
+"""Object-store key parsing (SURVEY §2.3 E10–E12).
+
+Reference parses S3 keys ``…/hiveperiod=YYYY-MM-DD/dstrct_code=X/file.parquet``
+into columns via split→struct→unnest (v1-basic-etl/data-cleaner.py:127-142).
+Spark-first: ``split`` + ``getItem`` with a prefix strip, all JVM built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def parse_s3_key(key: Column) -> Column:
+    """Key → struct(hiveperiod string, dstrct_code string, filename string).
+
+    Expects ``<prefix...>/hiveperiod=<date>/dstrct_code=<code>/<file>`` as the
+    trailing three path segments (layout written by the partitioned sink,
+    gzip-to-parquet-etl.py:262-274).
+    """
+    parts = F.split(key, "/")
+    n = F.size(parts)
+    return F.struct(
+        F.regexp_replace(parts[n - 3], "^hiveperiod=", "").alias("hiveperiod"),
+        F.regexp_replace(parts[n - 2], "^dstrct_code=", "").alias("dstrct_code"),
+        parts[n - 1].alias("filename"),
+    )

@@ -1,0 +1,37 @@
+"""Determinism helpers for cross-engine (Spark vs DuckDB oracle) parity.
+
+Floating-point SUM/AVG over a distributed dataset is order-dependent —
+Spark's partial aggregation order varies run to run, so a raw
+``sum(double)`` can differ in the last bits from a single-threaded oracle.
+Routing the accumulation through DECIMAL makes it exact and deterministic
+in both engines; the final cast back to DOUBLE is then bit-identical.
+
+The same SQL shape must be used in oracles:
+  dsum  → CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE)
+  davg  → CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / count(x)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEC = "decimal(25,6)"
+
+
+def dsum(c: Column) -> Column:
+    """Order-insensitive double sum (exact decimal accumulation)."""
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def davg(c: Column) -> Column:
+    """Order-insensitive double mean: exact decimal sum / non-null count."""
+    return F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+
+
+def DSUM_SQL(x: str) -> str:
+    return f"CAST(sum(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def DAVG_SQL(x: str) -> str:
+    return f"CAST(sum(CAST({x} AS DECIMAL(25,6))) AS DOUBLE) / count({x})"

@@ -1,0 +1,61 @@
+"""Named-query registry — the SURVEY §2 operator inventory.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable registered with an
+adjacent DuckDB oracle SQL string (the driver's correctness gate runs both
+and compares row count + schema + order-insensitive value hash). Queries
+whose semantics aren't SQL-expressible (streaming state, LSH internals)
+register without an oracle → rows-only check.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL — the driver sorts columns by name
+before hashing.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_MODULES = [
+    "flagship",
+    "core",
+    "aggregates",
+    "joins",
+    "analytic",
+    "ingest",
+    "text",
+    "vectors",
+]
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optionally its DuckDB oracle) to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every plan module so registration side effects run."""
+    for m in _MODULES:
+        importlib.import_module(f"enterprise_iot_bigdata_pipeline_spark.plans.{m}")
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

@@ -1,0 +1,204 @@
+"""Aggregation surface (SURVEY §2.4) plus the grouping extensions a complete
+engine exposes (rollup/cube/grouping sets, exact + approx distinct, pivot,
+moment statistics) — all decimal-accumulated for cross-engine determinism
+(see functions.parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DAVG_SQL, DSUM_SQL, davg, dsum
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+# --- TPC-H Q1-shaped pricing summary: the canonical groupBy+multi-agg.
+#     Partial (map-side) aggregation is automatic in Spark; at 100 TB this
+#     is one shuffle of |groups| rows per partition. ------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        {DSUM_SQL("l_quantity")} AS sum_qty,
+        {DSUM_SQL("l_extendedprice")} AS sum_base_price,
+        {DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        {DAVG_SQL("l_quantity")} AS avg_qty,
+        {DAVG_SQL("l_discount")} AS avg_disc,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- ROLLUP: hierarchical subtotals (not in the reference; standard OLAP
+#     surface, SURVEY §2.4 note). -------------------------------------------
+
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM_SQL("l_quantity")} AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- CUBE ------------------------------------------------------------------
+
+
+@register(
+    "agg_cube",
+    f"""
+    WITH ev AS (SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_bucket, value FROM events)
+    SELECT event_type, user_bucket,
+           {DSUM_SQL("value")} AS sum_value,
+           count(*) AS n
+    FROM ev
+    GROUP BY CUBE (event_type, user_bucket)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn("user_bucket", (F.col("user_id") % 5).cast("long"))
+    return ev.cube("event_type", "user_bucket").agg(
+        dsum(F.col("value")).alias("sum_value"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- Exact distinct-count (the approx variant is `agg_approx_distinct`,
+#     rows-only checked since HLL sketches differ across engines). ----------
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --- Approximate distinct (HyperLogLog++). No oracle: sketch estimates are
+#     engine-specific; driver records rows-only. At 100 TB this replaces the
+#     exact shuffle-heavy distinct wherever a ±2% answer suffices. ----------
+
+
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- Pivot (wide status matrix per user bucket) -----------------------------
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS "click",
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS "view",
+        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS "purchase",
+        count(CASE WHEN event_type = 'signup' THEN 1 END) AS "signup",
+        count(CASE WHEN event_type = 'error' THEN 1 END) AS "error"
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+# --- Deterministic moment statistics: stddev via explicit decimal sums
+#     (sum, sum of squares) so the result is order-insensitive and matches
+#     the oracle bit-for-bit; built-in stddev over doubles is not. ----------
+
+
+@register(
+    "agg_value_stats",
+    f"""
+    SELECT event_type,
+        {DSUM_SQL("value")} AS sum_value,
+        {DAVG_SQL("value")} AS avg_value,
+        CAST(min(value) AS DOUBLE) AS min_value,
+        CAST(max(value) AS DOUBLE) AS max_value,
+        sqrt(
+            ({DSUM_SQL("value * value")} - {DSUM_SQL("value")} * {DSUM_SQL("value")} / count(value))
+            / (count(value) - 1)
+        ) AS stddev_value,
+        count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.col("value")
+    s = dsum(v)
+    sq = dsum(v * v)
+    n = F.count(v)
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            s.alias("sum_value"),
+            davg(v).alias("avg_value"),
+            F.min(v).cast("double").alias("min_value"),
+            F.max(v).cast("double").alias("max_value"),
+            F.sqrt((sq - s * s / n) / (n - F.lit(1))).alias("stddev_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

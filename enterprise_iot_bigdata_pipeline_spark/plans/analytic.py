@@ -1,0 +1,175 @@
+"""Analytic (SQL OVER) surface. The reference has none (SURVEY §2.8) but the
+extension surface the engine exposes: lag deltas, top-k per group, running
+sums, sessionization, and an as-of join — each expressed with Spark Window
+functions over deterministic (fully tie-broken) orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+
+# --- lag delta per key (the per-unit speed-delta pattern, SURVEY §2.8) ------
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id, ts, value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+# --- top-k per group via row_number ----------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT event_type, event_id, value, rn
+    FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        FROM events
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- running (cumulative) sum, decimal-accumulated for determinism ---------
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+# --- sessionization: gap > 30 min starts a new session ----------------------
+
+
+@register(
+    "window_sessionize",
+    """
+    WITH gaps AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM gaps
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select("event_id", "user_id", "ts", is_new.alias("is_new")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("is_new").over(wrun).alias("session_id"),
+    )
+
+
+# --- as-of join: for each purchase, the latest prior click by the same
+#     user (inclusive ≤). Spark lacks a native ASOF JOIN; the scalable
+#     composition is a union-tag + last(ignoreNulls) running window — one
+#     shuffle on user_id, no range explosion. DuckDB's native ASOF JOIN
+#     would express the same thing; the oracle uses the identical window
+#     formulation to pin tie semantics exactly. -----------------------------
+
+
+@register(
+    "asof_purchase_click",
+    """
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id, ts, last_click_ts
+    FROM tagged
+    WHERE event_type = 'purchase'
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )

@@ -1,0 +1,224 @@
+"""Core relational surface — projections, filters, sorts, set ops, distinct
+(SURVEY §2.2 P1-P5/F1-F7, §2.6 O1-O3, §2.7 U1, §2.4 A4/A5).
+
+Each query keeps the reference's semantics (e.g. three-valued NULL logic in
+the pending-predicate, lexical date-string ordering) but runs on the
+driver's test tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+# --- P2: explicit narrow projection (drives parquet column pruning;
+#     streamlit-app.py:80 picks 13 of 179 cols) -----------------------------
+
+
+@register(
+    "proj_select",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem",
+)
+def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+
+
+# --- P3: column exclusion (SELECT * EXCLUDE, data-cleaner.py:191) ----------
+
+
+@register("proj_exclude", "SELECT * EXCLUDE (props) FROM events")
+def proj_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").drop("props")
+
+
+# --- P4+P5: literal enrichment + rename (gzip-to-parquet-etl.py:227,244) ---
+
+
+@register(
+    "enrich_literal_rename",
+    """
+    SELECT event_id, 'DISTRICTB' AS dstrct_code, ts AS event_ts, user_id AS unit_id
+    FROM events
+    """,
+)
+def enrich_literal_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.lit("DISTRICTB").alias("dstrct_code"),
+        F.col("ts").alias("event_ts"),
+        F.col("user_id").alias("unit_id"),
+    )
+
+
+# --- F1: partition-key-style equality filter (streamlit-app.py:61-62) ------
+
+
+@register(
+    "filter_partition_eq",
+    """
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-02' AND event_type = 'click'
+    """,
+)
+def filter_partition_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts").cast("date") == F.lit("2024-01-02").cast("date"))
+        & (F.col("event_type") == "click")
+    ).select("event_id", "ts", "user_id", "value")
+
+
+# --- F2+F3: IN-list + derived-hour BETWEEN (streamlit-app.py:84-85) --------
+
+
+@register(
+    "filter_in_hour_range",
+    """
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    WHERE user_id IN (3, 7, 11, 42)
+      AND date_part('hour', ts + INTERVAL 8 HOURS) BETWEEN 9 AND 17
+    """,
+)
+def filter_in_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    local_hour = F.hour(F.col("ts") + F.expr("INTERVAL 8 HOURS"))
+    return ev.filter(
+        F.col("user_id").isin(3, 7, 11, 42) & local_hour.between(9, 17)
+    ).select("event_id", "user_id", "event_type", "ts")
+
+
+# --- F4: inequality audit filter — rows whose local date differs from the
+#     stored (UTC) date, i.e. the misfiled-partition invariant
+#     (data-cleaner.py:113) --------------------------------------------------
+
+
+@register(
+    "filter_date_mismatch",
+    """
+    SELECT event_id, ts,
+           CAST(ts AS DATE) AS stored_date,
+           CAST(ts + INTERVAL 8 HOURS AS DATE) AS accurate_wita_date
+    FROM events
+    WHERE CAST(ts AS DATE) != CAST(ts + INTERVAL 8 HOURS AS DATE)
+    """,
+)
+def filter_date_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    stored = F.col("ts").cast("date")
+    accurate = (F.col("ts") + F.expr("INTERVAL 8 HOURS")).cast("date")
+    return ev.select(
+        "event_id",
+        "ts",
+        stored.alias("stored_date"),
+        accurate.alias("accurate_wita_date"),
+    ).filter(stored != accurate)
+
+
+# --- F6: value BETWEEN (data-cleaner-simplified.py:159-163) -----------------
+
+
+@register(
+    "filter_between",
+    "SELECT event_id, value FROM events WHERE value BETWEEN 10.0 AND 20.0",
+)
+def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").between(10.0, 20.0))
+        .select("event_id", "value")
+    )
+
+
+# --- F7: pending-predicate with three-valued NULL logic
+#     (gzip-to-parquet-etl.py:173-192: `status != 'SUCCESS' OR status IS
+#     NULL`). NULLs synthesized via nullif on o_orderpriority. -------------
+
+
+@register(
+    "filter_null_logic",
+    """
+    SELECT o_orderkey, o_orderstatus, pri
+    FROM (SELECT o_orderkey, o_orderstatus,
+                 nullif(o_orderpriority, '1-URGENT') AS pri
+          FROM orders)
+    WHERE o_orderstatus = 'O' AND (pri != '2-HIGH' OR pri IS NULL)
+    """,
+)
+def filter_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        o.select("o_orderkey", "o_orderstatus", pri.alias("pri"))
+        .filter((F.col("o_orderstatus") == "O") & ((F.col("pri") != "2-HIGH") | F.col("pri").isNull()))
+    )
+
+
+# --- O1+O2: newest-first top-k (TakeOrderedAndProject;
+#     gzip-to-parquet-etl.py:173) with a unique tiebreak so the selected
+#     set is deterministic across engines ----------------------------------
+
+
+@register(
+    "sort_topk",
+    """
+    SELECT event_id, ts, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "ts", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+# --- A5: multi-column DISTINCT (unit picker, streamlit-app.py:59) ----------
+
+
+@register(
+    "distinct_multi",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# --- A4: row-count gate (gzip-to-parquet-etl.py:252) -----------------------
+
+
+@register("count_rows", "SELECT count(*) AS n_rows FROM lineitem")
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --- U1: schema-drift-tolerant union-by-name (read_json_auto
+#     union_by_name=true, gzip-to-parquet-etl.py:245). Two projections with
+#     different column sets unioned with missing columns null-filled. ------
+
+
+@register(
+    "union_by_name",
+    """
+    SELECT event_id, event_type, value, NULL AS extra_v2_field FROM events WHERE user_id % 2 = 0
+    UNION ALL BY NAME
+    SELECT event_id, event_type, value * 2 AS extra_v2_field FROM events WHERE user_id % 2 = 1
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    old_schema = ev.filter(F.col("user_id") % 2 == 0).select("event_id", "event_type", "value")
+    new_schema = ev.filter(F.col("user_id") % 2 == 1).select(
+        "event_id", "event_type", (F.col("value") * 2).alias("extra_v2_field")
+    )
+    return old_schema.unionByName(new_schema, allowMissingColumns=True)

@@ -1,0 +1,200 @@
+"""Flagship queries — the reference's two signature computations.
+
+1. ``flagship_minute_resample`` — the dashboard speed-analysis pipeline
+   (SURVEY §3.3): sentinel clean → status derivation → error metric →
+   1-minute tumbling-window grouped agg (streamlit-app.py:141-170),
+   re-expressed on the driver's ``events`` table.
+2. ``epoch_normalize_multiscale`` — the 4-way epoch-scale normalizer (E1,
+   gzip-to-parquet-etl.py:228-243) exercised across all four branches.
+3. ``parse_s3_keys`` — S3-key parse/filter (E10-E12, data-cleaner.py:127-142).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.cleaning import error_rate, replace_sentinel
+from enterprise_iot_bigdata_pipeline_spark.functions.epoch import (
+    NORMALIZE_EPOCH_SQL,
+    normalize_epoch_auto,
+    to_local,
+)
+from enterprise_iot_bigdata_pipeline_spark.functions.keys import parse_s3_key
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DAVG_SQL, davg
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+# ---------------------------------------------------------------------------
+# 1. Dashboard minute-resample (A1 tumbling window + E6/E7/E8 cleaning).
+#    Groups: 1-min window × user × date  (analog of unitno × dstrct ×
+#    hiveperiod in streamlit-app.py:155-158). Aggregates: mean of cleaned
+#    value and error metric, min of derived status + event_type
+#    (min-as-"any-bad" on strings, A3), count.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = f"""
+WITH cleaned AS (
+    SELECT
+        date_trunc('minute', ts) AS minute,
+        user_id,
+        CAST(ts AS DATE) AS event_date,
+        CASE WHEN value = -9999 THEN -1 ELSE value END AS value_clean,
+        CASE WHEN value < 1.0 THEN 'false' ELSE 'true' END AS status,
+        abs((CASE WHEN value = -9999 THEN -1 ELSE value END)
+            - CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS err,
+        event_type
+    FROM events
+)
+SELECT
+    minute,
+    user_id,
+    event_date,
+    {DAVG_SQL("value_clean")} AS avg_value,
+    {DAVG_SQL("err")} AS avg_error,
+    min(status) AS min_status,
+    min(event_type) AS min_event_type,
+    count(*) AS n_events
+FROM cleaned
+GROUP BY minute, user_id, event_date
+"""
+
+
+@register("flagship_minute_resample", _FLAGSHIP_ORACLE)
+def flagship_minute_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cleaned = (
+        ev.withColumn("value_clean", replace_sentinel(F.col("value")))
+        .withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("double"))
+        .withColumn(
+            "status",
+            F.when(F.col("value") < 1.0, F.lit("false")).otherwise(F.lit("true")),
+        )
+        .withColumn("err", error_rate(F.col("value_clean"), F.col("k")))
+        .withColumn("event_date", F.col("ts").cast("date"))
+    )
+    return (
+        cleaned.groupBy(
+            F.window(F.col("ts"), "1 minute").alias("w"),
+            "user_id",
+            "event_date",
+        )
+        .agg(
+            davg(F.col("value_clean")).alias("avg_value"),
+            davg(F.col("err")).alias("avg_error"),
+            F.min("status").alias("min_status"),
+            F.min("event_type").alias("min_event_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("minute"),
+            "user_id",
+            "event_date",
+            "avg_value",
+            "avg_error",
+            "min_status",
+            "min_event_type",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Multi-scale epoch normalizer (E1). The events table has no raw epoch
+#    column, so heartbeats are synthesized at all four scales (cycling by
+#    user_id % 4) and then normalized back — exercising every branch of
+#    the ladder, including the ns branch's round-on-cast semantics.
+# ---------------------------------------------------------------------------
+
+_EPOCH_NORM = NORMALIZE_EPOCH_SQL.format(col="heartbeat")
+
+_EPOCH_ORACLE = f"""
+WITH hb AS (
+    SELECT
+        event_id,
+        CASE CAST(user_id % 4 AS INTEGER)
+            WHEN 0 THEN epoch_us(ts) // 1000000
+            WHEN 1 THEN epoch_us(ts) // 1000
+            WHEN 2 THEN epoch_us(ts)
+            ELSE epoch_us(ts) * 1000
+        END AS heartbeat
+    FROM events
+)
+SELECT
+    event_id,
+    heartbeat,
+    CAST(({_EPOCH_NORM}) + INTERVAL 8 HOURS AS DATE) AS hiveperiod,
+    CAST(({_EPOCH_NORM}) + INTERVAL 8 HOURS AS TIMESTAMP) AS datetime_wita
+FROM hb
+"""
+
+
+@register("epoch_normalize_multiscale", _EPOCH_ORACLE)
+def epoch_normalize_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    base_us = F.expr("unix_micros(cast(ts as timestamp))")
+    hb = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 4 == 0, F.expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+        .when(F.col("user_id") % 4 == 1, F.expr("unix_micros(cast(ts as timestamp)) div 1000"))
+        .when(F.col("user_id") % 4 == 2, base_us)
+        .otherwise(base_us * 1000)
+        .alias("heartbeat"),
+    )
+    norm = normalize_epoch_auto(F.col("heartbeat"))
+    return hb.select(
+        "event_id",
+        "heartbeat",
+        to_local(norm).cast("date").alias("hiveperiod"),
+        to_local(norm).alias("datetime_wita"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. S3-key build + parse + string-date filter (E10/E11/E12 + F5).
+# ---------------------------------------------------------------------------
+
+_KEYS_ORACLE = """
+WITH keys AS (
+    SELECT
+        event_id,
+        concat('smartdbucket/datalog_v2/hiveperiod=', CAST(CAST(ts AS DATE) AS VARCHAR),
+               '/dstrct_code=DISTRICT', CAST(user_id % 3 AS VARCHAR),
+               '/standard_', CAST(event_id AS VARCHAR), '.parquet') AS key
+    FROM events
+),
+parsed AS (
+    SELECT
+        event_id,
+        key,
+        replace(parts[3], 'hiveperiod=', '') AS hiveperiod,
+        replace(parts[4], 'dstrct_code=', '') AS dstrct_code,
+        parts[5] AS filename
+    FROM (SELECT event_id, key, string_split(key, '/') AS parts FROM keys)
+)
+SELECT event_id, key, hiveperiod, dstrct_code, filename
+FROM parsed
+WHERE hiveperiod >= '2024-01-10'
+"""
+
+
+@register("parse_s3_keys", _KEYS_ORACLE)
+def parse_s3_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("smartdbucket/datalog_v2/hiveperiod="),
+            F.col("ts").cast("date").cast("string"),
+            F.lit("/dstrct_code=DISTRICT"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit("/standard_"),
+            F.col("event_id").cast("string"),
+            F.lit(".parquet"),
+        ).alias("key"),
+    )
+    parsed = keyed.withColumn("p", parse_s3_key(F.col("key"))).select(
+        "event_id", "key", "p.hiveperiod", "p.dstrct_code", "p.filename"
+    )
+    # ISO dates sort lexically (F5, data-cleaner.py:140-142).
+    return parsed.filter(F.col("hiveperiod") >= "2024-01-10")

@@ -1,0 +1,188 @@
+"""Join surface. The reference performs zero relational joins (SURVEY §2.5 —
+enrichment is literal injection), but its *implied* joins (device→district
+dimension lookup, pending = uploaded ANTI processed) plus a credible engine's
+star-schema surface are implemented here on the driver's TPC-H-ish tables.
+
+Scale notes (100 TB): dimension joins are explicitly broadcast (no shuffle
+of the fact side); fact-fact joins shuffle on the join key and rely on AQE
+for skew; semi/anti express the reference's key-claiming set logic without
+materializing the right side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DSUM_SQL, dsum
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+# --- Star-schema rollup through three broadcast dimension hops -------------
+
+
+@register(
+    "join_broadcast_star",
+    f"""
+    SELECT r_name, n_name,
+           count(*) AS n_orders,
+           {DSUM_SQL("o_totalprice")} AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# --- Fact-fact join (shuffle / sort-merge on the key) -----------------------
+
+
+@register(
+    "join_fact_fact",
+    f"""
+    SELECT o_orderpriority,
+           count(DISTINCT o_orderkey) AS n_orders,
+           {DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum(revenue).alias("revenue"),
+        )
+    )
+
+
+# --- Semi join: "customers with at least one order" — the set-theoretic
+#     reading of the reference's pending-keys predicate (F7): EXISTS without
+#     materializing the right side. -----------------------------------------
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --- Anti join: "customers with no orders" = uploaded ANTI processed --------
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# --- TPC-H Q3-shaped: top-10 revenue (join + agg + deterministic top-k) ----
+
+
+@register(
+    "join_top_revenue",
+    f"""
+    SELECT o_orderkey, o_orderdate,
+           {DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def join_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5-shaped: 5-way join with a co-nation constraint ---------------
+
+
+@register(
+    "join_five_way",
+    f"""
+    SELECT n_name,
+           {DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_five_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )

@@ -1,0 +1,60 @@
+"""Table access for the driver's test corpus (TESTDATA.md).
+
+``t(spark, sf_dir, name)`` is the single scan entry point so every query
+gets the same reader semantics, in particular nanosecond-timestamp
+handling: the corpus stores ``events.ts`` as parquet INT64
+TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright.
+We read ns columns as raw longs (``spark.sql.legacy.parquet.nanosAsLong``)
+and convert to µs TIMESTAMP_NTZ with integer division — bit-identical to
+DuckDB's silent ns→µs truncation, so oracle comparisons hold.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# path -> list of ns-timestamp column names (parquet footer inspection is
+# driver-side and cheap; cache it per file).
+_NS_COLS: dict[str, list[str]] = {}
+
+
+def _ns_timestamp_cols(path: str) -> list[str]:
+    if path not in _NS_COLS:
+        schema = pq.read_schema(path)
+        _NS_COLS[path] = [
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    return _NS_COLS[path]
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}")
+    path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC even when the caller's session was built without it: instant↔ntz
+    # casts inside plans must be timezone-stable (driver owns the session).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in _ns_timestamp_cols(path):
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+        )
+    return df

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Conventions mirror the reference engine's settings (UTC pinned, matching
+``SET TimeZone='UTC'`` at v1-basic-etl/gzip-to-parquet-etl.py:150; memory
+limits §6 of SURVEY) but tuned for Spark: AQE on, Arrow on, shuffle
+partitions sized to cores rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "enterprise_iot_bigdata_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the session.
+
+    Defaults target local mode; on a real cluster the master/memory knobs
+    come from spark-submit and everything here still applies (AQE, UTC,
+    Arrow, case preservation).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # Time semantics: the reference pins UTC (gzip-to-parquet-etl.py:150);
+        # naive DuckDB timestamps ≡ Spark timestamp_ntz / UTC-session instants.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Right-size shuffles for the target, let AQE coalesce at runtime.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Column-name case must survive end-to-end ("VehicleSpeed",
+        # SURVEY §1.4); Spark is case-preserving by default — keep
+        # resolution case-insensitive (default) but never lowercase names.
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Read INT64 TIMESTAMP(NANOS) parquet columns as raw longs (Spark has
+        # no ns timestamp); plans.tables converts them to µs timestamp_ntz
+        # with the same truncation DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Quiet the UI for headless runs.
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    if os.environ.get("SPARK_DRIVER_MEMORY"):
+        b = b.config("spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"])
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,49 @@
+"""Differential test: every registered query with an oracle must match the
+DuckDB oracle on the sf0.001 corpus (the driver runs the same check at
+sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_compare import compare, duck_connection
+
+
+def _pairs():
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_oracles, all_queries
+
+    q = all_queries()
+    o = all_oracles()
+    return [(name, q[name], o[name]) for name in sorted(o)]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name,fn,oracle", _pairs(), ids=[p[0] for p in _pairs()])
+def test_oracle_parity(spark, duck, name, fn, oracle):
+    compare(fn(spark, SF_SMOKE), oracle, duck, name)
+
+
+def test_all_queries_run(spark):
+    """Queries without oracles must still execute and return a schema."""
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_oracles, all_queries
+
+    q = all_queries()
+    o = all_oracles()
+    for name in sorted(set(q) - set(o)):
+        df = q[name](spark, SF_SMOKE)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
