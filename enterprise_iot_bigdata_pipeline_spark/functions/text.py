@@ -1,0 +1,121 @@
+"""Text-analysis expressions for the LLM-data-pipeline surface: token
+counting, quality scoring, language ID, fingerprinting, shingling.
+
+Everything is a JVM-side built-in expression (no Python UDFs): at 100 TB
+these run inside whole-stage codegen over the scan. Constants are module
+level and shared with the oracle-SQL generators in ``plans.text`` so the
+two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+NON_ASCII_RE = r"[^\x00-\x7F]"
+
+# Marker stopwords per language for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with", "a"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por"),
+    "de": ("der", "die", "das", "und", "nicht", "mit", "ist", "von"),
+    "fr": ("le", "les", "des", "une", "dans", "est", "que", "pour"),
+}
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def words(text: Column) -> Column:
+    """Lower-cased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return F.size(words(text)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / punct)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens are in the marker set (BIGINT)."""
+    return F.size(
+        F.filter(words(text), lambda w: w.isin(*markers))
+    ).cast("long")
+
+
+def non_ascii_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(NON_ASCII_RE)).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (DOUBLE, deterministic per row)."""
+    return F.regexp_count(text, F.lit(PUNCT_RE)).cast("double") / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    return marker_hits(text, STOPWORDS_EN).cast("double") / token_count(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length saturation + low punct +
+    healthy stopword share. Rounded to 9 dp: sum-of-products in doubles is
+    FMA-contraction-sensitive (engines may fuse a*b+c), so the last ~8
+    digits are not portable — 9 dp is far above ULP noise."""
+    len_term = F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0))
+    return F.round(
+        F.lit(0.4) * len_term
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.3) * stopword_ratio(text),
+        9,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-stopword language heuristic with a fixed decision ladder:
+    zh on any non-ASCII, else the first language (en→es→de→fr order)
+    whose marker count is strictly greatest (ties resolve earlier)."""
+    scores = {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    en, es, de, fr = scores["en"], scores["es"], scores["de"], scores["fr"]
+    return (
+        F.when(non_ascii_count(text) > 0, F.lit("zh"))
+        .when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es >= de) & (es >= fr), F.lit("es"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>), the dedup unit."""
+    w = words(text)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+def shingle_to_int(shingle: Column) -> Column:
+    """Shingle → 60-bit integer via md5 prefix (same in DuckDB:
+    CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,43 @@
+"""Vector expressions over ``array<float>`` embedding columns — all JVM
+built-ins (``zip_with``/``transform``/``aggregate``), no Python UDFs: the
+hot path stays inside codegen and scales linearly with partitions.
+
+Cross-engine note: sums of products are FMA-contraction-sensitive (DuckDB's
+vectorized executor fuses a*b+c; the JVM never does), so any value surfaced
+for oracle comparison is rounded to 9 dp (``ROUND_DP``) — far above ULP
+noise, far below semantic differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ROUND_DP = 9
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in doubles, sequential left fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2(a: Column) -> Column:
+    """Σ a_i² in doubles."""
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(norm2(a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot/(‖a‖·‖b‖), rounded to ROUND_DP for cross-engine stability."""
+    return F.round(dot(a, b) / F.sqrt(norm2(a) * norm2(b)), ROUND_DP)

@@ -1,0 +1,2 @@
+"""DataFrame→DataFrame operators: compaction/repair (reference surface) and
+the LLM-data-pipeline extensions (dedup, similarity search, multimodal)."""

@@ -1,0 +1,123 @@
+"""The compacter pipeline — the reference engine's reason to exist.
+
+``compact_batch`` is the batch form of v1's loop body / v2's DAG
+(SURVEY §3.1-3.2): NDJSON paths → enrich (district literal, multi-scale
+epoch → hiveperiod/datetime_wita, source filename) → partitioned snappy
+parquet append. ``repair_misfiled`` finishes what the reference's
+data-cleaner starts (SURVEY §3.4) and ``compact_partitions`` implements the
+stubbed daily compactor (datalog_compacter.py:1-26) — both via dynamic
+partition overwrite, fixing the reference's duplicate-on-repair gap (old
+files were never deleted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.epoch import normalize_epoch_auto, to_local
+from enterprise_iot_bigdata_pipeline_spark.sources.lake import PARTITION_COLS, write_lake
+from enterprise_iot_bigdata_pipeline_spark.sources.ndjson import read_ndjson
+
+
+def enrich(df: DataFrame, distrik: str, tz_hours: int = 8) -> DataFrame:
+    """The signature enrichment (gzip-to-parquet-etl.py:225-244):
+    dstrct_code literal, hiveperiod/datetime_wita from heartbeat."""
+    local_ts = to_local(normalize_epoch_auto(F.col("heartbeat")), tz_hours)
+    return (
+        df.withColumn("dstrct_code", F.lit(distrik))
+        .withColumn("hiveperiod", local_ts.cast("date"))
+        .withColumn("datetime_wita", local_ts)
+    )
+
+
+def compact_batch(
+    spark: SparkSession,
+    paths: list[str],
+    target: str,
+    distrik: str,
+    schema=None,
+) -> int:
+    """One micro-batch: read NDJSON → enrich → partitioned append.
+
+    Returns the row count (0 → nothing written, the reference's
+    empty-batch short-circuit, gzip-to-parquet-etl.py:254-257).
+    """
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    try:
+        raw = read_ndjson(spark, paths, schema=schema)
+    except AnalysisException:
+        return 0  # empty/uninferable input — nothing to compact
+    if not raw.columns or raw.columns == ["source_file"]:
+        return 0  # inference found no data columns (all-empty files)
+    df = enrich(raw, distrik)
+    n = df.count()
+    if n == 0:
+        return 0
+    write_lake(df, target)
+    return n
+
+
+def audit_misfiled(lake: DataFrame, tz_hours: int = 8) -> DataFrame:
+    """Rows whose stored partition date ≠ true event-time date — the
+    reference's production invariant (data-cleaner.py:109-117). Returns
+    DISTINCT (hiveperiod, dstrct_code, accurate_wita_date) to repair."""
+    accurate = to_local(normalize_epoch_auto(F.col("heartbeat")), tz_hours).cast("date")
+    return (
+        lake.withColumn("accurate_wita_date", accurate)
+        .filter(F.col("hiveperiod") != F.col("accurate_wita_date"))
+        .select("hiveperiod", "dstrct_code", "accurate_wita_date")
+        .distinct()
+    )
+
+
+def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
+    """Rewrite misfiled rows into their correct partitions.
+
+    Unlike the reference (append-only, leaves stale copies), this uses
+    dynamic partition overwrite: affected partitions are rewritten with
+    recomputed hiveperiod; untouched partitions stay as-is.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    lake = spark.read.parquet(root)
+    accurate = to_local(normalize_epoch_auto(F.col("heartbeat")), tz_hours).cast("date")
+    affected = (
+        lake.withColumn("accurate", accurate)
+        .filter(F.col("hiveperiod") != F.col("accurate"))
+        .select(F.col("hiveperiod").alias("bad_period"), "dstrct_code")
+        .distinct()
+    )
+    bad = [tuple(r) for r in affected.collect()]  # partition list: tiny, control plane
+    if not bad:
+        return 0
+    # Rows currently in any affected partition get a recomputed hiveperiod;
+    # rewrite source+target partitions in one dynamic-overwrite pass.
+    periods = {p for p, _ in bad}
+    subset = lake.filter(F.col("hiveperiod").isin([str(p) for p in periods]))
+    fixed = (
+        subset.withColumn("hiveperiod", accurate)
+    )
+    n = fixed.count()
+    (
+        fixed.repartition(*[F.col(c) for c in PARTITION_COLS])
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(root)
+    )
+    return n
+
+
+def compact_partitions(spark: SparkSession, root: str, target_files: int = 1) -> None:
+    """Daily small-file compaction (the reference's TODO stub): rewrite
+    each partition into ~``target_files`` files, dynamic overwrite."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    lake = spark.read.parquet(root)
+    (
+        lake.repartition(target_files, *[F.col(c) for c in PARTITION_COLS])
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(root)
+    )

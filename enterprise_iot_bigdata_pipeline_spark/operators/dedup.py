@@ -1,0 +1,194 @@
+"""Deduplication operators for document corpora, designed scale-first:
+
+- ``exact_dedup``          — hash-groupBy; one shuffle keyed by content hash.
+- ``minhash_signatures``   — k-permutation MinHash over word shingles; map-side
+  only (explode → groupBy(doc) min-agg) so the shuffle carries one row per doc.
+- ``lsh_candidate_pairs``  — banded LSH: equi-join on (band, band_key) buckets;
+  no pairwise blowup outside colliding buckets — the 100 TB-safe path.
+- ``simhash``              — 60-bit sign-of-sum fingerprint; hamming-ball
+  candidate pairs via chunk banding (``simhash_pairs``).
+- ``ngram_jaccard_pairs``  — exact Jaccard via shingle equi-join (the
+  verification stage after LSH candidates, or standalone at small scale).
+
+All computations are JVM built-ins (no Python UDFs); MinHash uses
+h_i(x) = (a_i·x + b_i) mod P over 60-bit shingle ints, P = 2^31-1, with
+x reduced mod P first so products stay inside 63 bits.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.text import shingle_to_int, word_shingles
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_params(k: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs shared with the oracle-SQL generator."""
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, MERSENNE_P), rnd.randrange(0, MERSENNE_P)) for _ in range(k)]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical content by md5; keep the smallest id as survivor."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 16, seed: int = 42, n: int = 3
+) -> DataFrame:
+    """One row per doc with columns h0..h{k-1} (the MinHash signature)."""
+    params = minhash_params(k, seed)
+    sh = _exploded_shingles(df, text_col, id_col, n).withColumn(
+        "x", shingle_to_int(F.col("shingle")) % F.lit(MERSENNE_P)
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH over a MinHash signature frame → distinct candidate pairs
+    (doc_a < doc_b). Collision key = md5 of the band's concatenated rows."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("key"),
+            )
+        )
+    bucketed = signatures.select(
+        F.col("doc"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", "bk.band", "bk.key")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard ≥ threshold via equi-join on shingles.
+
+    Co-partitioned by shingle: the only pairs materialized are those
+    sharing at least one shingle (plus a per-doc size dimension, reused
+    twice — broadcast at small dim, shuffle-join at scale).
+    """
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+SIMHASH_BITS = 60
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash over whitespace tokens (with multiplicity): bit j is
+    the sign of Σ_words (±1 by bit j of the word's 60-bit md5 int)."""
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
+    ).withColumn("h", shingle_to_int(F.col("word")))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = w.groupBy("doc").agg(*aggs)
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return sums.select("doc", F.expr(bit_terms).alias("simhash"))
+
+
+def simhash_pairs(
+    sims: DataFrame, max_hamming: int = 6, chunks: int = 4
+) -> DataFrame:
+    """Near-dup candidates: pairs agreeing on ≥1 of ``chunks`` 15-bit chunks
+    (pigeonhole guarantees recall for hamming ≤ chunks-1), verified by
+    exact hamming distance ≤ max_hamming."""
+    width = SIMHASH_BITS // chunks
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.expr(f"(simhash >> {c * width}) & {(1 << width) - 1}").alias("key"),
+        )
+        for c in range(chunks)
+    ]
+    bucketed = sims.select(
+        "doc", "simhash", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("doc", "simhash", "ck.chunk", "ck.key")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

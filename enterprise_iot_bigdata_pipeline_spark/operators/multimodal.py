@@ -1,0 +1,114 @@
+"""Multimodal-column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas stages.
+
+The Spark side — schemas, partitioning, mapInPandas batch shape — is real
+and tested. The *decode* step is stubbed: image/audio codecs don't ship in
+this environment, so ``decode_image`` raises NotImplementedError unless a
+codec is importable, and ``extract_features``/``sample_frames`` use a
+deterministic byte-level fake that exercises exactly the same plumbing.
+
+Scale design: binaries never pass through the driver; each mapInPandas
+batch is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+metadata-only projections never read payload bytes (parquet column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = "media_type string, n_bytes bigint, width int, height int"
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize an opaque binary payload + typed metadata from text
+    (stand-in for real image/audio bytes; deterministic)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
+    return df.select(
+        F.col(id_col),
+        payload.alias("content"),
+        F.struct(
+            F.when(h % 3 == 0, F.lit("image/png"))
+            .when(h % 3 == 1, F.lit("audio/wav"))
+            .otherwise(F.lit("video/mp4"))
+            .alias("media_type"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            (h % 1920 + 1).cast("int").alias("width"),
+            (h % 1080 + 1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - gated stub
+    """Real decode path, gated on a codec being available."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires an imaging library (PIL/opencv); none "
+            "ships in this environment — use the deterministic byte-level "
+            "feature path (extract_features) for plumbing tests"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))
+
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, mean_byte double, max_byte int, byte_entropy double"
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (the shape a
+    real embed/decode stage has; features here are byte statistics)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = np.frombuffer(bytes(content), dtype=np.uint8)
+                counts = np.bincount(b, minlength=256).astype(np.float64)
+                p = counts[counts > 0] / len(b)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(len(b)),
+                        float(b.mean()),
+                        int(b.max()),
+                        float(-(p * np.log2(p)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "mean_byte", "max_byte", "byte_entropy"]
+            )
+
+    return media.select("doc_id", "content").mapInPandas(per_batch, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 4) -> DataFrame:
+    """Frame sampling over "video" payloads: fixed-size chunks, every
+    ``stride``-th kept — one input row fans out to many frame rows."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                n_frames = len(b) // frame_size
+                for i in range(0, n_frames, stride):
+                    out.append((int(doc_id), i, b[i * frame_size : (i + 1) * frame_size]))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
+
+    return media.select("doc_id", "content").mapInPandas(per_batch, FRAMES_SCHEMA)

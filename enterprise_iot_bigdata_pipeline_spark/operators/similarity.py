@@ -1,0 +1,117 @@
+"""Similarity-search operators over embedding columns.
+
+- ``cosine_topk``       — brute-force exact k-NN: broadcast the (small) query
+  set against the corpus; one pass over the corpus partitioned arbitrarily,
+  per-query top-k via window. The exactness baseline.
+- ``random_projection_buckets`` — signed-random-projection LSH: b hyperplanes
+  → 2^b buckets; map-side only. The 100 TB path: candidate generation
+  becomes an equi-join on bucket, never a cross join.
+- ``lsh_topk``          — top-k restricted to same-bucket candidates.
+
+Hyperplanes are deterministic (seeded) and shared with the oracle-SQL
+generator in ``plans.vectors``.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.vectors import cosine
+
+
+def hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes, coefficients rounded to 4 dp so
+    they embed exactly as literals in both Spark and oracle SQL."""
+    rnd = random.Random(seed)
+    return [
+        [round(rnd.uniform(-1.0, 1.0), 4) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (brute force, broadcast queries).
+
+    Output: q_id, vec_id, cos_sim, rank. Deterministic: ranking key is the
+    rounded cosine with id tiebreak.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = (
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col(vec_col)))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "cos_sim", "rank")
+    )
+
+
+def random_projection_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """vec → integer bucket via sign bits of hyperplane projections."""
+    planes = hyperplanes(n_planes, dim, seed)
+    bucket = None
+    for h, coefs in enumerate(planes):
+        plane = F.array(*[F.lit(c) for c in coefs])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_filter,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    The bucket equi-join replaces the cross join — at scale the shuffle is
+    keyed by bucket and each task sees only its bucket's candidates.
+    """
+    bucketed = random_projection_buckets(corpus, n_planes, dim, seed, id_col, vec_col)
+    q = bucketed.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = (
+        bucketed.join(
+            q,
+            (F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id")),
+        )
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col(vec_col)))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "bucket", "cos_sim", "rank")
+    )

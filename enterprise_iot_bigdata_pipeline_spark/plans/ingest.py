@@ -1,1 +1,158 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Ingest/maintenance-surface queries: the repair audit (the reference's
+de-facto correctness check), multimodal metadata, and a real Structured
+Streaming run (rows-only: streaming state isn't SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.epoch import (
+    NORMALIZE_EPOCH_SQL,
+    normalize_epoch_auto,
+    to_local,
+)
+from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import attach_fake_media
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+# ---------------------------------------------------------------------------
+# Repair audit (T4/F4, data-cleaner.py:109-117): DISTINCT partitions whose
+# stored date ≠ event-time date. Heartbeats synthesized at mixed scales as
+# in epoch_normalize_multiscale; district from user bucket.
+# ---------------------------------------------------------------------------
+
+_EPOCH_NORM = NORMALIZE_EPOCH_SQL.format(col="heartbeat")
+
+_AUDIT_ORACLE = f"""
+WITH lake AS (
+    SELECT
+        CAST(ts AS DATE) AS hiveperiod,
+        concat('DISTRICT', CAST(user_id % 3 AS VARCHAR)) AS dstrct_code,
+        CASE CAST(user_id % 4 AS INTEGER)
+            WHEN 0 THEN epoch_us(ts) // 1000000
+            WHEN 1 THEN epoch_us(ts) // 1000
+            WHEN 2 THEN epoch_us(ts)
+            ELSE epoch_us(ts) * 1000
+        END AS heartbeat
+    FROM events
+)
+SELECT DISTINCT hiveperiod, dstrct_code,
+       CAST(({_EPOCH_NORM}) + INTERVAL 8 HOURS AS DATE) AS accurate_wita_date
+FROM lake
+WHERE hiveperiod != CAST(({_EPOCH_NORM}) + INTERVAL 8 HOURS AS DATE)
+"""
+
+
+@register("repair_audit_partitions", _AUDIT_ORACLE)
+def repair_audit_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    base_us = F.expr("unix_micros(cast(ts as timestamp))")
+    lake = ev.select(
+        F.col("ts").cast("date").alias("hiveperiod"),
+        F.concat(F.lit("DISTRICT"), (F.col("user_id") % 3).cast("string")).alias(
+            "dstrct_code"
+        ),
+        F.when(F.col("user_id") % 4 == 0, F.expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+        .when(F.col("user_id") % 4 == 1, F.expr("unix_micros(cast(ts as timestamp)) div 1000"))
+        .when(F.col("user_id") % 4 == 2, base_us)
+        .otherwise(base_us * 1000)
+        .alias("heartbeat"),
+    )
+    accurate = to_local(normalize_epoch_auto(F.col("heartbeat"))).cast("date")
+    return (
+        lake.withColumn("accurate_wita_date", accurate)
+        .filter(F.col("hiveperiod") != F.col("accurate_wita_date"))
+        .select("hiveperiod", "dstrct_code", "accurate_wita_date")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata projection (decode-free: column pruning never touches
+# payload bytes). Oracle mirrors the deterministic metadata synthesis.
+# ---------------------------------------------------------------------------
+
+_MM_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN h % 3 = 0 THEN 'image/png'
+            WHEN h % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(h % 1920 + 1 AS INTEGER) AS width,
+       CAST(h % 1080 + 1 AS INTEGER) AS height
+FROM m
+"""
+
+
+@register("multimodal_metadata", _MM_ORACLE)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_fake_media(t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id", "meta.media_type", "meta.n_bytes", "meta.width", "meta.height"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction through the Arrow/mapInPandas path
+# (rows-only: byte-entropy isn't worth expressing in SQL).
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import extract_features
+
+    return extract_features(attach_fake_media(t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# A real Structured Streaming execution (rows-only): file-source stream over
+# the events table, availableNow trigger, windowed count into a memory sink.
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_hour_agg")
+def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    static = t(spark, sf_dir, "events")
+    # The streaming file source needs a *directory*; stage the single-file
+    # table via symlink (no data copy).
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        ).parquet(stage)
+    )
+    # ns→µs conversion as in plans.tables (stream schema carries the raw
+    # long); watermarks require TIMESTAMP (not NTZ) — UTC session is pinned.
+    if dict(static.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
+    )
+    name = f"stream_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,1 +1,255 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Text-analysis + deduplication queries on the ``documents`` table — the
+LLM-data-pipeline surface (dedup, language ID, quality scoring, token
+counting, fingerprinting).
+
+Oracle SQL is *generated from the same constants* (stopword lists, hash
+parameters, shingle width) as the Spark expressions in ``functions.text``
+and ``operators.dedup``, so both sides stay in lock-step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions import text as X
+from enterprise_iot_bigdata_pipeline_spark.operators import dedup as D
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (mirror functions.text exactly)
+# ---------------------------------------------------------------------------
+
+_WORDS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_TOKENS = f"len({_WORDS})"
+
+
+def _marker_hits_sql(markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_WORDS}, w -> w IN ({in_list})))"
+
+
+_PUNCT_N = f"len(regexp_extract_all(text, '{X.PUNCT_RE}'))"
+_NON_ASCII_N = r"len(regexp_extract_all(text, '[^\x00-\x7F]'))"
+_STOP_RATIO = f"CAST({_marker_hits_sql(X.STOPWORDS_EN)} AS DOUBLE) / {_TOKENS}"
+_PUNCT_RATIO = f"CAST({_PUNCT_N} AS DOUBLE) / length(text)"
+
+_LANG_CASE = f"""
+    CASE
+        WHEN {_NON_ASCII_N} > 0 THEN 'zh'
+        WHEN {_marker_hits_sql(X.LANG_MARKERS["en"])} >= {_marker_hits_sql(X.LANG_MARKERS["es"])}
+         AND {_marker_hits_sql(X.LANG_MARKERS["en"])} >= {_marker_hits_sql(X.LANG_MARKERS["de"])}
+         AND {_marker_hits_sql(X.LANG_MARKERS["en"])} >= {_marker_hits_sql(X.LANG_MARKERS["fr"])} THEN 'en'
+        WHEN {_marker_hits_sql(X.LANG_MARKERS["es"])} >= {_marker_hits_sql(X.LANG_MARKERS["de"])}
+         AND {_marker_hits_sql(X.LANG_MARKERS["es"])} >= {_marker_hits_sql(X.LANG_MARKERS["fr"])} THEN 'es'
+        WHEN {_marker_hits_sql(X.LANG_MARKERS["de"])} >= {_marker_hits_sql(X.LANG_MARKERS["fr"])} THEN 'de'
+        ELSE 'fr'
+    END
+"""
+
+# DuckDB shingle pipeline (mirrors functions.text.word_shingles, n=3).
+_SHINGLES_CTE = f"""
+words AS (SELECT doc_id AS doc, {_WORDS} AS ws FROM documents),
+sh AS (
+    SELECT doc, unnest(list_distinct(
+        CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+             ELSE [array_to_string(ws, ' ')] END)) AS shingle
+    FROM words
+)
+"""
+
+_SHINGLE_INT = "CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Per-document text metrics (token counts, ratios, quality, lang, fingerprint)
+# ---------------------------------------------------------------------------
+
+_METRICS_ORACLE = f"""
+SELECT
+    doc_id,
+    CAST({_TOKENS} AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+    {_PUNCT_RATIO} AS punct_ratio,
+    {_STOP_RATIO} AS stopword_ratio,
+    round(0.4::DOUBLE * least(1.0::DOUBLE, CAST({_TOKENS} AS DOUBLE) / 100.0::DOUBLE)
+      + 0.3::DOUBLE * (1.0::DOUBLE - {_PUNCT_RATIO})
+      + 0.3::DOUBLE * {_STOP_RATIO}, 9) AS quality_score,
+    {_LANG_CASE} AS lang_pred,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+@register("text_metrics", _METRICS_ORACLE)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(txt).alias("n_tokens"),
+        X.bpe_token_count(txt).alias("n_bpe_tokens"),
+        X.punct_ratio(txt).alias("punct_ratio"),
+        X.stopword_ratio(txt).alias("stopword_ratio"),
+        X.quality_score(txt).alias("quality_score"),
+        X.lang_id(txt).alias("lang_pred"),
+        X.fingerprint(txt).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_K, _BANDS, _SEED = 16, 4, 42
+_PARAMS = D.minhash_params(_K, _SEED)
+_ROWS = _K // _BANDS
+
+_sig_cols = ",\n        ".join(
+    f"min(({a} * x + {b}) % {D.MERSENNE_P}) AS h{i}" for i, (a, b) in enumerate(_PARAMS)
+)
+_band_selects = "\n    UNION ALL\n".join(
+    "SELECT doc, {b} AS band, md5(concat_ws(',', {cols})) AS key FROM sig".format(
+        b=b,
+        cols=", ".join(
+            f"CAST(h{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        ),
+    )
+    for b in range(_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+xs AS (SELECT doc, {_SHINGLE_INT} % {D.MERSENNE_P} AS x FROM sh),
+sig AS (
+    SELECT doc,
+        {_sig_cols}
+    FROM xs GROUP BY doc
+),
+bands AS (
+    {_band_selects}
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", _K, _SEED)
+    return D.lsh_candidate_pairs(sigs, _K, _BANDS)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (the verify stage / small-scale standalone)
+# ---------------------------------------------------------------------------
+
+_JACCARD_T = 0.4
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+common AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b, common,
+       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= {_JACCARD_T}
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", threshold=_JACCARD_T
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints + hamming-banded near-dup pairs
+# ---------------------------------------------------------------------------
+
+_simhash_sums = ",\n        ".join(
+    f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(D.SIMHASH_BITS)
+)
+_simhash_bits = " + ".join(
+    f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(D.SIMHASH_BITS)
+)
+
+_SIMHASH_CTE = f"""
+w AS (
+    SELECT doc_id AS doc,
+           CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+    FROM (SELECT doc_id, unnest({_WORDS}) AS word FROM documents)
+),
+sums AS (
+    SELECT doc,
+        {_simhash_sums}
+    FROM w GROUP BY doc
+),
+sims AS (SELECT doc, {_simhash_bits} AS simhash FROM sums)
+"""
+
+_SIMHASH_ORACLE = f"WITH {_SIMHASH_CTE} SELECT doc, simhash FROM sims"
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_CHUNKS, _MAX_HAMMING = 4, 6
+_WIDTH = D.SIMHASH_BITS // _CHUNKS
+
+_chunk_selects = "\n    UNION ALL\n".join(
+    f"SELECT doc, simhash, {c} AS chunk, (simhash >> {c * _WIDTH}) & {(1 << _WIDTH) - 1} AS key FROM sims"
+    for c in range(_CHUNKS)
+)
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTE},
+chunks AS (
+    {_chunk_selects}
+)
+SELECT doc_a, doc_b, hamming FROM (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
+)
+WHERE hamming <= {_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = D.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return D.simhash_pairs(sims, _MAX_HAMMING, _CHUNKS)

@@ -1,1 +1,186 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Similarity-search queries on the ``embeddings`` table (array<float>[64]).
+
+Oracle SQL is generated: dot products / norms unroll into 64-term
+left-associated sums with per-element DOUBLE casts; every surfaced float is
+rounded to 9 dp (see functions.vectors docstring on FMA contraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DAVG_SQL, davg
+from enterprise_iot_bigdata_pipeline_spark.functions.vectors import ROUND_DP, norm
+from enterprise_iot_bigdata_pipeline_spark.operators import similarity as S
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+DIM = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Unrolled 64-term dot product (1-indexed DuckDB lists)."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+
+
+def _norm2_sql(a: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(({_dot_sql(a, b)}) / sqrt(({_norm2_sql(a)}) * ({_norm2_sql(b)})), {ROUND_DP})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force exact cosine top-k (the correctness baseline)
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+pairs AS (
+    SELECT q.q_id, c.vec_id,
+           {_cos_sql("q.q_vec", "c.embedding")} AS cos_sim
+    FROM embeddings c, q
+    WHERE c.vec_id != q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT q_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_cosine_topk", _TOPK_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Random-projection LSH buckets (the scale path's candidate generator)
+# ---------------------------------------------------------------------------
+
+_PLANES = S.hyperplanes()
+
+
+def _proj_sql(vec: str, coefs: list[float]) -> str:
+    return " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * {c!r}" for i, c in enumerate(coefs)
+    )
+
+
+_bucket_sql = " + ".join(
+    f"(CASE WHEN ({_proj_sql('embedding', coefs)}) >= 0 THEN {1 << h} ELSE 0 END)"
+    for h, coefs in enumerate(_PLANES)
+)
+
+_BUCKETS_ORACLE = f"""
+SELECT vec_id, CAST({_bucket_sql} AS BIGINT) AS bucket FROM embeddings
+"""
+
+
+@register("ann_lsh_buckets", _BUCKETS_ORACLE)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.random_projection_buckets(emb).select("vec_id", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# LSH-restricted top-k (approximate ANN: equi-join on bucket, no cross join)
+# ---------------------------------------------------------------------------
+
+_LSH_TOPK_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding, CAST({_bucket_sql} AS BIGINT) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket FROM b WHERE vec_id < 20),
+pairs AS (
+    SELECT q.q_id, c.vec_id, c.bucket,
+           {_cos_sql("q.q_vec", "c.embedding")} AS cos_sim
+    FROM b c JOIN q ON c.bucket = q.q_bucket AND c.vec_id != q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, bucket, cos_sim,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT q_id, vec_id, bucket, cos_sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("ann_lsh_topk", _LSH_TOPK_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, F.col("vec_id") < 20, k=3)
+
+
+# ---------------------------------------------------------------------------
+# High-similarity pair mining (near-dup shape; threshold fits the corpus)
+# ---------------------------------------------------------------------------
+
+_SIM_T = 0.45
+
+_SIM_PAIRS_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql("a.embedding", "b.embedding")} >= {_SIM_T}
+"""
+
+
+@register("embedding_similar_pairs", _SIM_PAIRS_ORACLE)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    from enterprise_iot_bigdata_pipeline_spark.functions.vectors import cosine
+
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SIM_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label vector statistics (norms through the decimal-safe mean)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = f"round(sqrt({_norm2_sql('embedding')}), {ROUND_DP})"
+
+_STATS_ORACLE = f"""
+WITH n AS (SELECT label, {_NORM_SQL} AS nrm FROM embeddings)
+SELECT label,
+       count(*) AS n_vectors,
+       {DAVG_SQL("nrm")} AS avg_norm,
+       min(nrm) AS min_norm,
+       max(nrm) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+@register("vector_norm_stats", _STATS_ORACLE)
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = F.round(norm(F.col("embedding")), ROUND_DP)
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            davg(F.col("nrm")).alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )

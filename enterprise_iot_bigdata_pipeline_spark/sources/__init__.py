@@ -1,0 +1,2 @@
+"""Sources & sinks: NDJSON micro-batch reader, partitioned parquet lake,
+CSV, JDBC (gated), object-listing."""

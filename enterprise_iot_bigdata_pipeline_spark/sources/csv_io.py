@@ -1,0 +1,20 @@
+"""CSV source/sink (SURVEY §2.1 S6/K2): audit reports & key lists
+(data-cleaner.py:117,174,245-250)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read.option("header", True)
+    reader = reader.schema(schema) if schema is not None else reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """Audit-report style sink; ``single_file`` matches the reference's
+    one-file ``df.write_csv`` (fine for reports; never for data-scale)."""
+    (df.coalesce(1) if single_file else df).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)

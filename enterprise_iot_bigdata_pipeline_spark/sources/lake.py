@@ -1,0 +1,44 @@
+"""The partitioned parquet lake (SURVEY §2.1 S2/S3/K1).
+
+Reference layout: ``…/datalog_v2/hiveperiod=YYYY-MM-DD/dstrct_code=X/*.parquet``
+written by ``COPY … PARTITION_BY (hiveperiod,dstrct_code) … APPEND``
+(gzip-to-parquet-etl.py:262-274) targeting 150-250 MB files per partition
+(README-compacterv1.md:79-104).
+
+Spark: ``partitionBy`` writes the same Hive layout with task-UUID file
+names; partition discovery/pruning on read is built in. The writer
+repartitions by the partition columns first so each partition is produced
+by few tasks (the big-file goal) instead of #tasks × #partitions shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+PARTITION_COLS = ("hiveperiod", "dstrct_code")
+
+
+def read_lake(spark: SparkSession, root: str, paths: list[str] | None = None) -> DataFrame:
+    """Whole-lake scan (glob, S2) or explicit file list under a basePath (S3)."""
+    if paths is None:
+        return spark.read.parquet(root)
+    return spark.read.option("basePath", root).parquet(*paths)
+
+
+def write_lake(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    partition_cols: tuple[str, ...] = PARTITION_COLS,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned snappy append (K1). ``repartition`` on the partition key
+    concentrates each (day, district) into one task → few large files."""
+    w = (
+        df.repartition(*[df[c] for c in partition_cols])
+        .write.mode(mode)
+        .option("compression", "snappy")
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.partitionBy(*partition_cols).parquet(root)

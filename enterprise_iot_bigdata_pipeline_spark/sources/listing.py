@@ -1,0 +1,62 @@
+"""Object-store listing source (SURVEY §2.1 S4).
+
+Reference: boto3 ``list_objects_v2`` paginator → Polars frame of
+{Key, LastModified, Size} (data-cleaner.py:165-171). Spark-first: list via
+the filesystem (or boto3 when available) on the driver — listing is
+control-plane metadata, orders of magnitude smaller than data — then
+``createDataFrame`` so downstream parsing/filtering is distributed.
+At extreme key counts, ``spark.read.format("binaryFile")`` or a
+parallelized listing RDD replaces the driver loop.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+LISTING_SCHEMA = StructType(
+    [
+        StructField("Key", StringType(), False),
+        StructField("LastModified", TimestampType(), True),
+        StructField("Size", LongType(), True),
+    ]
+)
+
+
+def list_local(spark: SparkSession, root: str, prefix: str = "") -> DataFrame:
+    """Recursive local-FS listing shaped like an S3 listing."""
+    rows = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            key = os.path.relpath(p, root)
+            if not key.startswith(prefix):
+                continue
+            st = os.stat(p)
+            rows.append(
+                (
+                    key.replace(os.sep, "/"),
+                    datetime.fromtimestamp(st.st_mtime, tz=timezone.utc).replace(tzinfo=None),
+                    int(st.st_size),
+                )
+            )
+    return spark.createDataFrame(rows, LISTING_SCHEMA)
+
+
+def list_s3(spark: SparkSession, bucket: str, prefix: str = "") -> DataFrame:
+    """boto3-backed listing (gated: boto3 isn't in this environment)."""
+    try:
+        import boto3
+    except ImportError as e:  # pragma: no cover - environment gate
+        raise NotImplementedError("boto3 not available in this environment") from e
+    s3 = boto3.client("s3")
+    rows = []
+    for page in s3.get_paginator("list_objects_v2").paginate(Bucket=bucket, Prefix=prefix):
+        for o in page.get("Contents", []):
+            rows.append(
+                (o["Key"], o["LastModified"].replace(tzinfo=None), int(o["Size"]))
+            )
+    return spark.createDataFrame(rows, LISTING_SCHEMA)

@@ -1,0 +1,43 @@
+"""NDJSON micro-batch source (SURVEY §2.1 S1).
+
+Reference: DuckDB ``read_json_auto(paths, filename=true, sample_size=-1,
+union_by_name=true)`` (v1-basic-etl/gzip-to-parquet-etl.py:245) — full-scan
+type inference, per-file schema union, a source-filename column, graceful
+type errors.
+
+Spark mapping: multi-path ``spark.read.json`` infers on the whole input and
+unions schemas by name automatically; gzip is decoded transparently by
+extension; ``input_file_name()`` supplies the filename column; PERMISSIVE
+mode + ``_corrupt_record`` replaces "handles type errors very well"
+(README-compacterv1.md:73-75). At 100 TB pin ``schema=`` to skip the
+inference pass entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_ndjson(
+    spark: SparkSession,
+    paths: list[str] | str,
+    schema: StructType | str | None = None,
+    source_file_col: str = "source_file",
+) -> DataFrame:
+    """Read one or many (optionally gzip'd) NDJSON files as one DataFrame.
+
+    Schema drift across files is handled by union-by-name inference;
+    malformed lines land in ``_corrupt_record`` instead of failing the job.
+    """
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(paths if isinstance(paths, list) else [paths])
+    return df.withColumn(source_file_col, F.input_file_name())

@@ -1,0 +1,2 @@
+"""Structured Streaming: the ingest pipeline that replaces the reference's
+poll-loop + MSSQL claim pattern with checkpointed file-source streaming."""

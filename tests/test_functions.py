@@ -1,0 +1,104 @@
+"""Unit tests for the expression library — E1's four scale branches and
+boundary values are the highest-value cases (SURVEY §5)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.epoch import (
+    MICROS_MAX,
+    MILLIS_MAX,
+    SECONDS_MAX,
+    derive_hiveperiod,
+    normalize_epoch_auto,
+)
+
+
+def _norm(spark, heartbeats):
+    df = spark.createDataFrame(list(enumerate(heartbeats)), "i long, heartbeat long")
+    return [
+        r["ts"]
+        for r in df.select("i", normalize_epoch_auto(F.col("heartbeat")).alias("ts"))
+        .orderBy("i")
+        .collect()
+    ]
+
+
+def test_epoch_four_scales(spark):
+    base_s = 1_700_000_000  # 2023-11-14 22:13:20 UTC
+    out = _norm(
+        spark,
+        [base_s, base_s * 1_000, base_s * 1_000_000, base_s * 1_000_000_000],
+    )
+    assert all(ts == datetime(2023, 11, 14, 22, 13, 20) for ts in out)
+
+
+def test_epoch_boundaries(spark):
+    # Exactly at each threshold the NEXT branch applies (strict <).
+    s_edge, ms_edge, us_edge = SECONDS_MAX, MILLIS_MAX, MICROS_MAX
+    out = _norm(spark, [s_edge - 1, s_edge, ms_edge - 1, ms_edge, us_edge - 1, us_edge])
+    # s_edge-1 is the last seconds value (2286); s_edge itself is read as
+    # millis → 1e10 ms = 1e7 s = 1970-04-26 (the ladder's reinterpretation)
+    assert out[0] == datetime(2286, 11, 20, 17, 46, 39)
+    assert out[1] == datetime(1970, 4, 26, 17, 46, 40)
+    # ms_edge-1 is the last millis value; ms_edge reads as micros → 1970
+    assert out[2] == datetime(2286, 11, 20, 17, 46, 39, 999000)
+    assert out[3] == datetime(1970, 4, 26, 17, 46, 40)
+    # us_edge-1 is the last micros value; us_edge reads as nanos → 1970
+    assert out[4] == datetime(2286, 11, 20, 17, 46, 39, 999999)
+    assert out[5] == datetime(1970, 4, 26, 17, 46, 40)
+
+
+def test_epoch_ns_rounding(spark):
+    # ns branch divides by 1000 and ROUNDS (DuckDB CAST semantics), not
+    # truncates: …500 ns (exactly representable as double) rounds up to the
+    # next microsecond instead of truncating down.
+    ns = 10_000_000_000_000_500  # 1.00000000000005e16 ns, double-exact
+    out = _norm(spark, [ns])
+    assert out[0].microsecond == 1  # truncation would give 0
+    ns2 = 9_000_000_000_000_000_000  # exact multiple of 1000
+    assert _norm(spark, [ns2])[0] == datetime(2255, 3, 14, 16, 0, 0)
+
+
+def test_hiveperiod_crosses_dateline(spark):
+    # 22:30 UTC + 8h = 06:30 next day (WITA)
+    hb = int(datetime(2024, 3, 1, 22, 30).replace(tzinfo=None).timestamp())
+    # build via known epoch: 2024-03-01 22:30 UTC
+    hb = 1709332200
+    df = spark.createDataFrame([(hb,)], "heartbeat long")
+    d = df.select(derive_hiveperiod(F.col("heartbeat")).alias("d")).first()["d"]
+    assert str(d) == "2024-03-02"
+
+
+def test_sentinel_and_gps_status(spark):
+    from enterprise_iot_bigdata_pipeline_spark.functions.cleaning import (
+        gps_status,
+        replace_sentinel,
+    )
+
+    df = spark.createDataFrame(
+        [(-9999.0, -9000.0), (50.0, -1.2)], "speed double, lat double"
+    )
+    out = df.select(
+        replace_sentinel(F.col("speed")).alias("s"),
+        gps_status(F.col("lat")).alias("g"),
+    ).collect()
+    assert (out[0]["s"], out[0]["g"]) == (-1.0, "false")
+    assert (out[1]["s"], out[1]["g"]) == (50.0, "true")
+
+
+def test_parse_s3_key(spark):
+    from enterprise_iot_bigdata_pipeline_spark.functions.keys import parse_s3_key
+
+    df = spark.createDataFrame(
+        [("bucket/lake/datalog_v2/hiveperiod=2025-12-01/dstrct_code=DISTRICTB/standard_x.parquet",)],
+        "key string",
+    )
+    p = df.select(parse_s3_key(F.col("key")).alias("p")).select("p.*").first()
+    assert (p["hiveperiod"], p["dstrct_code"], p["filename"]) == (
+        "2025-12-01",
+        "DISTRICTB",
+        "standard_x.parquet",
+    )

@@ -1,0 +1,205 @@
+"""End-to-end ingest pipeline tests: gzip NDJSON → enriched partitioned
+lake → audit/repair → compaction; plus the streaming variant's
+exactly-once behavior and schema-drift tolerance."""
+
+from __future__ import annotations
+
+import gzip
+import json
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_ndjson(path, rows, gz=True):
+    data = "\n".join(json.dumps(r) for r in rows)
+    if gz:
+        with gzip.open(path, "wt") as f:
+            f.write(data)
+    else:
+        path.write_text(data)
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    """3 device-hour files: mixed epoch scales, schema drift, one bad line."""
+    base = int(datetime(2024, 3, 1, 10, 0, 0, tzinfo=timezone.utc).timestamp())
+    f1 = tmp_path / "dev1" / "2024030110.txt.gz"
+    f1.parent.mkdir(parents=True)
+    _write_ndjson(
+        f1,
+        [
+            {"heartbeat": base + i, "unitno": "LD772", "gpsspeed": 10.5 + i, "VehicleSpeed": 9.0}
+            for i in range(5)
+        ],
+    )
+    f2 = tmp_path / "dev2" / "2024030111.txt.gz"
+    f2.parent.mkdir(parents=True)
+    # millisecond scale + drift column
+    _write_ndjson(
+        f2,
+        [
+            {
+                "heartbeat": (base + 3600 + i) * 1000,
+                "unitno": "PM1582",
+                "gpsspeed": -9999,
+                "VehicleSpeed": 1.0,
+                "extra_v2_field": 7.7,
+            }
+            for i in range(5)
+        ],
+    )
+    # late-night rows that cross the date line under +8h, plus a corrupt line
+    f3 = tmp_path / "dev1" / "2024030123.txt.gz"
+    late = int(datetime(2024, 3, 1, 22, 30, 0, tzinfo=timezone.utc).timestamp())
+    rows = [
+        {"heartbeat": late * 1_000_000, "unitno": "LD772", "gpsspeed": 5.0, "VehicleSpeed": 5.0}
+    ]
+    data = "\n".join(json.dumps(r) for r in rows) + "\n{not valid json"
+    with gzip.open(f3, "wt") as f:
+        f.write(data)
+    return tmp_path
+
+
+def test_compact_batch_end_to_end(spark, landing, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import compact_batch
+
+    target = str(tmp_path / "lake")
+    paths = [str(p) for p in sorted(landing.rglob("*.txt.gz"))]
+    n = compact_batch(spark, paths, target, distrik="DISTRICTB")
+    assert n == 12  # 5 + 5 + 2 (valid line + corrupt line → _corrupt_record row)
+
+    lake = spark.read.parquet(target)
+    assert set(lake.select("dstrct_code").distinct().toPandas()["dstrct_code"]) == {"DISTRICTB"}
+    # mixed-case column survives (SURVEY §1.4)
+    assert "VehicleSpeed" in lake.columns
+    # drift column present, null where absent
+    assert lake.filter(F.col("extra_v2_field").isNotNull()).count() == 5
+    # +8h: 10:00 UTC → same day; 22:30 UTC → next day partition; the
+    # corrupt row (null heartbeat) is quarantined in the null partition
+    periods = {str(r[0]) for r in lake.select("hiveperiod").distinct().collect()}
+    assert periods == {"2024-03-01", "2024-03-02", "None"}
+    # partition pruning works on the layout
+    pruned = spark.read.parquet(target).filter(F.col("hiveperiod") == "2024-03-02")
+    assert pruned.count() == 1
+    # corrupt line captured, not fatal
+    assert lake.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    # source filename column attached
+    assert lake.filter(F.col("source_file").contains("2024030110")).count() == 5
+
+
+def test_empty_batch_short_circuit(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import compact_batch
+
+    src = tmp_path / "empty.txt.gz"
+    with gzip.open(src, "wt") as f:
+        f.write("")
+    n = compact_batch(spark, [str(src)], str(tmp_path / "lake2"), "DISTRICTG")
+    assert n == 0
+    import os
+
+    assert not os.path.exists(tmp_path / "lake2")
+
+
+def test_audit_and_repair_misfiled(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+        audit_misfiled,
+        repair_misfiled,
+    )
+
+    root = str(tmp_path / "lake")
+    ok_hb = int(datetime(2024, 3, 1, 2, 0, 0, tzinfo=timezone.utc).timestamp())
+    bad_hb = int(datetime(2024, 3, 1, 22, 0, 0, tzinfo=timezone.utc).timestamp())  # +8h → Mar 2
+    df = spark.createDataFrame(
+        [(ok_hb, "u1"), (bad_hb, "u2")], "heartbeat long, unitno string"
+    ).withColumn("dstrct_code", F.lit("DISTRICTB")).withColumn(
+        "hiveperiod", F.lit("2024-03-01").cast("date")  # u2 is misfiled
+    )
+    df.write.partitionBy("hiveperiod", "dstrct_code").parquet(root)
+
+    bad = audit_misfiled(spark.read.parquet(root)).collect()
+    assert len(bad) == 1
+    assert str(bad[0]["accurate_wita_date"]) == "2024-03-02"
+
+    n = repair_misfiled(spark, root)
+    assert n == 2  # both rows in the affected partition get rewritten
+    fixed = spark.read.parquet(root)
+    assert audit_misfiled(fixed).count() == 0
+    assert fixed.count() == 2
+    periods = {str(r[0]) for r in fixed.select("hiveperiod").distinct().collect()}
+    assert periods == {"2024-03-01", "2024-03-02"}
+
+
+def test_compact_partitions_single_file(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import compact_partitions
+
+    root = str(tmp_path / "lake")
+    df = spark.range(1000).select(
+        F.col("id").alias("heartbeat"),
+        F.lit("2024-03-01").cast("date").alias("hiveperiod"),
+        (F.col("id") % 2).cast("string").alias("dstrct_code"),
+    )
+    df.repartition(8).write.partitionBy("hiveperiod", "dstrct_code").parquet(root)
+    import glob
+
+    assert len(glob.glob(f"{root}/*/*/*.parquet")) > 2
+    compact_partitions(spark, root)
+    assert len(glob.glob(f"{root}/*/*/*.parquet")) == 2  # one per partition
+    assert spark.read.parquet(root).count() == 1000
+
+
+def test_stream_compact_exactly_once(spark, landing, tmp_path):
+    """Checkpointed streaming ingest: re-running with the same checkpoint
+    must not duplicate data (replaces the MSSQL claim pattern, T3)."""
+    from enterprise_iot_bigdata_pipeline_spark.streaming.ingest import stream_compact
+
+    target = str(tmp_path / "slake")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "heartbeat long, unitno string, gpsspeed double, VehicleSpeed double, "
+        "extra_v2_field double"
+    )
+    q = stream_compact(
+        spark, str(landing / "dev1"), target, ckpt, schema, "DISTRICTB",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(target).count()
+    assert first == 7  # 5 + 2 (corrupt line yields a null row under pinned schema)
+
+    # second run, same checkpoint, no new files → nothing appended
+    q2 = stream_compact(
+        spark, str(landing / "dev1"), target, ckpt, schema, "DISTRICTB"
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(target).count() == first
+
+    # new file arrives → only it is processed
+    extra = landing / "dev1" / "2024030112.txt.gz"
+    hb = int(datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc).timestamp())
+    _write_ndjson(extra, [{"heartbeat": hb, "unitno": "LD772", "gpsspeed": 1.0, "VehicleSpeed": 1.0}])
+    q3 = stream_compact(spark, str(landing / "dev1"), target, ckpt, schema, "DISTRICTB")
+    q3.awaitTermination()
+    assert spark.read.parquet(target).count() == first + 1
+
+
+def test_windowed_event_agg_stream_matches_batch(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.streaming.ingest import windowed_event_agg
+
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 3, 1, 10, 0, 30), "A"),
+            (datetime(2024, 3, 1, 10, 0, 45), "A"),
+            (datetime(2024, 3, 1, 10, 1, 10), "A"),
+            (datetime(2024, 3, 1, 10, 0, 5), "B"),
+        ],
+        "datetime_wita timestamp, dstrct_code string",
+    )
+    batch = {
+        (str(r["window_start"]), r["dstrct_code"]): r["n_events"]
+        for r in windowed_event_agg(df).collect()
+    }
+    assert batch[("2024-03-01 10:00:00", "A")] == 2
+    assert batch[("2024-03-01 10:01:00", "A")] == 1
+    assert batch[("2024-03-01 10:00:00", "B")] == 1

@@ -1,0 +1,60 @@
+"""Multimodal plumbing: binary columns + Arrow/mapInPandas stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import attach_fake_media
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    return attach_fake_media(t(spark, SF_SMOKE, "documents"))
+
+
+def test_metadata_without_payload_scan(media):
+    meta = media.select("doc_id", "meta.media_type", "meta.n_bytes")
+    rows = meta.collect()
+    assert len(rows) > 0
+    assert {r["media_type"] for r in rows} <= {"image/png", "audio/wav", "video/mp4"}
+    # payload column must not appear in the projected schema
+    assert "content" not in meta.columns
+
+
+def test_extract_features_deterministic(spark, media):
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import extract_features
+
+    f1 = extract_features(media).orderBy("doc_id").limit(5).collect()
+    f2 = extract_features(media).orderBy("doc_id").limit(5).collect()
+    assert f1 == f2
+    r = f1[0]
+    assert r["n_bytes"] > 0 and 0 <= r["mean_byte"] <= 255 and r["byte_entropy"] >= 0
+
+
+def test_sample_frames_fanout(media):
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(media, frame_size=64, stride=4)
+    row = frames.filter(F.length("frame") == 64).first()
+    assert row is not None
+    # fan-out: more frame rows than input docs for long docs
+    doc = frames.groupBy("doc_id").count().orderBy(F.desc("count")).first()
+    assert doc["count"] >= 1
+
+
+def test_decode_image_gated():
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG fake")
