@@ -33,6 +33,11 @@ HEADLINE = [
     "window_topk_per_group",
     "sort_topk",
     "distinct_multi",
+    "text_metrics",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
 ]
 
 
@@ -42,16 +47,25 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     queries = all_queries()
-    # Warm the JVM/codegen path once (tiny table) so q1 isn't charged for it.
-    queries["count_rows"](spark, SF_DIR).collect()
-
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        t0 = time.perf_counter()
+    names = [n for n in HEADLINE if n in queries]
+    # Full warmup pass: JVM/codegen/readers warm so the timed pass measures
+    # steady-state engine throughput, not first-query JIT cost.
+    for name in names:
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    # Drop caches left by operators that persist() intermediates so the
+    # timed pass measures real work, not warmup leftovers.
+    spark.catalog.clearCache()
+
+    # Min-of-3: single runs on a shared box are noisy; the minimum is the
+    # engine's actual cost.
+    times: dict[str, float] = {}
+    for _ in range(3):
+        for name in names:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

@@ -45,8 +45,11 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out as _fan_out
+
+
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
+    return _fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -67,11 +70,35 @@ def minhash_signatures(
     return sh.groupBy("doc").agg(*aggs)
 
 
+def _bucket_pairs(docs: "F.Column") -> "F.Column":
+    """All (a < b) pairs from an array of ids — array<struct<doc_a,doc_b>>.
+
+    Used instead of a bucket self-join: one groupBy produces each bucket's
+    membership once, so the upstream pipeline (signatures, fingerprints)
+    executes once instead of twice, and the join shuffle disappears.
+    """
+    sorted_docs = F.array_sort(docs)
+    return F.flatten(
+        F.transform(
+            sorted_docs,
+            lambda x, i: F.transform(
+                F.slice(sorted_docs, i + 2, F.size(sorted_docs)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, k: int = 16, bands: int = 4
 ) -> DataFrame:
     """Banded LSH over a MinHash signature frame → distinct candidate pairs
-    (doc_a < doc_b). Collision key = md5 of the band's concatenated rows."""
+    (doc_a < doc_b). Collision key = md5 of the band's concatenated rows.
+
+    Pair generation is groupBy-bucket + in-bucket pair expansion (see
+    ``_bucket_pairs``) — a single shuffle keyed by (band, key); a bucket of
+    size s yields s(s-1)/2 pairs, which is the output's inherent size.
+    """
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -85,16 +112,12 @@ def lsh_candidate_pairs(
     bucketed = signatures.select(
         F.col("doc"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc", "bk.band", "bk.key")
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        bucketed.groupBy("band", "key")
+        .agg(F.collect_set("doc").alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(_bucket_pairs(F.col("docs"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -114,10 +137,12 @@ def ngram_jaccard_pairs(
     """
     sh = _exploded_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        sh.groupBy("shingle")
+        .agg(F.collect_set("doc").alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(_bucket_pairs(F.col("docs"))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
@@ -141,7 +166,7 @@ SIMHASH_BITS = 60
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """60-bit SimHash over whitespace tokens (with multiplicity): bit j is
     the sign of Σ_words (±1 by bit j of the word's 60-bit md5 int)."""
-    w = df.select(
+    w = _fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
     ).withColumn("h", shingle_to_int(F.col("word")))
@@ -176,19 +201,18 @@ def simhash_pairs(
     bucketed = sims.select(
         "doc", "simhash", F.explode(F.array(*chunk_cols)).alias("ck")
     ).select("doc", "simhash", "ck.chunk", "ck.key")
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
+    # Carry (doc, simhash) into the bucket so hamming is computable from the
+    # pair itself — no join back to the fingerprint frame.
+    members = F.struct(F.col("doc"), F.col("simhash"))
+    pairs = (
+        bucketed.groupBy("chunk", "key")
+        .agg(F.collect_set(members).alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .select(F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
         .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.col("p.doc_a.doc").alias("doc_a"),
+            F.col("p.doc_b.doc").alias("doc_b"),
+            F.expr("bit_count(p.doc_a.simhash ^ p.doc_b.simhash)").alias("hamming"),
         )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+    return pairs.distinct().filter(F.col("hamming") <= max_hamming)

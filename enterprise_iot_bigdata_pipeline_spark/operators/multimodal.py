@@ -91,7 +91,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                 rows, columns=["doc_id", "n_bytes", "mean_byte", "max_byte", "byte_entropy"]
             )
 
-    return media.select("doc_id", "content").mapInPandas(per_batch, FEATURES_SCHEMA)
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return fan_out(media.select("doc_id", "content")).mapInPandas(per_batch, FEATURES_SCHEMA)
 
 
 FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
@@ -111,4 +113,6 @@ def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 4) -> Da
                     out.append((int(doc_id), i, b[i * frame_size : (i + 1) * frame_size]))
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
 
-    return media.select("doc_id", "content").mapInPandas(per_batch, FRAMES_SCHEMA)
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return fan_out(media.select("doc_id", "content")).mapInPandas(per_batch, FRAMES_SCHEMA)

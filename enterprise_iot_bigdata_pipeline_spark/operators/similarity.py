@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from enterprise_iot_bigdata_pipeline_spark.functions.vectors import cosine
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
 
 def hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
@@ -47,7 +48,7 @@ def cosine_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     pairs = (
-        corpus.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        fan_out(corpus).join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col(vec_col)))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -68,6 +69,7 @@ def random_projection_buckets(
 ) -> DataFrame:
     """vec → integer bucket via sign bits of hyperplane projections."""
     planes = hyperplanes(n_planes, dim, seed)
+    df = fan_out(df)
     bucket = None
     for h, coefs in enumerate(planes):
         plane = F.array(*[F.lit(c) for c in coefs])
@@ -96,7 +98,7 @@ def lsh_topk(
     The bucket equi-join replaces the cross join — at scale the shuffle is
     keyed by bucket and each task sees only its bucket's candidates.
     """
-    bucketed = random_projection_buckets(corpus, n_planes, dim, seed, id_col, vec_col)
+    bucketed = random_projection_buckets(corpus, n_planes, dim, seed, id_col, vec_col).persist()
     q = bucketed.filter(query_filter).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),

@@ -44,6 +44,16 @@ def _ns_timestamp_cols(path: str) -> list[str]:
     return _NS_COLS[path]
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow scan across all cores before CPU-heavy per-row
+    work (regex/hashing/vector math). The input is compact — the shuffle is
+    cheap relative to the work it parallelizes. Single-row-group parquet
+    files are unsplittable by `maxPartitionBytes`, so small-scale scans
+    otherwise run one task."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")

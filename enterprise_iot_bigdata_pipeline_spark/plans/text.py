@@ -85,7 +85,9 @@ FROM documents
 
 @register("text_metrics", _METRICS_ORACLE)
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
     txt = F.col("text")
     return docs.select(
         "doc_id",

@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Split small local files across cores: the default 128 MB yields
+        # one task per test-scale file, serializing every scan. On a real
+        # cluster the same setting is irrelevant (inputs span many files);
+        # locally 4 MB approximates production task fan-out.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Column-name case must survive end-to-end ("VehicleSpeed",
