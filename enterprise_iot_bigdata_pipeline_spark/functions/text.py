@@ -101,6 +101,25 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+ROLL_B = 131
+ROLL_P = 2_147_483_647  # 2^31 - 1
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over the normalized text's character codes:
+    h = fold(chars, 0, (acc, c) → (acc·B + ascii(c)) mod P). Sequential
+    left fold in exact integer arithmetic — byte-portable across engines."""
+    codes = F.transform(
+        F.filter(F.split(normalized_text(text), ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(ROLL_B) + c) % F.lit(ROLL_P),
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (array<string>), the dedup unit."""
     w = words(text)

@@ -1,0 +1,56 @@
+"""Bucketized time-range join.
+
+Spark has no native range/interval join; a naive ``ts BETWEEN a AND b``
+join degenerates to nested-loop (the 100 TB killer). The scalable
+composition: bucketize both sides into fixed windows of the range width,
+equi-join on (key, bucket) with the left side exploded into {bucket,
+bucket+1}, then apply the exact range predicate. Any match within
+``max_delta`` spans at most two adjacent buckets, so the equi-join is
+lossless and the shuffle is keyed — each task sees one bucket's rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delta_seconds: int,
+    strict: bool = True,
+) -> DataFrame:
+    """Pairs (l, r) with same ``key`` and ``l.ts < r.ts <= l.ts + delta``
+    (``strict=False`` → ``<=`` on the left bound too).
+
+    Output: ``key``, ``l_ts``/``r_ts``, and remaining columns prefixed
+    ``l_``/``r_``.
+    """
+    delta_us = max_delta_seconds * 1_000_000
+
+    def bucket(ts: str) -> Column:
+        return F.expr(f"unix_micros(cast({ts} as timestamp)) div {delta_us}")
+
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, left_ts)],
+    ).withColumn("jb", F.explode(F.array(bucket("l_ts"), bucket("l_ts") + 1)))
+    r = right.select(
+        F.col(key).alias("rk"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    ).withColumn("rb", bucket("r_ts"))
+
+    lower = F.col("r_ts") > F.col("l_ts") if strict else F.col("r_ts") >= F.col("l_ts")
+    upper = F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delta_seconds} SECONDS")
+    return (
+        l.join(r, (F.col("k") == F.col("rk")) & (F.col("jb") == F.col("rb")))
+        .filter(lower & upper)
+        .drop("jb", "rb", "rk")
+        .withColumnRenamed("k", key)
+    )

@@ -27,6 +27,7 @@ _MODULES = [
     "aggregates",
     "joins",
     "analytic",
+    "advanced",
     "ingest",
     "text",
     "vectors",

@@ -1,0 +1,162 @@
+"""Advanced relational surface: set operations, exact percentiles, the
+bucketized range join, scalar/IN subqueries (via the SQL API — the engine
+exposes ``spark.sql`` over the same tables), and HAVING.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DSUM_SQL, dsum
+from enterprise_iot_bigdata_pipeline_spark.operators.range_join import time_range_join
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+# --- INTERSECT: users who both clicked and purchased ------------------------
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+# --- EXCEPT: users who clicked but never purchased --------------------------
+
+
+@register(
+    "set_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract == set EXCEPT (exceptAll's bag semantics would leave users
+    # whose click count merely exceeds their purchase count)
+    return clicks.subtract(buys)
+
+
+# --- Exact interpolated percentiles (DuckDB quantile_cont ≡ Spark
+#     percentile). Rounded to 9 dp — interpolation is a*b+c-shaped. --------
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 9) AS p25,
+           round(quantile_cont(value, 0.5), 9) AS p50,
+           round(quantile_cont(value, 0.75), 9) AS p75,
+           round(quantile_cont(value, 0.95), 9) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile(F.col("value"), F.lit(p)), 9).alias(name)
+            for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ]
+    )
+
+
+# --- Bucketized range join: purchase within 10 min after a click by the
+#     same user. Oracle uses DuckDB's native inequality join — same pairs.
+
+
+@register(
+    "range_join_click_purchase",
+    """
+    SELECT c.event_id AS l_event_id, p.event_id AS r_event_id, c.user_id,
+           c.ts AS l_ts, p.ts AS r_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    return time_range_join(
+        clicks, buys, key="user_id", left_ts="ts", right_ts="ts", max_delta_seconds=600
+    ).select("l_event_id", "r_event_id", "user_id", "l_ts", "r_ts")
+
+
+# --- Scalar subquery through the SQL API (parts above mean retail price) ---
+
+_SCALAR_SUB = f"""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT {DSUM_SQL("p_retailprice")} / count(p_retailprice) FROM part)
+"""
+
+
+@register("subquery_scalar", _SCALAR_SUB)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SCALAR_SUB)
+
+
+# --- IN subquery: suppliers located in nations of region 0 ------------------
+
+_IN_SUB = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_regionkey = 0)
+    )
+"""
+
+
+@register("subquery_in", _IN_SUB)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("supplier", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_IN_SUB)
+
+
+# --- HAVING: repeat-purchase users ------------------------------------------
+
+
+@register(
+    "agg_having",
+    f"""
+    SELECT user_id,
+           count(*) AS n_purchases,
+           {DSUM_SQL("value")} AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING count(*) >= 3
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .filter(F.col("n_purchases") >= 3)
+    )

@@ -102,6 +102,33 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (polynomial fold over normalized char codes)
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+_ROLLING_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   list_filter(string_split({_NORM_TEXT}, ''), c -> c != ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {X.ROLL_B} + c) % {X.ROLL_P}
+       ) AS rolling_hash
+FROM documents
+"""
+
+
+@register("text_rolling_hash", _ROLLING_ORACLE)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", X.rolling_fingerprint(F.col("text")).alias("rolling_hash"))
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup (hash groupBy)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator: gap-based session tracking via
+``applyInPandasWithState`` (SURVEY §2.9 — the reference keeps all state in
+MSSQL; here state lives in Spark's state store, partitioned by key).
+
+Each user's open session (start, last-seen, count) is the state; a session
+closes when a new event arrives more than ``gap_seconds`` later (or, in
+continuous operation, on processing-time timeout). Closed sessions are
+emitted downstream. State is per-key and partition-local — scales with
+#keys across the cluster, no external database.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+STATE_SCHEMA = "start long, last long, n long"
+
+
+def _track(gap_seconds: int, set_timeouts: bool = False):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(start, unit="us")],
+                        "session_end": [pd.Timestamp(last, unit="us")],
+                        "n_events": [n],
+                    }
+                )
+            return
+
+        ts_us = sorted(
+            int(t.value // 1000)  # pandas ns → µs
+            for pdf in pdfs
+            for t in pd.to_datetime(pdf["ts"])
+        )
+        if not ts_us:
+            return
+        start, last, n = state.get if state.exists else (ts_us[0], ts_us[0], 0)
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            if t - last > gap_us and n > 0:
+                closed.append((start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        if set_timeouts:
+            state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return fn
+
+
+def track_sessions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    use_processing_timeout: bool = False,
+) -> DataFrame:
+    """Streaming gap-sessionization. Input: a streaming frame with
+    (key_col, ts_col). Output: closed sessions.
+
+    With ``use_processing_timeout`` (continuous operation) idle keys flush
+    their open session after the gap elapses in wall-clock time; without it
+    (drain-style ``availableNow`` runs) sessions close only on data gaps —
+    a trailing open session stays in the state store for the next run.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if use_processing_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.selectExpr(f"{key_col} as user_id", f"{ts_col} as ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _track(gap_seconds, set_timeouts=use_processing_timeout),
+            SESSION_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            timeout,
+        )
+    )

@@ -1,0 +1,66 @@
+"""Drive the applyInPandasWithState session tracker through a real
+streaming query: state must persist across micro-batches (file source,
+one file per batch via maxFilesPerTrigger)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def test_track_sessions_across_batches(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.streaming.stateful import track_sessions
+
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def write_batch(name, ts_list):
+        # plain parquet *files* — the streaming file source does not recurse
+        # into the directory-per-dataset layout Spark's writer produces
+        pdf = pd.DataFrame(
+            {"user_id": [1] * len(ts_list), "ts": pd.to_datetime(ts_list)}
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf).cast(
+                pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
+            ),
+            str(src / name),
+        )
+
+    # batch 1: user 1 — two events 10s apart (one session forming)
+    write_batch("b1.parquet", ["2024-03-01 10:00:00", "2024-03-01 10:00:10"])
+    # the file source orders batches by modification time — make it strict
+    time.sleep(1.5)
+    # batch 2: user 1 again after a 2-hour gap → closes session 1
+    write_batch("b2.parquet", ["2024-03-01 12:30:00"])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = track_sessions(stream, gap_seconds=1800)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    # the 2h gap must close exactly one session: 10:00:00–10:00:10, 2 events
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1
+    assert str(r["session_start"]) == "2024-03-01 10:00:00"
+    assert str(r["session_end"]) == "2024-03-01 10:00:10"
+    assert r["n_events"] == 2
