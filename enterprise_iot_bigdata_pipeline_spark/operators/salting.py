@@ -1,0 +1,36 @@
+"""Skew mitigation: salted join.
+
+A shuffle join on a key with hot values (one device/user producing a large
+share of rows — `unitno` skew in the reference's workload, SURVEY §7 risk
+register) puts the hot key's entire volume in one task. Salting splits each
+hot key into ``salt`` sub-keys: the skewed (large) side scatters rows
+uniformly across salts; the small side replicates each row to all salts.
+The join key becomes (key, salt) — the hot key now occupies ``salt`` tasks.
+
+AQE's skew-join handles sort-merge cases automatically (enabled in
+``session.get_spark``); explicit salting remains the tool for aggregations
+and for joins AQE can't split (e.g. when the skewed side is the build side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed (large) frame against a smaller one on ``key`` with
+    ``salt``-way key splitting. Output columns = skewed ∪ small (minus the
+    duplicate key), like a plain ``join(on=key)``."""
+    s = skewed.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    r = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = s.join(r, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -154,6 +154,27 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding dedup, scale path: near-dup pairs within LSH buckets only
+# ---------------------------------------------------------------------------
+
+_NEAR_T = 0.2
+
+_EMB_DEDUP_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding, CAST({_bucket_sql} AS BIGINT) AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       {_cos_sql("a.embedding", "c.embedding")} AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {_cos_sql("a.embedding", "c.embedding")} >= {_NEAR_T}
+"""
+
+
+@register("dedup_embedding_lsh", _EMB_DEDUP_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=_NEAR_T)
+
+
+# ---------------------------------------------------------------------------
 # Per-label vector statistics (norms through the decimal-safe mean)
 # ---------------------------------------------------------------------------
 

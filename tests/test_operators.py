@@ -1,0 +1,98 @@
+"""Operator-level tests: salted join equivalence under skew, range join vs
+naive, listing source, CSV roundtrip."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+
+def test_salted_join_matches_plain_join(spark):
+    from enterprise_iot_bigdata_pipeline_spark.operators.salting import salted_join
+
+    # skewed: 10k rows for key 1, a handful elsewhere
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(50)], "k long, name string"
+    )
+    plain = {(r["k"], r["v"], r["name"]) for r in skewed.join(small, "k").collect()}
+    salted = {(r["k"], r["v"], r["name"]) for r in salted_join(skewed, small, "k").collect()}
+    assert salted == plain
+    assert len(salted) == 10_000
+
+
+def test_range_join_matches_naive(spark):
+    from enterprise_iot_bigdata_pipeline_spark.operators.range_join import time_range_join
+
+    base = datetime(2024, 3, 1, 10, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base + timedelta(seconds=30 * i), i) for i in range(20)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, base + timedelta(seconds=45 * i + 7), 100 + i) for i in range(20)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in time_range_join(
+            left, right, "user_id", "ts", "ts", max_delta_seconds=60
+        ).collect()
+    }
+    naive = {
+        (lr["event_id"], rr["event_id"])
+        for lr in left.collect()
+        for rr in right.collect()
+        if lr["ts"] < rr["ts"] <= lr["ts"] + timedelta(seconds=60)
+    }
+    assert got == naive and len(naive) > 0
+
+
+def test_listing_source_and_key_parse(spark, tmp_path):
+    """The data-cleaner flow (SURVEY §3.4): list the lake → parse keys →
+    filter by partition-date string."""
+    from enterprise_iot_bigdata_pipeline_spark.functions.keys import parse_s3_key
+    from enterprise_iot_bigdata_pipeline_spark.sources.listing import list_local
+
+    for d, dist in [("2025-11-30", "A"), ("2025-12-01", "B"), ("2025-12-02", "B")]:
+        p = tmp_path / f"hiveperiod={d}" / f"dstrct_code={dist}"
+        p.mkdir(parents=True)
+        (p / "standard_x.parquet").write_bytes(b"xx")
+
+    listing = list_local(spark, str(tmp_path))
+    assert listing.count() == 3
+    assert set(listing.columns) == {"Key", "LastModified", "Size"}
+
+    parsed = listing.withColumn("p", parse_s3_key(F.col("Key"))).select("p.*")
+    recent = parsed.filter(F.col("hiveperiod") >= "2025-12-01")
+    assert recent.count() == 2
+    assert {r["dstrct_code"] for r in recent.collect()} == {"B"}
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.sources.csv_io import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [("2025-12-01", "DISTRICTB", 5), ("2025-12-02", "DISTRICTG", 7)],
+        "hiveperiod string, dstrct_code string, n long",
+    )
+    out = str(tmp_path / "report")
+    write_csv(df, out)
+    back = read_csv(spark, out, schema="hiveperiod string, dstrct_code string, n long")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    import glob
+
+    assert len(glob.glob(f"{out}/part-*.csv")) == 1  # single-file report sink
+
+
+def test_jdbc_gated():
+    from enterprise_iot_bigdata_pipeline_spark.sources.jdbc import mark_success
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mark_success("jdbc:sqlserver://x", "tbl", ["k1"], "run1")
