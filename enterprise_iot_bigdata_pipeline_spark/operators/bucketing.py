@@ -1,0 +1,26 @@
+"""Bucketed tables: co-located joins without a shuffle.
+
+For repeatedly-joined big tables (fact-fact on ``orderkey``), writing both
+sides bucketed by the join key lets Spark plan a sort-merge join with NO
+Exchange on either side — at 100 TB that deletes the dominant shuffle.
+Requires the session catalog (``saveAsTable``); plain path-based parquet
+cannot carry bucket metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 16, sort: bool = True
+) -> None:
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key (shuffle-free)."""
+    return spark.table(left_table).join(spark.table(right_table), key)

@@ -1,0 +1,57 @@
+"""MERGE/upsert emulation on a parquet lake (no Delta/Iceberg jars in this
+environment; same algebra they run under the hood).
+
+``merge_upsert`` = anti-join + union: rows of the target whose key appears
+in the updates are replaced, new keys appended. This is the DataFrame
+reading of the reference's JDBC state write-back (``UPDATE … WHERE key IN
+(…)``, SURVEY §2.1 K3) — and the general CDC/SCD1 building block.
+
+At scale the rewrite is bounded by touching only affected partitions
+(dynamic partition overwrite) when ``partition_cols`` is given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """Pure-frame MERGE: target rows not in updates (by key) + all updates."""
+    keys = [key] if isinstance(key, str) else list(key)
+    kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(updates.select(*target.columns))
+
+
+def merge_into_lake(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str | list[str],
+    partition_cols: tuple[str, ...] = (),
+) -> int:
+    """MERGE into a parquet lake path. With partition columns, only the
+    partitions containing updated keys are rewritten (dynamic overwrite);
+    without, the table is rewritten whole (small state tables).
+
+    Returns the number of rows written.
+    """
+    target = spark.read.parquet(root)
+    merged = merge_upsert(target, updates, key)
+    if partition_cols:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        affected = updates.select(*partition_cols).distinct()
+        subset = merged.join(F.broadcast(affected), list(partition_cols), "left_semi")
+        n = subset.count()
+        (
+            subset.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(root)
+        )
+        return n
+    # whole-table rewrite must not read its own output mid-write
+    rows = merged.collect()
+    n = len(rows)
+    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(root)
+    return n

@@ -14,9 +14,14 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from enterprise_iot_bigdata_pipeline_spark.session import get_spark
 
-    s = get_spark(shuffle_partitions=8, master="local[4]")
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        shuffle_partitions=8,
+        master="local[4]",
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()

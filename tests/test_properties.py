@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the signature expressions.
+
+Each property batches all generated examples into ONE Spark job — per-example
+jobs would make hypothesis unusably slow on a JVM engine.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.epoch import (
+    normalize_epoch_auto,
+    to_local,
+)
+
+# The magnitude ladder distinguishes scales only for epochs ≥ 1e9 s
+# (2001-09-09): below that, e·1000 still falls in the seconds branch.
+# This is inherent to the reference's design (its devices emit modern
+# timestamps); the property holds exactly on that domain.
+EPOCH_S = st.integers(min_value=1_000_000_000, max_value=9_999_999_999)
+
+
+def _normalize_batch(spark, heartbeats):
+    df = spark.createDataFrame(list(enumerate(heartbeats)), "i long, heartbeat long")
+    rows = (
+        df.select("i", normalize_epoch_auto(F.col("heartbeat")).alias("ts"))
+        .orderBy("i")
+        .collect()
+    )
+    return [r["ts"] for r in rows]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(EPOCH_S, min_size=1, max_size=40))
+def test_scale_invariance(spark, epochs):
+    """The same instant expressed at any of the four scales normalizes to
+    the same timestamp (ns rounding ≤ representability error)."""
+    hbs = []
+    for e in epochs:
+        hbs += [e, e * 1_000, e * 1_000_000]
+    out = _normalize_batch(spark, hbs)
+    for i, e in enumerate(epochs):
+        expected = datetime(1970, 1, 1) + timedelta(seconds=e)
+        s, ms, us = out[3 * i : 3 * i + 3]
+        assert s == ms == us == expected, (e, s, ms, us)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(EPOCH_S, min_size=1, max_size=40))
+def test_wita_shift_is_eight_hours(spark, epochs):
+    df = spark.createDataFrame(list(enumerate(epochs)), "i long, heartbeat long")
+    rows = (
+        df.select(
+            "i",
+            normalize_epoch_auto(F.col("heartbeat")).alias("utc"),
+            to_local(normalize_epoch_auto(F.col("heartbeat"))).alias("wita"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for r in rows:
+        assert r["wita"] - r["utc"] == timedelta(hours=8)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=40))
+def test_normalizer_is_total(spark, hbs):
+    """Any non-negative int64 maps through the ladder without error, and
+    every branch lands on a timestamp (no nulls for non-null input)."""
+    out = _normalize_batch(spark, hbs)
+    assert all(ts is not None for ts in out)

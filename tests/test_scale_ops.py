@@ -1,0 +1,60 @@
+"""Scale-discipline operators: MERGE emulation, bucketed shuffle-free joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_merge_upsert_frame(spark):
+    from enterprise_iot_bigdata_pipeline_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame(
+        [("k1", "old", 1), ("k2", "old", 2), ("k3", "old", 3)], "key string, status string, v long"
+    )
+    updates = spark.createDataFrame(
+        [("k2", "SUCCESS", 20), ("k4", "SUCCESS", 40)], "key string, status string, v long"
+    )
+    got = {(r["key"], r["status"], r["v"]) for r in merge_upsert(target, updates, "key").collect()}
+    assert got == {("k1", "old", 1), ("k2", "SUCCESS", 20), ("k3", "old", 3), ("k4", "SUCCESS", 40)}
+
+
+def test_merge_into_partitioned_lake(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.operators.upsert import merge_into_lake
+
+    root = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("f1", "RUNNING", "2024-03-01"), ("f2", "RUNNING", "2024-03-01"), ("f3", "RUNNING", "2024-03-02")],
+        "file string, status string, day string",
+    ).write.partitionBy("day").parquet(root)
+
+    updates = spark.createDataFrame(
+        [("f1", "SUCCESS", "2024-03-01")], "file string, status string, day string"
+    )
+    merge_into_lake(spark, root, updates, key="file", partition_cols=("day",))
+
+    after = {(r["file"], r["status"]) for r in spark.read.parquet(root).collect()}
+    assert after == {("f1", "SUCCESS"), ("f2", "RUNNING"), ("f3", "RUNNING")}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    items = spark.range(3000).select((F.col("id") % 1000).alias("k"), F.col("id").alias("b"))
+    write_bucketed(orders, "t_orders_b", "k", buckets=8)
+    write_bucketed(items, "t_items_b", "k", buckets=8)
+
+    # force the sort-merge path (tiny test tables would otherwise broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_orders_b", "t_items_b", "k")
+        assert joined.count() == 3000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
