@@ -163,6 +163,51 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Conditional aggregation (TPC-H Q12/Q14 shape): CASE inside agg -------
+
+
+@register(
+    "agg_conditional",
+    f"""
+    SELECT o_orderpriority,
+        count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+        count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        {DSUM_SQL("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS finished_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(st == "F", 1)).alias("n_finished"),
+        F.count(F.when(st == "O", 1)).alias("n_open"),
+        dsum(F.when(st == "F", F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+            "finished_value"
+        ),
+    )
+
+
+# --- Typed JSON parsing: props string → struct (from_json) ------------------
+
+
+@register(
+    "json_typed_parse",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k long")["k"].alias("k"),
+    )
+
+
 # --- Deterministic moment statistics: stddev via explicit decimal sums
 #     (sum, sum of squares) so the result is order-insensitive and matches
 #     the oracle bit-for-bit; built-in stddev over doubles is not. ----------

@@ -103,8 +103,8 @@ def filter_in_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_date_mismatch",
     """
     SELECT event_id, ts,
-           CAST(ts AS DATE) AS stored_date,
-           CAST(ts + INTERVAL 8 HOURS AS DATE) AS accurate_wita_date
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS stored_date,
+           CAST(CAST(ts + INTERVAL 8 HOURS AS DATE) AS VARCHAR) AS accurate_wita_date
     FROM events
     WHERE CAST(ts AS DATE) != CAST(ts + INTERVAL 8 HOURS AS DATE)
     """,
@@ -116,8 +116,8 @@ def filter_date_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "ts",
-        stored.alias("stored_date"),
-        accurate.alias("accurate_wita_date"),
+        stored.cast("string").alias("stored_date"),
+        accurate.cast("string").alias("accurate_wita_date"),
     ).filter(stored != accurate)
 
 

@@ -38,7 +38,7 @@ WITH cleaned AS (
     SELECT
         date_trunc('minute', ts) AS minute,
         user_id,
-        CAST(ts AS DATE) AS event_date,
+        CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
         CASE WHEN value = -9999 THEN -1 ELSE value END AS value_clean,
         CASE WHEN value < 1.0 THEN 'false' ELSE 'true' END AS status,
         abs((CASE WHEN value = -9999 THEN -1 ELSE value END)
@@ -82,7 +82,9 @@ def flagship_minute_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("status_i", F.when(F.col("value") < 1.0, F.lit(0)).otherwise(F.lit(1)))
         .withColumn("type_i", type_code)
         .withColumn("err", error_rate(F.col("value_clean"), F.col("k")))
-        .withColumn("event_date", F.col("ts").cast("date"))
+        # ISO string, not DateType: date objects hash differently across
+        # collection paths (pandas date vs midnight datetime64)
+        .withColumn("event_date", F.col("ts").cast("date").cast("string"))
     )
     agg = (
         cleaned.groupBy(
@@ -137,7 +139,7 @@ WITH hb AS (
 SELECT
     event_id,
     heartbeat,
-    CAST(({_EPOCH_NORM}) + INTERVAL 8 HOURS AS DATE) AS hiveperiod,
+    CAST(CAST(({_EPOCH_NORM}) + INTERVAL 8 HOURS AS DATE) AS VARCHAR) AS hiveperiod,
     CAST(({_EPOCH_NORM}) + INTERVAL 8 HOURS AS TIMESTAMP) AS datetime_wita
 FROM hb
 """
@@ -159,7 +161,7 @@ def epoch_normalize_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hb.select(
         "event_id",
         "heartbeat",
-        to_local(norm).cast("date").alias("hiveperiod"),
+        to_local(norm).cast("date").cast("string").alias("hiveperiod"),
         to_local(norm).alias("datetime_wita"),
     )
 

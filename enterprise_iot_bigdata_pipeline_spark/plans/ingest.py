@@ -40,8 +40,8 @@ WITH lake AS (
         END AS heartbeat
     FROM events
 )
-SELECT DISTINCT hiveperiod, dstrct_code,
-       CAST(({_EPOCH_NORM}) + INTERVAL 8 HOURS AS DATE) AS accurate_wita_date
+SELECT DISTINCT CAST(hiveperiod AS VARCHAR) AS hiveperiod, dstrct_code,
+       CAST(CAST(({_EPOCH_NORM}) + INTERVAL 8 HOURS AS DATE) AS VARCHAR) AS accurate_wita_date
 FROM lake
 WHERE hiveperiod != CAST(({_EPOCH_NORM}) + INTERVAL 8 HOURS AS DATE)
 """
@@ -64,9 +64,13 @@ def repair_audit_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     accurate = to_local(normalize_epoch_auto(F.col("heartbeat"))).cast("date")
     return (
-        lake.withColumn("accurate_wita_date", accurate)
-        .filter(F.col("hiveperiod") != F.col("accurate_wita_date"))
-        .select("hiveperiod", "dstrct_code", "accurate_wita_date")
+        lake.withColumn("accurate", accurate)
+        .filter(F.col("hiveperiod") != F.col("accurate"))
+        .select(
+            F.col("hiveperiod").cast("string").alias("hiveperiod"),
+            "dstrct_code",
+            F.col("accurate").cast("string").alias("accurate_wita_date"),
+        )
         .distinct()
     )
 
