@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "range_join_click_purchase",
 ]
 
 

@@ -58,16 +58,35 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 16, seed: int = 42, n: int = 3
 ) -> DataFrame:
-    """One row per doc with columns h0..h{k-1} (the MinHash signature)."""
+    """One row per doc with columns h0..h{k-1} (the MinHash signature).
+
+    Computed ROW-WISE: a single ``aggregate()`` fold over the doc's shingle
+    array carries all k running minima (``zip_with`` against the (a,b)
+    parameter array). Entirely map-side — no explode, no shuffle; the first
+    shuffle in the MinHash pipeline is the band-bucket groupBy. (The
+    equivalent explode + groupBy(doc) + k×min formulation shuffles
+    |docs|·|shingles| rows.)
+    """
     params = minhash_params(k, seed)
-    sh = _exploded_shingles(df, text_col, id_col, n).withColumn(
-        "x", shingle_to_int(F.col("shingle")) % F.lit(MERSENNE_P)
+    pa = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
+    xs = F.transform(
+        word_shingles(F.col(text_col), n),
+        lambda s: shingle_to_int(s) % F.lit(MERSENNE_P),
+    )
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), k)
+    sig = F.aggregate(
+        xs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, pa, lambda m, p: F.least(m, (p["a"] * x + p["b"]) % F.lit(MERSENNE_P))
+        ),
+    )
+    return _fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        *[sig[i].alias(f"h{i}") for i in range(k)],
+    )
 
 
 def _bucket_pairs(docs: "F.Column") -> "F.Column":
@@ -165,23 +184,36 @@ SIMHASH_BITS = 60
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """60-bit SimHash over whitespace tokens (with multiplicity): bit j is
-    the sign of Σ_words (±1 by bit j of the word's 60-bit md5 int)."""
-    w = _fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
-    ).withColumn("h", shingle_to_int(F.col("word")))
-    aggs = [
-        F.sum(
-            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sums = w.groupBy("doc").agg(*aggs)
-    bit_terms = " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
+    the sign of Σ_words (±1 by bit j of the word's 60-bit md5 int).
+
+    Row-wise like ``minhash_signatures``: one ``aggregate()`` fold carries
+    the 60 bit-counters per doc — map-side only, no explode/shuffle. Bit j
+    of h is tested as ``h % 2^(j+1) >= 2^j`` (shiftright takes no Column
+    argument inside lambdas); nested lambdas capture the word hash.
+    """
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    xs = F.transform(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: shingle_to_int(w),
     )
-    return sums.select("doc", F.expr(bit_terms).alias("simhash"))
+    init = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    sums = F.aggregate(
+        xs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda c, p: c + F.when(h % (p + p) >= p, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            sums, pow2, lambda s, p: F.when(s >= 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return _fan_out(df).select(F.col(id_col).alias("doc"), sim.alias("simhash"))
 
 
 def simhash_pairs(

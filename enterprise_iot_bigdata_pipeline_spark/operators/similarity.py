@@ -83,6 +83,79 @@ def random_projection_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    query_filter,
+    k: int = 3,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer partitions the corpus into
+    cells; each query searches its ``n_probe`` nearest cells only.
+
+    Scale shape: fit on a (sampled) corpus — Spark ML KMeans is itself
+    distributed; assignment is map-side; candidate generation is an
+    equi-join on cell id (shuffle keyed by cell, like the LSH variant).
+    Centroids are small (n_clusters × dim) and travel as literals —
+    never broadcast the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fitted = corpus.withColumn("fv", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="fv", predictionCol="cell").fit(
+        fitted
+    )
+    assigned = model.transform(fitted).select(
+        F.col(id_col), F.col(vec_col), F.col("cell")
+    )
+
+    # centroid literals: array<array<double>>, one per cell
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in model.clusterCenters()
+        ]
+    )
+    # per query: squared distance to every centroid → n_probe smallest cells
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    q = assigned.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cells_ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                cents,
+                F.sequence(F.lit(0), F.lit(n_clusters - 1)),
+                lambda c, i: F.struct(d2(F.col("q_vec"), c).alias("d"), i.alias("cell")),
+            )
+        ),
+        lambda s: s["cell"],
+    )
+    q_probed = q.withColumn(
+        "cell", F.explode(F.slice(cells_ranked, 1, n_probe))
+    )
+
+    pairs = (
+        assigned.join(q_probed, ["cell"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col(vec_col)))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "cell", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

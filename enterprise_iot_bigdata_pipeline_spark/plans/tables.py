@@ -35,7 +35,17 @@ _NS_COLS: dict[str, list[str]] = {}
 
 def _ns_timestamp_cols(path: str) -> list[str]:
     if path not in _NS_COLS:
-        schema = pq.read_schema(path)
+        import glob
+        import os
+
+        probe = path
+        if os.path.isdir(path):  # directory-shaped dataset (Spark writer)
+            parts = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if not parts:
+                _NS_COLS[path] = []
+                return _NS_COLS[path]
+            probe = parts[0]
+        schema = pq.read_schema(probe)
         _NS_COLS[path] = [
             f.name
             for f in schema

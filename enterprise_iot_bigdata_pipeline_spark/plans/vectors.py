@@ -154,6 +154,18 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN (k-means coarse quantizer, multi-probe). Rows-only: k-means float
+# iteration isn't oracle-expressible; recall vs brute force is pytest-checked.
+# ---------------------------------------------------------------------------
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, F.col("vec_id") < 20, k=3)
+
+
+# ---------------------------------------------------------------------------
 # Embedding dedup, scale path: near-dup pairs within LSH buckets only
 # ---------------------------------------------------------------------------
 

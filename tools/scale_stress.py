@@ -1,0 +1,91 @@
+"""Scale-stress probe: time key queries at 1× and N× the sf0.1 corpus
+(N× synthesized by unioning shifted copies — same value distributions,
+N× rows) and report the runtime scaling exponent. Linear operators should
+land near 1.0; anything super-linear is a red flag for the 100 TB target.
+
+Run: python tools/scale_stress.py [N]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SF = "/root/testdata/sf0.1"
+STRESSED = [
+    "flagship_minute_resample",
+    "agg_pricing_summary",
+    "join_fact_fact",
+    "window_sessionize",
+    "dedup_minhash_lsh",
+    "text_metrics",
+]
+# which table each query mainly scans → which copy to amplify
+MAIN_TABLE = {
+    "flagship_minute_resample": "events",
+    "agg_pricing_summary": "lineitem",
+    "join_fact_fact": "lineitem",
+    "window_sessionize": "events",
+    "dedup_minhash_lsh": "documents",
+    "text_metrics": "documents",
+}
+ID_COLS = {"events": "event_id", "lineitem": "l_orderkey", "documents": "doc_id"}
+
+
+def main() -> None:
+    import tempfile
+
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_stress")
+    queries = all_queries()
+
+    # materialize amplified copies of the scanned tables
+    stage = tempfile.mkdtemp(prefix="stress_")
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import TABLES, t
+
+    for name in TABLES:
+        df = t(spark, SF, name)
+        if name in ID_COLS.values() or name in set(MAIN_TABLE.values()):
+            idc = ID_COLS.get(name)
+        amplified = df
+        if name in set(MAIN_TABLE.values()):
+            idc = ID_COLS[name]
+            copies = [
+                df.withColumn(idc, F.col(idc) + F.lit(i * 10_000_000)) for i in range(1, N)
+            ]
+            for c in copies:
+                amplified = amplified.unionByName(c)
+        amplified.write.mode("overwrite").parquet(f"{stage}/{name}.parquet")
+
+    def timed(sf_dir: str, name: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    import math
+
+    print(f"{'query':32s} {'1x':>7s} {f'{N}x':>7s} {'exponent':>9s}")
+    for name in STRESSED:
+        t1 = timed(SF, name)
+        tn = timed(stage, name)
+        exp = math.log(tn / t1) / math.log(N)
+        flag = "" if exp < 1.25 else "  <-- SUPER-LINEAR"
+        print(f"{name:32s} {t1:7.2f} {tn:7.2f} {exp:9.2f}{flag}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
