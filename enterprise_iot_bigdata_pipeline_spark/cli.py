@@ -1,0 +1,106 @@
+"""Command-line entry points — the engine's equivalents of the reference's
+runnable scripts (v1 compacter loop, v2 DAG tasks, data-cleaner, dashboard
+query):
+
+  python -m enterprise_iot_bigdata_pipeline_spark.cli ingest-batch  --paths g1.gz g2.gz --target LAKE --district DISTRICTB
+  python -m enterprise_iot_bigdata_pipeline_spark.cli ingest-stream --source DIR --target LAKE --checkpoint CK --district D --schema "heartbeat long, ..."
+  python -m enterprise_iot_bigdata_pipeline_spark.cli audit         --lake LAKE
+  python -m enterprise_iot_bigdata_pipeline_spark.cli repair        --lake LAKE
+  python -m enterprise_iot_bigdata_pipeline_spark.cli compact       --lake LAKE
+  python -m enterprise_iot_bigdata_pipeline_spark.cli dashboard     --lake LAKE --date 2024-03-01 --district DISTRICTB
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="enterprise_iot_bigdata_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("ingest-batch", help="compact NDJSON files into the lake")
+    b.add_argument("--paths", nargs="+", required=True)
+    b.add_argument("--target", required=True)
+    b.add_argument("--district", required=True)
+
+    s = sub.add_parser("ingest-stream", help="checkpointed streaming compacter")
+    s.add_argument("--source", required=True)
+    s.add_argument("--target", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--district", required=True)
+    s.add_argument("--schema", required=True)
+    s.add_argument("--hourly", action="store_true", help="run continuously (default: drain once)")
+
+    a = sub.add_parser("audit", help="list misfiled partitions")
+    a.add_argument("--lake", required=True)
+
+    r = sub.add_parser("repair", help="rewrite misfiled rows to correct partitions")
+    r.add_argument("--lake", required=True)
+
+    c = sub.add_parser("compact", help="rewrite each partition to ~1 file")
+    c.add_argument("--lake", required=True)
+
+    d = sub.add_parser("dashboard", help="per-unit 1-minute speed analysis")
+    d.add_argument("--lake", required=True)
+    d.add_argument("--date", required=True)
+    d.add_argument("--district", required=True)
+    d.add_argument("--units", nargs="*", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+        spark = get_spark(app_name=f"cli-{args.cmd}")
+
+    if args.cmd == "ingest-batch":
+        from enterprise_iot_bigdata_pipeline_spark.operators.compaction import compact_batch
+
+        n = compact_batch(spark, args.paths, args.target, args.district)
+        print(f"compacted {n} rows" if n else "no data — skipped")
+    elif args.cmd == "ingest-stream":
+        from enterprise_iot_bigdata_pipeline_spark.streaming.ingest import stream_compact
+
+        q = stream_compact(
+            spark,
+            args.source,
+            args.target,
+            args.checkpoint,
+            args.schema,
+            args.district,
+            available_now=not args.hourly,
+        )
+        q.awaitTermination()
+        print("stream drained" if not args.hourly else "stream stopped")
+    elif args.cmd == "audit":
+        from enterprise_iot_bigdata_pipeline_spark.operators.compaction import audit_misfiled
+
+        bad = audit_misfiled(spark.read.parquet(args.lake))
+        for row in bad.collect():
+            print(f"{row['hiveperiod']} {row['dstrct_code']} -> {row['accurate_wita_date']}")
+    elif args.cmd == "repair":
+        from enterprise_iot_bigdata_pipeline_spark.operators.compaction import repair_misfiled
+
+        n = repair_misfiled(spark, args.lake)
+        print(f"rewrote {n} rows")
+    elif args.cmd == "compact":
+        from enterprise_iot_bigdata_pipeline_spark.operators.compaction import compact_partitions
+
+        compact_partitions(spark, args.lake)
+        print("compacted")
+    elif args.cmd == "dashboard":
+        from enterprise_iot_bigdata_pipeline_spark.operators.dashboard import speed_analysis
+
+        out = speed_analysis(
+            spark.read.parquet(args.lake), args.date, args.district, args.units
+        )
+        out.show(50, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

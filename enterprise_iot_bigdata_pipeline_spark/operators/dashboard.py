@@ -1,0 +1,71 @@
+"""The dashboard read path (SURVEY §3.3) as a lake-level operator: what
+`streamlit-app.py` computes, over the engine's partitioned lake.
+
+Stage 1 (pushdown): partition-pruned scan with unit IN-list and local-hour
+range — all predicates reach the parquet reader. Stage 2: sentinel clean,
+GPS-status derivation, speed-disagreement metric, 1-minute tumbling window
+per (unitno, dstrct_code, hiveperiod). Reference: streamlit-app.py:55-169.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.cleaning import (
+    error_rate,
+    gps_status,
+    replace_sentinel,
+)
+
+
+def unit_list(lake: DataFrame) -> DataFrame:
+    """The sidebar's unit picker: DISTINCT over the dimension columns
+    (streamlit-app.py:55-69)."""
+    return lake.select("dstrct_code", "unitno").distinct()
+
+
+def speed_analysis(
+    lake: DataFrame,
+    hiveperiod: str,
+    dstrct_code: str,
+    units: list[str] | None = None,
+    hour_range: tuple[int, int] = (0, 23),
+    tz_hours: int = 8,
+) -> DataFrame:
+    """Per-unit 1-minute resample of speed/error/status metrics.
+
+    Mirrors the dashboard pipeline: partition filters (pruning), unit
+    IN-list, derived-local-hour BETWEEN, sentinel cleanup, gpsstatus,
+    error_rate, tumbling 1-minute window with mean/min aggregates.
+    """
+    df = lake.filter(
+        (F.col("hiveperiod") == F.lit(hiveperiod))
+        & (F.col("dstrct_code") == dstrct_code)
+    )
+    if units:
+        df = df.filter(F.col("unitno").isin(units))
+    local_hour = F.hour(F.col("datetime_wita"))
+    df = df.filter(local_hour.between(*hour_range))
+
+    cleaned = (
+        df.withColumn("gpsspeed", replace_sentinel(F.col("gpsspeed")))
+        .withColumn("VehicleSpeed", replace_sentinel(F.col("VehicleSpeed")))
+        .withColumn("gpsstatus", gps_status(F.col("gpslat")))
+        .withColumn("error_rate", error_rate(F.col("gpsspeed"), F.col("VehicleSpeed")))
+    )
+    return (
+        cleaned.groupBy(
+            F.window(F.col("datetime_wita"), "1 minute")["start"].alias("minute"),
+            "unitno",
+            "dstrct_code",
+        )
+        .agg(
+            F.avg("gpsspeed").alias("gpsspeed"),
+            F.avg("VehicleSpeed").alias("VehicleSpeed"),
+            F.avg("error_rate").alias("error_rate"),
+            F.min("gpsstatus").alias("gpsstatus"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("minute", "unitno")
+    )

@@ -1,0 +1,107 @@
+"""End-to-end CLI test: the full reference workflow through the engine's
+command-line surface — ingest → audit → repair → compact → dashboard."""
+
+from __future__ import annotations
+
+import gzip
+import json
+from datetime import datetime, timezone
+
+from enterprise_iot_bigdata_pipeline_spark.cli import main
+
+
+def _gz(path, rows):
+    with gzip.open(path, "wt") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+
+def test_cli_full_workflow(spark, tmp_path, capsys):
+    day = datetime(2024, 3, 1, 9, 0, 0, tzinfo=timezone.utc)
+    late = datetime(2024, 3, 1, 22, 30, 0, tzinfo=timezone.utc)  # +8h → next day
+    src = tmp_path / "in.txt.gz"
+    _gz(
+        src,
+        [
+            {
+                "heartbeat": int(day.timestamp()) + i * 30,
+                "unitno": "LD772",
+                "gpsspeed": 10.0 + i if i != 2 else -9999,
+                "VehicleSpeed": 9.0 + i,
+                "gpslat": -2.5,
+                "gpslong": 115.0,
+            }
+            for i in range(5)
+        ]
+        + [
+            {
+                "heartbeat": int(late.timestamp()),
+                "unitno": "PM1582",
+                "gpsspeed": 4.0,
+                "VehicleSpeed": 4.5,
+                "gpslat": -9000.0,  # invalid GPS
+                "gpslong": 115.0,
+            }
+        ],
+    )
+    lake = str(tmp_path / "lake")
+
+    assert main(["ingest-batch", "--paths", str(src), "--target", lake, "--district", "DISTRICTB"], spark) == 0
+    assert "compacted 6 rows" in capsys.readouterr().out
+
+    # nothing misfiled (partitions derived from event time at ingest)
+    assert main(["audit", "--lake", lake], spark) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    assert main(["repair", "--lake", lake], spark) == 0
+    assert "rewrote 0 rows" in capsys.readouterr().out
+
+    assert main(["compact", "--lake", lake], spark) == 0
+    capsys.readouterr()
+
+    assert main(
+        ["dashboard", "--lake", lake, "--date", "2024-03-01", "--district", "DISTRICTB"],
+        spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "LD772" in out
+    # sentinel -9999 must have been cleaned to -1 before averaging:
+    # avg of that minute's gpsspeed would otherwise be ~-3329
+    assert "-3329" not in out
+
+
+def test_dashboard_operator_semantics(spark, tmp_path):
+    """Sentinel/status semantics on a hand-built lake frame."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dashboard import (
+        speed_analysis,
+        unit_list,
+    )
+
+    lake = spark.createDataFrame(
+        [
+            ("2024-03-01", "DISTRICTB", "LD772", "2024-03-01 10:00:05", -9999.0, 8.0, -2.5),
+            ("2024-03-01", "DISTRICTB", "LD772", "2024-03-01 10:00:35", 12.0, 10.0, -9000.0),
+            ("2024-03-01", "DISTRICTB", "PM1582", "2024-03-01 10:00:50", 7.0, 7.0, -2.0),
+        ],
+        "hiveperiod string, dstrct_code string, unitno string, dt string, gpsspeed double, VehicleSpeed double, gpslat double",
+    ).select(
+        F.col("hiveperiod").cast("date").alias("hiveperiod"),
+        "dstrct_code",
+        "unitno",
+        F.col("dt").cast("timestamp").alias("datetime_wita"),
+        "gpsspeed",
+        "VehicleSpeed",
+        "gpslat",
+    )
+    assert unit_list(lake).count() == 2
+
+    rows = {
+        r["unitno"]: r
+        for r in speed_analysis(lake, "2024-03-01", "DISTRICTB").collect()
+    }
+    ld = rows["LD772"]
+    # sentinel −9999 → −1; avg(−1, 12) = 5.5; min(gpsstatus) = 'false' (bad GPS row)
+    assert ld["gpsspeed"] == 5.5
+    assert ld["gpsstatus"] == "false"
+    assert rows["PM1582"]["gpsstatus"] == "true"
