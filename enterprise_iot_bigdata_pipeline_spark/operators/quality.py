@@ -1,0 +1,58 @@
+"""Data-quality checks — the "dbt transforms + data quality tests" the
+reference's README advertises but never ships (README.md:30,64-66; SURVEY
+§5). One pass over the frame computes every rule as a conditional
+aggregate; the result is a tall (rule, metric) report suitable for gating
+a write (the engine's generalization of the row-count gate A4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quality_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """``rules`` maps rule name → boolean Column (True = row violates).
+
+    Returns one row per rule: n_rows, n_violations, violation_rate —
+    computed in a single aggregation pass (no per-rule scans).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.count(F.when(cond, 1)).alias(name) for name, cond in rules.items()
+    ]
+    row = df.agg(*aggs)
+    stacked = row.selectExpr(
+        "n_rows",
+        "stack({n}, {pairs}) as (rule, n_violations)".format(
+            n=len(rules),
+            pairs=", ".join(f"'{name}', {name}" for name in rules),
+        ),
+    )
+    return stacked.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") / F.col("n_rows")).cast("double").alias("violation_rate"),
+    )
+
+
+def telemetry_rules() -> dict[str, str]:
+    """The reference workload's invariants as SQL predicates (shared with
+    the oracle generator in plans.ingest)."""
+    return {
+        "null_heartbeat": "heartbeat IS NULL",
+        "sentinel_gpsspeed": "gpsspeed = -9999",
+        "invalid_gps": "gpslat < -8880",
+        "negative_speed": "gpsspeed < 0 AND gpsspeed != -9999",
+    }
+
+
+def assert_quality(df: DataFrame, rules: dict[str, Column], max_rate: float = 0.05) -> None:
+    """Gate: raise if any rule's violation rate exceeds ``max_rate``."""
+    bad = [
+        (r["rule"], r["violation_rate"])
+        for r in quality_report(df, rules).collect()
+        if (r["violation_rate"] or 0.0) > max_rate
+    ]
+    if bad:
+        raise ValueError(f"quality gate failed: {bad}")

@@ -76,6 +76,40 @@ def repair_audit_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data-quality report over events (single-pass conditional aggregates).
+# ---------------------------------------------------------------------------
+
+_EVENT_RULES = {
+    "null_value": "value IS NULL",
+    "negative_value": "value < 0",
+    "null_props": "props IS NULL",
+    "bad_type": "event_type NOT IN ('click','view','purchase','signup','error')",
+}
+
+_QUALITY_ORACLE = f"""
+WITH agg AS (
+    SELECT count(*) AS n_rows,
+        {", ".join(f"count(CASE WHEN {cond} THEN 1 END) AS {name}" for name, cond in _EVENT_RULES.items())}
+    FROM events
+)
+SELECT rule, n_rows, n_violations,
+       CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+FROM (
+    {" UNION ALL ".join(f"SELECT '{name}' AS rule, n_rows, {name} AS n_violations FROM agg" for name in _EVENT_RULES)}
+)
+"""
+
+
+@register("quality_report_events", _QUALITY_ORACLE)
+def quality_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.quality import quality_report
+
+    ev = t(spark, sf_dir, "events")
+    rules = {name: F.expr(cond) for name, cond in _EVENT_RULES.items()}
+    return quality_report(ev, rules)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal metadata projection (decode-free: column pruning never touches
 # payload bytes). Oracle mirrors the deterministic metadata synthesis.
 # ---------------------------------------------------------------------------

@@ -152,6 +152,82 @@ def join_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q7-shaped: shipping volume between nation pairs ------------------
+
+
+@register(
+    "join_nation_pairs",
+    f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           count(*) AS n_items,
+           {DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey < 5 AND sn.n_nationkey < 5 AND cn.n_nationkey != sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cn_key") < 5)
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("sn_key") < 5)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cn_key") != F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(revenue).alias("volume"))
+    )
+
+
+# --- TPC-H Q10-shaped: top customers by returned-item revenue ---------------
+
+
+@register(
+    "join_returned_customers",
+    f"""
+    SELECT c_custkey, c_name,
+           {DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS lost_revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def join_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(revenue).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # --- TPC-H Q5-shaped: 5-way join with a co-nation constraint ---------------
 
 

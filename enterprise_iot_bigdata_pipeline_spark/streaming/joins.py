@@ -1,0 +1,40 @@
+"""Stream-stream interval join (beyond the reference — standard Spark
+surface a complete engine exposes).
+
+Both sides carry watermarks; the join condition's time bounds let Spark
+expire state: a click is held only until its 10-minute window has provably
+passed on the purchase stream. State is partitioned by the equi-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clicks_purchases_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    max_delta: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Purchases within ``max_delta`` after a click by the same user."""
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c.{key} = p.{key}
+            AND p.ts > c.ts
+            AND p.ts <= c.ts + INTERVAL {max_delta}
+            """
+        ),
+    ).select(
+        F.col(f"c.{key}").alias(key),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+    )

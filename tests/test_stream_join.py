@@ -1,0 +1,58 @@
+"""Stream-stream interval join driven through real streaming queries."""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(src, name, rows):
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf).cast(
+            pa.schema(
+                [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_id", pa.int64())]
+            )
+        ),
+        str(src / name),
+    )
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.streaming.joins import clicks_purchases_join
+
+    cdir = tmp_path / "clicks"
+    pdir = tmp_path / "purchases"
+    cdir.mkdir()
+    pdir.mkdir()
+    _write(cdir, "c.parquet", [
+        (1, "2024-03-01 10:00:00", 1),
+        (1, "2024-03-01 11:00:00", 2),   # no purchase within 10 min
+        (2, "2024-03-01 10:05:00", 3),
+    ])
+    _write(pdir, "p.parquet", [
+        (1, "2024-03-01 10:04:00", 100),  # matches click 1
+        (2, "2024-03-01 10:20:00", 101),  # 15 min after click 3 — no match
+    ])
+
+    schema = "user_id long, ts timestamp, event_id long"
+    clicks = spark.readStream.schema(schema).parquet(str(cdir))
+    purchases = spark.readStream.schema(schema).parquet(str(pdir))
+    joined = clicks_purchases_join(clicks, purchases)
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    assert len(rows) == 1
+    assert (rows[0]["click_id"], rows[0]["purchase_id"]) == (1, 100)
