@@ -134,6 +134,113 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_IN_SUB)
 
 
+# --- Array aggregation: sorted distinct event types per user ----------------
+
+
+@register(
+    "agg_collect_array",
+    """
+    SELECT user_id,
+           array_to_string(array_agg(DISTINCT event_type ORDER BY event_type), ',') AS types,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array agg computed natively; surfaced as a joined string — array-typed
+    # OUTPUT columns canonicalize engine-specifically (list vs ndarray) in
+    # pandas-based comparators
+    ev = t(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(types, ",").alias("types"),
+        F.size(types).alias("n_types"),
+    )
+
+
+# --- GROUPING SETS (explicit, beyond rollup/cube) ---------------------------
+
+_GSETS = """
+    SELECT event_type, CAST(user_id % 3 AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM (SELECT event_type, user_id FROM events)
+    GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 3 AS BIGINT)))
+"""
+
+
+@register("agg_grouping_sets", _GSETS)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_GSETS)
+
+
+# --- Datetime part extraction battery (cross-engine dow alignment) ----------
+
+
+@register(
+    "time_parts",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS mo,
+           CAST(day(ts) AS INTEGER) AS d,
+           CAST(date_part('hour', ts) AS INTEGER) AS h,
+           CAST(date_part('minute', ts) AS INTEGER) AS mi,
+           CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           CAST(date_part('doy', ts) AS INTEGER) AS doy
+    FROM events
+    """,
+)
+def time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("d"),
+        F.hour(ts).alias("h"),
+        F.minute(ts).alias("mi"),
+        # Spark weekday(): 0=Monday; ISO dow: 1=Monday..7=Sunday
+        (F.weekday(ts) + 1).cast("int").alias("iso_dow"),
+        F.dayofyear(ts).alias("doy"),
+    )
+
+
+# --- String function battery -------------------------------------------------
+
+
+@register(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_mktsegment) AS lo,
+           substr(c_name, 1, 8) AS pre,
+           CAST(length(c_name) AS INTEGER) AS len,
+           CAST(strpos(c_name, '0') AS INTEGER) AS zero_pos,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           replace(c_name, 'Customer', 'Cust') AS repl,
+           concat(c_mktsegment, ':', c_name) AS joined
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.length("c_name").alias("len"),
+        F.instr(F.col("c_name"), "0").alias("zero_pos"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("joined"),
+    )
+
+
 # --- HAVING: repeat-purchase users ------------------------------------------
 
 

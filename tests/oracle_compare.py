@@ -47,7 +47,7 @@ def _canon(v) -> str:
         return pd.Timestamp(v).isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_canon(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
