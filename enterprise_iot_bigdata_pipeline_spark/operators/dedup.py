@@ -244,7 +244,7 @@ def simhash_pairs(
         .select(
             F.col("p.doc_a.doc").alias("doc_a"),
             F.col("p.doc_b.doc").alias("doc_b"),
-            F.expr("bit_count(p.doc_a.simhash ^ p.doc_b.simhash)").alias("hamming"),
+            F.expr("bit_count(p.doc_a.simhash ^ p.doc_b.simhash)").cast("int").alias("hamming"),
         )
     )
     return pairs.distinct().filter(F.col("hamming") <= max_hamming)

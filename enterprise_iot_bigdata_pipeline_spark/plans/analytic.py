@@ -45,7 +45,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, event_id, value, rn
     FROM (
         SELECT event_type, event_id, value,
-               row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INTEGER) AS rn
         FROM events
     )
     WHERE rn <= 3

@@ -268,7 +268,7 @@ WITH {_SIMHASH_CTE},
 chunks AS (
     {_chunk_selects}
 )
-SELECT doc_a, doc_b, hamming FROM (
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM chunks a JOIN chunks b

@@ -1,0 +1,90 @@
+"""Continuous aggregate (hypertable-rollup style): a streaming job
+maintains a pre-aggregated window table incrementally.
+
+Each micro-batch's partial aggregates MERGE into the rollup lake keyed by
+(window_start, keys): existing windows are re-aggregated with the new
+partials (sums/counts add; a fresh read of raw data is never needed),
+new windows append. The dashboard then reads minutes/hours from a table
+that is orders of magnitude smaller than the raw lake.
+
+Late data within the watermark updates its (old) window's row on arrival —
+the merge is idempotent per (window, key) because partials are additive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+ROLLUP_KEYS = ("window_start", "dstrct_code")
+
+
+def _partials(batch: DataFrame, ts_col: str, window: str, keys: tuple[str, ...]) -> DataFrame:
+    return (
+        batch.groupBy(F.window(F.col(ts_col), window)["start"].alias("window_start"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value"),
+        )
+    )
+
+
+def merge_rollup(spark: SparkSession, rollup_path: str, partials: DataFrame, keys: tuple[str, ...]) -> None:
+    """Additively merge new partial aggregates into the rollup table."""
+    import os
+
+    key_cols = ["window_start", *keys]
+    if os.path.exists(rollup_path):
+        existing = spark.read.parquet(rollup_path)
+        merged = (
+            existing.unionByName(partials)
+            .groupBy(*key_cols)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+        # small pre-aggregated table: full rewrite via a driver round-trip
+        # (a lakehouse MERGE at larger rollup sizes)
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(rollup_path)
+    else:
+        partials.write.mode("overwrite").parquet(rollup_path)
+
+
+def continuous_rollup(
+    spark: SparkSession,
+    source: DataFrame,
+    rollup_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    keys: tuple[str, ...] = ("dstrct_code",),
+    watermark: str = "10 minutes",
+) -> StreamingQuery:
+    """Start the maintenance stream: raw events in, rollup table kept fresh."""
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_rollup(spark, rollup_path, _partials(batch, ts_col, window, keys), keys)
+
+    return (
+        source.withWatermark(ts_col, watermark)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Finalized view: derived averages from the additive partials."""
+    r = spark.read.parquet(rollup_path)
+    return r.select(
+        "window_start",
+        *[c for c in r.columns if c not in ("window_start", "n_events", "sum_value")],
+        "n_events",
+        (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+    )

@@ -1,0 +1,73 @@
+"""Continuous-aggregate maintenance: partials from successive micro-batches
+must merge additively (including a late row updating an old window)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(src, name, rows):
+    pdf = pd.DataFrame(rows, columns=["ts", "dstrct_code", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf).cast(
+            pa.schema(
+                [("ts", pa.timestamp("us")), ("dstrct_code", pa.string()), ("value", pa.float64())]
+            )
+        ),
+        str(src / name),
+    )
+
+
+def test_continuous_rollup_two_batches(spark, tmp_path):
+    import time
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.rollup import (
+        continuous_rollup,
+        read_rollup,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.parquet", [
+        ("2024-03-01 10:00:10", "B", 10.0),
+        ("2024-03-01 10:00:40", "B", 20.0),
+        ("2024-03-01 10:01:10", "B", 30.0),
+    ])
+
+    def run():
+        stream = spark.readStream.schema("ts timestamp, dstrct_code string, value double").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src))
+        q = continuous_rollup(spark, stream, rollup, ckpt)
+        q.awaitTermination()
+
+    run()
+    r1 = {
+        (str(r["window_start"]), r["dstrct_code"]): (r["n_events"], r["avg_value"])
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert r1[("2024-03-01 10:00:00", "B")] == (2, 15.0)
+    assert r1[("2024-03-01 10:01:00", "B")] == (1, 30.0)
+
+    # batch 2: new window + a LATE row for the 10:00 window
+    time.sleep(1.2)
+    _write(src, "b2.parquet", [
+        ("2024-03-01 10:02:05", "B", 50.0),
+        ("2024-03-01 10:00:50", "B", 60.0),  # late arrival
+    ])
+    run()
+    r2 = {
+        (str(r["window_start"]), r["dstrct_code"]): (r["n_events"], r["avg_value"])
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert r2[("2024-03-01 10:00:00", "B")] == (3, 30.0)  # (10+20+60)/3
+    assert r2[("2024-03-01 10:01:00", "B")] == (1, 30.0)
+    assert r2[("2024-03-01 10:02:00", "B")] == (1, 50.0)
