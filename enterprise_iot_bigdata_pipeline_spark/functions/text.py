@@ -54,8 +54,12 @@ def non_ascii_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Punctuation chars / total chars (DOUBLE, deterministic per row)."""
-    return F.regexp_count(text, F.lit(PUNCT_RE)).cast("double") / F.length(text)
+    """Punctuation chars / total chars (DOUBLE, deterministic per row).
+    NULL for empty text (ANSI division guard)."""
+    return F.when(
+        F.length(text) > 0,
+        F.regexp_count(text, F.lit(PUNCT_RE)).cast("double") / F.length(text),
+    )
 
 
 def stopword_ratio(text: Column) -> Column:

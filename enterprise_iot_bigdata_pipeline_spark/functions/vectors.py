@@ -39,5 +39,7 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """dot/(‖a‖·‖b‖), rounded to ROUND_DP for cross-engine stability."""
-    return F.round(dot(a, b) / F.sqrt(norm2(a) * norm2(b)), ROUND_DP)
+    """dot/(‖a‖·‖b‖), rounded to ROUND_DP for cross-engine stability.
+    NULL when either vector has zero norm (ANSI division guard)."""
+    n2 = norm2(a) * norm2(b)
+    return F.when(n2 > 0, F.round(dot(a, b) / F.sqrt(n2), ROUND_DP))

@@ -32,7 +32,10 @@ def quality_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         "rule",
         "n_rows",
         "n_violations",
-        (F.col("n_violations") / F.col("n_rows")).cast("double").alias("violation_rate"),
+        # guarded: an empty frame divides by zero under ANSI mode
+        F.when(
+            F.col("n_rows") > 0, (F.col("n_violations") / F.col("n_rows")).cast("double")
+        ).alias("violation_rate"),
     )
 
 

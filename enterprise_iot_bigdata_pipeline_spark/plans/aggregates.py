@@ -221,10 +221,10 @@ def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         {DAVG_SQL("value")} AS avg_value,
         CAST(min(value) AS DOUBLE) AS min_value,
         CAST(max(value) AS DOUBLE) AS max_value,
-        sqrt(
+        CASE WHEN count(value) > 1 THEN sqrt(
             ({DSUM_SQL("value * value")} - {DSUM_SQL("value")} * {DSUM_SQL("value")} / count(value))
             / (count(value) - 1)
-        ) AS stddev_value,
+        ) END AS stddev_value,
         count(*) AS n
     FROM events
     GROUP BY event_type
@@ -243,7 +243,8 @@ def agg_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(v).alias("avg_value"),
             F.min(v).cast("double").alias("min_value"),
             F.max(v).cast("double").alias("max_value"),
-            F.sqrt((sq - s * s / n) / (n - F.lit(1))).alias("stddev_value"),
+            # guarded: a singleton group divides by zero under ANSI mode
+            F.when(n > 1, F.sqrt((sq - s * s / n) / (n - F.lit(1)))).alias("stddev_value"),
             F.count(F.lit(1)).alias("n"),
         )
     )

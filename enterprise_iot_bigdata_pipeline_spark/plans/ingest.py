@@ -93,7 +93,7 @@ WITH agg AS (
     FROM events
 )
 SELECT rule, n_rows, n_violations,
-       CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+       CASE WHEN n_rows > 0 THEN CAST(n_violations AS DOUBLE) / n_rows END AS violation_rate
 FROM (
     {" UNION ALL ".join(f"SELECT '{name}' AS rule, n_rows, {name} AS n_violations FROM agg" for name in _EVENT_RULES)}
 )

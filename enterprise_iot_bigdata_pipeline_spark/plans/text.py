@@ -33,7 +33,7 @@ def _marker_hits_sql(markers: tuple[str, ...]) -> str:
 _PUNCT_N = f"len(regexp_extract_all(text, '{X.PUNCT_RE}'))"
 _NON_ASCII_N = r"len(regexp_extract_all(text, '[^\x00-\x7F]'))"
 _STOP_RATIO = f"CAST({_marker_hits_sql(X.STOPWORDS_EN)} AS DOUBLE) / {_TOKENS}"
-_PUNCT_RATIO = f"CAST({_PUNCT_N} AS DOUBLE) / length(text)"
+_PUNCT_RATIO = f"(CASE WHEN length(text) > 0 THEN CAST({_PUNCT_N} AS DOUBLE) / length(text) END)"
 
 _LANG_CASE = f"""
     CASE

@@ -34,7 +34,8 @@ def _norm2_sql(a: str) -> str:
 
 def _cos_sql(a: str, b: str) -> str:
     return (
-        f"round(({_dot_sql(a, b)}) / sqrt(({_norm2_sql(a)}) * ({_norm2_sql(b)})), {ROUND_DP})"
+        f"(CASE WHEN ({_norm2_sql(a)}) * ({_norm2_sql(b)}) > 0 THEN "
+        f"round(({_dot_sql(a, b)}) / sqrt(({_norm2_sql(a)}) * ({_norm2_sql(b)})), {ROUND_DP}) END)"
     )
 
 
