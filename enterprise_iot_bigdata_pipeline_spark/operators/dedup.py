@@ -60,32 +60,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc with columns h0..h{k-1} (the MinHash signature).
 
-    Computed ROW-WISE: a single ``aggregate()`` fold over the doc's shingle
-    array carries all k running minima (``zip_with`` against the (a,b)
-    parameter array). Entirely map-side — no explode, no shuffle; the first
-    shuffle in the MinHash pipeline is the band-bucket groupBy. (The
-    equivalent explode + groupBy(doc) + k×min formulation shuffles
-    |docs|·|shingles| rows.)
+    Computed ROW-WISE: the doc's shingle-int array is materialized once,
+    then each of the k minima is a flat ``array_min(transform(...))`` pass
+    — native min, no per-shingle intermediate arrays. Entirely map-side —
+    no explode, no shuffle; the first shuffle in the MinHash pipeline is
+    the band-bucket groupBy. (The equivalent explode + groupBy(doc) + k×min
+    formulation shuffles |docs|·|shingles| rows; an ``aggregate`` fold
+    carrying all k minima allocates a k-array per shingle.)
     """
     params = minhash_params(k, seed)
-    pa = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
-    )
     xs = F.transform(
         word_shingles(F.col(text_col), n),
         lambda s: shingle_to_int(s) % F.lit(MERSENNE_P),
     )
-    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), k)
-    sig = F.aggregate(
-        xs,
-        init,
-        lambda acc, x: F.zip_with(
-            acc, pa, lambda m, p: F.least(m, (p["a"] * x + p["b"]) % F.lit(MERSENNE_P))
-        ),
-    )
-    return _fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        *[sig[i].alias(f"h{i}") for i in range(k)],
+    base = _fan_out(df).select(F.col(id_col).alias("doc"), xs.alias("xs"))
+    return base.select(
+        "doc",
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)
+                    )
+                ),
+                F.lit(MERSENNE_P).cast("long"),
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ],
     )
 
 

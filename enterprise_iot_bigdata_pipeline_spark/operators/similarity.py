@@ -83,6 +83,45 @@ def random_projection_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket"))
 
 
+def train_coarse_quantizer(
+    corpus: DataFrame,
+    vec_col: str,
+    n_clusters: int,
+    seed: int = 7,
+    sample_n: int = 65_536,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """k-means centroids for an IVF coarse quantizer, trained driver-side
+    on a BOUNDED sample (standard IVF practice — FAISS trains quantizers on
+    ~256·k sampled vectors regardless of corpus size, because centroid
+    quality saturates and the model is only n_clusters × dim floats).
+    The collect is capped at ``sample_n`` rows, so this stays O(1) in
+    corpus size; everything downstream (assignment, probing, candidate
+    join) remains distributed."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_n).collect()],
+        dtype="float64",
+    )
+    rnd = np.random.RandomState(seed)
+    cents = sample[rnd.choice(len(sample), n_clusters, replace=False)]
+    for _ in range(max_iter):
+        # Lloyd's: assign to nearest centroid, recenter
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.array(
+            [
+                sample[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
+                for c in range(n_clusters)
+            ]
+        )
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_filter,
@@ -92,55 +131,56 @@ def ivf_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_n: int = 65_536,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a k-means coarse quantizer partitions the corpus into
     cells; each query searches its ``n_probe`` nearest cells only.
 
-    Scale shape: fit on a (sampled) corpus — Spark ML KMeans is itself
-    distributed; assignment is map-side; candidate generation is an
-    equi-join on cell id (shuffle keyed by cell, like the LSH variant).
-    Centroids are small (n_clusters × dim) and travel as literals —
-    never broadcast the corpus.
+    Scale shape: quantizer trained on a bounded sample
+    (``train_coarse_quantizer``) — or passed in precomputed (``centroids``),
+    since a real IVF index trains once and serves many queries; cell
+    assignment is map-side arithmetic against centroid literals (no ML
+    pipeline, no extra pass); candidate generation is an equi-join on cell
+    id (shuffle keyed by cell, like the LSH variant). Centroids are small
+    (n_clusters × dim) and travel as literals — never broadcast the corpus.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if centroids is None:
+        centroids = train_coarse_quantizer(
+            corpus, vec_col, n_clusters, seed=seed, sample_n=sample_n
+        )
 
-    fitted = corpus.withColumn("fv", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="fv", predictionCol="cell").fit(
-        fitted
-    )
-    assigned = model.transform(fitted).select(
-        F.col(id_col), F.col(vec_col), F.col("cell")
-    )
+    # Cell ranking is dense matrix math (batch × centroids distance) — an
+    # Arrow-batched pandas UDF beats an interpreted higher-order-function
+    # ladder over n_clusters × dim literals by orders of magnitude, and the
+    # centroid matrix ships once per task in the UDF closure.
+    import numpy as np
+    import pandas as pd
 
-    # centroid literals: array<array<double>>, one per cell
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c])
-            for c in model.clusterCenters()
-        ]
+    C = np.asarray(centroids, dtype="float64")  # n_clusters × dim
+    c2 = (C * C).sum(axis=1)
+
+    def _ranked(vecs):
+        M = np.stack(vecs.to_numpy()).astype("float64")  # batch × dim
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c2[None, :]
+        order = np.argsort(d2, kind="stable", axis=1)
+        return pd.Series(list(order.astype("int32")))
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf's inference can't resolve
+    _ranked.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    ranked_cells = F.pandas_udf(_ranked, "array<int>")
+
+    assigned = fan_out(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        ranked_cells(F.col(vec_col))[0].alias("cell"),
     )
-    # per query: squared distance to every centroid → n_probe smallest cells
-    d2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    q = assigned.filter(query_filter).select(
+    q = corpus.filter(query_filter).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    cells_ranked = F.transform(
-        F.array_sort(
-            F.zip_with(
-                cents,
-                F.sequence(F.lit(0), F.lit(n_clusters - 1)),
-                lambda c, i: F.struct(d2(F.col("q_vec"), c).alias("d"), i.alias("cell")),
-            )
-        ),
-        lambda s: s["cell"],
-    )
     q_probed = q.withColumn(
-        "cell", F.explode(F.slice(cells_ranked, 1, n_probe))
+        "cell", F.explode(F.slice(ranked_cells(F.col("q_vec")), 1, n_probe))
     )
 
     pairs = (

