@@ -36,6 +36,7 @@ HEADLINE = [
     "text_metrics",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "pipeline_curate_corpus",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

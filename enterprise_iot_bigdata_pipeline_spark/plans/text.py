@@ -282,3 +282,99 @@ WHERE hamming <= {_MAX_HAMMING}
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = D.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
     return D.simhash_pairs(sims, _MAX_HAMMING, _CHUNKS)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (the canonical LLM training-data pipeline):
+# language filter → quality gate → exact dedup → MinHash-LSH near-dup drop.
+# Every stage is shuffle-minimal: metrics are map-side over the scan, exact
+# dedup is one window (no groupBy+join-back), near-dup candidates come from
+# the banded-LSH bucket shuffle, and the final drop is a left-anti join.
+# ---------------------------------------------------------------------------
+
+_CURATE_MIN_Q = 0.5
+
+_QUALITY_SQL = f"""round(0.4::DOUBLE * least(1.0::DOUBLE, CAST({_TOKENS} AS DOUBLE) / 100.0::DOUBLE)
+      + 0.3::DOUBLE * (1.0::DOUBLE - {_PUNCT_RATIO})
+      + 0.3::DOUBLE * {_STOP_RATIO}, 9)"""
+
+_CURATE_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id, text,
+           CAST({_TOKENS} AS BIGINT) AS n_tokens,
+           {_QUALITY_SQL} AS quality_score,
+           {_LANG_CASE} AS lang_pred,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+),
+f AS (SELECT * FROM m WHERE lang_pred = 'en' AND quality_score >= {_CURATE_MIN_Q}),
+kept AS (
+    SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM f
+    ) WHERE doc_id = keep_id
+),
+w2 AS (SELECT doc_id AS doc, {_WORDS} AS ws FROM kept),
+sh AS (
+    SELECT doc, unnest(list_distinct(
+        CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+             ELSE [array_to_string(ws, ' ')] END)) AS shingle
+    FROM w2
+),
+xs AS (SELECT doc, {_SHINGLE_INT} % {D.MERSENNE_P} AS x FROM sh),
+sig AS (
+    SELECT doc,
+        {_sig_cols}
+    FROM xs GROUP BY doc
+),
+bands AS (
+    {_band_selects}
+),
+drops AS (
+    SELECT DISTINCT b.doc AS doc_id
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+)
+SELECT doc_id, lang_pred, quality_score, n_tokens
+FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
+@register("pipeline_curate_corpus", _CURATE_ORACLE)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-corpus materialization: keep English docs above a quality
+    floor, collapse exact duplicates (min-id survivor per fingerprint),
+    then drop the higher id of every MinHash-LSH near-dup collision.
+    (Near-dup policy: a doc colliding with any lower-id doc is dropped —
+    a deterministic one-pass approximation of connected components.)"""
+    from pyspark.sql import Window as W
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    txt = F.col("text")
+    m = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "text",
+        X.token_count(txt).alias("n_tokens"),
+        X.quality_score(txt).alias("quality_score"),
+        X.lang_id(txt).alias("lang_pred"),
+        X.fingerprint(txt).alias("fingerprint"),
+    )
+    f = m.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= _CURATE_MIN_Q)
+    )
+    kept = (
+        f.withColumn(
+            "keep_id", F.min("doc_id").over(W.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    sigs = D.minhash_signatures(kept, "text", "doc_id", _K, _SEED)
+    drops = (
+        D.lsh_candidate_pairs(sigs, _K, _BANDS)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang_pred", "quality_score", "n_tokens"
+    )
