@@ -1,0 +1,32 @@
+"""ORC source/sink — a second columnar lake format next to Parquet.
+
+The reference is Parquet-only (`v1-basic-etl/gzip-to-parquet-etl.py:262-274`),
+but a complete engine offers both columnar formats Spark ships natively;
+ORC gets the same vectorized reader, predicate pushdown, and partitioned
+layout as the Parquet path in ``sources.lake``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_orc(spark: SparkSession, path: str, *more_paths: str) -> DataFrame:
+    return spark.read.orc(path, *more_paths)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "append",
+    compression: str = "snappy",
+) -> None:
+    """Partitioned ORC sink, mirroring ``lake.write_lake``: repartition by
+    the partition keys first so each (key) directory gets few large files
+    (the reference's 150-250 MB file-size goal)."""
+    out = df.repartition(*partition_by) if partition_by else df
+    writer = out.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -1,0 +1,85 @@
+"""Streaming exact dedup (dropDuplicatesWithinWatermark) + ORC roundtrip."""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(src, name, rows):
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf).cast(
+            pa.schema(
+                [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("value", pa.float64())]
+            )
+        ),
+        str(src / name),
+    )
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.streaming.ingest import stream_dedup
+
+    src = tmp_path / "dups"
+    src.mkdir()
+    _write(src, "a.parquet", [
+        (1, "2024-03-01 10:00:00", 1.0),
+        (1, "2024-03-01 10:00:05", 1.0),   # re-delivery of event 1
+        (2, "2024-03-01 10:01:00", 2.0),
+    ])
+    _write(src, "b.parquet", [
+        (2, "2024-03-01 10:01:30", 2.0),   # re-delivery across files
+        (3, "2024-03-01 10:02:00", 3.0),
+    ])
+
+    stream = spark.readStream.schema("event_id long, ts timestamp, value double").parquet(
+        str(src)
+    )
+    deduped = stream_dedup(stream, ("event_id",), watermark="10 minutes")
+
+    name = f"sd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert ids == [1, 2, 3]
+
+
+def test_stream_dedup_batch_fallback(spark):
+    from enterprise_iot_bigdata_pipeline_spark.streaming.ingest import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 1.0), (2, 2.0)], "event_id long, value double"
+    )
+    assert stream_dedup(df, ("event_id",)).count() == 2
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.sources.orc_io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [("2024-03-01", "A", 1.0), ("2024-03-01", "B", 2.0), ("2024-03-02", "A", 3.0)],
+        "hiveperiod string, dstrct_code string, v double",
+    )
+    target = str(tmp_path / "orclake")
+    write_orc(df, target, partition_by=("hiveperiod", "dstrct_code"))
+
+    back = read_orc(spark, target)
+    assert back.count() == 3
+    # partition pruning: only one partition directory scanned
+    pruned = back.filter(
+        (back.hiveperiod == "2024-03-01") & (back.dstrct_code == "A")
+    )
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
