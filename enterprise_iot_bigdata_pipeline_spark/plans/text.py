@@ -83,24 +83,26 @@ FROM documents
 """
 
 
-@register("text_metrics", _METRICS_ORACLE)
-def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def staged_metrics(docs: DataFrame) -> DataFrame:
     """Per-doc metrics with SINGLE-PASS tokenization: the words array and
     each regex count are materialized once in a staged projection, then
     every metric derives from those columns. The flat composition in
     ``functions.text`` re-tokenizes per metric (~18 `split` instances in
     the plan) and codegen's subexpression elimination does not reliably
     dedupe lambda-bearing trees; the staged form is ~2× cheaper per row.
-    Values are bit-identical (same formulas over the same intermediates)."""
-    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+    Values are bit-identical (same formulas over the same intermediates).
 
-    docs = fan_out(t(spark, sf_dir, "documents"))
+    Returns doc_id, text, n_tokens, n_bpe_tokens, punct_ratio,
+    stopword_ratio, quality_score, lang_pred, fingerprint — consumers
+    select what they need; Catalyst prunes the rest (including `text` and
+    its dependent regex counts when unused)."""
     txt = F.col("text")
     hits = lambda m: F.size(  # noqa: E731
         F.filter(F.col("ws"), lambda w: w.isin(*m))
     ).cast("long")
     base = docs.select(
         "doc_id",
+        "text",
         X.words(txt).alias("ws"),
         F.length(txt).alias("n_chars"),
         F.regexp_count(txt, F.lit(X.PUNCT_RE)).alias("n_punct"),
@@ -109,6 +111,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.fingerprint(txt).alias("fingerprint"),
     ).select(
         "doc_id",
+        "text",
         "n_chars",
         "n_punct",
         "n_non_ascii",
@@ -124,6 +127,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     en, es, de, fr = (F.col(f"hits_{lng}") for lng in ("en", "es", "de", "fr"))
     return base.select(
         "doc_id",
+        "text",
         "n_tokens",
         "n_bpe_tokens",
         punct_ratio.alias("punct_ratio"),
@@ -142,6 +146,22 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(de >= fr, F.lit("de"))
             .otherwise(F.lit("fr"))
         ).alias("lang_pred"),
+        "fingerprint",
+    )
+
+
+@register("text_metrics", _METRICS_ORACLE)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return staged_metrics(fan_out(t(spark, sf_dir, "documents"))).select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "lang_pred",
         "fingerprint",
     )
 
@@ -395,14 +415,8 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
-    txt = F.col("text")
-    m = fan_out(t(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "text",
-        X.token_count(txt).alias("n_tokens"),
-        X.quality_score(txt).alias("quality_score"),
-        X.lang_id(txt).alias("lang_pred"),
-        X.fingerprint(txt).alias("fingerprint"),
+    m = staged_metrics(fan_out(t(spark, sf_dir, "documents"))).select(
+        "doc_id", "text", "n_tokens", "quality_score", "lang_pred", "fingerprint"
     )
     f = m.filter(
         (F.col("lang_pred") == "en") & (F.col("quality_score") >= _CURATE_MIN_Q)
