@@ -102,3 +102,40 @@ def test_parse_s3_key(spark):
         "DISTRICTB",
         "standard_x.parquet",
     )
+
+
+def test_staged_metrics_matches_flat_composition(spark):
+    """plans.text.staged_metrics is a performance restructuring of the flat
+    functions.text composition — the two must stay value-identical,
+    including edge strings (empty, whitespace, non-ASCII, marker ties)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.functions import text as X
+    from enterprise_iot_bigdata_pipeline_spark.plans.text import staged_metrics
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "   "),
+        (4, "¡hola! ¿qué tal? 你好"),
+        (5, "el la de que los the and of to is"),  # en/es marker tie-ish
+        (6, "x" * 500),
+        (7, "a b c d e f g h i j " * 20),
+        (8, "!!! ??? ... ,,, ;;;"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    txt = F.col("text")
+    flat = docs.select(
+        "doc_id",
+        X.token_count(txt).alias("n_tokens"),
+        X.bpe_token_count(txt).alias("n_bpe_tokens"),
+        X.punct_ratio(txt).alias("punct_ratio"),
+        X.stopword_ratio(txt).alias("stopword_ratio"),
+        X.quality_score(txt).alias("quality_score"),
+        X.lang_id(txt).alias("lang_pred"),
+        X.fingerprint(txt).alias("fingerprint"),
+    )
+    staged = staged_metrics(docs).drop("text")
+    a = {r["doc_id"]: r.asDict() for r in flat.collect()}
+    b = {r["doc_id"]: r.asDict() for r in staged.collect()}
+    assert a == b
