@@ -262,3 +262,52 @@ def join_five_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue).alias("revenue"))
     )
+
+
+# --- TPC-H Q18-shaped: large-volume orders (agg subquery → semi filter) ----
+# The IN-subquery over an aggregate is the shape the reference's "pending
+# keys" logic implies (claim set = aggregate-derived key set); here it is a
+# left-semi join against a groupBy-HAVING frame — one extra shuffle keyed
+# on the same l_orderkey the main join uses, so AQE can reuse the exchange.
+
+_Q18_QTY = 300
+
+
+@register(
+    "join_large_orders",
+    f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           {DSUM_SQL("l_quantity")} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING {DSUM_SQL("l_quantity")} > {_Q18_QTY}
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def join_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("q"))
+        .filter(F.col("q") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
