@@ -26,6 +26,8 @@ STRESSED = [
     "window_sessionize",
     "dedup_minhash_lsh",
     "text_metrics",
+    "pipeline_curate_corpus",
+    "join_large_orders",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -35,6 +37,8 @@ MAIN_TABLE = {
     "window_sessionize": "events",
     "dedup_minhash_lsh": "documents",
     "text_metrics": "documents",
+    "pipeline_curate_corpus": "documents",
+    "join_large_orders": "lineitem",
 }
 ID_COLS = {"events": "event_id", "lineitem": "l_orderkey", "documents": "doc_id"}
 
