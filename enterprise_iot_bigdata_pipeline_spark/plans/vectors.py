@@ -227,3 +227,75 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (the 100 TB storage path: 4× smaller embedding
+# columns; quantize map-side at write time, dequantize at read). Outputs are
+# exact integers (first/last code + code checksum) — no float-hash risk.
+# ---------------------------------------------------------------------------
+
+_LO_SQL = "list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))"
+_HI_SQL = "list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))"
+
+
+def _code_sql(i: int) -> str:
+    """Quantized code of element i (1-indexed), assuming rng > 0."""
+    return (
+        f"(CAST(round((CAST(embedding[{i}] AS DOUBLE) - lo) / rng * 255, 0) AS INTEGER) - 128)"
+    )
+
+
+_QUANT_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_LO_SQL} AS lo, {_HI_SQL} - {_LO_SQL} AS rng
+    FROM embeddings
+)
+SELECT vec_id, lo, rng,
+       CASE WHEN rng > 0 THEN {_code_sql(1)} ELSE 0 END AS q_first,
+       CASE WHEN rng > 0 THEN {_code_sql(DIM)} ELSE 0 END AS q_last,
+       CASE WHEN rng > 0
+            THEN {" + ".join(f"CAST({_code_sql(i)} + 128 AS BIGINT)" for i in range(1, DIM + 1))}
+            ELSE {128 * DIM} END AS q_sum
+FROM b
+"""
+
+
+@register("vector_quantize_int8", _QUANT_ORACLE)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min/max scalar quantization to int8 codes. The full code
+    array is what a storage pipeline would persist; the oracle-checked
+    projection surfaces exact-integer invariants of it (first/last code and
+    the code checksum) plus the (lo, rng) dequantization parameters."""
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    emb = fan_out(t(spark, sf_dir, "embeddings"))
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_min(xs).alias("lo"),
+        (F.array_max(xs) - F.array_min(xs)).alias("rng"),
+    )
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.round((x.cast("double") - F.col("lo")) / F.col("rng") * 255, 0).cast(
+            "int"
+        )
+        - 128,
+    )
+    q = base.withColumn(
+        "q", F.when(F.col("rng") > 0, codes).otherwise(F.array_repeat(F.lit(0), DIM))
+    )
+    return q.select(
+        "vec_id",
+        "lo",
+        "rng",
+        F.element_at("q", 1).alias("q_first"),
+        F.element_at("q", DIM).alias("q_last"),
+        F.aggregate(
+            F.col("q"),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + (c + F.lit(128)).cast("long"),
+        ).alias("q_sum"),
+    )
