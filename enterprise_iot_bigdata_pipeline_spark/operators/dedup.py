@@ -249,3 +249,65 @@ def simhash_pairs(
         )
     )
     return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate clusters: (doc, component)
+    where component = min doc id reachable through the pair graph — the
+    canonical survivor of each near-dup cluster.
+
+    Iterative min-label propagation (the GraphFrames/Pregel shape): each
+    round every node takes the min of its own label and its neighbors'
+    labels; converges in O(component diameter) rounds — near-dup clusters
+    are shallow (stars/cliques), so a handful of shuffles. Each round is
+    one shuffle keyed by node; no driver-side data, only a convergence
+    counter. ``max_iter`` bounds pathological chains.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.doc)
+                .groupBy(F.col("dst").alias("doc"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "doc", "left")
+                .select(
+                    "doc",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("doc", F.col("label").alias("component"))
+    finally:
+        edges.unpersist()

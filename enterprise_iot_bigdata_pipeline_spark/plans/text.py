@@ -437,3 +437,47 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang_pred", "quality_score", "n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution: candidate pairs → connected components →
+# (doc, component-representative). The step between "pairs" and "survivors".
+# Oracle: recursive CTE reachability (fine at oracle scale); the Spark side
+# is iterative min-label propagation — O(cluster diameter) shuffles.
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip().lstrip()},
+xs AS (SELECT doc, {_SHINGLE_INT} % {D.MERSENNE_P} AS x FROM sh),
+sig AS (
+    SELECT doc,
+        {_sig_cols}
+    FROM xs GROUP BY doc
+),
+bands AS (
+    {_band_selects}
+),
+pairs AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(doc, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc
+)
+SELECT doc, min(label) AS component FROM walk GROUP BY doc
+"""
+
+
+@register("dedup_components", _COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", _K, _SEED)
+    pairs = D.lsh_candidate_pairs(sigs, _K, _BANDS)
+    return D.connected_components(pairs)

@@ -96,3 +96,23 @@ def test_jdbc_gated():
 
     with pytest.raises(NotImplementedError):
         mark_success("jdbc:sqlserver://x", "tbl", ["k1"], "run1")
+
+
+def test_connected_components_chain_and_star(spark):
+    """Min-label propagation resolves chains (worst diameter) and stars;
+    docs absent from any pair don't appear (they are their own survivor)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),      # chain 1-2-3-4 → component 1
+            (10, 11), (10, 12), (10, 13),  # star at 10 → component 10
+            (20, 21),                      # pair → component 20
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
