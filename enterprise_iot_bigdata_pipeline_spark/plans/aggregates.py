@@ -248,3 +248,49 @@ def agg_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregate (1-minute window, 30-second slide). The reference
+# only tumbles (A1); sliding windows are the overlapping-window extension —
+# Spark's window() emits every covering window per row (here exactly
+# w/s = 2), so the shuffle carries 2× rows keyed by (window, type).
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+WITH w AS (
+    SELECT event_type, value,
+           unnest([
+               make_timestamp(CAST(floor(epoch(ts) / 30) AS BIGINT) * 30 * 1000000),
+               make_timestamp((CAST(floor(epoch(ts) / 30) AS BIGINT) * 30 - 30) * 1000000)
+           ]) AS window_start
+    FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       {DAVG_SQL("value")} AS avg_value
+FROM w GROUP BY window_start, event_type
+"""
+
+
+@register("agg_sliding_window", _SLIDING_ORACLE)
+def agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event lands in the two 1-minute windows (30 s slide) covering
+    it; oracle mirrors Spark's slide-aligned window starts by epoch floor."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 minute", "30 seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
