@@ -116,3 +116,20 @@ def test_connected_components_chain_and_star(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_coarse_quantizer_deterministic(spark):
+    """Same corpus + seed → identical centroids (the memoized IVF index
+    must be reproducible across sessions)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        train_coarse_quantizer,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    from tests.conftest import SF_SMOKE
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    c1 = train_coarse_quantizer(emb, "embedding", 8, seed=7)
+    c2 = train_coarse_quantizer(emb, "embedding", 8, seed=7)
+    assert c1 == c2
+    assert len(c1) == 8 and len(c1[0]) == 64
