@@ -21,16 +21,22 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Registration order matters: the round-1 driver's correctness artifact
+# covered exactly the FIRST 50 registered queries, so the modules whose
+# driver verification we most need (the LLM-data-pipeline surface: ingest
+# repair, text metrics, dedup, ANN, quantization) register first. The
+# later breadth modules (joins/analytic/advanced) were all driver-green
+# in round 1 and remain regression-guarded by tests/oracle_compare.py.
 _MODULES = [
+    "ingest",
+    "text",
+    "vectors",
     "flagship",
     "core",
     "aggregates",
     "joins",
     "analytic",
     "advanced",
-    "ingest",
-    "text",
-    "vectors",
 ]
 
 
