@@ -76,8 +76,13 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     """Rewrite misfiled rows into their correct partitions.
 
     Unlike the reference (append-only, leaves stale copies), this uses
-    dynamic partition overwrite: affected partitions are rewritten with
-    recomputed hiveperiod; untouched partitions stay as-is.
+    dynamic partition overwrite. The rewrite set is the union of source
+    (bad) and target (accurate-date) partitions: dynamic overwrite replaces
+    every partition present in the output, so the target partitions must be
+    read and rewritten too or their pre-existing correct rows would be
+    dropped. One pass is closed under movement — every misfiled row's
+    current partition is by definition a bad period, so no row can move to
+    a partition outside bad ∪ target.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     lake = spark.read.parquet(root)
@@ -85,19 +90,17 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     affected = (
         lake.withColumn("accurate", accurate)
         .filter(F.col("hiveperiod") != F.col("accurate"))
-        .select(F.col("hiveperiod").alias("bad_period"), "dstrct_code")
+        .select(F.col("hiveperiod").alias("bad_period"), F.col("accurate").alias("target_period"))
         .distinct()
     )
-    bad = [tuple(r) for r in affected.collect()]  # partition list: tiny, control plane
-    if not bad:
+    moves = affected.collect()  # partition list: tiny, control plane
+    if not moves:
         return 0
-    # Rows currently in any affected partition get a recomputed hiveperiod;
-    # rewrite source+target partitions in one dynamic-overwrite pass.
-    periods = {p for p, _ in bad}
-    subset = lake.filter(F.col("hiveperiod").isin([str(p) for p in periods]))
-    fixed = (
-        subset.withColumn("hiveperiod", accurate)
-    )
+    periods = {str(r["bad_period"]) for r in moves} | {str(r["target_period"]) for r in moves}
+    subset = lake.filter(F.col("hiveperiod").isin(sorted(periods)))
+    # Rows whose accurate date can't be computed (null heartbeat) keep
+    # their current partition instead of migrating to the null partition.
+    fixed = subset.withColumn("hiveperiod", F.coalesce(accurate, F.col("hiveperiod")))
     n = fixed.count()
     (
         fixed.repartition(*[F.col(c) for c in PARTITION_COLS])

@@ -131,6 +131,50 @@ def test_audit_and_repair_misfiled(spark, tmp_path):
     assert periods == {"2024-03-01", "2024-03-02"}
 
 
+def test_repair_preserves_target_partition_rows(spark, tmp_path):
+    """Dynamic overwrite replaces every partition present in the output —
+    the repair must rewrite target partitions WITH their pre-existing
+    correct rows, not just the rows moving in (round-1 advice: the old
+    subset read only bad periods, silently deleting target contents)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+        audit_misfiled,
+        repair_misfiled,
+    )
+
+    root = str(tmp_path / "lake")
+    hb_mar1 = int(datetime(2024, 3, 1, 2, 0, 0, tzinfo=timezone.utc).timestamp())
+    hb_mar2_early = int(datetime(2024, 3, 1, 22, 0, 0, tzinfo=timezone.utc).timestamp())  # +8h → Mar 2
+    hb_mar2 = int(datetime(2024, 3, 2, 2, 0, 0, tzinfo=timezone.utc).timestamp())
+    df = spark.createDataFrame(
+        [
+            (hb_mar1, "ok-src"),        # correctly filed in Mar 1
+            (hb_mar2_early, "moved"),   # misfiled in Mar 1, belongs in Mar 2
+            (hb_mar2, "ok-target-1"),   # correctly filed in Mar 2 — must survive
+            (hb_mar2, "ok-target-2"),
+        ],
+        "heartbeat long, unitno string",
+    ).withColumn("dstrct_code", F.lit("DISTRICTB")).withColumn(
+        "hiveperiod",
+        F.when(F.col("unitno").startswith("ok-target"), F.lit("2024-03-02"))
+        .otherwise(F.lit("2024-03-01"))
+        .cast("date"),
+    )
+    df.write.partitionBy("hiveperiod", "dstrct_code").parquet(root)
+
+    n = repair_misfiled(spark, root)
+    assert n == 4  # both source and target partitions rewritten
+    fixed = spark.read.parquet(root)
+    assert audit_misfiled(fixed).count() == 0
+    assert fixed.count() == 4  # nothing lost
+    by_period = {
+        str(r["hiveperiod"]): r["n"]
+        for r in fixed.groupBy("hiveperiod").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_period == {"2024-03-01": 1, "2024-03-02": 3}
+    survivors = {r["unitno"] for r in fixed.filter(F.col("hiveperiod") == "2024-03-02").collect()}
+    assert survivors == {"moved", "ok-target-1", "ok-target-2"}
+
+
 def test_compact_partitions_single_file(spark, tmp_path):
     from enterprise_iot_bigdata_pipeline_spark.operators.compaction import compact_partitions
 
