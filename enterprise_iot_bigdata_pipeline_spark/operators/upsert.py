@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from enterprise_iot_bigdata_pipeline_spark.operators.commitlog import overwrite_atomic
+
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
     """Pure-frame MERGE: target rows not in updates (by key) + all updates."""
@@ -50,8 +52,9 @@ def merge_into_lake(
             .parquet(root)
         )
         return n
-    # whole-table rewrite must not read its own output mid-write
-    rows = merged.collect()
-    n = len(rows)
-    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(root)
-    return n
+    # Whole-table rewrite: temp-dir write + atomic rename swap. The write
+    # job reads the CURRENT table (untouched until the swap), so there is
+    # no read-own-output conflict and nothing is collected to the driver —
+    # this path now scales to tables far beyond driver memory.
+    overwrite_atomic(spark, merged, root)
+    return spark.read.parquet(root).count()  # parquet metadata count

@@ -5,7 +5,12 @@ batch caps, hourly sleep loop, SUCCESS write-back
 (s3_datalog_processor.py:46-243) — collapses into Structured Streaming
 primitives:
 
-  claim/mark SUCCESS      → file-source checkpoint + commit log (T3)
+  claim/mark SUCCESS      → file-source checkpoint + commit log (T3);
+                            each micro-batch lands under an
+                            ``ingest_epoch=<n>`` partition with dynamic
+                            overwrite, so an at-least-once replay
+                            rewrites its own partitions instead of
+                            appending duplicates
   TOP 1000-2000 keys/run  → maxFilesPerTrigger (batch-size throttling)
   hourly sleep loop (T1)  → trigger(processingTime="1 hour")
   BOOST backlog drain (T7)→ trigger(availableNow=True)
@@ -23,6 +28,26 @@ from pyspark.sql.types import StructType
 
 from enterprise_iot_bigdata_pipeline_spark.operators.compaction import enrich
 from enterprise_iot_bigdata_pipeline_spark.sources.lake import PARTITION_COLS
+
+
+def write_epoch_batch(batch_df: DataFrame, target: str, epoch_id: int) -> None:
+    """Idempotent micro-batch sink on plain parquet: the batch lands under
+    a leading ``ingest_epoch=<epoch_id>`` partition with dynamic partition
+    overwrite, so an at-least-once ``foreachBatch`` replay of the same
+    epoch (same files, deterministic from the checkpoint) overwrites
+    exactly its own partitions instead of appending duplicates. Event-time
+    partitions stay at the second level — pruning on ``hiveperiod`` still
+    works — and ``ingest_epoch`` doubles as per-row batch lineage.
+    """
+    (
+        batch_df.withColumn("ingest_epoch", F.lit(int(epoch_id)))
+        .repartition(*[F.col(c) for c in PARTITION_COLS])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "snappy")
+        .partitionBy("ingest_epoch", *PARTITION_COLS)
+        .parquet(target)
+    )
 
 
 def stream_compact(
@@ -53,13 +78,7 @@ def stream_compact(
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():  # T5 skip-on-empty
             return
-        (
-            batch_df.repartition(*[F.col(c) for c in PARTITION_COLS])
-            .write.mode("append")
-            .option("compression", "snappy")
-            .partitionBy(*PARTITION_COLS)
-            .parquet(target)
-        )
+        write_epoch_batch(batch_df, target, epoch_id)
 
     writer = enriched.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

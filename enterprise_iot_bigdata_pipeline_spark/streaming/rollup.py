@@ -7,8 +7,13 @@ partials (sums/counts add; a fresh read of raw data is never needed),
 new windows append. The dashboard then reads minutes/hours from a table
 that is orders of magnitude smaller than the raw lake.
 
-Late data within the watermark updates its (old) window's row on arrival —
-the merge is idempotent per (window, key) because partials are additive.
+Late data within the watermark updates its (old) window's row on arrival.
+
+Additive partials are NOT naturally idempotent: ``foreachBatch`` is
+at-least-once, and a replayed micro-batch would add its partials twice.
+Each merge therefore commits the batch's ``epoch_id`` atomically with the
+data (marker file swapped in with the table — see ``operators.commitlog``)
+and replays of an already-committed epoch are skipped.
 """
 
 from __future__ import annotations
@@ -16,6 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from enterprise_iot_bigdata_pipeline_spark.operators.commitlog import (
+    committed_epoch,
+    overwrite_atomic,
+    path_exists,
+)
 
 ROLLUP_KEYS = ("window_start", "dstrct_code")
 
@@ -30,12 +41,28 @@ def _partials(batch: DataFrame, ts_col: str, window: str, keys: tuple[str, ...])
     )
 
 
-def merge_rollup(spark: SparkSession, rollup_path: str, partials: DataFrame, keys: tuple[str, ...]) -> None:
-    """Additively merge new partial aggregates into the rollup table."""
-    import os
+def merge_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    partials: DataFrame,
+    keys: tuple[str, ...],
+    epoch_id: int | None = None,
+) -> None:
+    """Additively merge new partial aggregates into the rollup table.
 
+    Replay-safe: when ``epoch_id`` is given and is ≤ the epoch already
+    committed with the table, the batch was merged before a restart and
+    is skipped — otherwise an at-least-once replay would double-add the
+    partials. The merge itself is a temp-dir write + atomic swap (no
+    driver round-trip), so rollup size is bounded by cluster memory,
+    not driver memory.
+    """
+    if epoch_id is not None:
+        last = committed_epoch(spark, rollup_path)
+        if last is not None and int(epoch_id) <= last:
+            return
     key_cols = ["window_start", *keys]
-    if os.path.exists(rollup_path):
+    if path_exists(spark, rollup_path):
         existing = spark.read.parquet(rollup_path)
         merged = (
             existing.unionByName(partials)
@@ -45,12 +72,9 @@ def merge_rollup(spark: SparkSession, rollup_path: str, partials: DataFrame, key
                 F.sum("sum_value").alias("sum_value"),
             )
         )
-        # small pre-aggregated table: full rewrite via a driver round-trip
-        # (a lakehouse MERGE at larger rollup sizes)
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(rollup_path)
+        overwrite_atomic(spark, merged, rollup_path, epoch_id=epoch_id)
     else:
-        partials.write.mode("overwrite").parquet(rollup_path)
+        overwrite_atomic(spark, partials, rollup_path, epoch_id=epoch_id)
 
 
 def continuous_rollup(
@@ -68,7 +92,9 @@ def continuous_rollup(
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        merge_rollup(spark, rollup_path, _partials(batch, ts_col, window, keys), keys)
+        merge_rollup(
+            spark, rollup_path, _partials(batch, ts_col, window, keys), keys, epoch_id=epoch_id
+        )
 
     return (
         source.withWatermark(ts_col, watermark)

@@ -228,6 +228,28 @@ def test_stream_compact_exactly_once(spark, landing, tmp_path):
     assert spark.read.parquet(target).count() == first + 1
 
 
+def test_write_epoch_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same micro-batch epoch overwrites its own partitions
+    instead of appending duplicates (at-least-once foreachBatch)."""
+    from enterprise_iot_bigdata_pipeline_spark.streaming.ingest import write_epoch_batch
+
+    target = str(tmp_path / "slake")
+    batch = spark.createDataFrame(
+        [(1, "u1"), (2, "u2")], "heartbeat long, unitno string"
+    ).withColumn("dstrct_code", F.lit("DISTRICTB")).withColumn(
+        "hiveperiod", F.lit("2024-03-01").cast("date")
+    )
+    write_epoch_batch(batch, target, 0)
+    write_epoch_batch(batch, target, 0)  # replay of epoch 0
+    assert spark.read.parquet(target).count() == 2
+    write_epoch_batch(batch, target, 1)  # a real new epoch appends
+    lake = spark.read.parquet(target)
+    assert lake.count() == 4
+    # event-time partition column is still there and prunable
+    assert lake.filter(F.col("hiveperiod") == "2024-03-01").count() == 4
+    assert {r["ingest_epoch"] for r in lake.select("ingest_epoch").distinct().collect()} == {0, 1}
+
+
 def test_windowed_event_agg_stream_matches_batch(spark, tmp_path):
     from enterprise_iot_bigdata_pipeline_spark.streaming.ingest import windowed_event_agg
 

@@ -71,3 +71,30 @@ def test_continuous_rollup_two_batches(spark, tmp_path):
     assert r2[("2024-03-01 10:00:00", "B")] == (3, 30.0)  # (10+20+60)/3
     assert r2[("2024-03-01 10:01:00", "B")] == (1, 30.0)
     assert r2[("2024-03-01 10:02:00", "B")] == (1, 50.0)
+
+
+def test_merge_rollup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an already-committed epoch
+    must NOT double-add the additive partials (round-1 advice)."""
+    from decimal import Decimal
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.rollup import merge_rollup
+
+    rollup = str(tmp_path / "rollup")
+    partials = spark.createDataFrame(
+        [("2024-03-01 10:00:00", "B", 2, Decimal("30.0"))],
+        "window_start string, dstrct_code string, n_events long, sum_value decimal(25,6)",
+    )
+    merge_rollup(spark, rollup, partials, ("dstrct_code",), epoch_id=0)
+    merge_rollup(spark, rollup, partials, ("dstrct_code",), epoch_id=0)  # replay
+    row = spark.read.parquet(rollup).collect()[0]
+    assert (row["n_events"], row["sum_value"]) == (2, Decimal("30.0"))
+
+    # a genuinely new epoch still merges
+    merge_rollup(spark, rollup, partials, ("dstrct_code",), epoch_id=1)
+    row = spark.read.parquet(rollup).collect()[0]
+    assert (row["n_events"], row["sum_value"]) == (4, Decimal("60.0"))
+
+    # and an out-of-order replay of the old epoch after that is skipped too
+    merge_rollup(spark, rollup, partials, ("dstrct_code",), epoch_id=1)
+    assert spark.read.parquet(rollup).collect()[0]["n_events"] == 4

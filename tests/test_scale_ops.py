@@ -36,6 +36,32 @@ def test_merge_into_partitioned_lake(spark, tmp_path):
     assert after == {("f1", "SUCCESS"), ("f2", "RUNNING"), ("f3", "RUNNING")}
 
 
+def test_merge_into_whole_table_no_driver_collect(spark, tmp_path):
+    """The unpartitioned MERGE path publishes via temp-dir + atomic swap —
+    no collect() of the table to the driver (round-1 anti-pattern)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.upsert import merge_into_lake
+
+    root = str(tmp_path / "state")
+    spark.range(5000).select(
+        F.col("id").alias("key"), F.lit("RUNNING").alias("status")
+    ).write.parquet(root)
+
+    updates = spark.createDataFrame(
+        [(7, "SUCCESS"), (9999, "SUCCESS")], "key long, status string"
+    )
+    n = merge_into_lake(spark, root, updates, key="key")
+    assert n == 5001  # 5000 originals (one replaced) + 1 new key
+    after = spark.read.parquet(root)
+    assert after.count() == 5001
+    assert {r["status"] for r in after.filter(F.col("key").isin(7, 9999)).collect()} == {"SUCCESS"}
+    assert after.filter(F.col("status") == "RUNNING").count() == 4999
+    # no leftover swap debris
+    import os
+
+    assert not os.path.exists(root + ".__swap_tmp__")
+    assert not os.path.exists(root + ".__swap_old__")
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     from enterprise_iot_bigdata_pipeline_spark.operators.bucketing import (
         bucketed_join,
