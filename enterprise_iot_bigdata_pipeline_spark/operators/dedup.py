@@ -91,7 +91,7 @@ def minhash_signatures(
 
 
 def _bucket_pairs(docs: "F.Column") -> "F.Column":
-    """All (a < b) pairs from an array of ids — array<struct<doc_a,doc_b>>.
+    """All (a < b) pairs from an array of members — array<struct<a,b>>.
 
     Used instead of a bucket self-join: one groupBy produces each bucket's
     membership once, so the upstream pipeline (signatures, fingerprints)
@@ -103,21 +103,64 @@ def _bucket_pairs(docs: "F.Column") -> "F.Column":
             sorted_docs,
             lambda x, i: F.transform(
                 F.slice(sorted_docs, i + 2, F.size(sorted_docs)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
 
 
+DEFAULT_MAX_BUCKET = 1024
+
+
+def bucket_pairs_capped(
+    bucketed: DataFrame, bucket_cols: list[str], max_bucket: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Skew-proof in-bucket pair expansion: ``bucketed`` has one row per
+    (bucket, member) with the member in column ``m``; returns one row per
+    candidate pair ``(a, b)`` with a < b.
+
+    Buckets of ≤ ``max_bucket`` members expand to all s(s-1)/2 pairs inside
+    one task — the aggregation buffer and output are both bounded by the
+    cap. A hot bucket (boilerplate, empty docs, adversarial near-identical
+    floods: s(s-1)/2 would be an OOM/straggler in a single task) instead
+    emits a STAR — every member paired with the bucket's minimum member —
+    produced by a co-partitioned join with no per-bucket buffer at all.
+    Linear output, still fully connects the bucket for clustering
+    (``connected_components`` resolves the same components); only exact
+    pair enumeration inside hot buckets is sacrificed, which is the
+    standard cap in large-scale LSH dedup.
+
+    The size probe is a map-side-combined count on the same key as the
+    main shuffle, so the extra pass is cheap and never skewed.
+    """
+    b = list(bucket_cols)
+    sizes = bucketed.groupBy(*b).agg(
+        F.count(F.lit(1)).alias("_sz"), F.min("m").alias("_hub")
+    )
+    with_sz = bucketed.join(sizes, b)
+    normal = (
+        with_sz.filter(F.col("_sz") <= max_bucket)
+        .groupBy(*b)
+        .agg(F.collect_set("m").alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .select(F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
+    )
+    hot = with_sz.filter(
+        (F.col("_sz") > max_bucket) & (F.col("m") != F.col("_hub"))
+    ).select(F.struct(F.col("_hub").alias("a"), F.col("m").alias("b")).alias("p"))
+    return normal.unionByName(hot)
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, k: int = 16, bands: int = 4
+    signatures: DataFrame, k: int = 16, bands: int = 4, max_bucket: int = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
     """Banded LSH over a MinHash signature frame → distinct candidate pairs
     (doc_a < doc_b). Collision key = md5 of the band's concatenated rows.
 
-    Pair generation is groupBy-bucket + in-bucket pair expansion (see
-    ``_bucket_pairs``) — a single shuffle keyed by (band, key); a bucket of
-    size s yields s(s-1)/2 pairs, which is the output's inherent size.
+    Pair generation is groupBy-bucket + in-bucket pair expansion, capped at
+    ``max_bucket`` members per bucket (hot buckets fall back to a star —
+    see ``bucket_pairs_capped``) — a shuffle keyed by (band, key) that no
+    single skewed key can turn into an OOM/straggler.
     """
     rows_per_band = k // bands
     band_cols = []
@@ -130,14 +173,11 @@ def lsh_candidate_pairs(
             )
         )
     bucketed = signatures.select(
-        F.col("doc"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc", "bk.band", "bk.key")
+        F.col("doc").alias("m"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("m", "bk.band", "bk.key")
     return (
-        bucketed.groupBy("band", "key")
-        .agg(F.collect_set("doc").alias("docs"))
-        .filter(F.size("docs") >= 2)
-        .select(F.explode(_bucket_pairs(F.col("docs"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        bucket_pairs_capped(bucketed, ["band", "key"], max_bucket)
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 
@@ -162,7 +202,7 @@ def ngram_jaccard_pairs(
         .agg(F.collect_set("doc").alias("docs"))
         .filter(F.size("docs") >= 2)
         .select(F.explode(_bucket_pairs(F.col("docs"))).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
@@ -218,11 +258,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    sims: DataFrame, max_hamming: int = 6, chunks: int = 4
+    sims: DataFrame, max_hamming: int = 6, chunks: int = 4, max_bucket: int = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
     """Near-dup candidates: pairs agreeing on ≥1 of ``chunks`` 15-bit chunks
     (pigeonhole guarantees recall for hamming ≤ chunks-1), verified by
-    exact hamming distance ≤ max_hamming."""
+    exact hamming distance ≤ max_hamming. Hot chunks fall back to star
+    expansion (``bucket_pairs_capped``)."""
     width = SIMHASH_BITS // chunks
     chunk_cols = [
         F.struct(
@@ -231,22 +272,16 @@ def simhash_pairs(
         )
         for c in range(chunks)
     ]
-    bucketed = sims.select(
-        "doc", "simhash", F.explode(F.array(*chunk_cols)).alias("ck")
-    ).select("doc", "simhash", "ck.chunk", "ck.key")
     # Carry (doc, simhash) into the bucket so hamming is computable from the
     # pair itself — no join back to the fingerprint frame.
-    members = F.struct(F.col("doc"), F.col("simhash"))
-    pairs = (
-        bucketed.groupBy("chunk", "key")
-        .agg(F.collect_set(members).alias("ms"))
-        .filter(F.size("ms") >= 2)
-        .select(F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
-        .select(
-            F.col("p.doc_a.doc").alias("doc_a"),
-            F.col("p.doc_b.doc").alias("doc_b"),
-            F.expr("bit_count(p.doc_a.simhash ^ p.doc_b.simhash)").cast("int").alias("hamming"),
-        )
+    bucketed = sims.select(
+        F.struct(F.col("doc"), F.col("simhash")).alias("m"),
+        F.explode(F.array(*chunk_cols)).alias("ck"),
+    ).select("m", "ck.chunk", "ck.key")
+    pairs = bucket_pairs_capped(bucketed, ["chunk", "key"], max_bucket).select(
+        F.col("p.a.doc").alias("doc_a"),
+        F.col("p.b.doc").alias("doc_b"),
+        F.expr("bit_count(p.a.simhash ^ p.b.simhash)").cast("int").alias("hamming"),
     )
     return pairs.distinct().filter(F.col("hamming") <= max_hamming)
 

@@ -204,34 +204,26 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, candidates limited to
     LSH-bucket collisions (the 100 TB path: the quadratic stage runs per
     bucket, via groupBy + in-bucket expansion — no self-join, no cross
-    join). Recall is bounded by the bucketing; raise recall by unioning
-    several plane-seed rounds."""
-    bucketed = random_projection_buckets(df, n_planes, dim, seed, id_col, vec_col)
-    member = F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    sorted_ms = F.array_sort(F.collect_set(member))
-    pairs_col = F.flatten(
-        F.transform(
-            sorted_ms,
-            lambda x, i: F.transform(
-                F.slice(sorted_ms, i + 2, F.size(sorted_ms)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    join). Hot buckets (> ``max_bucket`` members) fall back to star
+    expansion around the bucket minimum — linear output, no single-task
+    buffer (see ``operators.dedup.bucket_pairs_capped``). Recall is
+    bounded by the bucketing; raise recall by unioning several plane-seed
+    rounds."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import bucket_pairs_capped
+
+    bucketed = random_projection_buckets(df, n_planes, dim, seed, id_col, vec_col).select(
+        F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).alias("m"),
+        "bucket",
     )
-    pairs = (
-        bucketed.groupBy("bucket")
-        .agg(pairs_col.alias("ps"))
-        .filter(F.size("ps") >= 1)
-        .select(F.explode("ps").alias("p"))
-        .select(
-            F.col("p.a.id").alias("vec_a"),
-            F.col("p.b.id").alias("vec_b"),
-            cosine(F.col("p.a.vec"), F.col("p.b.vec")).alias("cos_sim"),
-        )
+    pairs = bucket_pairs_capped(bucketed, ["bucket"], max_bucket).select(
+        F.col("p.a.id").alias("vec_a"),
+        F.col("p.b.id").alias("vec_b"),
+        cosine(F.col("p.a.vec"), F.col("p.b.vec")).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
 

@@ -118,6 +118,62 @@ def test_connected_components_chain_and_star(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
 
 
+def test_hot_lsh_bucket_star_fallback(spark):
+    """Adversarial corpus: 1000 identical docs collide into one bucket per
+    band. The capped expansion must switch to star pairs (linear, no
+    single-task s(s-1)/2 blowup) while still connecting every doc into
+    one cluster; a normal-sized bucket keeps exact all-pairs expansion."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated across the corpus").alias("text"),
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = lsh_candidate_pairs(sigs, max_bucket=64)
+    rows = pairs.collect()
+    # star fallback: 999 pairs (hub = min doc id), not 1000*999/2
+    assert len(rows) == 999
+    assert {r["doc_a"] for r in rows} == {0}
+    # connectivity for clustering is preserved
+    comps = connected_components(pairs).select("component").distinct().collect()
+    assert [r["component"] for r in comps] == [0]
+
+    # below the cap nothing changes: exact expansion of a 3-dup bucket
+    small = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon"),
+         (3, "alpha beta gamma delta epsilon"), (4, "totally different words entirely here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(small, "text", "doc_id"), max_bucket=64).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_embedding_near_dup_hot_bucket(spark):
+    """Same cap discipline on the embedding-LSH path: identical vectors
+    flood one bucket → star output, threshold filter still applies."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    vec = [1.0] + [0.0] * 63
+    df = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x).cast("float") for x in vec]).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(df, threshold=0.99, max_bucket=50).collect()
+    assert len(pairs) == 499
+    assert {r["vec_a"] for r in pairs} == {0}
+    assert all(r["cos_sim"] >= 0.99 for r in pairs)
+
+
 def test_coarse_quantizer_deterministic(spark):
     """Same corpus + seed → identical centroids (the memoized IVF index
     must be reproducible across sessions)."""
