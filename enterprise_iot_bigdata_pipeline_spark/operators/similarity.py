@@ -228,6 +228,39 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cos_sim") >= threshold)
 
 
+def similar_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 10_000,
+) -> DataFrame:
+    """EXACT all-pairs similarity — an O(n²) theta-join with no equi-key,
+    which Spark can only plan as a nested-loop/cartesian. Valid only for
+    small corpora (ground truth for recall tests, tiny reference sets);
+    refuses to run past ``max_rows`` so it can never be pointed at a
+    production table by accident. The scale path is
+    ``embedding_near_dup_pairs`` (LSH bucket equi-join).
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"similar_pairs_exact is O(n²) and capped at {max_rows} rows; "
+            f"got {n}. Use embedding_near_dup_pairs (LSH) at scale."
+        )
+    a = df.alias("a")
+    b = df.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     query_filter,

@@ -56,12 +56,22 @@ def _ns_timestamp_cols(path: str) -> list[str]:
 
 def fan_out(df: DataFrame) -> DataFrame:
     """Rebalance a narrow scan across all cores before CPU-heavy per-row
-    work (regex/hashing/vector math). The input is compact — the shuffle is
-    cheap relative to the work it parallelizes. Single-row-group parquet
-    files are unsplittable by `maxPartitionBytes`, so small-scale scans
-    otherwise run one task."""
+    work (regex/hashing/vector math). Single-row-group parquet files are
+    unsplittable by `maxPartitionBytes`, so small-scale scans otherwise run
+    one task, and for those the shuffle is cheap relative to the work it
+    parallelizes.
+
+    Gated on the actual scan partition count: a production input that
+    already arrives in ≥ defaultParallelism partitions (many files / many
+    row groups) passes through untouched — inserting a full extra shuffle
+    ahead of every text/vector stage at 100 TB would be pure overhead.
+    The probe builds the RDD lineage but runs no job.
+    """
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

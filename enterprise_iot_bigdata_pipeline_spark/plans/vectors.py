@@ -128,30 +128,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIM_T = 0.45
 
+# The registered query is the LSH-bucketed path: an all-pairs theta-join
+# (a.vec_id < b.vec_id, no equi-key) plans as a nested-loop/cartesian —
+# O(n²) rows, the one shape that cannot survive a 100× scale-up. Candidates
+# are restricted to bucket collisions; the oracle expresses the same
+# bucket-equi-join semantics. The exact brute variant survives as the
+# explicitly guarded ``operators.similarity.similar_pairs_exact``.
 _SIM_PAIRS_ORACLE = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_cos_sql("a.embedding", "b.embedding")} >= {_SIM_T}
+WITH b AS (SELECT vec_id, embedding, CAST({_bucket_sql} AS BIGINT) AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       {_cos_sql("a.embedding", "c.embedding")} AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {_cos_sql("a.embedding", "c.embedding")} >= {_SIM_T}
 """
 
 
 @register("embedding_similar_pairs", _SIM_PAIRS_ORACLE)
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    from enterprise_iot_bigdata_pipeline_spark.functions.vectors import cosine
-
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= _SIM_T)
-    )
+    return S.embedding_near_dup_pairs(emb, threshold=_SIM_T)
 
 
 # ---------------------------------------------------------------------------

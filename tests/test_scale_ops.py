@@ -62,6 +62,18 @@ def test_merge_into_whole_table_no_driver_collect(spark, tmp_path):
     assert not os.path.exists(root + ".__swap_old__")
 
 
+def test_fan_out_gates_on_partition_count(spark):
+    """fan_out repartitions only genuinely narrow inputs; a dataset that
+    already arrives wide passes through with no extra shuffle."""
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(par)
+    assert fan_out(wide) is wide  # untouched — no Exchange inserted
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == par
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     from enterprise_iot_bigdata_pipeline_spark.operators.bucketing import (
         bucketed_join,

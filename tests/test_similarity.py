@@ -33,6 +33,33 @@ def test_ivf_recall_vs_brute_force(spark):
     assert all(len(v) == 3 for v in approx.values())
 
 
+def test_similar_pairs_exact_guard(spark):
+    """The exact O(n²) variant refuses large inputs; under the cap it is
+    the ground truth the LSH path is measured against."""
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import similar_pairs_exact
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    emb = t(spark, SF_CORRECT, "embeddings")
+    with pytest.raises(ValueError, match="O\\(n²\\)"):
+        similar_pairs_exact(emb, threshold=0.9, max_rows=10)
+    small = emb.filter(F.col("vec_id") < 30)
+    rows = similar_pairs_exact(small, threshold=-1.0).collect()
+    assert len(rows) == 30 * 29 // 2  # every pair, exactly once
+
+
+def test_registered_similar_pairs_has_no_nested_loop(spark):
+    """The registered embedding_similar_pairs query must plan as an LSH
+    bucket equi-join — no nested-loop/cartesian anywhere in the plan."""
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+    df = all_queries()["embedding_similar_pairs"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_lsh_topk_runs_and_ranks(spark):
     from enterprise_iot_bigdata_pipeline_spark.operators.similarity import lsh_topk
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
