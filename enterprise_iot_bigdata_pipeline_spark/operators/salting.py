@@ -27,8 +27,25 @@ def salted_join(
 ) -> DataFrame:
     """Join a skewed (large) frame against a smaller one on ``key`` with
     ``salt``-way key splitting. Output columns = skewed ∪ small (minus the
-    duplicate key), like a plain ``join(on=key)``."""
-    s = skewed.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    duplicate key), like a plain ``join(on=key)``.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated once per salt, so a right/full outer join would surface
+    every unmatched small-side row ``salt`` times. The salt is a content
+    hash of the skewed row — deterministic under task retries (a seeded
+    ``rand`` re-draws per partition attempt and can flip rows between
+    salts mid-retry); exact duplicate rows share a salt, which only skews
+    the split if the hot key's rows are near-total duplicates (then
+    dedup, don't salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full outer joins"
+        )
+    row_hash = F.xxhash64(F.struct(*[skewed[c] for c in skewed.columns]))
+    s = skewed.withColumn("_salt", F.pmod(row_hash, F.lit(salt)).cast("int"))
     r = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

@@ -24,6 +24,24 @@ def test_salted_join_matches_plain_join(spark):
     assert salted == plain
     assert len(salted) == 10_000
 
+    # salts actually split the hot key across sub-keys
+    hot = skewed.filter(F.col("k") == 1).withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.struct(F.col("k"), F.col("v"))), F.lit(8)).cast("int"),
+    )
+    assert hot.select("_salt").distinct().count() == 8
+
+    # left join keeps unmatched skewed rows exactly once
+    missing_dims = small.filter(F.col("k") < 40)
+    left = salted_join(skewed, missing_dims, "k", how="left")
+    assert left.count() == 10_000
+
+    # outer joins would duplicate the replicated small side — refused
+    import pytest
+
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(skewed, small, "k", how="full")
+
 
 def test_range_join_matches_naive(spark):
     from enterprise_iot_bigdata_pipeline_spark.operators.range_join import time_range_join
