@@ -228,6 +228,38 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cos_sim") >= threshold)
 
 
+def embedding_near_dup_multiround(
+    df: DataFrame,
+    threshold: float,
+    rounds: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    base_seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Recall-amplified near-dup mining: union ``rounds`` independently
+    seeded plane rounds of ``embedding_near_dup_pairs``.
+
+    One round of b signed projections catches a pair with probability
+    (1 - θ/π)^b (θ = the pair's angle); independent rounds drive the miss
+    rate to miss^rounds — e.g. a 60%-per-round pair is found with
+    1 - 0.4³ ≈ 94% by three rounds. Every round stays on the bucket
+    equi-join path (never a cross join); the union dedups per pair with a
+    groupBy. Callers looping many rounds should persist ``df`` first —
+    each round re-scans it.
+    """
+    out: DataFrame | None = None
+    for r in range(rounds):
+        p = embedding_near_dup_pairs(
+            df, threshold, n_planes, dim, base_seed + 101 * r, id_col, vec_col, max_bucket
+        )
+        out = p if out is None else out.unionByName(p)
+    # cos_sim is deterministic per pair (9-dp rounded) — max = the value
+    return out.groupBy("vec_a", "vec_b").agg(F.max("cos_sim").alias("cos_sim"))
+
+
 def similar_pairs_exact(
     df: DataFrame,
     threshold: float,

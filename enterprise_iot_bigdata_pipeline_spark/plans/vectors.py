@@ -79,10 +79,16 @@ def _proj_sql(vec: str, coefs: list[float]) -> str:
     )
 
 
-_bucket_sql = " + ".join(
-    f"(CASE WHEN ({_proj_sql('embedding', coefs)}) >= 0 THEN {1 << h} ELSE 0 END)"
-    for h, coefs in enumerate(_PLANES)
-)
+def _bucket_sql_for(seed: int = 7) -> str:
+    """Bucket expression for one plane round — seed-parameterized so the
+    multi-round union oracle can mirror each round exactly."""
+    return " + ".join(
+        f"(CASE WHEN ({_proj_sql('embedding', coefs)}) >= 0 THEN {1 << h} ELSE 0 END)"
+        for h, coefs in enumerate(S.hyperplanes(seed=seed))
+    )
+
+
+_bucket_sql = _bucket_sql_for()
 
 _BUCKETS_ORACLE = f"""
 SELECT vec_id, CAST({_bucket_sql} AS BIGINT) AS bucket FROM embeddings
@@ -189,6 +195,39 @@ WHERE {_cos_sql("a.embedding", "c.embedding")} >= {_NEAR_T}
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, threshold=_NEAR_T)
+
+
+# ---------------------------------------------------------------------------
+# Multi-round LSH recall union: each round is an independently seeded plane
+# set (seed 7 + 101·r, mirrored in the oracle); the union's groupBy dedups
+# pairs caught by several rounds. Still bucket equi-joins only.
+# ---------------------------------------------------------------------------
+
+_MR_ROUNDS = 2
+
+_MR_CTES = ",\n".join(
+    f"""b{r} AS (SELECT vec_id, embedding, CAST({_bucket_sql_for(7 + 101 * r)} AS BIGINT) AS bucket FROM embeddings),
+p{r} AS (
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           {_cos_sql("a.embedding", "c.embedding")} AS cos_sim
+    FROM b{r} a JOIN b{r} c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_cos_sql("a.embedding", "c.embedding")} >= {_NEAR_T}
+)"""
+    for r in range(_MR_ROUNDS)
+)
+
+_MR_ORACLE = f"""
+WITH {_MR_CTES}
+SELECT vec_a, vec_b, max(cos_sim) AS cos_sim
+FROM ({" UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(_MR_ROUNDS))})
+GROUP BY vec_a, vec_b
+"""
+
+
+@register("dedup_embedding_multiround", _MR_ORACLE)
+def dedup_embedding_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_multiround(emb, threshold=_NEAR_T, rounds=_MR_ROUNDS)
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,53 @@ def test_registered_similar_pairs_has_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_multiround_lsh_recall_on_planted_near_dups(spark):
+    """Signed-projection LSH targets genuine near-duplicates (small
+    angles): plant pairs at cosine ≈ 0.99 and require the multi-round
+    union to recover ≥ 0.9 of the exact ground truth — strictly more than
+    one round alone — without ever leaving the bucket equi-join path."""
+    import random
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        embedding_near_dup_multiround,
+        embedding_near_dup_pairs,
+        similar_pairs_exact,
+    )
+
+    rnd = random.Random(13)
+    rows = []
+    for i in range(150):
+        base = [rnd.gauss(0, 1) for _ in range(64)]
+        rows.append((2 * i, base))
+        # near-dup twin: tiny perturbation → cosine ≈ 0.99+
+        rows.append((2 * i + 1, [x + rnd.gauss(0, 0.03) for x in base]))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    ).persist()
+
+    thr = 0.98
+    truth = {(r["vec_a"], r["vec_b"]) for r in similar_pairs_exact(df, thr).collect()}
+    assert len(truth) >= 100  # the plant worked
+    one = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(df, thr).collect()}
+    multi = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_multiround(df, thr, rounds=3).collect()
+    }
+    recall_one = len(one & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert multi <= truth.union(multi)  # sanity: no fabricated pairs below thr
+    assert recall_multi >= 0.9, f"multi-round recall {recall_multi:.2f}"
+    assert recall_multi > recall_one, (recall_multi, recall_one)
+    # plan hygiene: still no cross join in the multi-round union
+    plan = (
+        embedding_near_dup_multiround(df, thr, rounds=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    df.unpersist()
+
+
 def test_lsh_topk_runs_and_ranks(spark):
     from enterprise_iot_bigdata_pipeline_spark.operators.similarity import lsh_topk
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
