@@ -36,6 +36,8 @@ HEADLINE = [
     "text_metrics",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_components",
+    "agg_sliding_window",
     "pipeline_curate_corpus",
     "ann_cosine_topk",
     "ann_lsh_topk",

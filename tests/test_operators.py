@@ -107,13 +107,47 @@ def test_csv_roundtrip(spark, tmp_path):
     assert len(glob.glob(f"{out}/part-*.csv")) == 1  # single-file report sink
 
 
-def test_jdbc_gated():
-    from enterprise_iot_bigdata_pipeline_spark.sources.jdbc import mark_success
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC round-trip against embedded Derby (ships with Spark):
+    seed a state table, read the pending set through Spark's JDBC source,
+    mark one run's keys SUCCESS in a single transaction, re-read."""
+    from enterprise_iot_bigdata_pipeline_spark.sources.jdbc import (
+        execute_sql,
+        mark_success,
+        read_jdbc_query,
+    )
 
-    import pytest
+    url = f"jdbc:derby:{tmp_path}/statedb;create=true"
+    execute_sql(spark, url, [
+        "CREATE TABLE tbl_t_upload_datalog ("
+        "file_path_s3 VARCHAR(200), status VARCHAR(20), run_id VARCHAR(40))",
+        "INSERT INTO tbl_t_upload_datalog VALUES"
+        " ('s3://a/1.gz', 'PENDING', 'run1'),"
+        " ('s3://a/2.gz', 'PENDING', 'run1'),"
+        " ('s3://a/3.gz', 'PENDING', 'run2')",
+    ])
 
-    with pytest.raises(NotImplementedError):
-        mark_success("jdbc:sqlserver://x", "tbl", ["k1"], "run1")
+    pending = read_jdbc_query(
+        spark, url,
+        "SELECT file_path_s3 FROM tbl_t_upload_datalog WHERE status = 'PENDING'",
+    )
+    assert pending.count() == 3
+
+    # the reference's intended update-by-key-set semantics: only run1's
+    # processed keys flip; run2 (same key-shape) is untouched
+    n = mark_success(spark, url, "tbl_t_upload_datalog", ["s3://a/1.gz", "s3://a/2.gz"], "run1")
+    assert n == 2
+    after = {
+        (r["FILE_PATH_S3"], r["STATUS"])
+        for r in read_jdbc_query(
+            spark, url, "SELECT file_path_s3, status FROM tbl_t_upload_datalog"
+        ).collect()
+    }
+    assert after == {
+        ("s3://a/1.gz", "SUCCESS"),
+        ("s3://a/2.gz", "SUCCESS"),
+        ("s3://a/3.gz", "PENDING"),
+    }
 
 
 def test_connected_components_chain_and_star(spark):
