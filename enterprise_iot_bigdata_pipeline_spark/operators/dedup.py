@@ -299,14 +299,22 @@ def connected_components(
     Iterative min-label propagation (the GraphFrames/Pregel shape): each
     round every node takes the min of its own label and its neighbors'
     labels; converges in O(component diameter) rounds — near-dup clusters
-    are shallow (stars/cliques), so a handful of shuffles. Each round is
-    one shuffle keyed by node; no driver-side data, only a convergence
-    counter. ``max_iter`` bounds pathological chains.
+    are shallow (stars/cliques), so a handful of shuffles. No driver-side
+    data, only a convergence counter. ``max_iter`` bounds pathological
+    chains.
+
+    Per-round cost discipline: edges are hash-partitioned by ``src`` once
+    and cached (InMemoryRelation preserves the partitioning, so the
+    propagate join re-shuffles only the much smaller label frame), and
+    convergence is a flag computed inside the label update itself — the
+    ``limit(1)`` probe reads the freshly cached frame instead of
+    re-joining new labels against old. Duplicate input pairs are
+    tolerated (min-aggregation is idempotent).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
+        .repartition("src")
         .persist()
     )
     labels = (
@@ -316,31 +324,30 @@ def connected_components(
         .persist()
     )
     try:
+        prev = labels
         for _ in range(max_iter):
             neighbor_min = (
                 edges.join(labels, edges.src == labels.doc)
                 .groupBy(F.col("dst").alias("doc"))
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
+            flagged = (
                 labels.join(neighbor_min, "doc", "left")
                 .select(
                     "doc",
                     F.least(
                         F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                     ).alias("label"),
+                    (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
+                        "_improved"
+                    ),
                 )
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            changed = flagged.filter("_improved").limit(1).count()
+            prev.unpersist()
+            prev = flagged
+            labels = flagged.select("doc", "label")
             if changed == 0:
                 break
         return labels.select("doc", F.col("label").alias("component"))

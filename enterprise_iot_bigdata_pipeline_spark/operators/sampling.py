@@ -1,0 +1,113 @@
+"""Deterministic dataset-curation operators: sampling, splitting, packing.
+
+A training-data pipeline needs reproducible selection — the same corpus
+snapshot must yield the same sample/split/packing on every run, engine,
+and task retry. All "randomness" here is therefore content-derived:
+``md5(id) → 60-bit int → unit interval`` (the same md5-prefix trick as
+shingle hashing in ``functions.text``, so every operator has an exact
+DuckDB-oracle mirror). ``rand()``-based sampling would re-draw per
+partition attempt and cannot be oracle-checked.
+
+Scale shapes:
+- ``sample_fraction`` / ``assign_split`` — pure map-side projections.
+- ``topk_per_group``   — one shuffle keyed by group (window row_number).
+- ``pack_greedy``      — running-sum window per shard; sharding bounds
+  each window partition, keeping the global sort out of one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+HASH_BITS = 60
+HASH_DENOM = float(1 << HASH_BITS)
+
+
+def hash_unit(col: Column, salt: str = "") -> Column:
+    """Deterministic U[0,1) from a value (optionally salted): 60-bit md5
+    prefix divided by 2^60. Exact-int → double division is IEEE-identical
+    across engines."""
+    key = F.concat(col.cast("string"), F.lit(":" + salt)) if salt else col.cast("string")
+    return (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") / F.lit(HASH_DENOM)
+    )
+
+
+def sample_fraction(df: DataFrame, id_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep each row iff hash_unit(id) < fraction — a deterministic
+    Bernoulli sample that is stable under retries, re-partitioning, and
+    incremental corpus growth (a surviving row survives forever)."""
+    return df.filter(hash_unit(F.col(id_col), salt) < F.lit(float(fraction)))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'valid'/'test'/…) by cumulative
+    weight thresholds over the id hash. Weights must sum to ~1; assignment
+    is per-document-stable so later pipeline runs never leak a train doc
+    into test."""
+    u = hash_unit(F.col(id_col), salt)
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += float(weights[name])
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int, salt: str = "topk"
+) -> DataFrame:
+    """Deterministic per-group quota sample ("reservoir" with a content-
+    hash priority): the k docs with the smallest salted hash win. One
+    shuffle keyed by group; ties broken by id for full determinism."""
+    w = W.partitionBy(group_col).orderBy(
+        hash_unit(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Budget-quantized sequence packing: docs are sharded by id hash,
+    ordered by id within each shard, and assigned
+    ``pack_id = floor(preceding_cumulative_size / budget)`` — each pack
+    holds consecutive docs whose sizes sum to ~budget (the last doc may
+    overflow by < one doc, the standard streaming-packing tolerance).
+
+    Shards bound the window partitions, so the running sum never
+    serializes the corpus through one task; packs are keyed
+    (shard, pack_id). More shards = more parallelism, same pack quality.
+    """
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(shards),
+    ).alias("shard")
+    w = W.partitionBy("shard").orderBy(F.col(id_col)).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return (
+        df.select(F.col(id_col), F.col(size_col), shard)
+        .withColumn(
+            "pack_id",
+            F.floor(
+                F.coalesce(F.sum(size_col).over(w), F.lit(0)) / F.lit(int(budget))
+            ).cast("long"),
+        )
+    )

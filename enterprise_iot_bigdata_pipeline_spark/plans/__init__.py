@@ -31,6 +31,7 @@ _MODULES = [
     "ingest",
     "text",
     "vectors",
+    "curation",
     "flagship",
     "core",
     "aggregates",

@@ -1,0 +1,212 @@
+"""Dataset-curation queries on ``documents`` — the selection layer of a
+training-data pipeline (what to keep, where it goes, how it's batched):
+
+- deterministic hash sampling (reproducible Bernoulli)
+- train/valid/test split assignment (leak-proof: per-doc stable)
+- per-group quota sampling (hash-priority "reservoir")
+- budget-quantized sequence packing (sharded running sum)
+- rational TF-IDF top terms (exact-int-derived scoring)
+
+Every query mirrors its oracle through the md5-prefix hash
+(``operators.sampling.hash_unit`` ≡ ``CAST(concat('0x', substr(md5(x),
+1, 15)) AS BIGINT) / 2^60``) so selection is bit-identical across
+engines. No ``rand()`` anywhere — content-derived selection is stable
+under retries and is what makes a 100 TB curation run re-entrant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.operators import sampling as SMP
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out, t
+
+# DuckDB mirror of operators.sampling.hash_unit
+_H = "CAST(concat('0x', substr(md5({key}), 1, 15)) AS BIGINT)"
+_DENOM = float(1 << 60)
+
+
+def _u_sql(key: str) -> str:
+    return f"({_H.format(key=key)} / {_DENOM!r})"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bernoulli sample (25% of documents by doc_id hash)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_F = 0.25
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_u_sql("CAST(doc_id AS VARCHAR)")} < {_SAMPLE_F}
+"""
+
+
+@register("sample_hash_fraction", _SAMPLE_ORACLE)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return SMP.sample_fraction(docs, "doc_id", _SAMPLE_F).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Train/valid/test split: per-doc stable assignment + per-split counts
+# ---------------------------------------------------------------------------
+
+_SPLITS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+_SPLIT_ORACLE = f"""
+WITH a AS (
+    SELECT doc_id,
+           CASE WHEN {_u_sql("concat(CAST(doc_id AS VARCHAR), ':split')")} < 0.8 THEN 'train'
+                WHEN {_u_sql("concat(CAST(doc_id AS VARCHAR), ':split')")} < {0.8 + 0.1!r} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM a GROUP BY split
+"""
+
+
+@register("split_train_valid_test", _SPLIT_ORACLE)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        SMP.assign_split(docs, "doc_id", _SPLITS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota sample: the k docs with the smallest salted hash win
+# ---------------------------------------------------------------------------
+
+_QUOTA_K = 5
+
+_QUOTA_ORACLE = f"""
+WITH r AS (
+    SELECT source, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_u_sql("concat(CAST(doc_id AS VARCHAR), ':topk')")} ASC, doc_id ASC
+           ) AS INTEGER) AS rk
+    FROM documents
+)
+SELECT source, doc_id, rk FROM r WHERE rk <= {_QUOTA_K}
+"""
+
+
+@register("sample_topk_per_source", _QUOTA_ORACLE)
+def sample_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return SMP.topk_per_group(docs, "source", "doc_id", _QUOTA_K).select(
+        "source", "doc_id", "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: shard by id hash, pack consecutive docs to ~budget tokens
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+_WORDS_N = r"len(regexp_split_to_array(lower(trim(text)), '\s+'))"
+
+_PACK_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id,
+           CAST({_WORDS_N} AS BIGINT) AS n_tokens,
+           {_H.format(key="CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS} AS shard
+    FROM documents
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM s
+"""
+
+
+@register("pack_sequences_budget", _PACK_ORACLE)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.functions.text import token_count
+
+    docs = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return SMP.pack_greedy(docs, "doc_id", "n_tokens", _PACK_BUDGET, _PACK_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# Rational TF-IDF top terms: score = tf · (N / df). Monotone in tf and in
+# rarity like the ln form, but ln() is libm-dependent across engines —
+# exact-int-derived doubles keep the oracle hash-identical. Top 3 terms
+# per doc, ties broken by term.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id AS doc, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc, term, count(*) AS tf FROM words WHERE term != '' GROUP BY doc, term
+),
+df AS (
+    SELECT term, count(DISTINCT doc) AS df FROM words WHERE term != '' GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc, tf.term,
+           round(tf.tf * CAST(n.n_docs AS DOUBLE) / df.df, 9) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc, term, score,
+           CAST(row_number() OVER (
+               PARTITION BY doc ORDER BY score DESC, term ASC
+           ) AS INTEGER) AS rk
+    FROM scored
+)
+SELECT doc, term, score, rk FROM ranked WHERE rk <= {_TFIDF_K}
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.functions.text import words
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    terms = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(words(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.count_distinct("doc").alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc",
+            "term",
+            F.round(
+                F.col("tf") * F.col("n_docs").cast("double") / F.col("df"), 9
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc", "term", "score", "rk")
+    )
