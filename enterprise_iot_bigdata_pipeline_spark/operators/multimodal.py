@@ -43,6 +43,57 @@ def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+MEDIA_EXT_TYPES = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+}
+
+
+def read_media_dir(
+    spark, path: str, glob: str | None = None, id_from_name: bool = True
+) -> DataFrame:
+    """Real media ingestion: Spark's ``binaryFile`` source reads each file
+    as one row (path, modificationTime, length, content) — payload bytes
+    stream executor-side, never through the driver, and a metadata-only
+    projection (path/length) prunes the content column entirely.
+
+    Output matches the synthetic media frame: doc_id (from the file stem
+    when numeric), content, meta struct with media_type inferred from the
+    extension (width/height stay null until a decode stage fills them).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    stem = F.element_at(F.split(F.element_at(F.split(F.col("path"), "/"), -1), r"\."), 1)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    media_type = F.lit(None).cast("string")
+    for e, mt in MEDIA_EXT_TYPES.items():
+        media_type = F.when(ext == e, F.lit(mt)).otherwise(media_type)
+    doc_id = (
+        F.when(stem.rlike(r"^\d+$"), stem.cast("long")).otherwise(
+            F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10).cast("long")
+        )
+        if id_from_name
+        else F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10).cast("long")
+    )
+    return raw.select(
+        doc_id.alias("doc_id"),
+        F.col("content"),
+        F.struct(
+            media_type.alias("media_type"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+        F.col("path").alias("source_file"),
+    )
+
+
 def decode_image(payload: bytes):  # pragma: no cover - gated stub
     """Real decode path, gated on a codec being available."""
     try:

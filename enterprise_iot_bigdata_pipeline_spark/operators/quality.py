@@ -50,6 +50,33 @@ def telemetry_rules() -> dict[str, str]:
     }
 
 
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile: rows, non-null count, exact distinct count —
+    the scan-level health report a curation run records before training.
+
+    One aggregation pass over the frame (all metrics as parallel
+    aggregates, then stacked tall); count_distinct on several columns in
+    one agg plans as expand+partial-agg, still a single scan of the data.
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    row = df.agg(*aggs)
+    pairs = ", ".join(f"'{c}', _nn_{c}, _nd_{c}" for c in cols)
+    return row.selectExpr(
+        "_n_rows as n_rows",
+        f"stack({len(cols)}, {pairs}) as (column_name, n_non_null, n_distinct)",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_non_null",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
+        "n_distinct",
+    )
+
+
 def assert_quality(df: DataFrame, rules: dict[str, Column], max_rate: float = 0.05) -> None:
     """Gate: raise if any rule's violation rate exceeds ``max_rate``."""
     bad = [

@@ -110,6 +110,31 @@ def quality_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-column table profile (rows / non-null / exact distinct, one scan).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_PROFILE_ORACLE = f"""
+WITH p AS (
+    {" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, count(*) AS n_rows, count({c}) AS n_non_null, "
+        f"count(DISTINCT {c}) AS n_distinct FROM events"
+        for c in _PROFILE_COLS
+    )}
+)
+SELECT column_name, n_rows, n_non_null, n_rows - n_non_null AS n_null, n_distinct FROM p
+"""
+
+
+@register("profile_events", _PROFILE_ORACLE)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.quality import profile_table
+
+    return profile_table(t(spark, sf_dir, "events"), _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal metadata projection (decode-free: column pruning never touches
 # payload bytes). Oracle mirrors the deterministic metadata synthesis.
 # ---------------------------------------------------------------------------
