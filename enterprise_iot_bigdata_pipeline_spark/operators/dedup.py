@@ -286,6 +286,57 @@ def simhash_pairs(
     return pairs.distinct().filter(F.col("hamming") <= max_hamming)
 
 
+def incremental_exact_dedup(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    epoch_id: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest dedup: dedup a NEW batch against the corpus seen
+    so far, using a persisted fingerprint index — the pattern a training-
+    data pipeline runs on every ingest cycle instead of re-deduping 100 TB
+    from scratch.
+
+    The index holds (fingerprint, keep_id) only — content hashes, not
+    content — so it is a small fraction of corpus size; the novelty check
+    is a left-anti equi-join on fingerprint. The advanced index publishes
+    via ``commitlog.overwrite_atomic`` (same replay-skip semantics as
+    ``merge_rollup`` when ``epoch_id`` is passed from ``foreachBatch``).
+    Returns the batch's globally novel docs (min-id survivor per
+    fingerprint within the batch). The novel set is localCheckpoint-ed
+    before the index swap — its lineage reads the OLD index, which the
+    swap replaces.
+    """
+    from enterprise_iot_bigdata_pipeline_spark.operators.commitlog import (
+        committed_epoch,
+        overwrite_atomic,
+        path_exists,
+    )
+
+    if epoch_id is not None:
+        last = committed_epoch(spark, index_path)
+        if last is not None and int(epoch_id) <= last:
+            return new_docs.limit(0)  # replayed batch: already merged
+    batch = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint")
+    )
+    survivors = batch.groupBy("fingerprint").agg(F.min(id_col).alias("keep_id"))
+    if path_exists(spark, index_path):
+        known = spark.read.parquet(index_path)
+        fresh = survivors.join(
+            known.select("fingerprint"), "fingerprint", "left_anti"
+        ).localCheckpoint()
+        overwrite_atomic(spark, known.unionByName(fresh), index_path, epoch_id=epoch_id)
+    else:
+        fresh = survivors.localCheckpoint()
+        overwrite_atomic(spark, fresh, index_path, epoch_id=epoch_id)
+    return new_docs.join(
+        fresh.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -42,3 +42,26 @@ def write_lake(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.partitionBy(*partition_cols).parquet(root)
+
+
+def write_sorted_lake(
+    df: DataFrame,
+    root: str,
+    sort_cols: tuple[str, ...],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Data-skipping layout: range-partition by ``sort_cols`` then sort
+    within each file, so every parquet file covers a DISJOINT value range
+    and its footer min/max stats let readers skip whole files/row groups
+    for selective filters (the poor man's clustering/Z-order for a single
+    sort dimension — the dashboard's time-range scans read only the files
+    whose range overlaps the predicate).
+    """
+    (
+        df.repartitionByRange(n_files, *[df[c] for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .option("compression", "snappy")
+        .parquet(root)
+    )

@@ -96,3 +96,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_write_sorted_lake_disjoint_file_ranges(spark, tmp_path):
+    """Range-partition + sort-within-file → every parquet file covers a
+    disjoint id range, so footer min/max stats let selective scans skip
+    whole files (the data-skipping layout for time-range dashboards)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from enterprise_iot_bigdata_pipeline_spark.sources.lake import write_sorted_lake
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 97).alias("v")
+    )
+    root = str(tmp_path / "sorted")
+    write_sorted_lake(df, root, ("event_id",), n_files=6)
+
+    ranges = []
+    for f in glob.glob(f"{root}/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "event_id"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    assert spark.read.parquet(root).count() == 10_000

@@ -83,3 +83,35 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert pruned.count() == 1
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    """Continuous-ingest dedup against a persisted fingerprint index:
+    batch 2 drops docs whose content arrived in batch 1, the index
+    advances atomically, and a replayed epoch contributes nothing."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import incremental_exact_dedup
+
+    idx = str(tmp_path / "fp_index")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    novel1 = incremental_exact_dedup(spark, b1, idx, "text", "doc_id", epoch_id=0)
+    assert {r["doc_id"] for r in novel1.collect()} == {1, 2}  # 3 is an in-batch dup
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id long, text string",
+    )
+    novel2 = incremental_exact_dedup(spark, b2, idx, "text", "doc_id", epoch_id=1)
+    assert {r["doc_id"] for r in novel2.collect()} == {11}  # alpha known; 12 in-batch dup
+
+    # index now covers all three contents
+    assert spark.read.parquet(idx).count() == 3
+
+    # replay of epoch 1: skipped, index unchanged, nothing novel
+    replay = incremental_exact_dedup(spark, b2, idx, "text", "doc_id", epoch_id=1)
+    assert replay.count() == 0
+    assert spark.read.parquet(idx).count() == 3
