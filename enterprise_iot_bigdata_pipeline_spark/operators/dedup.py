@@ -90,14 +90,12 @@ def minhash_signatures(
     )
 
 
-def _bucket_pairs(docs: "F.Column") -> "F.Column":
-    """All (a < b) pairs from an array of members — array<struct<a,b>>.
-
-    Used instead of a bucket self-join: one groupBy produces each bucket's
-    membership once, so the upstream pipeline (signatures, fingerprints)
-    executes once instead of twice, and the join shuffle disappears.
-    """
-    sorted_docs = F.array_sort(docs)
+def _pairs_of_sorted(sorted_docs: "F.Column") -> "F.Column":
+    """All (a < b) pairs from an ALREADY-SORTED member array —
+    array<struct<a,b>>. Callers sort once upstream: codegen's
+    subexpression elimination does not reliably dedupe lambda-bearing
+    trees, so repeating ``array_sort`` inside this expression would sort
+    the bucket once per reference."""
     return F.flatten(
         F.transform(
             sorted_docs,
@@ -107,6 +105,16 @@ def _bucket_pairs(docs: "F.Column") -> "F.Column":
             ),
         )
     )
+
+
+def _bucket_pairs(docs: "F.Column") -> "F.Column":
+    """All (a < b) pairs from an array of members — array<struct<a,b>>.
+
+    Used instead of a bucket self-join: one groupBy produces each bucket's
+    membership once, so the upstream pipeline (signatures, fingerprints)
+    executes once instead of twice, and the join shuffle disappears.
+    """
+    return _pairs_of_sorted(F.array_sort(docs))
 
 
 DEFAULT_MAX_BUCKET = 1024
@@ -139,15 +147,15 @@ def bucket_pairs_capped(
     """
     grouped = (
         bucketed.groupBy(*bucket_cols)
-        .agg(F.collect_set("m").alias("ms"))
+        .agg(F.array_sort(F.collect_set("m")).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
-    sorted_ms = F.array_sort(F.col("ms"))
+    ms = F.col("ms")
     star = F.transform(
-        F.slice(sorted_ms, 2, F.size(sorted_ms)),
-        lambda y: F.struct(F.element_at(sorted_ms, 1).alias("a"), y.alias("b")),
+        F.slice(ms, 2, F.size(ms)),
+        lambda y: F.struct(F.element_at(ms, 1).alias("a"), y.alias("b")),
     )
-    pairs = F.when(F.size("ms") <= max_bucket, _bucket_pairs(F.col("ms"))).otherwise(star)
+    pairs = F.when(F.size("ms") <= max_bucket, _pairs_of_sorted(ms)).otherwise(star)
     return grouped.select(F.explode(pairs).alias("p"))
 
 

@@ -428,6 +428,14 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
     )
+    # The kept frame feeds TWO consumers (the signature branch and the
+    # final anti-join) inside one action; persist() does not dedupe
+    # within a single action, so without this the staged-metrics scan +
+    # window run twice. The frame is small post-filter (survivors only),
+    # so an eager localCheckpoint trades one tiny job for halving the
+    # pipeline's heavy stage. At real scale this intermediate would be
+    # checkpointed to a table; localCheckpoint is the single-job analog.
+    kept = kept.localCheckpoint()
     sigs = D.minhash_signatures(kept, "text", "doc_id", _K, _SEED)
     drops = (
         D.lsh_candidate_pairs(sigs, _K, _BANDS)
