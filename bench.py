@@ -20,17 +20,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Round-3 registry consolidation renames/merges some round-2 headline
+# queries: join_broadcast_star/join_fact_fact → covered by join_five_way +
+# join_large_orders; window_topk_per_group → sample_topk_per_source;
+# text_metrics/distinct_multi absorb rolling-hash/count columns.
 HEADLINE = [
     "flagship_minute_resample",
     "epoch_normalize_multiscale",
     "agg_pricing_summary",
     "agg_value_stats",
-    "join_broadcast_star",
-    "join_fact_fact",
+    "join_large_orders",
+    "join_nation_pairs",
     "join_top_revenue",
     "join_five_way",
     "window_sessionize",
-    "window_topk_per_group",
+    "sample_topk_per_source",
     "sort_topk",
     "distinct_multi",
     "text_metrics",

@@ -8,71 +8,79 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from enterprise_iot_bigdata_pipeline_spark.functions.parity import DSUM_SQL, dsum
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DSUM_SQL
 from enterprise_iot_bigdata_pipeline_spark.operators.range_join import time_range_join
 from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
-# --- INTERSECT: users who both clicked and purchased ------------------------
+# --- INTERSECT + EXCEPT in one tagged plan (round-3 consolidation of
+#     set_intersect / set_except): users who both clicked and purchased,
+#     and users who clicked but never purchased. `subtract` == set EXCEPT
+#     (exceptAll's bag semantics would leave users whose click count
+#     merely exceeds their purchase count). --------------------------------
 
 
 @register(
-    "set_intersect",
+    "set_ops",
     """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT 'click_and_purchase' AS branch, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'click_only', user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
     """,
 )
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return clicks.intersect(buys)
+    both = clicks.intersect(buys).select(
+        F.lit("click_and_purchase").alias("branch"), "user_id"
+    )
+    only = clicks.subtract(buys).select(F.lit("click_only").alias("branch"), "user_id")
+    return both.unionByName(only)
 
 
-# --- EXCEPT: users who clicked but never purchased --------------------------
+# --- Distribution summary per group: exact interpolated percentiles
+#     (DuckDB quantile_cont ≡ Spark percentile, rounded to 9 dp —
+#     interpolation is a*b+c-shaped) + sorted-distinct array aggregation
+#     surfaced as a joined string (array-typed OUTPUT columns canonicalize
+#     engine-specifically in pandas-based comparators). Round-3
+#     consolidation of agg_percentiles + agg_collect_array. ----------------
 
-
-@register(
-    "set_except",
-    """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-)
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
-    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    # subtract == set EXCEPT (exceptAll's bag semantics would leave users
-    # whose click count merely exceeds their purchase count)
-    return clicks.subtract(buys)
-
-
-# --- Exact interpolated percentiles (DuckDB quantile_cont ≡ Spark
-#     percentile). Rounded to 9 dp — interpolation is a*b+c-shaped. --------
+_BUCKET_STR = "CAST(user_id % 10 AS VARCHAR)"
 
 
 @register(
-    "agg_percentiles",
-    """
+    "agg_distributions",
+    f"""
     SELECT event_type,
            round(quantile_cont(value, 0.25), 9) AS p25,
            round(quantile_cont(value, 0.5), 9) AS p50,
            round(quantile_cont(value, 0.75), 9) AS p75,
-           round(quantile_cont(value, 0.95), 9) AS p95
+           round(quantile_cont(value, 0.95), 9) AS p95,
+           array_to_string(array_agg(DISTINCT {_BUCKET_STR} ORDER BY {_BUCKET_STR}), ',') AS buckets,
+           CAST(count(DISTINCT {_BUCKET_STR}) AS INTEGER) AS n_buckets
     FROM events GROUP BY event_type
     """,
 )
-def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).cast("string")
+    buckets = F.array_sort(F.collect_set(bucket))
     return ev.groupBy("event_type").agg(
         *[
             F.round(F.percentile(F.col("value"), F.lit(p)), 9).alias(name)
             for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]
-        ]
+        ],
+        F.array_join(buckets, ",").alias("buckets"),
+        F.size(buckets).alias("n_buckets"),
     )
 
 
@@ -100,86 +108,40 @@ def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_event_id", "r_event_id", "user_id", "l_ts", "r_ts")
 
 
-# --- Scalar subquery through the SQL API (parts above mean retail price) ---
+# --- Scalar + IN subqueries through the SQL API in one query (round-3
+#     consolidation of subquery_scalar + subquery_in; the engine exposes
+#     ``spark.sql`` over the same tables): suppliers located in region-0
+#     nations (nested IN subqueries) whose account balance beats the
+#     global supplier mean (scalar subquery, decimal-accumulated for
+#     cross-engine parity). GROUPING SETS coverage moved to
+#     `agg_grouping_multi`; HAVING to `agg_conditional_having`. ------------
 
-_SCALAR_SUB = f"""
-    SELECT p_partkey, p_name, p_retailprice
-    FROM part
-    WHERE p_retailprice > (SELECT {DSUM_SQL("p_retailprice")} / count(p_retailprice) FROM part)
-"""
-
-
-@register("subquery_scalar", _SCALAR_SUB)
-def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_SCALAR_SUB)
-
-
-# --- IN subquery: suppliers located in nations of region 0 ------------------
-
-_IN_SUB = """
-    SELECT s_suppkey, s_name
+_SUB_MIXED = f"""
+    SELECT s_suppkey, s_name, s_acctbal
     FROM supplier
     WHERE s_nationkey IN (
         SELECT n_nationkey FROM nation
         WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_regionkey = 0)
     )
+    AND s_acctbal > (SELECT {DSUM_SQL("s_acctbal")} / count(s_acctbal) FROM supplier)
 """
 
 
-@register("subquery_in", _IN_SUB)
-def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("subquery_mixed", _SUB_MIXED)
+def subquery_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("supplier", "nation", "region"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_IN_SUB)
+    return spark.sql(_SUB_MIXED)
 
 
-# --- Array aggregation: sorted distinct event types per user ----------------
-
-
-@register(
-    "agg_collect_array",
-    """
-    SELECT user_id,
-           array_to_string(array_agg(DISTINCT event_type ORDER BY event_type), ',') AS types,
-           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # array agg computed natively; surfaced as a joined string — array-typed
-    # OUTPUT columns canonicalize engine-specifically (list vs ndarray) in
-    # pandas-based comparators
-    ev = t(spark, sf_dir, "events")
-    types = F.array_sort(F.collect_set("event_type"))
-    return ev.groupBy("user_id").agg(
-        F.array_join(types, ",").alias("types"),
-        F.size(types).alias("n_types"),
-    )
-
-
-# --- GROUPING SETS (explicit, beyond rollup/cube) ---------------------------
-
-_GSETS = """
-    SELECT event_type, CAST(user_id % 3 AS BIGINT) AS bucket,
-           count(*) AS n
-    FROM (SELECT event_type, user_id FROM events)
-    GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 3 AS BIGINT)))
-"""
-
-
-@register("agg_grouping_sets", _GSETS)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_GSETS)
-
-
-# --- Datetime part extraction battery (cross-engine dow alignment) ----------
+# --- Scalar-function battery: datetime parts (cross-engine ISO dow
+#     alignment), typed JSON extraction, and string functions — one
+#     map-side projection over events (round-3 consolidation of
+#     time_parts + string_functions + json_typed_parse). -------------------
 
 
 @register(
-    "time_parts",
+    "scalar_funcs",
     """
     SELECT event_id,
            CAST(year(ts) AS INTEGER) AS y,
@@ -188,13 +150,22 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_part('hour', ts) AS INTEGER) AS h,
            CAST(date_part('minute', ts) AS INTEGER) AS mi,
            CAST(isodow(ts) AS INTEGER) AS iso_dow,
-           CAST(date_part('doy', ts) AS INTEGER) AS doy
+           CAST(date_part('doy', ts) AS INTEGER) AS doy,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           upper(event_type) AS up,
+           substr(event_type, 1, 3) AS pre,
+           CAST(length(event_type) AS INTEGER) AS len,
+           CAST(strpos(event_type, 'c') AS INTEGER) AS c_pos,
+           lpad(CAST(user_id AS VARCHAR), 6, '0') AS padded,
+           replace(event_type, 'click', 'tap') AS repl,
+           concat(event_type, ':', CAST(user_id AS VARCHAR)) AS joined
     FROM events
     """,
 )
-def time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     ts = F.col("ts")
+    et = F.col("event_type")
     return ev.select(
         "event_id",
         F.year(ts).alias("y"),
@@ -205,65 +176,12 @@ def time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark weekday(): 0=Monday; ISO dow: 1=Monday..7=Sunday
         (F.weekday(ts) + 1).cast("int").alias("iso_dow"),
         F.dayofyear(ts).alias("doy"),
-    )
-
-
-# --- String function battery -------------------------------------------------
-
-
-@register(
-    "string_functions",
-    """
-    SELECT c_custkey,
-           upper(c_name) AS up,
-           lower(c_mktsegment) AS lo,
-           substr(c_name, 1, 8) AS pre,
-           CAST(length(c_name) AS INTEGER) AS len,
-           CAST(strpos(c_name, '0') AS INTEGER) AS zero_pos,
-           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
-           replace(c_name, 'Customer', 'Cust') AS repl,
-           concat(c_mktsegment, ':', c_name) AS joined
-    FROM customer
-    """,
-)
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.upper("c_name").alias("up"),
-        F.lower("c_mktsegment").alias("lo"),
-        F.substring("c_name", 1, 8).alias("pre"),
-        F.length("c_name").alias("len"),
-        F.instr(F.col("c_name"), "0").alias("zero_pos"),
-        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
-        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
-        F.concat_ws(":", "c_mktsegment", "c_name").alias("joined"),
-    )
-
-
-# --- HAVING: repeat-purchase users ------------------------------------------
-
-
-@register(
-    "agg_having",
-    f"""
-    SELECT user_id,
-           count(*) AS n_purchases,
-           {DSUM_SQL("value")} AS total_value
-    FROM events
-    WHERE event_type = 'purchase'
-    GROUP BY user_id
-    HAVING count(*) >= 3
-    """,
-)
-def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            dsum(F.col("value")).alias("total_value"),
-        )
-        .filter(F.col("n_purchases") >= 3)
+        F.from_json(F.col("props"), "k long")["k"].alias("k"),
+        F.upper(et).alias("up"),
+        F.substring(et, 1, 3).alias("pre"),
+        F.length(et).alias("len"),
+        F.instr(et, "c").alias("c_pos"),
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("padded"),
+        F.replace(et, F.lit("click"), F.lit("tap")).alias("repl"),
+        F.concat_ws(":", et, F.col("user_id").cast("string")).alias("joined"),
     )

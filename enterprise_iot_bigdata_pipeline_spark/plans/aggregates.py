@@ -52,47 +52,52 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- ROLLUP: hierarchical subtotals (not in the reference; standard OLAP
-#     surface, SURVEY §2.4 note). -------------------------------------------
+# --- ROLLUP + CUBE + explicit GROUPING SETS, one tagged plan over the same
+#     dimensions (not in the reference; the standard OLAP grouping-
+#     extension surface, SURVEY §2.4 note). Round-3 consolidation of
+#     agg_rollup / agg_cube / agg_grouping_sets: all three grouping APIs
+#     (.rollup / .cube / .groupingSets) execute and hash-verify in one
+#     registry slot. Each branch is an independent partial-agg + shuffle;
+#     at scale Spark's expand-node handles the grouping-set expansion
+#     map-side exactly as it did for the standalone queries. ---------------
+
+_GMULTI_AGGS = f"{DSUM_SQL('value')} AS sum_value,\n           count(*) AS n"
 
 
 @register(
-    "agg_rollup",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           {DSUM_SQL("l_quantity")} AS sum_qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
-    )
-
-
-# --- CUBE ------------------------------------------------------------------
-
-
-@register(
-    "agg_cube",
+    "agg_grouping_multi",
     f"""
     WITH ev AS (SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_bucket, value FROM events)
-    SELECT event_type, user_bucket,
-           {DSUM_SQL("value")} AS sum_value,
-           count(*) AS n
-    FROM ev
-    GROUP BY CUBE (event_type, user_bucket)
+    SELECT 'rollup' AS gset, event_type, user_bucket, {_GMULTI_AGGS}
+    FROM ev GROUP BY ROLLUP (event_type, user_bucket)
+    UNION ALL
+    SELECT 'cube', event_type, user_bucket, {_GMULTI_AGGS}
+    FROM ev GROUP BY CUBE (event_type, user_bucket)
+    UNION ALL
+    SELECT 'gsets', event_type, user_bucket, {_GMULTI_AGGS}
+    FROM ev GROUP BY GROUPING SETS ((event_type), (user_bucket))
     """,
 )
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").withColumn("user_bucket", (F.col("user_id") % 5).cast("long"))
-    return ev.cube("event_type", "user_bucket").agg(
-        dsum(F.col("value")).alias("sum_value"), F.count(F.lit(1)).alias("n")
+def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).cast("long").alias("user_bucket"), "value"
     )
+    aggs = [dsum(F.col("value")).alias("sum_value"), F.count(F.lit(1)).alias("n")]
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("gset"), "event_type", "user_bucket", "sum_value", "n"
+        )
+
+    rollup = tag(ev.rollup("event_type", "user_bucket").agg(*aggs), "rollup")
+    cube = tag(ev.cube("event_type", "user_bucket").agg(*aggs), "cube")
+    gsets = tag(
+        ev.groupingSets(
+            [["event_type"], ["user_bucket"]], "event_type", "user_bucket"
+        ).agg(*aggs),
+        "gsets",
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 # --- Exact distinct-count (the approx variant is `agg_approx_distinct`,
@@ -163,11 +168,16 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Conditional aggregation (TPC-H Q12/Q14 shape): CASE inside agg -------
+# --- Conditional aggregation (TPC-H Q12/Q14 shape: CASE inside agg) with a
+#     HAVING gate over one of the conditional counts — round-3
+#     consolidation of agg_conditional + agg_having into one plan
+#     (Catalyst pushes the HAVING as a post-agg filter; the CASE branches
+#     partial-aggregate map-side as before). Typed JSON parsing moved to
+#     `scalar_funcs` (plans/advanced.py). ----------------------------------
 
 
 @register(
-    "agg_conditional",
+    "agg_conditional_having",
     f"""
     SELECT o_orderpriority,
         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
@@ -175,36 +185,22 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         {DSUM_SQL("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS finished_value
     FROM orders
     GROUP BY o_orderpriority
+    HAVING count(CASE WHEN o_orderstatus = 'F' THEN 1 END) >= 3
     """,
 )
-def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_conditional_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     st = F.col("o_orderstatus")
-    return o.groupBy("o_orderpriority").agg(
-        F.count(F.when(st == "F", 1)).alias("n_finished"),
-        F.count(F.when(st == "O", 1)).alias("n_open"),
-        dsum(F.when(st == "F", F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
-            "finished_value"
-        ),
-    )
-
-
-# --- Typed JSON parsing: props string → struct (from_json) ------------------
-
-
-@register(
-    "json_typed_parse",
-    """
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k
-    FROM events
-    """,
-)
-def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.from_json(F.col("props"), "k long")["k"].alias("k"),
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(st == "F", 1)).alias("n_finished"),
+            F.count(F.when(st == "O", 1)).alias("n_open"),
+            dsum(F.when(st == "F", F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+                "finished_value"
+            ),
+        )
+        .filter(F.col("n_finished") >= 3)
     )
 
 

@@ -13,83 +13,37 @@ from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
 
-# --- lag delta per key (the per-unit speed-delta pattern, SURVEY §2.8) ------
+# --- lag delta + running cumulative sum per key over ONE window spec (the
+#     per-unit speed-delta pattern, SURVEY §2.8; round-3 consolidation of
+#     window_lag_delta + window_running_sum — both columns share the
+#     (user_id, ts, event_id) sort so Spark plans a single Window node
+#     over a single shuffle). Running sum is decimal-accumulated for
+#     cross-engine determinism. Top-k-per-group (row_number) coverage
+#     lives in `sample_topk_per_source` (plans/curation.py). ----------------
 
 
 @register(
-    "window_lag_delta",
+    "window_lag_runsum",
     """
     SELECT event_id, user_id, ts, value,
-           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
-    FROM events
-    """,
-)
-def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "value",
-        (F.col("value") - F.lag("value").over(w)).alias("delta"),
-    )
-
-
-# --- top-k per group via row_number ----------------------------------------
-
-
-@register(
-    "window_topk_per_group",
-    """
-    SELECT event_type, event_id, value, rn
-    FROM (
-        SELECT event_type, event_id, value,
-               CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INTEGER) AS rn
-        FROM events
-    )
-    WHERE rn <= 3
-    """,
-)
-def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
-    return (
-        ev.select(
-            "event_type",
-            "event_id",
-            "value",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
-
-
-# --- running (cumulative) sum, decimal-accumulated for determinism ---------
-
-
-@register(
-    "window_running_sum",
-    """
-    SELECT event_id, user_id, ts,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
            CAST(sum(CAST(value AS DECIMAL(25,6)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
     FROM events
     """,
 )
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_lag_runsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return ev.select(
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("running_value"),
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(wrun).cast("double").alias("running_value"),
     )
 
 

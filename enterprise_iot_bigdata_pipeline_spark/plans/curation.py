@@ -33,54 +33,34 @@ def _u_sql(key: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Deterministic Bernoulli sample (25% of documents by doc_id hash)
+# Per-document curation assignment: deterministic Bernoulli sample flag
+# (25% by raw doc_id hash) + train/valid/test split (salted hash,
+# cumulative thresholds) in one map-side projection. Round-3 consolidation
+# of sample_hash_fraction + split_train_valid_test — per-doc rows verify
+# BOTH selections doc-by-doc (stronger than the old per-split aggregate).
 # ---------------------------------------------------------------------------
 
 _SAMPLE_F = 0.25
-
-_SAMPLE_ORACLE = f"""
-SELECT doc_id, source
-FROM documents
-WHERE {_u_sql("CAST(doc_id AS VARCHAR)")} < {_SAMPLE_F}
-"""
-
-
-@register("sample_hash_fraction", _SAMPLE_ORACLE)
-def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    return SMP.sample_fraction(docs, "doc_id", _SAMPLE_F).select("doc_id", "source")
-
-
-# ---------------------------------------------------------------------------
-# Train/valid/test split: per-doc stable assignment + per-split counts
-# ---------------------------------------------------------------------------
-
 _SPLITS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
-_SPLIT_ORACLE = f"""
-WITH a AS (
-    SELECT doc_id,
-           CASE WHEN {_u_sql("concat(CAST(doc_id AS VARCHAR), ':split')")} < 0.8 THEN 'train'
-                WHEN {_u_sql("concat(CAST(doc_id AS VARCHAR), ':split')")} < {0.8 + 0.1!r} THEN 'valid'
-                ELSE 'test' END AS split
-    FROM documents
-)
-SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
-FROM a GROUP BY split
+_ASSIGN_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN {_u_sql("concat(CAST(doc_id AS VARCHAR), ':split')")} < 0.8 THEN 'train'
+            WHEN {_u_sql("concat(CAST(doc_id AS VARCHAR), ':split')")} < {0.8 + 0.1!r} THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST({_u_sql("CAST(doc_id AS VARCHAR)")} < {_SAMPLE_F} AS INTEGER) AS in_sample
+FROM documents
 """
 
 
-@register("split_train_valid_test", _SPLIT_ORACLE)
-def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("curation_assign", _ASSIGN_ORACLE)
+def curation_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return (
-        SMP.assign_split(docs, "doc_id", _SPLITS)
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-        )
+    return SMP.assign_split(docs, "doc_id", _SPLITS).select(
+        "doc_id",
+        "source",
+        "split",
+        (SMP.hash_unit(F.col("doc_id")) < F.lit(_SAMPLE_F)).cast("int").alias("in_sample"),
     )
 
 

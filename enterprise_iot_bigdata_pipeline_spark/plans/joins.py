@@ -18,106 +18,41 @@ from enterprise_iot_bigdata_pipeline_spark.functions.parity import DSUM_SQL, dsu
 from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
-# --- Star-schema rollup through three broadcast dimension hops -------------
+# --- Semi + anti join in one tagged plan: "customers with at least one
+#     order" (EXISTS — the set-theoretic reading of the reference's
+#     pending-keys predicate, F7) and "customers with no orders"
+#     (uploaded ANTI processed). Neither side materializes the right
+#     table; both probes share one orders scan. Round-3 consolidation of
+#     join_semi + join_anti. The broadcast-dimension-star and plain
+#     fact-fact SMJ shapes retired this round stay covered:
+#     join_five_way / join_top_revenue broadcast every dimension hop, and
+#     join_large_orders is a pure lineitem⋈orders shuffle join. ------------
 
 
 @register(
-    "join_broadcast_star",
-    f"""
-    SELECT r_name, n_name,
-           count(*) AS n_orders,
-           {DSUM_SQL("o_totalprice")} AS total_price
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY r_name, n_name
-    """,
-)
-def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    customer = t(spark, sf_dir, "customer")
-    nation = t(spark, sf_dir, "nation")
-    region = t(spark, sf_dir, "region")
-    return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
-        )
-    )
-
-
-# --- Fact-fact join (shuffle / sort-merge on the key) -----------------------
-
-
-@register(
-    "join_fact_fact",
-    f"""
-    SELECT o_orderpriority,
-           count(DISTINCT o_orderkey) AS n_orders,
-           {DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS revenue
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    WHERE o_orderstatus = 'O'
-    GROUP BY o_orderpriority
-    """,
-)
-def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            dsum(revenue).alias("revenue"),
-        )
-    )
-
-
-# --- Semi join: "customers with at least one order" — the set-theoretic
-#     reading of the reference's pending-keys predicate (F7): EXISTS without
-#     materializing the right side. -----------------------------------------
-
-
-@register(
-    "join_semi",
+    "join_semi_anti",
     """
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT 'with_orders' AS branch, c_custkey, c_name, c_mktsegment
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-
-
-# --- Anti join: "customers with no orders" = uploaded ANTI processed --------
-
-
-@register(
-    "join_anti",
-    """
-    SELECT c_custkey, c_name, c_acctbal
+    UNION ALL
+    SELECT 'no_orders', c_custkey, c_name, c_mktsegment
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_acctbal"
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("with_orders").alias("branch"), "c_custkey", "c_name", "c_mktsegment")
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("no_orders").alias("branch"), "c_custkey", "c_name", "c_mktsegment")
+    )
+    return semi.unionByName(anti)
 
 
 # --- TPC-H Q3-shaped: top-10 revenue (join + agg + deterministic top-k) ----
@@ -196,39 +131,11 @@ def join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- TPC-H Q10-shaped: top customers by returned-item revenue ---------------
-
-
-@register(
-    "join_returned_customers",
-    f"""
-    SELECT c_custkey, c_name,
-           {DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS lost_revenue
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE l_returnflag = 'R'
-    GROUP BY c_custkey, c_name
-    ORDER BY lost_revenue DESC, c_custkey
-    LIMIT 20
-    """,
-)
-def join_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(dsum(revenue).alias("lost_revenue"))
-        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
 # --- TPC-H Q5-shaped: 5-way join with a co-nation constraint ---------------
+# (The Q10 returned-customers shape — filtered fact⋈fact⋈broadcast-dim +
+#  group + deterministic top-k — is operator-identical to join_top_revenue
+#  above on the same three tables; its round-1/2 slot was retired in the
+#  round-3 registry consolidation.)
 
 
 @register(

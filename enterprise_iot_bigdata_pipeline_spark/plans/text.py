@@ -67,6 +67,16 @@ _SHINGLE_INT = "CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)"
 # Per-document text metrics (token counts, ratios, quality, lang, fingerprint)
 # ---------------------------------------------------------------------------
 
+_NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+_ROLLING_SQL = f"""list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   list_filter(string_split({_NORM_TEXT}, ''), c -> c != ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {{B}} + c) % {{P}}
+       )"""
+
 _METRICS_ORACLE = f"""
 SELECT
     doc_id,
@@ -78,7 +88,8 @@ SELECT
       + 0.3::DOUBLE * (1.0::DOUBLE - {_PUNCT_RATIO})
       + 0.3::DOUBLE * {_STOP_RATIO}, 9) AS quality_score,
     {_LANG_CASE} AS lang_pred,
-    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    md5({_NORM_TEXT}) AS fingerprint,
+    {_ROLLING_SQL.format(B=X.ROLL_B, P=X.ROLL_P)} AS rolling_hash
 FROM documents
 """
 
@@ -152,9 +163,13 @@ def staged_metrics(docs: DataFrame) -> DataFrame:
 
 @register("text_metrics", _METRICS_ORACLE)
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc metrics battery; the polynomial rolling-hash fingerprint
+    (round-1/2's standalone `text_rolling_hash`) rides along as one more
+    map-side column — same scan, one fewer registry slot."""
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
-    return staged_metrics(fan_out(t(spark, sf_dir, "documents"))).select(
+    staged = staged_metrics(fan_out(t(spark, sf_dir, "documents")))
+    return staged.select(
         "doc_id",
         "n_tokens",
         "n_bpe_tokens",
@@ -163,34 +178,8 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         "lang_pred",
         "fingerprint",
+        X.rolling_fingerprint(F.col("text")).alias("rolling_hash"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Rolling-hash fingerprint (polynomial fold over normalized char codes)
-# ---------------------------------------------------------------------------
-
-_NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
-
-_ROLLING_ORACLE = f"""
-SELECT doc_id,
-       list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-               list_transform(
-                   list_filter(string_split({_NORM_TEXT}, ''), c -> c != ''),
-                   c -> CAST(ascii(c) AS BIGINT))),
-           (acc, c) -> (acc * {X.ROLL_B} + c) % {X.ROLL_P}
-       ) AS rolling_hash
-FROM documents
-"""
-
-
-@register("text_rolling_hash", _ROLLING_ORACLE)
-def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
-
-    docs = fan_out(t(spark, sf_dir, "documents"))
-    return docs.select("doc_id", X.rolling_fingerprint(F.col("text")).alias("rolling_hash"))
 
 
 # ---------------------------------------------------------------------------
@@ -312,14 +301,6 @@ sums AS (
 sims AS (SELECT doc, {_simhash_bits} AS simhash FROM sums)
 """
 
-_SIMHASH_ORACLE = f"WITH {_SIMHASH_CTE} SELECT doc, simhash FROM sims"
-
-
-@register("dedup_simhash", _SIMHASH_ORACLE)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
-
-
 _CHUNKS, _MAX_HAMMING = 4, 6
 _WIDTH = D.SIMHASH_BITS // _CHUNKS
 
@@ -328,25 +309,46 @@ _chunk_selects = "\n    UNION ALL\n".join(
     for c in range(_CHUNKS)
 )
 
-_SIMHASH_PAIRS_ORACLE = f"""
+# Round-3 consolidation: the full-table fingerprints (every doc's 64-bit
+# simhash — round-1/2's `dedup_simhash`) and the pigeonhole-banded
+# hamming pairs (`dedup_simhash_pairs`) share one tagged output so one
+# correctness row verifies both the map-side fold and the banding join.
+_SIMHASH_SUITE_ORACLE = f"""
 WITH {_SIMHASH_CTE},
 chunks AS (
     {_chunk_selects}
+),
+pairs AS (
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
+    )
+    WHERE hamming <= {_MAX_HAMMING}
 )
-SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (
-    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM chunks a JOIN chunks b
-      ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
-)
-WHERE hamming <= {_MAX_HAMMING}
+SELECT 'fingerprint' AS kind, doc AS a, CAST(NULL AS BIGINT) AS b, simhash AS v FROM sims
+UNION ALL
+SELECT 'pair', doc_a, doc_b, CAST(hamming AS BIGINT) FROM pairs
 """
 
 
-@register("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("dedup_simhash", _SIMHASH_SUITE_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = D.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
-    return D.simhash_pairs(sims, _MAX_HAMMING, _CHUNKS)
+    fingerprints = sims.select(
+        F.lit("fingerprint").alias("kind"),
+        F.col("doc").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("simhash").alias("v"),
+    )
+    pairs = D.simhash_pairs(sims, _MAX_HAMMING, _CHUNKS).select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("hamming").cast("long").alias("v"),
+    )
+    return fingerprints.unionByName(pairs)
 
 
 # ---------------------------------------------------------------------------

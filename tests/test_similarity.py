@@ -50,11 +50,12 @@ def test_similar_pairs_exact_guard(spark):
 
 
 def test_registered_similar_pairs_has_no_nested_loop(spark):
-    """The registered embedding_similar_pairs query must plan as an LSH
-    bucket equi-join — no nested-loop/cartesian anywhere in the plan."""
+    """The registered embedding near-dup query (multi-round LSH union)
+    must plan as LSH bucket equi-joins — no nested-loop/cartesian
+    anywhere in the plan."""
     from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
 
-    df = all_queries()["embedding_similar_pairs"](spark, SF_CORRECT)
+    df = all_queries()["dedup_embedding_multiround"](spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

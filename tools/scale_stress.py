@@ -22,7 +22,7 @@ SF = "/root/testdata/sf0.1"
 STRESSED = [
     "flagship_minute_resample",
     "agg_pricing_summary",
-    "join_fact_fact",
+    "join_semi_anti",
     "window_sessionize",
     "dedup_minhash_lsh",
     "text_metrics",
@@ -33,14 +33,19 @@ STRESSED = [
 MAIN_TABLE = {
     "flagship_minute_resample": "events",
     "agg_pricing_summary": "lineitem",
-    "join_fact_fact": "lineitem",
+    "join_semi_anti": "orders",
     "window_sessionize": "events",
     "dedup_minhash_lsh": "documents",
     "text_metrics": "documents",
     "pipeline_curate_corpus": "documents",
     "join_large_orders": "lineitem",
 }
-ID_COLS = {"events": "event_id", "lineitem": "l_orderkey", "documents": "doc_id"}
+ID_COLS = {
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+    "documents": "doc_id",
+    "orders": "o_orderkey",
+}
 
 
 def main() -> None:
