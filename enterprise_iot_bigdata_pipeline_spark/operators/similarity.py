@@ -83,27 +83,27 @@ def random_projection_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket"))
 
 
-def train_coarse_quantizer(
-    corpus: DataFrame,
-    vec_col: str,
-    n_clusters: int,
-    seed: int = 7,
-    sample_n: int = 65_536,
-    max_iter: int = 10,
-) -> list[list[float]]:
-    """k-means centroids for an IVF coarse quantizer, trained driver-side
-    on a BOUNDED sample (standard IVF practice — FAISS trains quantizers on
-    ~256·k sampled vectors regardless of corpus size, because centroid
-    quality saturates and the model is only n_clusters × dim floats).
-    The collect is capped at ``sample_n`` rows, so this stays O(1) in
-    corpus size; everything downstream (assignment, probing, candidate
-    join) remains distributed."""
+def centroid_norms2(centroids: list[list[float]]) -> list[float]:
+    """Per-centroid squared norm via a plain left-associated Python loop —
+    the exact float the oracle-SQL generator embeds as a literal, so both
+    engines subtract/add the identical double."""
+    out = []
+    for cent in centroids:
+        acc = 0.0
+        for x in cent:
+            acc = acc + x * x
+        out.append(acc)
+    return out
+
+
+def kmeans_lloyd(sample, n_clusters: int, seed: int = 7, max_iter: int = 10):
+    """Plain-numpy Lloyd's k-means on an in-memory sample. Shared by the
+    Spark-side trainer below and the offline quantizer build
+    (``tools/train_ivf_quantizer.py``) so both produce identical centroids
+    from identical samples."""
     import numpy as np
 
-    sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_n).collect()],
-        dtype="float64",
-    )
+    sample = np.asarray(sample, dtype="float64")
     rnd = np.random.RandomState(seed)
     cents = sample[rnd.choice(len(sample), n_clusters, replace=False)]
     for _ in range(max_iter):
@@ -120,6 +120,25 @@ def train_coarse_quantizer(
             break
         cents = new
     return [[float(x) for x in c] for c in cents]
+
+
+def train_coarse_quantizer(
+    corpus: DataFrame,
+    vec_col: str,
+    n_clusters: int,
+    seed: int = 7,
+    sample_n: int = 65_536,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """k-means centroids for an IVF coarse quantizer, trained driver-side
+    on a BOUNDED sample (standard IVF practice — FAISS trains quantizers on
+    ~256·k sampled vectors regardless of corpus size, because centroid
+    quality saturates and the model is only n_clusters × dim floats).
+    The collect is capped at ``sample_n`` rows, so this stays O(1) in
+    corpus size; everything downstream (assignment, probing, candidate
+    join) remains distributed."""
+    sample = [r[0] for r in corpus.select(vec_col).limit(sample_n).collect()]
+    return kmeans_lloyd(sample, n_clusters, seed=seed, max_iter=max_iter)
 
 
 def ivf_topk(
@@ -154,15 +173,28 @@ def ivf_topk(
     # Arrow-batched pandas UDF beats an interpreted higher-order-function
     # ladder over n_clusters × dim literals by orders of magnitude, and the
     # centroid matrix ships once per task in the UDF closure.
+    #
+    # Summation is an explicit left-associated dimension loop (NOT BLAS
+    # matmul): the DuckDB oracle evaluates the unrolled distance expression
+    # left-to-right, and matching the operation order bit-for-bit keeps
+    # argmin/argsort identical across engines without rounding heuristics.
     import numpy as np
     import pandas as pd
 
     C = np.asarray(centroids, dtype="float64")  # n_clusters × dim
-    c2 = (C * C).sum(axis=1)
+    c2 = centroid_norms2(centroids)
 
     def _ranked(vecs):
         M = np.stack(vecs.to_numpy()).astype("float64")  # batch × dim
-        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c2[None, :]
+        n2 = np.zeros(len(M))
+        for i in range(C.shape[1]):
+            n2 = n2 + M[:, i] * M[:, i]
+        d2 = np.empty((len(M), len(C)))
+        for c in range(len(C)):
+            dot = np.zeros(len(M))
+            for i in range(C.shape[1]):
+                dot = dot + M[:, i] * C[c, i]
+            d2[:, c] = (n2 - 2.0 * dot) + c2[c]
         order = np.argsort(d2, kind="stable", axis=1)
         return pd.Series(list(order.astype("int32")))
 

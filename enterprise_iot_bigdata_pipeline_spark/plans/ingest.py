@@ -179,14 +179,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A real Structured Streaming execution (rows-only): file-source stream over
-# the events table, availableNow trigger, windowed count into a memory sink.
+# A real Structured Streaming execution: file-source stream over the events
+# table, availableNow trigger, windowed count into a memory sink. Over a
+# static input with a complete-mode sink the result is batch-expressible, so
+# it gets a full DuckDB oracle (the streaming machinery — watermark, trigger,
+# state store — is still what executes on the Spark side).
 # ---------------------------------------------------------------------------
 
+_STREAM_HOUR_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
 
-@register("streaming_hour_agg")
+
+@register("streaming_hour_agg", _STREAM_HOUR_ORACLE)
 def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
     static = t(spark, sf_dir, "events")
@@ -194,28 +206,40 @@ def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table via symlink (no data copy).
     stage = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
-    stream = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        ).parquet(stage)
-    )
-    # ns→µs conversion as in plans.tables (stream schema carries the raw
-    # long); watermarks require TIMESTAMP (not NTZ) — UTC session is pinned.
-    if dict(static.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
-    )
-    name = f"stream_agg_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    try:
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            ).parquet(stage)
+        )
+        # ns→µs conversion as in plans.tables (stream schema carries the raw
+        # long); watermarks require TIMESTAMP (not NTZ) — UTC session is pinned.
+        if dict(static.dtypes).get("ts") == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                # NTZ cast mirrors flagship_minute_resample: window starts are
+                # UTC-aligned (tables.t pins the session to UTC), matching
+                # DuckDB's naive date_trunc over the TIMESTAMP(NANOS) column.
+                F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        name = f"stream_agg_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Memory sink rows live on the driver — safe to drop the staged input
+        # dir right away (no /tmp leak per run).
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
