@@ -166,16 +166,47 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal feature extraction through the Arrow/mapInPandas path
-# (rows-only: byte-entropy isn't worth expressing in SQL).
+# Multimodal encode→decode round-trip through the Arrow/mapInPandas path:
+# synthesize REAL media files (binary P6 PPM / 16-bit PCM RIFF WAV) from
+# deterministic ramp content, then decode them with the pure-Python parsers
+# (magic-byte dispatch — no codec library). The oracle recomputes the
+# expected geometry and content checksums directly from the text hash, so a
+# hash-green row proves encoder, parser, and the Spark plumbing agree.
+# (Replaces the rows-only `multimodal_features` slot from r2 — byte-stats
+# extract_features stays pytest-covered.)
 # ---------------------------------------------------------------------------
 
+_DECODE_ORACLE = """
+WITH m AS (
+    SELECT doc_id, CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN h % 2 = 0 THEN 'image/ppm' ELSE 'audio/wav' END AS media_type,
+       CASE WHEN h % 2 = 0 THEN CAST(h % 16 + 1 AS INTEGER) END AS width,
+       CASE WHEN h % 2 = 0 THEN CAST(h % 8 + 1 AS INTEGER) END AS height,
+       CASE WHEN h % 2 = 1 THEN CAST(8000 + (h % 8) * 1000 AS INTEGER) END AS sample_rate,
+       CASE WHEN h % 2 = 1 THEN CAST(1 AS INTEGER) END AS n_channels,
+       CAST(CASE WHEN h % 2 = 0 THEN 3 * (h % 16 + 1) * (h % 8 + 1)
+                 ELSE h % 256 + 64 END AS BIGINT) AS n_units,
+       CAST(CASE WHEN h % 2 = 0
+                 THEN list_sum(list_transform(generate_series(0, 3 * (h % 16 + 1) * (h % 8 + 1) - 1),
+                                              i -> (h + i) % 256))
+                 ELSE list_sum(list_transform(generate_series(0, h % 256 + 63),
+                                              i -> (h + 37 * i) % 65536 - 32768))
+            END AS BIGINT) AS checksum
+FROM m
+"""
 
-@register("multimodal_features")
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import extract_features
 
-    return extract_features(attach_fake_media(t(spark, sf_dir, "documents")))
+@register("multimodal_decode", _DECODE_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        attach_real_media,
+        decode_media,
+    )
+
+    return decode_media(attach_real_media(t(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,103 @@ def test_decode_image_gated():
     if not has_pil:
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG fake")
+    # uncompressed netpbm decodes natively regardless of codec availability
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import encode_ppm
+
+    img = decode_image(encode_ppm(2, 3, bytes(range(18))))
+    assert (img["width"], img["height"], img["n_channels"]) == (2, 3, 3)
+
+
+def test_ppm_roundtrip_and_tolerant_header():
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_ppm,
+        parse_ppm,
+    )
+
+    pixels = bytes((7 * i + 3) % 256 for i in range(3 * 5 * 4))
+    img = parse_ppm(encode_ppm(5, 4, pixels))
+    assert (img["width"], img["height"], img["maxval"]) == (5, 4, 255)
+    assert img["pixels"] == pixels
+    # spec-tolerant header: comments and arbitrary whitespace between tokens
+    commented = b"P6\n# made by hand\n  5\t4 # dims\n255\n" + pixels
+    img2 = parse_ppm(commented)
+    assert (img2["width"], img2["height"]) == (5, 4) and img2["pixels"] == pixels
+    with pytest.raises(ValueError):
+        parse_ppm(b"P6\n2 2\n255\n\x00\x01")  # truncated samples
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_wav,
+        parse_wav,
+    )
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 42], dtype=np.int16)
+    wav = parse_wav(encode_wav(16_000, samples))
+    assert wav["sample_rate"] == 16_000
+    assert wav["n_channels"] == 1 and wav["bits"] == 16
+    assert np.array_equal(wav["samples"], samples)
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxWAVE")  # no fmt/data chunks
+
+
+def test_decode_real_files_end_to_end(spark, tmp_path):
+    """REAL bytes on disk → binaryFile source → magic-dispatch decode: the
+    decoded geometry must match what was encoded, and decode_enrich must
+    fill the null width/height that extension-only metadata leaves."""
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        decode_enrich,
+        decode_media,
+        encode_ppm,
+        encode_wav,
+        read_media_dir,
+    )
+
+    pixels = bytes((i * 11) % 256 for i in range(3 * 9 * 6))
+    samples = np.arange(-500, 500, dtype=np.int16)
+    (tmp_path / "21.ppm").write_bytes(encode_ppm(9, 6, pixels))
+    (tmp_path / "34.wav").write_bytes(encode_wav(22_050, samples))
+
+    media = read_media_dir(spark, str(tmp_path), glob="*.{ppm,wav}")
+    decoded = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert decoded[21]["media_type"] == "image/ppm"
+    assert (decoded[21]["width"], decoded[21]["height"]) == (9, 6)
+    assert decoded[21]["n_units"] == len(pixels)
+    assert decoded[21]["checksum"] == sum(pixels)
+    assert decoded[34]["media_type"] == "audio/wav"
+    assert decoded[34]["sample_rate"] == 22_050
+    assert decoded[34]["n_units"] == len(samples)
+    assert decoded[34]["checksum"] == int(samples.sum())
+
+    enriched = {r["doc_id"]: r for r in decode_enrich(media).collect()}
+    assert enriched[21]["meta"]["width"] == 9 and enriched[21]["meta"]["height"] == 6
+    assert enriched[34]["meta"]["media_type"] == "audio/wav"
+
+
+def test_attach_real_media_decode_roundtrip(spark):
+    """Synthetic real-media path: encoded payloads are valid files whose
+    decoded geometry matches the deterministic spec."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        attach_real_media,
+        decode_media,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    docs = t(spark, SF_SMOKE, "documents").limit(40)
+    out = decode_media(attach_real_media(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        if r["media_type"] == "image/ppm":
+            assert 1 <= r["width"] <= 16 and 1 <= r["height"] <= 8
+            assert r["n_units"] == 3 * r["width"] * r["height"]
+        else:
+            assert r["media_type"] == "audio/wav"
+            assert 8000 <= r["sample_rate"] <= 15000
+            assert 64 <= r["n_units"] < 320
 
 
 def test_read_media_dir_binary_file_source(spark, tmp_path):
