@@ -83,6 +83,13 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     dropped. One pass is closed under movement — every misfiled row's
     current partition is by definition a bad period, so no row can move to
     a partition outside bad ∪ target.
+
+    Dynamic overwrite only replaces partitions PRESENT in the output, so a
+    (hiveperiod, dstrct_code) partition whose rows were ALL misfiled — zero
+    rows left after recomputation — would silently survive with its stale
+    files. Those emptied source partitions are deleted explicitly after the
+    write (bad-partition set minus the write's output-partition set),
+    through the Hadoop FileSystem API so the path works on HDFS/S3A too.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     lake = spark.read.parquet(root)
@@ -90,17 +97,26 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     affected = (
         lake.withColumn("accurate", accurate)
         .filter(F.col("hiveperiod") != F.col("accurate"))
-        .select(F.col("hiveperiod").alias("bad_period"), F.col("accurate").alias("target_period"))
+        .select(
+            F.col("hiveperiod").alias("bad_period"),
+            F.col("dstrct_code").alias("bad_dstrct"),
+            F.col("accurate").alias("target_period"),
+        )
         .distinct()
     )
     moves = affected.collect()  # partition list: tiny, control plane
     if not moves:
         return 0
-    periods = {str(r["bad_period"]) for r in moves} | {str(r["target_period"]) for r in moves}
+    bad_parts = {(str(r["bad_period"]), str(r["bad_dstrct"])) for r in moves}
+    periods = {p for p, _ in bad_parts} | {str(r["target_period"]) for r in moves}
     subset = lake.filter(F.col("hiveperiod").isin(sorted(periods)))
     # Rows whose accurate date can't be computed (null heartbeat) keep
     # their current partition instead of migrating to the null partition.
     fixed = subset.withColumn("hiveperiod", F.coalesce(accurate, F.col("hiveperiod")))
+    out_parts = {
+        (str(r["hiveperiod"]), str(r["dstrct_code"]))
+        for r in fixed.select(*PARTITION_COLS).distinct().collect()
+    }
     n = fixed.count()
     (
         fixed.repartition(*[F.col(c) for c in PARTITION_COLS])
@@ -109,7 +125,26 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
         .partitionBy(*PARTITION_COLS)
         .parquet(root)
     )
+    _delete_partition_dirs(spark, root, bad_parts - out_parts)
     return n
+
+
+def _delete_partition_dirs(spark: SparkSession, root: str, parts) -> None:
+    """Remove (hiveperiod, dstrct_code) partition directories (and a parent
+    hiveperiod dir left childless) via Hadoop FileSystem — storage-agnostic."""
+    if not parts:
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for period, dstrct in sorted(parts):
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{root}/hiveperiod={period}/dstrct_code={dstrct}"
+        )
+        fs = p.getFileSystem(conf)
+        fs.delete(p, True)
+        parent = p.getParent()
+        if fs.exists(parent) and len(fs.listStatus(parent)) == 0:
+            fs.delete(parent, True)
 
 
 def compact_partitions(spark: SparkSession, root: str, target_files: int = 1) -> None:

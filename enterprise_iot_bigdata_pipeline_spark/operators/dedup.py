@@ -307,11 +307,20 @@ def incremental_exact_dedup(
     data pipeline runs on every ingest cycle instead of re-deduping 100 TB
     from scratch.
 
-    The index holds (fingerprint, keep_id) only — content hashes, not
-    content — so it is a small fraction of corpus size; the novelty check
-    is a left-anti equi-join on fingerprint. The advanced index publishes
-    via ``commitlog.overwrite_atomic`` (same replay-skip semantics as
-    ``merge_rollup`` when ``epoch_id`` is passed from ``foreachBatch``).
+    The index holds (fingerprint, keep_id, added_epoch) only — content
+    hashes, not content — so it is a small fraction of corpus size; the
+    novelty check is a left-anti equi-join on fingerprint. The advanced
+    index publishes via ``commitlog.overwrite_atomic``.
+
+    Crash-safety of the returned novel set: each index row records the
+    epoch that introduced it, so the novel set is PART of the same atomic
+    rename that commits the epoch marker — there is no window where the
+    epoch is committed but the batch's novel docs are unrecoverable. A
+    replayed epoch (at-least-once ``foreachBatch``, or a downstream sink
+    that crashed before committing) re-derives the SAME novel frame from
+    the index's ``added_epoch`` rows instead of returning empty, so the
+    caller's sink can simply retry its write.
+
     Returns the batch's globally novel docs (min-id survivor per
     fingerprint within the batch). The novel set is localCheckpoint-ed
     before the index swap — its lineage reads the OLD index, which the
@@ -323,22 +332,37 @@ def incremental_exact_dedup(
         path_exists,
     )
 
+    def _with_epoch_col(df: DataFrame) -> DataFrame:
+        if "added_epoch" in df.columns:
+            return df
+        return df.withColumn("added_epoch", F.lit(None).cast("long"))
+
     if epoch_id is not None:
         last = committed_epoch(spark, index_path)
         if last is not None and int(epoch_id) <= last:
-            return new_docs.limit(0)  # replayed batch: already merged
+            # Replayed batch: the index already contains this epoch's rows —
+            # reproduce the novel frame from them (idempotent, loss-free).
+            replay_keeps = (
+                _with_epoch_col(spark.read.parquet(index_path))
+                .filter(F.col("added_epoch") == int(epoch_id))
+                .select(F.col("keep_id").alias(id_col))
+            )
+            return new_docs.join(replay_keeps, id_col, "left_semi")
+    epoch_lit = F.lit(int(epoch_id)).cast("long") if epoch_id is not None else F.lit(None).cast("long")
     batch = new_docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint")
     )
     survivors = batch.groupBy("fingerprint").agg(F.min(id_col).alias("keep_id"))
     if path_exists(spark, index_path):
-        known = spark.read.parquet(index_path)
-        fresh = survivors.join(
-            known.select("fingerprint"), "fingerprint", "left_anti"
-        ).localCheckpoint()
+        known = _with_epoch_col(spark.read.parquet(index_path))
+        fresh = (
+            survivors.join(known.select("fingerprint"), "fingerprint", "left_anti")
+            .withColumn("added_epoch", epoch_lit)
+            .localCheckpoint()
+        )
         overwrite_atomic(spark, known.unionByName(fresh), index_path, epoch_id=epoch_id)
     else:
-        fresh = survivors.localCheckpoint()
+        fresh = survivors.withColumn("added_epoch", epoch_lit).localCheckpoint()
         overwrite_atomic(spark, fresh, index_path, epoch_id=epoch_id)
     return new_docs.join(
         fresh.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"

@@ -175,6 +175,44 @@ def test_repair_preserves_target_partition_rows(spark, tmp_path):
     assert survivors == {"moved", "ok-target-1", "ok-target-2"}
 
 
+def test_repair_deletes_fully_misfiled_partition(spark, tmp_path):
+    """A partition whose rows are ALL misfiled produces zero output rows, so
+    dynamic overwrite never touches it — its stale directory must be deleted
+    explicitly or every row in it survives as a duplicate (round-2 advice)."""
+    import glob
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+        audit_misfiled,
+        repair_misfiled,
+    )
+
+    root = str(tmp_path / "lake")
+    hb_mar2_early = int(datetime(2024, 3, 1, 22, 0, 0, tzinfo=timezone.utc).timestamp())  # +8h → Mar 2
+    hb_mar2 = int(datetime(2024, 3, 2, 2, 0, 0, tzinfo=timezone.utc).timestamp())
+    df = spark.createDataFrame(
+        [
+            (hb_mar2_early, "moved-1"),  # Mar 1 partition: ALL rows misfiled
+            (hb_mar2_early, "moved-2"),
+            (hb_mar2, "ok-target"),      # correctly filed in Mar 2
+        ],
+        "heartbeat long, unitno string",
+    ).withColumn("dstrct_code", F.lit("DISTRICTB")).withColumn(
+        "hiveperiod",
+        F.when(F.col("unitno") == "ok-target", F.lit("2024-03-02"))
+        .otherwise(F.lit("2024-03-01"))
+        .cast("date"),
+    )
+    df.write.partitionBy("hiveperiod", "dstrct_code").parquet(root)
+
+    repair_misfiled(spark, root)
+    fixed = spark.read.parquet(root)
+    assert audit_misfiled(fixed).count() == 0
+    assert fixed.count() == 3  # no duplicates: the stale Mar 1 files are gone
+    assert sorted(r["unitno"] for r in fixed.collect()) == ["moved-1", "moved-2", "ok-target"]
+    # the emptied partition directory itself was removed
+    assert glob.glob(f"{root}/hiveperiod=2024-03-01*") == []
+
+
 def test_compact_partitions_single_file(spark, tmp_path):
     from enterprise_iot_bigdata_pipeline_spark.operators.compaction import compact_partitions
 

@@ -88,9 +88,10 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
 def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     """Continuous-ingest dedup against a persisted fingerprint index:
     batch 2 drops docs whose content arrived in batch 1, the index
-    advances atomically, and a replayed epoch contributes nothing."""
-    from pyspark.sql import functions as F
-
+    advances atomically, and a replayed epoch reproduces its novel set
+    (idempotent — a downstream sink that crashed before committing can
+    retry with the identical frame; round-2 advice: the novel set commits
+    in the SAME atomic rename as the epoch marker, via added_epoch rows)."""
     from enterprise_iot_bigdata_pipeline_spark.operators.dedup import incremental_exact_dedup
 
     idx = str(tmp_path / "fp_index")
@@ -111,7 +112,12 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     # index now covers all three contents
     assert spark.read.parquet(idx).count() == 3
 
-    # replay of epoch 1: skipped, index unchanged, nothing novel
+    # replay of epoch 1: index unchanged, and the SAME novel frame comes
+    # back so a crashed downstream sink loses nothing on retry
     replay = incremental_exact_dedup(spark, b2, idx, "text", "doc_id", epoch_id=1)
-    assert replay.count() == 0
+    assert {r["doc_id"] for r in replay.collect()} == {11}
     assert spark.read.parquet(idx).count() == 3
+
+    # even an older epoch replays its own novel set, not epoch 1's
+    replay0 = incremental_exact_dedup(spark, b1, idx, "text", "doc_id", epoch_id=0)
+    assert {r["doc_id"] for r in replay0.collect()} == {1, 2}
