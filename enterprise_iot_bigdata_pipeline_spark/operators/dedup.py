@@ -369,6 +369,31 @@ def incremental_exact_dedup(
     )
 
 
+def _ckpt_leaf(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` + rebuild as a fresh leaf WITHOUT origin stats.
+
+    ``Dataset.localCheckpoint`` carries the origin plan's size estimate
+    into the ``LogicalRDD`` leaf. In an iterative self-join loop those
+    estimates MULTIPLY every round (join size = left × right, so the
+    estimate's bit-length doubles per join) until the BigInteger stats
+    arithmetic itself OOMs the driver — long before any real data would.
+    Rebuilding the frame from the checkpointed InternalRow RDD resets the
+    estimate to the scan default while reusing the materialized blocks
+    (no recompute, JVM-side only — rows never cross into Python)."""
+    ck = df.localCheckpoint()
+    try:
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        clean = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(clean, spark)
+    except Exception:
+        # private-API drift: fall back to the plain checkpoint (correct,
+        # but pathological graphs may hit the stats blowup above)
+        return ck
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -379,20 +404,28 @@ def connected_components(
     where component = min doc id reachable through the pair graph — the
     canonical survivor of each near-dup cluster.
 
-    Iterative min-label propagation (the GraphFrames/Pregel shape): each
-    round every node takes the min of its own label and its neighbors'
-    labels; converges in O(component diameter) rounds — near-dup clusters
-    are shallow (stars/cliques), so a handful of shuffles. No driver-side
-    data, only a convergence counter. ``max_iter`` bounds pathological
-    chains.
+    The Shiloach–Vishkin shape — each outer round HOOKS at tree level
+    (aggregate the minimum neighbor-label per current ROOT, so an entire
+    label tree adopts the smallest label any of its members can see across
+    any edge) then fully PATH-COMPRESSES (label(v) ← label(label(v))
+    iterated to fixpoint, doubling pointer depth per jump). Hooking by
+    root is what makes rounds logarithmic: trees merge with adjacent trees
+    wholesale, so the tree count at least halves per round — a
+    diameter-200 chain converges in ~7 rounds where plain min-propagation
+    needs 200 (and per-NODE hooking stalls at a linear tail of a few
+    stubborn stars). Exhausting ``max_iter`` raises instead of silently
+    returning partial components.
 
-    Per-round cost discipline: edges are hash-partitioned by ``src`` once
-    and cached (InMemoryRelation preserves the partitioning, so the
-    propagate join re-shuffles only the much smaller label frame), and
-    convergence is a flag computed inside the label update itself — the
-    ``limit(1)`` probe reads the freshly cached frame instead of
-    re-joining new labels against old. Duplicate input pairs are
-    tolerated (min-aggregation is idempotent).
+    Cost discipline: edges are hash-partitioned by ``src`` once and cached
+    (InMemoryRelation preserves the partitioning, so the hook join
+    re-shuffles only the much smaller label frame); jump steps touch ONLY
+    the label frame (no edge join). Every produced label frame is
+    ``localCheckpoint``-ed: the jump self-joins its input — without a leaf
+    there the logical plan would DOUBLE per iteration (rendering it OOMs a
+    1 GiB driver after ~10 rounds), and checkpointing keeps every plan
+    constant-depth. Convergence probes are ``limit(1)`` counts against the
+    just-checkpointed frame. Duplicate input pairs are tolerated
+    (min-aggregation is idempotent).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -400,39 +433,69 @@ def connected_components(
         .repartition("src")
         .persist()
     )
-    labels = (
+    labels = _ckpt_leaf(
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
-        .persist()
     )
     try:
-        prev = labels
         for _ in range(max_iter):
-            neighbor_min = (
+            # hook, tree-level: the min label flowing into ANY member of a
+            # tree updates the whole tree. (1) each edge delivers the
+            # source's label to dst; (2) attach dst's current root;
+            # (3) min per root; (4) every node whose label IS that root
+            # adopts the root's new minimum in the same join.
+            root_min = (
                 edges.join(labels, edges.src == labels.doc)
-                .groupBy(F.col("dst").alias("doc"))
-                .agg(F.min("label").alias("nbr_label"))
+                .select("dst", F.col("label").alias("nbr_label"))
+                .join(
+                    labels.select(F.col("doc").alias("dst"), F.col("label").alias("root")),
+                    "dst",
+                )
+                .groupBy("root")
+                .agg(F.min("nbr_label").alias("rmin"))
             )
-            flagged = (
-                labels.join(neighbor_min, "doc", "left")
+            stepped = _ckpt_leaf(
+                labels.join(root_min, labels.label == root_min.root, "left")
                 .select(
                     "doc",
+                    F.col("label").alias("label0"),
                     F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("label"),
-                    (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
-                        "_improved"
-                    ),
+                        F.col("label"), F.coalesce(F.col("rmin"), F.col("label"))
+                    ).alias("label1"),
                 )
-                .persist()
             )
-            changed = flagged.filter("_improved").limit(1).count()
-            prev.unpersist()
-            prev = flagged
-            labels = flagged.select("doc", "label")
-            if changed == 0:
-                break
-        return labels.select("doc", F.col("label").alias("component"))
+            improved = stepped.filter("label1 < label0").limit(1).count() > 0
+            if not improved:
+                # hook fixpoint ⇒ no tree sees a smaller label across any
+                # edge, and last round's compression already flattened the
+                # trees — converged, skip the jump loop entirely
+                return stepped.select("doc", F.col("label1").alias("component"))
+            cur = stepped.select("doc", F.col("label1").alias("label"))
+            # compress: label ← label(label) until fixpoint (pointer depth
+            # halves per jump, so this inner loop is O(log depth))
+            while True:
+                jump = cur.select(F.col("doc").alias("jdoc"), F.col("label").alias("jlabel"))
+                nxt = _ckpt_leaf(
+                    cur.join(jump, cur.label == jump.jdoc, "left")
+                    .select(
+                        "doc",
+                        F.least(
+                            F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                        ).alias("label"),
+                        (F.coalesce(F.col("jlabel"), F.col("label")) < F.col("label")).alias(
+                            "_jumped"
+                        ),
+                    )
+                )
+                jumped = nxt.filter("_jumped").limit(1).count() > 0
+                cur = nxt.select("doc", "label")
+                if not jumped:
+                    break
+            labels = cur
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} hook+compress "
+            "rounds — raise max_iter or check the pair graph for anomalies"
+        )
     finally:
         edges.unpersist()

@@ -65,6 +65,7 @@ def mark_success(
     key_col: str = "file_path_s3",
     status_col: str = "status",
     run_col: str = "run_id",
+    batch_size: int = 1000,
 ) -> int:
     """State write-back: SET status='SUCCESS' for the processed key set of
     one run, in ONE transaction (all keys or none — the claim semantics the
@@ -72,7 +73,10 @@ def mark_success(
     s3_datalog_processor.py:211-238). Returns rows updated.
 
     Driver-side by design: the key set is the control plane (≤ thousands
-    of rows per batch), not data-plane volume.
+    of rows per batch), not data-plane volume. Updates ride JDBC
+    ``addBatch``/``executeBatch`` in chunks of ``batch_size`` — one
+    round-trip per chunk instead of one per key — still inside the single
+    transaction.
     """
     conn = spark._jvm.java.sql.DriverManager.getConnection(url)
     try:
@@ -82,10 +86,14 @@ def mark_success(
             f"WHERE {run_col} = ? AND {key_col} = ?"
         )
         total = 0
-        for k in keys:
-            ps.setString(1, run_id)
-            ps.setString(2, k)
-            total += ps.executeUpdate()
+        for start in range(0, len(keys), batch_size):
+            for k in keys[start : start + batch_size]:
+                ps.setString(1, run_id)
+                ps.setString(2, k)
+                ps.addBatch()
+            # executeBatch returns per-statement update counts (or
+            # SUCCESS_NO_INFO = -2, which Derby doesn't emit for UPDATE)
+            total += sum(max(int(c), 0) for c in ps.executeBatch())
         conn.commit()
         ps.close()
         return total

@@ -134,9 +134,15 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert pending.count() == 3
 
     # the reference's intended update-by-key-set semantics: only run1's
-    # processed keys flip; run2 (same key-shape) is untouched
-    n = mark_success(spark, url, "tbl_t_upload_datalog", ["s3://a/1.gz", "s3://a/2.gz"], "run1")
-    assert n == 2
+    # processed keys flip; run2 (same key-shape) is untouched. batch_size=1
+    # forces the addBatch/executeBatch path across multiple chunks (the
+    # update counts must come from executeBatch's per-statement array).
+    n = mark_success(
+        spark, url, "tbl_t_upload_datalog",
+        ["s3://a/1.gz", "s3://a/2.gz", "s3://a/no-such-key.gz"], "run1",
+        batch_size=1,
+    )
+    assert n == 2  # the unmatched key contributes a 0 count, not an error
     after = {
         (r["FILE_PATH_S3"], r["STATUS"])
         for r in read_jdbc_query(
@@ -168,6 +174,26 @@ def test_connected_components_chain_and_star(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A chain of diameter 200 (way past the 25-round budget of plain
+    min-label propagation) must still converge — pointer jumping makes the
+    round count logarithmic in diameter (round-2 advice: lineage/diameter
+    hardening). Shuffled ids so labels don't happen to align with chain
+    order."""
+    import random
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import connected_components
+
+    ids = list(range(1000, 1201))
+    random.Random(13).shuffle(ids)
+    chain = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = connected_components(pairs, max_iter=15)
+    comp = got.select("component").distinct().collect()
+    assert [r["component"] for r in comp] == [1000]
+    assert got.count() == 201
 
 
 def test_hot_lsh_bucket_star_fallback(spark):
