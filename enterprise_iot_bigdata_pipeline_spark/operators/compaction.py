@@ -85,13 +85,27 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     a partition outside bad ∪ target.
 
     Dynamic overwrite only replaces partitions PRESENT in the output, so a
-    (hiveperiod, dstrct_code) partition whose rows were ALL misfiled — zero
-    rows left after recomputation — would silently survive with its stale
-    files. Those emptied source partitions are deleted explicitly after the
-    write (bad-partition set minus the write's output-partition set),
-    through the Hadoop FileSystem API so the path works on HDFS/S3A too.
+    partition whose rows were ALL misfiled — zero rows left after
+    recomputation — would silently survive with its stale files. Those
+    emptied source partitions are deleted explicitly after the write
+    (bad-partition set minus the write's output-partition set), through
+    the Hadoop FileSystem API so the path works on HDFS/S3A too.
+
+    Partition columns are DERIVED from the table's directory layout
+    (round-2 advice): an epoch-partitioned streaming target
+    (``ingest_epoch=…/hiveperiod=…/dstrct_code=…``) is rewritten under its
+    own full layout — misfiled rows move across hiveperiod *within* their
+    other partition values, and the dynamic overwrite keys on the real
+    partition tuple instead of leaving the epoch level's files behind.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pcols = table_partition_cols(spark, root) or PARTITION_COLS
+    if "hiveperiod" not in pcols:
+        raise ValueError(
+            f"repair_misfiled: lake at {root} has partition layout {pcols} "
+            "without a hiveperiod level — nothing to repair by event date"
+        )
+    other_cols = [c for c in pcols if c != "hiveperiod"]
     lake = spark.read.parquet(root)
     accurate = to_local(normalize_epoch_auto(F.col("heartbeat")), tz_hours).cast("date")
     affected = (
@@ -99,7 +113,7 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
         .filter(F.col("hiveperiod") != F.col("accurate"))
         .select(
             F.col("hiveperiod").alias("bad_period"),
-            F.col("dstrct_code").alias("bad_dstrct"),
+            *[F.col(c).alias(f"bad_{c}") for c in other_cols],
             F.col("accurate").alias("target_period"),
         )
         .distinct()
@@ -107,55 +121,97 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     moves = affected.collect()  # partition list: tiny, control plane
     if not moves:
         return 0
-    bad_parts = {(str(r["bad_period"]), str(r["bad_dstrct"])) for r in moves}
-    periods = {p for p, _ in bad_parts} | {str(r["target_period"]) for r in moves}
+
+    def _bad_tuple(r):
+        vals = {"hiveperiod": str(r["bad_period"])}
+        vals.update({c: str(r[f"bad_{c}"]) for c in other_cols})
+        return tuple(vals[c] for c in pcols)
+
+    bad_parts = {_bad_tuple(r) for r in moves}
+    periods = {str(r["bad_period"]) for r in moves} | {
+        str(r["target_period"]) for r in moves
+    }
     subset = lake.filter(F.col("hiveperiod").isin(sorted(periods)))
     # Rows whose accurate date can't be computed (null heartbeat) keep
     # their current partition instead of migrating to the null partition.
     fixed = subset.withColumn("hiveperiod", F.coalesce(accurate, F.col("hiveperiod")))
     out_parts = {
-        (str(r["hiveperiod"]), str(r["dstrct_code"]))
-        for r in fixed.select(*PARTITION_COLS).distinct().collect()
+        tuple(str(r[c]) for c in pcols)
+        for r in fixed.select(*pcols).distinct().collect()
     }
     n = fixed.count()
     (
-        fixed.repartition(*[F.col(c) for c in PARTITION_COLS])
+        fixed.repartition(*[F.col(c) for c in pcols])
         .write.mode("overwrite")
         .option("compression", "snappy")
-        .partitionBy(*PARTITION_COLS)
+        .partitionBy(*pcols)
         .parquet(root)
     )
-    _delete_partition_dirs(spark, root, bad_parts - out_parts)
+    _delete_partition_dirs(spark, root, pcols, bad_parts - out_parts)
     return n
 
 
-def _delete_partition_dirs(spark: SparkSession, root: str, parts) -> None:
-    """Remove (hiveperiod, dstrct_code) partition directories (and a parent
-    hiveperiod dir left childless) via Hadoop FileSystem — storage-agnostic."""
+def table_partition_cols(spark: SparkSession, root: str) -> tuple[str, ...]:
+    """Derive a lake's hive partition columns from its directory layout
+    (walk one ``col=value`` chain from the root). Lets the maintenance
+    operators below handle both plain ``(hiveperiod, dstrct_code)`` lakes
+    and epoch-partitioned streaming targets (``write_epoch_batch`` writes
+    ``ingest_epoch=…/hiveperiod=…/dstrct_code=…``) instead of silently
+    rewriting a mixed layout (round-2 advice)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(conf)
+    cols: list[str] = []
+    while True:
+        nxt = None
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if status.isDirectory() and "=" in name and not name.startswith("_"):
+                nxt = (name.split("=", 1)[0], status.getPath())
+                break
+        if nxt is None:
+            return tuple(cols)
+        cols.append(nxt[0])
+        p = nxt[1]
+
+
+def _delete_partition_dirs(spark: SparkSession, root: str, pcols, parts) -> None:
+    """Remove partition directories for the given value tuples (ordered as
+    ``pcols``), pruning ancestors left childless, via Hadoop FileSystem —
+    storage-agnostic."""
     if not parts:
         return
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for period, dstrct in sorted(parts):
-        p = jvm.org.apache.hadoop.fs.Path(
-            f"{root}/hiveperiod={period}/dstrct_code={dstrct}"
-        )
+    for values in sorted(parts):
+        rel = "/".join(f"{c}={v}" for c, v in zip(pcols, values))
+        p = jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}")
         fs = p.getFileSystem(conf)
         fs.delete(p, True)
         parent = p.getParent()
-        if fs.exists(parent) and len(fs.listStatus(parent)) == 0:
+        while (
+            parent.toString() != root.rstrip("/")
+            and fs.exists(parent)
+            and len(fs.listStatus(parent)) == 0
+        ):
             fs.delete(parent, True)
+            parent = parent.getParent()
 
 
 def compact_partitions(spark: SparkSession, root: str, target_files: int = 1) -> None:
     """Daily small-file compaction (the reference's TODO stub): rewrite
-    each partition into ~``target_files`` files, dynamic overwrite."""
+    each partition into ~``target_files`` files, dynamic overwrite. The
+    partition layout is derived from the table, so epoch-partitioned
+    streaming targets compact under their own full layout instead of
+    collapsing the epoch level into duplicated rows (round-2 advice)."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pcols = table_partition_cols(spark, root) or PARTITION_COLS
     lake = spark.read.parquet(root)
     (
-        lake.repartition(target_files, *[F.col(c) for c in PARTITION_COLS])
+        lake.repartition(target_files, *[F.col(c) for c in pcols])
         .write.mode("overwrite")
         .option("compression", "snappy")
-        .partitionBy(*PARTITION_COLS)
+        .partitionBy(*pcols)
         .parquet(root)
     )

@@ -54,6 +54,23 @@ def _ns_timestamp_cols(path: str) -> list[str]:
     return _NS_COLS[path]
 
 
+# Logical-plan nodes that imply an exchange (or stateful distribution) is
+# already in the frame's lineage. For such inputs the RDD-partition probe
+# below is NOT job-free (converting to an RDD under AQE materializes the
+# upstream shuffle stages) and its count can disagree with post-AQE
+# coalescing — so fan_out passes those frames through untouched.
+_WIDE_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Repartition",
+    "Union",
+    "Distinct",
+    "Deduplicate",
+)
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Rebalance a narrow scan across all cores before CPU-heavy per-row
     work (regex/hashing/vector math). Single-row-group parquet files are
@@ -61,12 +78,19 @@ def fan_out(df: DataFrame) -> DataFrame:
     one task, and for those the shuffle is cheap relative to the work it
     parallelizes.
 
-    Gated on the actual scan partition count: a production input that
-    already arrives in ≥ defaultParallelism partitions (many files / many
-    row groups) passes through untouched — inserting a full extra shuffle
-    ahead of every text/vector stage at 100 TB would be pure overhead.
-    The probe builds the RDD lineage but runs no job.
+    Gated two ways: (1) frames whose lineage already contains a wide node
+    (join/agg/window/…) pass through untouched — they are shuffle-
+    partitioned already, and probing them via ``.rdd`` under AQE would
+    materialize upstream stages (a hidden job) and read a pre-coalescing
+    partition count; (2) for scan-shaped frames (scan + narrow ops only,
+    where the RDD probe builds lineage but runs no job), inputs already in
+    ≥ defaultParallelism partitions pass through — inserting an extra
+    shuffle ahead of every text/vector stage at 100 TB would be pure
+    overhead.
     """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(node in plan for node in _WIDE_NODES):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -213,6 +213,56 @@ def test_repair_deletes_fully_misfiled_partition(spark, tmp_path):
     assert glob.glob(f"{root}/hiveperiod=2024-03-01*") == []
 
 
+def test_maintenance_on_epoch_partitioned_lake(spark, tmp_path):
+    """compact_partitions / repair_misfiled must derive the partition layout
+    from the table: an epoch-partitioned streaming target (ingest_epoch /
+    hiveperiod / dstrct_code) previously got rewritten keyed on only
+    (hiveperiod, dstrct_code), leaving duplicates beside the epoch files
+    (round-2 advice)."""
+    import glob
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+        audit_misfiled,
+        compact_partitions,
+        repair_misfiled,
+        table_partition_cols,
+    )
+
+    root = str(tmp_path / "epochlake")
+    hb_mar1 = int(datetime(2024, 3, 1, 2, 0, 0, tzinfo=timezone.utc).timestamp())
+    hb_mar2_early = int(datetime(2024, 3, 1, 22, 0, 0, tzinfo=timezone.utc).timestamp())
+    df = spark.createDataFrame(
+        [
+            (0, hb_mar1, "ok-e0"),
+            (0, hb_mar2_early, "moved-e0"),   # misfiled within epoch 0
+            (1, hb_mar1, "ok-e1"),
+        ],
+        "ingest_epoch long, heartbeat long, unitno string",
+    ).withColumn("dstrct_code", F.lit("DISTRICTB")).withColumn(
+        "hiveperiod", F.lit("2024-03-01").cast("date")
+    )
+    df.write.partitionBy("ingest_epoch", "hiveperiod", "dstrct_code").parquet(root)
+
+    assert table_partition_cols(spark, root) == ("ingest_epoch", "hiveperiod", "dstrct_code")
+
+    # compaction keeps the epoch level: no row duplication, layout intact
+    compact_partitions(spark, root)
+    assert spark.read.parquet(root).count() == 3
+    assert glob.glob(f"{root}/ingest_epoch=0/hiveperiod=*/dstrct_code=*") != []
+
+    # repair moves the misfiled row across hiveperiod WITHIN its epoch
+    n = repair_misfiled(spark, root)
+    assert n >= 1
+    fixed = spark.read.parquet(root)
+    assert audit_misfiled(fixed).count() == 0
+    assert fixed.count() == 3
+    moved = fixed.filter(F.col("unitno") == "moved-e0").collect()[0]
+    assert str(moved["hiveperiod"]) == "2024-03-02" and moved["ingest_epoch"] == 0
+    # epoch-1 partition untouched
+    ok_e1 = fixed.filter(F.col("unitno") == "ok-e1").collect()[0]
+    assert str(ok_e1["hiveperiod"]) == "2024-03-01" and ok_e1["ingest_epoch"] == 1
+
+
 def test_compact_partitions_single_file(spark, tmp_path):
     from enterprise_iot_bigdata_pipeline_spark.operators.compaction import compact_partitions
 

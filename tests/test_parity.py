@@ -47,3 +47,59 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_lsh_buckets_below_oracle_cap(spark, sf_dir):
+    """The LSH pair queries cap hot buckets (star fallback past max_bucket)
+    but their DuckDB oracles are uncapped all-pairs self-joins — they only
+    agree while NO bucket at the verified scale factors exceeds the cap.
+    This guard fails loudly if the test corpus ever grows a hot bucket, at
+    which point the oracle must mirror the cap (round-2 advice)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        minhash_signatures,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        random_projection_buckets,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", 16, 42)
+    band_cols = []
+    for b in range(4):
+        cols = [F.col(f"h{b * 4 + r}") for r in range(4)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("key"),
+            )
+        )
+    hottest_band = (
+        sigs.select(F.explode(F.array(*band_cols)).alias("bk"))
+        .groupBy("bk.band", "bk.key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert hottest_band <= DEFAULT_MAX_BUCKET, (
+        f"minhash band bucket of {hottest_band} members exceeds the "
+        f"{DEFAULT_MAX_BUCKET} cap at {sf_dir}: oracle and query diverge"
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    for seed in (7, 7 + 101):  # both multiround plane seeds
+        hottest_emb = (
+            random_projection_buckets(emb, seed=seed)
+            .groupBy("bucket")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert hottest_emb <= DEFAULT_MAX_BUCKET, (
+            f"embedding LSH bucket of {hottest_emb} members (seed {seed}) "
+            f"exceeds the {DEFAULT_MAX_BUCKET} cap at {sf_dir}"
+        )

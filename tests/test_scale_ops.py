@@ -62,16 +62,24 @@ def test_merge_into_whole_table_no_driver_collect(spark, tmp_path):
     assert not os.path.exists(root + ".__swap_old__")
 
 
-def test_fan_out_gates_on_partition_count(spark):
-    """fan_out repartitions only genuinely narrow inputs; a dataset that
-    already arrives wide passes through with no extra shuffle."""
+def test_fan_out_gates_on_partition_count(spark, tmp_path):
+    """fan_out repartitions only genuinely narrow SCANS: a single-file
+    parquet scan (one task) fans out to defaultParallelism; any frame whose
+    lineage already contains a wide node — shuffle-partitioned, and not
+    job-free to probe under AQE (round-2 advice) — passes through as-is."""
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
     par = spark.sparkContext.defaultParallelism
     wide = spark.range(1000).repartition(par)
     assert fan_out(wide) is wide  # untouched — no Exchange inserted
-    narrow = spark.range(1000).coalesce(1)
-    assert fan_out(narrow).rdd.getNumPartitions() == par
+    agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    assert fan_out(agg) is agg  # wide lineage: never probed, never reshuffled
+
+    path = str(tmp_path / "narrow.parquet")
+    spark.range(1000).coalesce(1).write.parquet(path)
+    narrow_scan = spark.read.parquet(path)
+    assert narrow_scan.rdd.getNumPartitions() < par
+    assert fan_out(narrow_scan).rdd.getNumPartitions() == par
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
