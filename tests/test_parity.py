@@ -49,6 +49,23 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_explain_audit_assertions_green(spark):
+    """Every plan-hygiene assertion in tools/explain_audit.py must hold —
+    pushdown, broadcast-where-expected, fact-fact SMJ, no cartesian,
+    Arrow-batched Python, curate's no-recompute checkpoint. Runs at sf0.01
+    (the audit's own scale: some join strategies are size-dependent —
+    at smoke scale every side broadcasts and the SMJ check can't bind)."""
+    import sys
+
+    from tests.conftest import SF_CORRECT
+
+    sys.path.insert(0, "/root/repo/tools")
+    from explain_audit import collect_audit
+
+    _, failures = collect_audit(spark, SF_CORRECT)
+    assert failures == [], f"plan checks failed: {failures}"
+
+
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_lsh_buckets_below_oracle_cap(spark, sf_dir):
     """The LSH pair queries cap hot buckets (star fallback past max_bucket)
