@@ -60,8 +60,12 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
-    if os.environ.get("SPARK_DRIVER_MEMORY"):
-        b = b.config("spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"])
+    # Local mode runs every task thread inside the driver JVM, whose
+    # default 1g heap starves local[32] long before the machine does
+    # (this box has 128 GiB). Honored only at JVM launch; harmless later.
+    b = b.config(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

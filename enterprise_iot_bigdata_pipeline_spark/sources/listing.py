@@ -46,12 +46,55 @@ def list_local(spark: SparkSession, root: str, prefix: str = "") -> DataFrame:
     return spark.createDataFrame(rows, LISTING_SCHEMA)
 
 
+def list_fs(spark: SparkSession, root: str, prefix: str = "") -> DataFrame:
+    """Hadoop-FileSystem-backed listing — the Spark-native un-gated path.
+
+    Works against any URI Spark itself can read (``file://`` locally,
+    ``s3a://bucket`` on a cluster with the S3A connector, ``hdfs://``)
+    through one API, with no extra client library: the recursive
+    ``listFiles`` iterator is the same remote-iterator pagination that
+    boto3's ``list_objects_v2`` paginator does (data-cleaner.py:165-171).
+    Keys are returned relative to ``root`` with S3-style ``/`` separators,
+    mtimes UTC-naive — identical shape to ``list_local``/``list_s3``.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jroot.getFileSystem(conf)
+    base = fs.makeQualified(jroot).toString().rstrip("/") + "/"
+    rows = []
+    it = fs.listFiles(jroot, True)  # recursive remote iterator (paginated)
+    while it.hasNext():
+        status = it.next()
+        key = status.getPath().toString()
+        key = key[len(base):] if key.startswith(base) else key
+        if not key.startswith(prefix):
+            continue
+        rows.append(
+            (
+                key,
+                datetime.fromtimestamp(
+                    status.getModificationTime() / 1000.0, tz=timezone.utc
+                ).replace(tzinfo=None),
+                int(status.getLen()),
+            )
+        )
+    return spark.createDataFrame(rows, LISTING_SCHEMA)
+
+
 def list_s3(spark: SparkSession, bucket: str, prefix: str = "") -> DataFrame:
-    """boto3-backed listing (gated: boto3 isn't in this environment)."""
+    """S3 listing: prefer the Hadoop S3A connector (no extra client);
+    fall back to boto3 when its jars are absent but boto3 is present."""
+    try:
+        return list_fs(spark, f"s3a://{bucket}", prefix)
+    except Exception:
+        pass
     try:
         import boto3
     except ImportError as e:  # pragma: no cover - environment gate
-        raise NotImplementedError("boto3 not available in this environment") from e
+        raise NotImplementedError(
+            "neither the S3A connector nor boto3 is available in this environment"
+        ) from e
     s3 = boto3.client("s3")
     rows = []
     for page in s3.get_paginator("list_objects_v2").paginate(Bucket=bucket, Prefix=prefix):

@@ -90,6 +90,17 @@ def test_listing_source_and_key_parse(spark, tmp_path):
     assert recent.count() == 2
     assert {r["dstrct_code"] for r in recent.collect()} == {"B"}
 
+    # the Hadoop-FS listing (the un-gated s3a:// path) returns the same
+    # keys/sizes through the same schema as the boto3-shaped local walk
+    from enterprise_iot_bigdata_pipeline_spark.sources.listing import list_fs
+
+    fs_listing = list_fs(spark, str(tmp_path))
+    assert {
+        (r["Key"], r["Size"]) for r in fs_listing.collect()
+    } == {(r["Key"], r["Size"]) for r in listing.collect()}
+    pref = list_fs(spark, str(tmp_path), prefix="hiveperiod=2025-12")
+    assert pref.count() == 2
+
 
 def test_csv_roundtrip(spark, tmp_path):
     from enterprise_iot_bigdata_pipeline_spark.sources.csv_io import read_csv, write_csv

@@ -68,9 +68,19 @@ def main() -> None:
         amplified = df
         if name in set(MAIN_TABLE.values()):
             idc = ID_COLS[name]
-            copies = [
-                df.withColumn(idc, F.col(idc) + F.lit(i * 10_000_000)) for i in range(1, N)
-            ]
+            copies = []
+            for i in range(1, N):
+                c = df.withColumn(idc, F.col(idc) + F.lit(i * 10_000_000))
+                if name == "documents":
+                    # Perturb each copy's text: verbatim duplication makes
+                    # every LSH bucket N× larger and candidate pairs grow
+                    # ~N² BY CONSTRUCTION — that measures the amplifier,
+                    # not the operator. Suffixing keeps the corpus's
+                    # duplicate-rate constant, the honest linear test.
+                    c = c.withColumn(
+                        "text", F.concat(F.col("text"), F.lit(f" copyset{i}"))
+                    )
+                copies.append(c)
             for c in copies:
                 amplified = amplified.unionByName(c)
         amplified.write.mode("overwrite").parquet(f"{stage}/{name}.parquet")
