@@ -47,6 +47,12 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "range_join_click_purchase",
+    # round-3 additions: the newly oracle-backed surfaces get bench rows
+    "dedup_embedding_multiround",
+    "vector_quantize_int8",
+    "multimodal_decode",
+    "streaming_hour_agg",
+    "curation_assign",
 ]
 
 

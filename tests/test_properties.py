@@ -73,3 +73,43 @@ def test_normalizer_is_total(spark, hbs):
     every branch lands on a timestamp (no nulls for non-null input)."""
     out = _normalize_batch(spark, hbs)
     assert all(ts is not None for ts in out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=1, max_value=32),
+    st.randoms(),
+)
+def test_ppm_roundtrip_property(width, height, rnd):
+    """encode_ppm ∘ parse_ppm is the identity on any geometry/pixel data
+    (pure Python, no Spark)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_ppm,
+        parse_ppm,
+    )
+
+    pixels = bytes(rnd.randrange(256) for _ in range(3 * width * height))
+    img = parse_ppm(encode_ppm(width, height, pixels))
+    assert (img["width"], img["height"], img["n_channels"]) == (width, height, 3)
+    assert img["pixels"] == pixels
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=192_000),
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=256),
+)
+def test_wav_roundtrip_property(rate, samples):
+    """encode_wav ∘ parse_wav preserves rate and every sample, including
+    the int16 extremes and empty audio."""
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_wav,
+        parse_wav,
+    )
+
+    wav = parse_wav(encode_wav(rate, np.array(samples, dtype=np.int16)))
+    assert wav["sample_rate"] == rate and wav["n_channels"] == 1
+    assert wav["samples"].tolist() == samples
