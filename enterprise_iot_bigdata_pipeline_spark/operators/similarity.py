@@ -271,25 +271,56 @@ def embedding_near_dup_multiround(
     vec_col: str = "embedding",
     max_bucket: int = 1024,
 ) -> DataFrame:
-    """Recall-amplified near-dup mining: union ``rounds`` independently
-    seeded plane rounds of ``embedding_near_dup_pairs``.
+    """Recall-amplified near-dup mining: ``rounds`` independently seeded
+    plane rounds, mined in ONE pass.
 
     One round of b signed projections catches a pair with probability
     (1 - θ/π)^b (θ = the pair's angle); independent rounds drive the miss
     rate to miss^rounds — e.g. a 60%-per-round pair is found with
-    1 - 0.4³ ≈ 94% by three rounds. Every round stays on the bucket
-    equi-join path (never a cross join); the union dedups per pair with a
-    groupBy. Callers looping many rounds should persist ``df`` first —
-    each round re-scans it.
+    1 - 0.4³ ≈ 94% by three rounds.
+
+    All rounds share a single corpus scan and a single shuffle: each
+    vector computes every round's bucket map-side and explodes to
+    (round, bucket) rows, so candidate mining is ONE groupBy keyed by
+    (round, bucket) with capped in-bucket expansion — versus the naive
+    union-of-rounds plan that re-scans the corpus and shuffles once per
+    round. A pair caught by several rounds dedups in the final groupBy
+    (cos_sim is deterministic per pair, so max = the value). Never a
+    cross join; hot buckets star-cap as usual.
     """
-    out: DataFrame | None = None
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import bucket_pairs_capped
+
+    base = fan_out(df)
+    round_cols = []
     for r in range(rounds):
-        p = embedding_near_dup_pairs(
-            df, threshold, n_planes, dim, base_seed + 101 * r, id_col, vec_col, max_bucket
+        planes = hyperplanes(n_planes, dim, base_seed + 101 * r)
+        bucket = None
+        for h, coefs in enumerate(planes):
+            plane = F.array(*[F.lit(c) for c in coefs])
+            proj = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(proj >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        round_cols.append(
+            F.struct(F.lit(r).alias("round"), bucket.cast("long").alias("bucket"))
         )
-        out = p if out is None else out.unionByName(p)
-    # cos_sim is deterministic per pair (9-dp rounded) — max = the value
-    return out.groupBy("vec_a", "vec_b").agg(F.max("cos_sim").alias("cos_sim"))
+    bucketed = base.select(
+        F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).alias("m"),
+        F.explode(F.array(*round_cols)).alias("rb"),
+    ).select("m", "rb.round", "rb.bucket")
+    pairs = bucket_pairs_capped(bucketed, ["round", "bucket"], max_bucket).select(
+        F.col("p.a.id").alias("vec_a"),
+        F.col("p.b.id").alias("vec_b"),
+        cosine(F.col("p.a.vec"), F.col("p.b.vec")).alias("cos_sim"),
+    )
+    return (
+        pairs.filter(F.col("cos_sim") >= threshold)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
 
 
 def similar_pairs_exact(
