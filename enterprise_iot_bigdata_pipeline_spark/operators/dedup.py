@@ -369,6 +369,126 @@ def incremental_exact_dedup(
     )
 
 
+def _band_keys(signatures: DataFrame, k: int, bands: int, id_col: str = "doc") -> DataFrame:
+    """Explode a MinHash signature frame to one row per (doc, band, key)."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("key"),
+            )
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def incremental_minhash_dedup(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    epoch_id: int | None = None,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Continuous-ingest NEAR-dup dedup: drop new docs whose MinHash band
+    buckets collide with the corpus seen so far, using a persisted LSH
+    bucket index — ``incremental_exact_dedup``'s sibling for the fuzzy
+    case (boilerplate re-crawls, lightly-edited reposts), the other half
+    of what a 100 TB training-data ingest runs per cycle.
+
+    The index holds one row per (band, key, keep_id, added_epoch) of every
+    KEPT doc — k/bands rows per survivor, content-free and corpus-
+    fraction-sized. Per batch:
+
+    1. signatures + band keys for the batch (map-side, one scan);
+    2. cross-batch check: any band-key hit against the index ⇒ near-dup
+       of an already-kept doc ⇒ dropped (semi-join on (band, key));
+    3. in-batch resolution: LSH candidate pairs (capped buckets) →
+       connected components → keep each cluster's min id;
+    4. survivors' band keys union into the index via the same atomic
+       swap + ``added_epoch`` replay contract as the exact variant — a
+       replayed epoch re-derives the identical kept frame, so downstream
+       sinks retry losslessly.
+
+    Recall/precision note: band-collision ⇒ drop is the high-recall
+    policy (standard for crawl dedup); pair verification only applies
+    within the batch. Tune with (k, bands) as usual.
+    """
+    from enterprise_iot_bigdata_pipeline_spark.operators.commitlog import (
+        committed_epoch,
+        overwrite_atomic,
+        path_exists,
+    )
+
+    def _with_epoch_col(df: DataFrame) -> DataFrame:
+        if "added_epoch" in df.columns:
+            return df
+        return df.withColumn("added_epoch", F.lit(None).cast("long"))
+
+    if epoch_id is not None:
+        last = committed_epoch(spark, index_path)
+        if last is not None and int(epoch_id) <= last:
+            replay_keeps = (
+                _with_epoch_col(spark.read.parquet(index_path))
+                .filter(F.col("added_epoch") == int(epoch_id))
+                .select(F.col("keep_id").alias(id_col))
+                .distinct()
+            )
+            return new_docs.join(replay_keeps, id_col, "left_semi")
+
+    sigs = minhash_signatures(new_docs, text_col, id_col, k)
+    keys = _band_keys(sigs, k, bands).localCheckpoint()
+
+    if path_exists(spark, index_path):
+        known = _with_epoch_col(spark.read.parquet(index_path))
+        hit_docs = (
+            keys.join(known.select("band", "key"), ["band", "key"], "left_semi")
+            .select("doc")
+            .distinct()
+        )
+        novel_keys = keys.join(hit_docs, "doc", "left_anti")
+    else:
+        known = None
+        novel_keys = keys
+
+    # in-batch near-dup resolution among the cross-batch-novel docs:
+    # capped bucket pairs → components → min-id survivor per cluster
+    bucketed = novel_keys.select(F.col("doc").alias("m"), "band", "key")
+    pairs = bucket_pairs_capped(bucketed, ["band", "key"], max_bucket).select(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+    ).distinct()
+    clustered = connected_components(pairs)
+    dropped_in_batch = clustered.filter(F.col("doc") != F.col("component")).select("doc")
+    kept = (
+        novel_keys.select("doc").distinct()
+        .join(dropped_in_batch, "doc", "left_anti")
+    )
+
+    epoch_lit = (
+        F.lit(int(epoch_id)).cast("long") if epoch_id is not None else F.lit(None).cast("long")
+    )
+    fresh = (
+        keys.join(kept, "doc", "left_semi")
+        .select("band", "key", F.col("doc").alias("keep_id"))
+        .withColumn("added_epoch", epoch_lit)
+        .localCheckpoint()
+    )
+    if known is not None:
+        overwrite_atomic(spark, known.unionByName(fresh), index_path, epoch_id=epoch_id)
+    else:
+        overwrite_atomic(spark, fresh, index_path, epoch_id=epoch_id)
+    return new_docs.join(
+        fresh.select(F.col("keep_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+
+
 def _ckpt_leaf(df: DataFrame) -> DataFrame:
     """``localCheckpoint`` + rebuild as a fresh leaf WITHOUT origin stats.
 

@@ -121,3 +121,58 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     # even an older epoch replays its own novel set, not epoch 1's
     replay0 = incremental_exact_dedup(spark, b1, idx, "text", "doc_id", epoch_id=0)
     assert {r["doc_id"] for r in replay0.collect()} == {1, 2}
+
+
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    """Cross-batch NEAR-dup dedup via a persisted LSH bucket index: batch 2
+    drops lightly-edited near-copies of batch-1 survivors (no exact hash
+    match), keeps genuinely new content, and replays idempotently."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    idx = str(tmp_path / "lsh_index")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun near the garden wall"
+    )
+    other = (
+        "completely different subject matter entirely about distributed "
+        "database engines shuffling partitioned columnar data across racks"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail words"),  # near-dup of 1 (not exact)
+            (3, other),
+        ],
+        "doc_id long, text string",
+    )
+    kept1 = {r["doc_id"] for r in incremental_minhash_dedup(
+        spark, b1, idx, "text", "doc_id", epoch_id=0
+    ).collect()}
+    assert 1 in kept1 and 3 in kept1 and 2 not in kept1  # in-batch near-dup dropped
+
+    fresh_text = (
+        "unrelated fresh paragraph describing mountain weather patterns and "
+        "the migration of alpine birds across the high ridge every autumn"
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " with a slightly different ending clause"),  # near-dup of kept 1
+            (11, fresh_text),
+        ],
+        "doc_id long, text string",
+    )
+    kept2 = {r["doc_id"] for r in incremental_minhash_dedup(
+        spark, b2, idx, "text", "doc_id", epoch_id=1
+    ).collect()}
+    assert kept2 == {11}  # cross-batch near-dup dropped without exact match
+
+    # replay of epoch 1 returns the identical kept frame, index unchanged
+    n_index = spark.read.parquet(idx).count()
+    replay = {r["doc_id"] for r in incremental_minhash_dedup(
+        spark, b2, idx, "text", "doc_id", epoch_id=1
+    ).collect()}
+    assert replay == {11}
+    assert spark.read.parquet(idx).count() == n_index
