@@ -33,6 +33,25 @@ def test_ivf_recall_vs_brute_force(spark):
     assert all(len(v) == 3 for v in approx.values())
 
 
+def test_ivf_committed_quantizer_recall(spark):
+    """The COMMITTED quantizer artifact (what the registered ann_ivf_topk
+    serves) must retrieve real neighbors, not just compute consistently —
+    oracle parity proves the math, this proves the index is useful."""
+    from enterprise_iot_bigdata_pipeline_spark.functions.ivf_centroids import CENTROIDS
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import cosine_topk, ivf_topk
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    emb = t(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(cosine_topk(emb, queries, k=3))
+    approx = _topk_sets(
+        ivf_topk(emb, F.col("vec_id") < 20, k=3, n_probe=4, centroids=CENTROIDS)
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.5, f"committed-quantizer recall too low: {recall:.2f}"
+
+
 def test_similar_pairs_exact_guard(spark):
     """The exact O(n²) variant refuses large inputs; under the cap it is
     the ground truth the LSH path is measured against."""
