@@ -69,3 +69,60 @@ def speed_analysis(
         )
         .orderBy("minute", "unitno")
     )
+
+
+def fill_gaps(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_cols: list[str],
+    step_seconds: int = 60,
+    ffill: bool = False,
+) -> DataFrame:
+    """Densify a resampled time series: emit one row per ``step_seconds``
+    tick between each group's min and max timestamp, with missing ticks'
+    values null — or forward-filled when ``ffill`` (the dashboard's
+    continuous minute-series semantics: a unit that sent nothing for three
+    minutes still plots three points).
+
+    Scale shape: the tick spine is generated per group with
+    ``sequence``+``explode`` (map-side after one min/max agg — no driver
+    range, no cross join) and joined back on (group, tick); forward-fill
+    is ``last(ignorenulls)`` over an unbounded-preceding window per group
+    — one shuffle keyed by group for the agg, one for the join, one sort
+    within partitions for the window. Groups are independent, so skew
+    follows the group key distribution like any grouped op.
+    """
+    from pyspark.sql import Window as W
+
+    step = F.lit(step_seconds)
+    tick = (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
+    base = df.withColumn("__tick", F.timestamp_seconds(tick))
+    spine = (
+        base.groupBy(*group_cols)
+        .agg(F.min("__tick").alias("__lo"), F.max("__tick").alias("__hi"))
+        .select(
+            *group_cols,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval {step_seconds} seconds"))
+            ).alias("__tick"),
+        )
+    )
+    dense = spine.join(base, [*group_cols, "__tick"], "left")
+    if ffill:
+        w = (
+            W.partitionBy(*group_cols)
+            .orderBy("__tick")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        dense = dense.select(
+            *group_cols,
+            "__tick",
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                for c in value_cols
+            ],
+        )
+    else:
+        dense = dense.select(*group_cols, "__tick", *value_cols)
+    return dense.withColumnRenamed("__tick", ts_col)

@@ -278,3 +278,32 @@ def test_coarse_quantizer_deterministic(spark):
     c2 = train_coarse_quantizer(emb, "embedding", 8, seed=7)
     assert c1 == c2
     assert len(c1) == 8 and len(c1[0]) == 64
+
+
+def test_fill_gaps_densifies_and_ffills(spark):
+    """Gap-fill: every step tick between a group's min and max appears;
+    missing ticks carry nulls (or the last seen value with ffill) — the
+    dashboard's continuous minute-series semantics."""
+    from datetime import datetime as dt
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dashboard import fill_gaps
+
+    rows = [
+        ("u1", dt(2024, 3, 1, 10, 0), 10.0),
+        ("u1", dt(2024, 3, 1, 10, 3), 13.0),   # minutes 1, 2 missing
+        ("u2", dt(2024, 3, 1, 10, 1), 21.0),
+    ]
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, speed double")
+
+    dense = fill_gaps(df, "ts", ["unit"], ["speed"], step_seconds=60)
+    u1 = {r["ts"].minute: r["speed"] for r in dense.filter("unit = 'u1'").collect()}
+    assert sorted(u1) == [0, 1, 2, 3]                  # spine complete
+    assert u1[0] == 10.0 and u1[3] == 13.0
+    assert u1[1] is None and u1[2] is None             # gaps are null
+
+    filled = fill_gaps(df, "ts", ["unit"], ["speed"], step_seconds=60, ffill=True)
+    u1f = {r["ts"].minute: r["speed"] for r in filled.filter("unit = 'u1'").collect()}
+    assert u1f == {0: 10.0, 1: 10.0, 2: 10.0, 3: 13.0}  # carried forward
+    # single-point group: spine of one tick, untouched value
+    u2 = [(r["ts"].minute, r["speed"]) for r in filled.filter("unit = 'u2'").collect()]
+    assert u2 == [(1, 21.0)]
