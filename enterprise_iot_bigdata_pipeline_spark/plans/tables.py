@@ -106,6 +106,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC even when the caller's session was built without it: instant↔ntz
     # casts inside plans must be timezone-stable (driver owns the session).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Perf-neutral correctness-safe runtime knobs for sessions built with
+    # defaults (e.g. an external driver): AQE coalesces the 200 default
+    # shuffle partitions down to the data's real size and de-skews joins —
+    # both no-ops on sessions that already tuned them.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     df = spark.read.parquet(path)
     for c in _ns_timestamp_cols(path):
         df = df.withColumn(
