@@ -55,38 +55,67 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     )
 
 
+def _minhash_minima_udf(k: int, seed: int):
+    """Arrow-batched k-permutation minima over per-doc shingle-int arrays.
+
+    All docs' shingles concatenate into one flat int64 vector per batch;
+    each permutation is one vectorized ``(a·x + b) mod p`` pass plus a
+    ``minimum.reduceat`` segment-min — replacing k interpreted
+    higher-order-function passes per row. Pure int64 modular arithmetic:
+    values are bit-identical to the JVM/oracle formulation (no floats
+    anywhere). Products stay < 2^62 (a, x < p = 2^31−1), so int64 never
+    overflows. Empty docs yield the same ``p`` sentinel the SQL
+    ``coalesce`` emits."""
+    import numpy as np
+    import pandas as pd
+
+    params = minhash_params(k, seed)
+
+    def _mins(xs):
+        arrs = xs.to_numpy()
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        if len(arrs) > 1:
+            np.cumsum(lens[:-1], out=starts[1:])
+        out = np.full((len(arrs), k), MERSENNE_P, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            big = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in arrs if len(a)]
+            )
+            # starts of nonempty rows are strictly increasing, and empty
+            # rows contribute no elements — reduceat segments line up.
+            ne_starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=ne_starts[1:])
+            for j, (a, b) in enumerate(params):
+                h = (a * big + b) % MERSENNE_P
+                out[nonempty, j] = np.minimum.reduceat(h, ne_starts)
+        return pd.Series(list(out))
+
+    _mins.__annotations__ = {"xs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_mins, "array<long>")
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 16, seed: int = 42, n: int = 3
 ) -> DataFrame:
     """One row per doc with columns h0..h{k-1} (the MinHash signature).
 
-    Computed ROW-WISE: the doc's shingle-int array is materialized once,
-    then each of the k minima is a flat ``array_min(transform(...))`` pass
-    — native min, no per-shingle intermediate arrays. Entirely map-side —
-    no explode, no shuffle; the first shuffle in the MinHash pipeline is
-    the band-bucket groupBy. (The equivalent explode + groupBy(doc) + k×min
-    formulation shuffles |docs|·|shingles| rows; an ``aggregate`` fold
-    carrying all k minima allocates a k-array per shingle.)
+    Shingling and fingerprinting stay JVM-side (regex split, md5, mod);
+    the k permutation minima ride ``_minhash_minima_udf`` — one Arrow
+    transfer of the shingle-int arrays, k vectorized modmul+segment-min
+    passes, bit-identical int64 results. Entirely map-side — no explode,
+    no shuffle; the first shuffle in the MinHash pipeline is the
+    band-bucket groupBy.
     """
-    params = minhash_params(k, seed)
     xs = F.transform(
         word_shingles(F.col(text_col), n),
         lambda s: shingle_to_int(s) % F.lit(MERSENNE_P),
     )
     base = _fan_out(df).select(F.col(id_col).alias("doc"), xs.alias("xs"))
-    return base.select(
-        "doc",
-        *[
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)
-                    )
-                ),
-                F.lit(MERSENNE_P).cast("long"),
-            ).alias(f"h{i}")
-            for i, (a, b) in enumerate(params)
-        ],
+    udf = _minhash_minima_udf(k, seed)
+    return base.select("doc", udf(F.col("xs")).alias("hs")).select(
+        "doc", *[F.col("hs")[i].alias(f"h{i}") for i in range(k)]
     )
 
 
