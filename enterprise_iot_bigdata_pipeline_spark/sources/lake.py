@@ -65,3 +65,68 @@ def write_sorted_lake(
         .option("compression", "snappy")
         .parquet(root)
     )
+
+
+def zorder_key(cols, ranges: dict, bits: int = 8):
+    """Z-order (Morton) interleave of the given numeric columns: each
+    column maps to a ``bits``-bit cell via ``width_bucket`` over its
+    ``(lo, hi)`` range, then the bit planes interleave into one long.
+    Sorting by this key clusters rows that are close in EVERY dimension
+    into the same files, so footer min/max stats prune selective filters
+    on ANY of the clustered columns — the multi-dimensional counterpart
+    of ``write_sorted_lake``'s single-sort.
+
+    Pure map-side JVM expressions (width_bucket + bit arithmetic) given
+    the precomputed ranges — no window, no global sort, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n_cells = 1 << bits
+
+    def cell(c):
+        lo, hi = ranges[c]
+        if hi <= lo:  # constant column → single cell
+            return F.lit(0).cast("long")
+        b = F.expr(
+            f"width_bucket(CAST(`{c}` AS DOUBLE), {float(lo)!r}, {float(hi)!r}, {n_cells})"
+        )
+        return F.least(F.greatest(b - 1, F.lit(0)), F.lit(n_cells - 1)).cast("long")
+
+    cells = {c: cell(c) for c in cols}
+    key = F.lit(0).cast("long")
+    for plane in range(bits - 1, -1, -1):
+        for c in cols:
+            bit = F.shiftrightunsigned(cells[c], plane).bitwiseAND(F.lit(1))
+            key = F.shiftleft(key, 1).bitwiseOR(bit)
+    return key
+
+
+def write_zordered_lake(
+    df: DataFrame,
+    root: str,
+    cluster_cols: tuple[str, ...],
+    n_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering write (Delta's OPTIMIZE ZORDER shape):
+    one bounded min/max agg per clustered column (control-plane: 2 scalars
+    each), then range-partition + sort by the Morton key so files cover
+    compact hyper-rectangles and parquet footer stats prune point/range
+    filters on every clustered column, not just the leading sort column."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cluster_cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cluster_cols],
+    ).collect()[0]
+    ranges = {c: (stats[f"lo_{c}"], stats[f"hi_{c}"]) for c in cluster_cols}
+    keyed = df.withColumn("__z", zorder_key(cluster_cols, ranges, bits))
+    (
+        keyed.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("compression", "snappy")
+        .parquet(root)
+    )

@@ -137,3 +137,61 @@ def test_write_sorted_lake_disjoint_file_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
     assert spark.read.parquet(root).count() == 10_000
+
+
+def test_write_zordered_lake_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: files cover compact (x, y) hyper-rectangles, so
+    footer min/max stats prune selective filters on EITHER column — where
+    a single-column sort only ever prunes its leading column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from enterprise_iot_bigdata_pipeline_spark.sources.lake import write_zordered_lake
+
+    # 100×100 grid: two independent uniform dimensions
+    df = spark.range(10_000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y")
+    )
+    root = str(tmp_path / "zordered")
+    write_zordered_lake(df, root, ("x", "y"), n_files=16)
+
+    def file_spans(col_name):
+        spans = []
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == col_name:
+                        mins.append(col.statistics.min)
+                        maxs.append(col.statistics.max)
+            spans.append(max(maxs) - min(mins) + 1)
+        return spans
+
+    n_files = len(glob.glob(f"{root}/*.parquet"))
+    assert n_files >= 8
+    # every file's span on BOTH dims is a small fraction of the full range
+    # (a perfect 16-file Z-layout gives 25-50 of 100; a single-col sort
+    # gives ~100 on the non-sorted dim)
+    for col_name in ("x", "y"):
+        spans = file_spans(col_name)
+        assert sum(spans) / len(spans) <= 60, (col_name, spans)
+    assert spark.read.parquet(root).count() == 10_000
+
+    # a selective 2-D point query must actually skip most files: count the
+    # files whose (x, y) rectangles can contain it
+    candidates = 0
+    for f in glob.glob(f"{root}/*.parquet"):
+        md = pq.read_metadata(f)
+        ok = {"x": False, "y": False}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema in ok:
+                    st = col.statistics
+                    if st.min <= 7 <= st.max:
+                        ok[col.path_in_schema] = True
+        candidates += ok["x"] and ok["y"]
+    assert candidates <= n_files // 2, f"{candidates}/{n_files} files match (7,7)"
