@@ -63,10 +63,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
+    # A failing query must cost its own bench row, never the whole artifact:
+    # run everything else and report the error per-query.
+    errors: dict[str, str] = {}
+
+    def run(name: str) -> bool:
+        try:
+            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            return True
+        except Exception as exc:  # noqa: BLE001 — isolate per-query failure
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            return False
+
     # Full warmup pass: JVM/codegen/readers warm so the timed pass measures
     # steady-state engine throughput, not first-query JIT cost.
-    for name in names:
-        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    ok = [n for n in names if run(n)]
     # Drop caches left by operators that persist() intermediates so the
     # timed pass measures real work, not warmup leftovers.
     spark.catalog.clearCache()
@@ -75,26 +86,26 @@ def main() -> None:
     # engine's actual cost.
     times: dict[str, float] = {}
     for _ in range(3):
-        for name in names:
+        for name in ok:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            if not run(name):
+                continue
             dt = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -243,10 +243,16 @@ def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.read.parquet(f"{sf_dir}/events.parquet").schema
             ).parquet(stage)
         )
-        # ns→µs conversion as in plans.tables (stream schema carries the raw
-        # long); watermarks require TIMESTAMP (not NTZ) — UTC session is pinned.
-        if dict(static.dtypes).get("ts") == "timestamp_ntz":
+        # The stream reads the file's RAW schema (tables.t's ns→µs rewrite
+        # does not apply), so branch on the stream's own dtype: nanos-as-long
+        # corpora need the div-1000 conversion, µs corpora arrive as NTZ and
+        # only need the instant cast. Watermarks want TIMESTAMP — UTC session
+        # is pinned, so the ntz→instant cast is value-stable.
+        raw_ts = dict(stream.dtypes).get("ts")
+        if raw_ts == "bigint":
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif raw_ts == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
         agg = (
             stream.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

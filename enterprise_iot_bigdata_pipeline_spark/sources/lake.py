@@ -79,16 +79,32 @@ def zorder_key(cols, ranges: dict, bits: int = 8):
     Pure map-side JVM expressions (width_bucket + bit arithmetic) given
     the precomputed ranges — no window, no global sort, no UDF.
     """
+    import math
+
     from pyspark.sql import functions as F
 
+    # The interleaved key must fit the sign-excluded 63 bits of a long —
+    # past that the sign bit flips sort order and high planes silently
+    # drop. Auto-shrink per-column resolution instead of corrupting keys.
+    bits = min(bits, 63 // max(len(cols), 1))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}) for a 64-bit key")
     n_cells = 1 << bits
 
     def cell(c):
         lo, hi = ranges[c]
-        if hi <= lo:  # constant column → single cell
+        # Empty input / all-null / non-finite stats degrade to the
+        # constant-column single cell rather than emitting broken ranges.
+        if (
+            lo is None
+            or hi is None
+            or not math.isfinite(lo)
+            or not math.isfinite(hi)
+            or hi <= lo
+        ):
             return F.lit(0).cast("long")
-        b = F.expr(
-            f"width_bucket(CAST(`{c}` AS DOUBLE), {float(lo)!r}, {float(hi)!r}, {n_cells})"
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_cells)
         )
         return F.least(F.greatest(b - 1, F.lit(0)), F.lit(n_cells - 1)).cast("long")
 
@@ -121,11 +137,14 @@ def write_zordered_lake(
         *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cluster_cols],
     ).collect()[0]
     ranges = {c: (stats[f"lo_{c}"], stats[f"hi_{c}"]) for c in cluster_cols}
-    keyed = df.withColumn("__z", zorder_key(cluster_cols, ranges, bits))
+    zcol = "__z"
+    while zcol in df.columns:  # never shadow (then drop) a user column
+        zcol += "_"
+    keyed = df.withColumn(zcol, zorder_key(cluster_cols, ranges, bits))
     (
-        keyed.repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        keyed.repartitionByRange(n_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
         .write.mode(mode)
         .option("compression", "snappy")
         .parquet(root)

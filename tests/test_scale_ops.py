@@ -195,3 +195,52 @@ def test_write_zordered_lake_prunes_both_dimensions(spark, tmp_path):
                         ok[col.path_in_schema] = True
         candidates += ok["x"] and ok["y"]
     assert candidates <= n_files // 2, f"{candidates}/{n_files} files match (7,7)"
+
+
+def test_zorder_key_auto_shrinks_bits_to_fit_long(spark):
+    """9 columns × 8 bits would overflow the signed long's 63 usable bits —
+    the key must auto-shrink per-column resolution, never go negative."""
+    from enterprise_iot_bigdata_pipeline_spark.sources.lake import zorder_key
+
+    cols = [f"c{i}" for i in range(9)]
+    df = spark.range(1_000).select(
+        *[((F.col("id") * (i + 3)) % 101).alias(c) for i, c in enumerate(cols)]
+    )
+    ranges = {c: (0.0, 100.0) for c in cols}
+    keyed = df.select(zorder_key(cols, ranges, bits=8).alias("z"))
+    lo, hi = keyed.agg(F.min("z"), F.max("z")).first()
+    assert lo >= 0, f"negative Morton key {lo}: sign-bit overflow"
+    assert hi < (1 << 63)
+
+
+def test_zordered_lake_handles_empty_and_all_null(spark, tmp_path):
+    """Empty input / all-null cluster column degrade to the constant-cell
+    path instead of raising on (None, None) ranges."""
+    from enterprise_iot_bigdata_pipeline_spark.sources.lake import write_zordered_lake
+
+    empty = spark.range(0).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    write_zordered_lake(empty, str(tmp_path / "empty"), ("x", "y"), n_files=2)
+    assert spark.read.parquet(str(tmp_path / "empty")).count() == 0
+
+    nullcol = spark.range(100).select(
+        F.lit(None).cast("double").alias("x"), (F.col("id") % 10).alias("y")
+    )
+    write_zordered_lake(nullcol, str(tmp_path / "nullcol"), ("x", "y"), n_files=2)
+    assert spark.read.parquet(str(tmp_path / "nullcol")).count() == 100
+
+
+def test_zordered_lake_preserves_user_z_column(spark, tmp_path):
+    """A user column literally named __z must survive the write — the
+    internal sort key picks a non-colliding name."""
+    from enterprise_iot_bigdata_pipeline_spark.sources.lake import write_zordered_lake
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("x"),
+        (F.col("id") % 7).alias("__z"),
+    )
+    write_zordered_lake(df, str(tmp_path / "userz"), ("x",), n_files=2)
+    out = spark.read.parquet(str(tmp_path / "userz"))
+    assert "__z" in out.columns
+    assert out.agg(F.sum("__z")).first()[0] == sum(i % 7 for i in range(100))
