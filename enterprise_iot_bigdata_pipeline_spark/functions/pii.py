@@ -1,0 +1,43 @@
+"""PII detection / redaction expressions (training-data hygiene).
+
+Patterns are deliberately restricted to syntax with identical semantics in
+Java regex (Spark, JVM-side `regexp_count`/`regexp_replace` — no Python
+UDF) and RE2 (the DuckDB oracle): character classes, bounded repetition,
+and ASCII word boundaries only — no lookaround, no backreferences.
+
+Redaction order matters and is fixed: emails first (their local parts
+contain digits a later pass must not re-match), then phones, then IPv4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# (pattern, replacement) in application order.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (EMAIL_RE, "[EMAIL]"),
+    (PHONE_RE, "[PHONE]"),
+    (IPV4_RE, "[IP]"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts (map-side, JVM regex)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)).cast("long"),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_RE)).cast("long"),
+        "n_ips": F.regexp_count(text, F.lit(IPV4_RE)).cast("long"),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its category token, in fixed order."""
+    out = text
+    for pattern, token in PII_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out

@@ -648,3 +648,50 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-overlap decontamination: flag corpus documents sharing
+    ≥ ``threshold`` distinct word ``n``-gram shingles with ANY benchmark
+    document (the training-data hygiene step that keeps eval suites out of
+    the corpus; reference has no analog — pipeline breadth op).
+
+    Scale shape: the benchmark side is tiny by construction (eval suites
+    are thousands of docs, not billions), so its distinct-shingle set
+    BROADCASTS and the corpus side is filtered map-side by the hash join —
+    only matching (doc, shingle) rows reach the per-doc count shuffle.
+    Returns every corpus doc: (id, n_shared_shingles, contaminated).
+    """
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+
+    bench_sh = shingled(benchmark).select("shingle").distinct()
+    # word_shingles is per-doc distinct, bench_sh is distinct → each
+    # (doc, shingle) survives the join at most once; plain count is exact.
+    hits = (
+        shingled(docs)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("shingle").alias("n_shared"))
+    )
+    shared = F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            shared.alias("n_shared_shingles"),
+            (shared >= threshold).alias("contaminated"),
+        )
+    )

@@ -86,52 +86,68 @@ _EVENT_RULES = {
     "bad_type": "event_type NOT IN ('click','view','purchase','signup','error')",
 }
 
-_QUALITY_ORACLE = f"""
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+# Rule report + per-column profile in ONE registry slot (tall union with an
+# aligned schema): quality rows carry (n_a = n_violations, rate), profile
+# rows carry (n_a = n_non_null, n_b = n_distinct). Both operators stay
+# independent library surfaces; the composite only unions their reports.
+_QUALITY_PROFILE_ORACLE = f"""
 WITH agg AS (
     SELECT count(*) AS n_rows,
         {", ".join(f"count(CASE WHEN {cond} THEN 1 END) AS {name}" for name, cond in _EVENT_RULES.items())}
     FROM events
-)
-SELECT rule, n_rows, n_violations,
-       CASE WHEN n_rows > 0 THEN CAST(n_violations AS DOUBLE) / n_rows END AS violation_rate
-FROM (
-    {" UNION ALL ".join(f"SELECT '{name}' AS rule, n_rows, {name} AS n_violations FROM agg" for name in _EVENT_RULES)}
-)
-"""
-
-
-@register("quality_report_events", _QUALITY_ORACLE)
-def quality_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from enterprise_iot_bigdata_pipeline_spark.operators.quality import quality_report
-
-    ev = t(spark, sf_dir, "events")
-    rules = {name: F.expr(cond) for name, cond in _EVENT_RULES.items()}
-    return quality_report(ev, rules)
-
-
-# ---------------------------------------------------------------------------
-# Per-column table profile (rows / non-null / exact distinct, one scan).
-# ---------------------------------------------------------------------------
-
-_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-
-_PROFILE_ORACLE = f"""
-WITH p AS (
+),
+q AS (
+    SELECT rule, n_rows, n_violations,
+           CASE WHEN n_rows > 0 THEN CAST(n_violations AS DOUBLE) / n_rows END AS violation_rate
+    FROM (
+        {" UNION ALL ".join(f"SELECT '{name}' AS rule, n_rows, {name} AS n_violations FROM agg" for name in _EVENT_RULES)}
+    )
+),
+p AS (
     {" UNION ALL ".join(
         f"SELECT '{c}' AS column_name, count(*) AS n_rows, count({c}) AS n_non_null, "
         f"count(DISTINCT {c}) AS n_distinct FROM events"
         for c in _PROFILE_COLS
     )}
 )
-SELECT column_name, n_rows, n_non_null, n_rows - n_non_null AS n_null, n_distinct FROM p
+SELECT 'quality' AS section, rule AS name, n_rows,
+       n_violations AS n_a, CAST(NULL AS BIGINT) AS n_b, violation_rate AS rate
+FROM q
+UNION ALL
+SELECT 'profile' AS section, column_name AS name, n_rows,
+       n_non_null AS n_a, n_distinct AS n_b, CAST(NULL AS DOUBLE) AS rate
+FROM p
 """
 
 
-@register("profile_events", _PROFILE_ORACLE)
-def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from enterprise_iot_bigdata_pipeline_spark.operators.quality import profile_table
+@register("events_quality_profile", _QUALITY_PROFILE_ORACLE)
+def events_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.quality import (
+        profile_table,
+        quality_report,
+    )
 
-    return profile_table(t(spark, sf_dir, "events"), _PROFILE_COLS)
+    ev = t(spark, sf_dir, "events")
+    rules = {name: F.expr(cond) for name, cond in _EVENT_RULES.items()}
+    q = quality_report(ev, rules).select(
+        F.lit("quality").alias("section"),
+        F.col("rule").alias("name"),
+        "n_rows",
+        F.col("n_violations").alias("n_a"),
+        F.lit(None).cast("long").alias("n_b"),
+        F.col("violation_rate").alias("rate"),
+    )
+    p = profile_table(ev, _PROFILE_COLS).select(
+        F.lit("profile").alias("section"),
+        F.col("column_name").alias("name"),
+        "n_rows",
+        F.col("n_non_null").alias("n_a"),
+        F.col("n_distinct").alias("n_b"),
+        F.lit(None).cast("double").alias("rate"),
+    )
+    return q.unionByName(p)
 
 
 # ---------------------------------------------------------------------------
@@ -139,30 +155,10 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # payload bytes). Oracle mirrors the deterministic metadata synthesis.
 # ---------------------------------------------------------------------------
 
-_MM_ORACLE = """
-WITH m AS (
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
-    FROM documents
-)
-SELECT doc_id,
-       CASE WHEN h % 3 = 0 THEN 'image/png'
-            WHEN h % 3 = 1 THEN 'audio/wav'
-            ELSE 'video/mp4' END AS media_type,
-       CAST(n_bytes AS BIGINT) AS n_bytes,
-       CAST(h % 1920 + 1 AS INTEGER) AS width,
-       CAST(h % 1080 + 1 AS INTEGER) AS height
-FROM m
-"""
-
-
-@register("multimodal_metadata", _MM_ORACLE)
-def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_fake_media(t(spark, sf_dir, "documents"))
-    return media.select(
-        "doc_id", "meta.media_type", "meta.n_bytes", "meta.width", "meta.height"
-    )
+# (Registry note: the former standalone `multimodal_metadata` slot is folded
+# into `multimodal_decode` below — the metadata projection joins the decode
+# output on doc_id, so both the decode-free metadata path and the codec
+# round-trip keep driver coverage from ONE slot.)
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +174,9 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECODE_ORACLE = """
 WITH m AS (
-    SELECT doc_id, CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+    SELECT doc_id,
+           octet_length(encode(text)) AS text_bytes,
+           CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
     FROM documents
 )
 SELECT doc_id,
@@ -194,7 +192,13 @@ SELECT doc_id,
                                               i -> (h + i) % 256))
                  ELSE list_sum(list_transform(generate_series(0, h % 256 + 63),
                                               i -> (h + 37 * i) % 65536 - 32768))
-            END AS BIGINT) AS checksum
+            END AS BIGINT) AS checksum,
+       CASE WHEN h % 3 = 0 THEN 'image/png'
+            WHEN h % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS meta_media_type,
+       CAST(text_bytes AS BIGINT) AS meta_n_bytes,
+       CAST(h % 1920 + 1 AS INTEGER) AS meta_width,
+       CAST(h % 1080 + 1 AS INTEGER) AS meta_height
 FROM m
 """
 
@@ -206,7 +210,18 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
-    return decode_media(attach_real_media(t(spark, sf_dir, "documents")))
+    docs = t(spark, sf_dir, "documents")
+    decoded = decode_media(attach_real_media(docs))
+    # Decode-free metadata branch (column pruning never touches payload
+    # bytes) rides along via a doc_id join — formerly its own slot.
+    meta = attach_fake_media(docs).select(
+        "doc_id",
+        F.col("meta.media_type").alias("meta_media_type"),
+        F.col("meta.n_bytes").alias("meta_n_bytes"),
+        F.col("meta.width").alias("meta_width"),
+        F.col("meta.height").alias("meta_height"),
+    )
+    return decoded.join(meta, "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,15 @@ _ROLLING_SQL = f"""list_reduce(
        )"""
 
 _METRICS_ORACLE = f"""
+WITH g AS (
+    SELECT *,
+           {_WORDS} AS ws,
+           CASE WHEN len({_WORDS}) >= 2
+                THEN list_transform(range(1, len({_WORDS})),
+                                    i -> array_to_string({_WORDS}[i:i+1], ' '))
+           END AS g2
+    FROM documents
+)
 SELECT
     doc_id,
     CAST({_TOKENS} AS BIGINT) AS n_tokens,
@@ -89,8 +98,15 @@ SELECT
       + 0.3::DOUBLE * {_STOP_RATIO}, 9) AS quality_score,
     {_LANG_CASE} AS lang_pred,
     md5({_NORM_TEXT}) AS fingerprint,
-    {_ROLLING_SQL.format(B=X.ROLL_B, P=X.ROLL_P)} AS rolling_hash
-FROM documents
+    {_ROLLING_SQL.format(B=X.ROLL_B, P=X.ROLL_P)} AS rolling_hash,
+    CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_ratio,
+    CAST(list_max(list_transform(list_distinct(ws),
+                                 w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+        / len(ws) AS top_word_frac,
+    CASE WHEN len(ws) >= 2
+         THEN CAST((len(ws) - 1) - len(list_distinct(g2)) AS DOUBLE) / (len(ws) - 1)
+    END AS dup_2gram_frac
+FROM g
 """
 
 
@@ -130,6 +146,31 @@ def staged_metrics(docs: DataFrame) -> DataFrame:
         "fingerprint",
         F.size("ws").cast("long").alias("n_tokens"),
         *[hits(m).alias(f"hits_{lang}") for lang, m in X.LANG_MARKERS.items()],
+        # Repetition (Gopher-style) intermediates — pruned by Catalyst for
+        # consumers that don't select the derived ratios.
+        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct_words"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("ws"),
+                lambda w: F.size(F.filter(F.col("ws"), lambda x: x == w)),
+            )
+        )
+        .cast("long")
+        .alias("top_word_n"),
+        F.when(F.size("ws") >= 2, F.size("ws") - 1).cast("long").alias("n_2grams"),
+        F.when(
+            F.size("ws") >= 2,
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 1),
+                        lambda i: F.concat_ws(" ", F.slice("ws", i, 2)),
+                    )
+                )
+            ),
+        )
+        .cast("long")
+        .alias("n_distinct_2grams"),
     )
     punct_ratio = F.when(
         F.col("n_chars") > 0, F.col("n_punct").cast("double") / F.col("n_chars")
@@ -158,6 +199,16 @@ def staged_metrics(docs: DataFrame) -> DataFrame:
             .otherwise(F.lit("fr"))
         ).alias("lang_pred"),
         "fingerprint",
+        (
+            (F.col("n_tokens") - F.col("n_distinct_words")).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_word_ratio"),
+        (F.col("top_word_n").cast("double") / F.col("n_tokens")).alias("top_word_frac"),
+        F.when(
+            F.col("n_2grams") > 0,
+            (F.col("n_2grams") - F.col("n_distinct_2grams")).cast("double")
+            / F.col("n_2grams"),
+        ).alias("dup_2gram_frac"),
     )
 
 
@@ -179,6 +230,9 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         "fingerprint",
         X.rolling_fingerprint(F.col("text")).alias("rolling_hash"),
+        "dup_word_ratio",
+        "top_word_frac",
+        "dup_2gram_frac",
     )
 
 
@@ -491,3 +545,120 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(docs, "text", "doc_id", _K, _SEED)
     pairs = D.lsh_candidate_pairs(sigs, _K, _BANDS)
     return D.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (training-data hygiene): flag corpus docs that
+# share ≥ 2 distinct 3-gram shingles with the "benchmark suite" (docs with
+# doc_id % 47 == 0 — a deterministic stand-in for a held-out eval set).
+# Scale shape: benchmark shingles broadcast; corpus side joins map-side.
+# ---------------------------------------------------------------------------
+
+_BENCH_MOD, _DECON_T = 47, 2
+
+_DECONTAM_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc % {_BENCH_MOD} = 0),
+hits AS (
+    SELECT doc, count(shingle) AS n_shared
+    FROM sh JOIN bench USING (shingle)
+    WHERE doc % {_BENCH_MOD} != 0
+    GROUP BY doc
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+       COALESCE(h.n_shared, 0) >= {_DECON_T} AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc
+WHERE d.doc_id % {_BENCH_MOD} != 0
+"""
+
+
+@register("text_decontaminate", _DECONTAM_ORACLE)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return D.decontaminate(corpus, bench, n=3, threshold=_DECON_T)
+
+
+# ---------------------------------------------------------------------------
+# PII detect + redact. The synthetic corpus carries no PII, so the query
+# SYNTHESIZES it deterministically from doc_id (emails always, a phone on
+# even ids, a second email on ids % 3 == 0, an IPv4 always) — the same
+# oracle trick as the multimodal codec round-trip: the oracle rebuilds the
+# identical dirty text, so a hash-green row proves detection counts AND the
+# redacted output agree, non-vacuously (counts vary 1-2 / 0-1 / 1 per doc).
+# ---------------------------------------------------------------------------
+
+_PII_SYNTH_SQL = """concat(
+    text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com',
+    CASE WHEN doc_id % 2 = 0
+         THEN concat(' or call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+         ELSE '' END,
+    ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.', CAST((doc_id * 7) % 256 AS VARCHAR),
+    CASE WHEN doc_id % 3 = 0
+         THEN concat(' cc team', CAST(doc_id AS VARCHAR), '@test.org')
+         ELSE '' END
+)"""
+
+
+def _pii_oracle() -> str:
+    from enterprise_iot_bigdata_pipeline_spark.functions import pii as P
+
+    red = "raw"
+    for pattern, token in P.PII_RULES:
+        red = f"regexp_replace({red}, '{pattern}', '{token}', 'g')"
+    remaining = " + ".join(
+        f"len(regexp_extract_all({red}, '{pattern}'))" for pattern, _ in P.PII_RULES
+    )
+    return f"""
+WITH dirty AS (SELECT doc_id, {_PII_SYNTH_SQL} AS raw FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{P.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{P.PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(raw, '{P.IPV4_RE}')) AS BIGINT) AS n_ips,
+       {red} AS redacted,
+       ({remaining}) = 0 AS clean
+FROM dirty
+"""
+
+
+@register("text_pii_redact", _pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.functions import pii as P
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" or call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit(".0."), ((did * 7) % 256).cast("string"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" cc team"), did.cast("string"), F.lit("@test.org")),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", dirty.alias("raw"))
+    counts = P.pii_counts(F.col("raw"))
+    redacted = P.redact_pii(F.col("raw"))
+    return staged.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        redacted.alias("redacted"),
+        (
+            F.regexp_count(redacted, F.lit(P.EMAIL_RE))
+            + F.regexp_count(redacted, F.lit(P.PHONE_RE))
+            + F.regexp_count(redacted, F.lit(P.IPV4_RE))
+            == 0
+        ).alias("clean"),
+    )

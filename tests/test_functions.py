@@ -135,7 +135,95 @@ def test_staged_metrics_matches_flat_composition(spark):
         X.lang_id(txt).alias("lang_pred"),
         X.fingerprint(txt).alias("fingerprint"),
     )
-    staged = staged_metrics(docs).drop("text")
+    staged = staged_metrics(docs).select(*flat.columns)
     a = {r["doc_id"]: r.asDict() for r in flat.collect()}
     b = {r["doc_id"]: r.asDict() for r in staged.collect()}
     assert a == b
+
+
+def test_repetition_metrics_known_values(spark):
+    """Gopher-style repetition columns on hand-checkable docs."""
+    from enterprise_iot_bigdata_pipeline_spark.plans.text import staged_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens, 1 distinct; 3 2-grams all "a a"
+            (2, "a b c d"),          # no repetition at all
+            (3, "a b a b a"),        # 5 tokens {a,b}; 2-grams: ab ba ab ba
+        ],
+        "doc_id long, text string",
+    )
+    m = {
+        r["doc_id"]: r
+        for r in staged_metrics(docs)
+        .select("doc_id", "dup_word_ratio", "top_word_frac", "dup_2gram_frac")
+        .collect()
+    }
+    assert m[1]["dup_word_ratio"] == 0.75
+    assert m[1]["top_word_frac"] == 1.0
+    assert m[1]["dup_2gram_frac"] == 2 / 3
+    assert m[2]["dup_word_ratio"] == 0.0
+    assert m[2]["top_word_frac"] == 0.25
+    assert m[2]["dup_2gram_frac"] == 0.0
+    assert m[3]["dup_word_ratio"] == 0.6
+    assert m[3]["top_word_frac"] == 0.6
+    assert m[3]["dup_2gram_frac"] == 0.5
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    """Docs sharing ≥ threshold 3-gram shingles with the benchmark are
+    flagged; disjoint docs pass with zero overlap."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox jumps away"),  # shares 3 shingles
+            (2, "completely different words entirely here now"),  # 0
+            (3, "quick brown fox seen again"),  # shares 1 ("quick brown fox")
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3, threshold=2).collect()}
+    assert out[1]["n_shared_shingles"] == 3 and out[1]["contaminated"]
+    assert out[2]["n_shared_shingles"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_shared_shingles"] == 1 and not out[3]["contaminated"]
+
+
+def test_pii_redact_counts_and_output(spark):
+    """Email/phone/IP detection counts and full redaction, including the
+    order dependency (emails redacted before digit-bearing patterns)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.functions import pii as P
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_9@sub.example.co.uk or call +1-555-0199 from 10.0.0.254 ok"),
+            (2, "no pii at all in this line"),
+            (3, "two mails x@y.io and z@w.org; ip 192.168.1.1"),
+        ],
+        "doc_id long, text string",
+    )
+    c = P.pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            c["n_emails"].alias("e"),
+            c["n_phones"].alias("p"),
+            c["n_ips"].alias("i"),
+            P.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (1, 1, 1)
+    assert out[1]["red"] == "mail [EMAIL] or call [PHONE] from [IP] ok"
+    assert (out[2]["e"], out[2]["p"], out[2]["i"]) == (0, 0, 0)
+    assert out[2]["red"] == "no pii at all in this line"
+    assert (out[3]["e"], out[3]["p"], out[3]["i"]) == (2, 0, 1)
+    assert out[3]["red"] == "two mails [EMAIL] and [EMAIL]; ip [IP]"
