@@ -53,6 +53,10 @@ HEADLINE = [
     "multimodal_decode",
     "streaming_hour_agg",
     "curation_assign",
+    # round-4 additions
+    "text_decontaminate",
+    "text_pii_redact",
+    "events_quality_profile",
 ]
 
 

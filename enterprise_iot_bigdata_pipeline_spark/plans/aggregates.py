@@ -125,19 +125,47 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Approximate distinct (HyperLogLog++). No oracle: sketch estimates are
-#     engine-specific; driver records rows-only. At 100 TB this replaces the
-#     exact shuffle-heavy distinct wherever a ±2% answer suffices. ----------
+# --- Approximate distinct (HyperLogLog++). Raw sketch estimates are
+#     engine-specific, so the oracle can't compare them value-for-value;
+#     instead the query surfaces the estimate's ACCURACY CONTRACT — the
+#     HLL answer must land within ±5% of the exact count (rsd=0.02 ⇒ ~2σ).
+#     The oracle emits the exact counts plus a TRUE literal: the row only
+#     hash-matches if Spark's sketch actually met the contract, turning the
+#     former rows-only slot into a real cross-engine property check. At
+#     100 TB the sketch replaces the exact expand+distinct shuffle wherever
+#     a ±2% answer suffices (exact ridden along here for the contract). ---
 
 
-@register("agg_approx_distinct")
+@register(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders_exact,
+           count(*) AS n,
+           TRUE AS hll_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = F.approx_count_distinct("l_orderkey", 0.02)
+    exact = F.countDistinct("l_orderkey")
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            est.alias("approx_orders"),
+            exact.alias("n_orders_exact"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "n_orders_exact",
+            "n",
+            (
+                F.abs(F.col("approx_orders") - F.col("n_orders_exact"))
+                <= 0.05 * F.col("n_orders_exact")
+            ).alias("hll_within_5pct"),
         )
     )
 

@@ -247,7 +247,9 @@ def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    static = t(spark, sf_dir, "events")
+    # Load-bearing for its session-conf side effects (UTC pinning + reader
+    # confs on the driver-owned session), not for the frame itself.
+    t(spark, sf_dir, "events")
     # The streaming file source needs a *directory*; stage the single-file
     # table via symlink (no data copy).
     stage = tempfile.mkdtemp(prefix="stream_events_")

@@ -113,3 +113,75 @@ def test_wav_roundtrip_property(rate, samples):
     wav = parse_wav(encode_wav(rate, np.array(samples, dtype=np.int16)))
     assert wav["sample_rate"] == rate and wav["n_channels"] == 1
     assert wav["samples"].tolist() == samples
+
+
+# --- PII redaction properties ----------------------------------------------
+
+_PII_FREE = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz ,.!?", min_size=0, max_size=60
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_PII_FREE, min_size=1, max_size=30), st.integers(0, 10**6))
+def test_pii_redaction_is_complete_and_stable(spark, texts, seed):
+    """For any surrounding text: (1) redaction removes every synthetic PII
+    token it counted; (2) redacting PII-free text is the identity; (3)
+    redact is idempotent. One Spark job for the whole batch."""
+    from enterprise_iot_bigdata_pipeline_spark.functions import pii as P
+
+    rows = []
+    for i, base in enumerate(texts):
+        k = seed + i
+        dirty = f"{base} u{k}@ex{k % 97}.com +1-555-{k % 10000:04d} 1.2.{k % 256}.{(k * 3) % 256} {base}"
+        rows.append((i, base, dirty))
+    df = spark.createDataFrame(rows, "i long, clean string, dirty string")
+    c_clean = P.pii_counts(F.col("clean"))
+    c_dirty = P.pii_counts(F.col("dirty"))
+    red = P.redact_pii(F.col("dirty"))
+    out = df.select(
+        "i",
+        "clean",
+        (c_clean["n_emails"] + c_clean["n_phones"] + c_clean["n_ips"]).alias("clean_hits"),
+        c_dirty["n_emails"].alias("e"),
+        c_dirty["n_phones"].alias("p"),
+        c_dirty["n_ips"].alias("ip"),
+        P.redact_pii(F.col("clean")).alias("clean_red"),
+        red.alias("red"),
+        P.redact_pii(red).alias("red2"),
+        (
+            P.pii_counts(red)["n_emails"]
+            + P.pii_counts(red)["n_phones"]
+            + P.pii_counts(red)["n_ips"]
+        ).alias("left_over"),
+    ).collect()
+    for r in out:
+        assert r["clean_hits"] == 0
+        assert r["clean_red"] == r["clean"], "PII-free text must be untouched"
+        assert r["e"] >= 1 and r["p"] >= 1 and r["ip"] >= 1
+        assert r["left_over"] == 0, f"unredacted PII remains: {r['red']}"
+        assert r["red2"] == r["red"], "redaction must be idempotent"
+
+
+# --- Decontamination properties --------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 10**6))
+def test_decontaminate_self_overlap_and_disjoint(spark, seed):
+    """A doc IS its own worst contamination (every shingle shared) and a
+    vocabulary-disjoint doc shares nothing."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import decontaminate
+
+    words = [f"w{seed}x{i}" for i in range(12)]
+    bench_text = " ".join(words)
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, " ".join(f"z{seed}y{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3, threshold=2).collect()}
+    assert out[1]["n_shared_shingles"] == 10  # 12 words → 10 distinct 3-grams
+    assert out[1]["contaminated"]
+    assert out[2]["n_shared_shingles"] == 0
+    assert not out[2]["contaminated"]

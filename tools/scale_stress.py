@@ -28,6 +28,8 @@ STRESSED = [
     "text_metrics",
     "pipeline_curate_corpus",
     "join_large_orders",
+    "text_decontaminate",
+    "text_pii_redact",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -39,6 +41,8 @@ MAIN_TABLE = {
     "text_metrics": "documents",
     "pipeline_curate_corpus": "documents",
     "join_large_orders": "lineitem",
+    "text_decontaminate": "documents",
+    "text_pii_redact": "documents",
 }
 ID_COLS = {
     "events": "event_id",
