@@ -106,3 +106,86 @@ def track_sessions(
             timeout,
         )
     )
+
+
+def track_sessions_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """The same gap-sessionization on Spark 4's ``transformWithStateInPandas``
+    (StatefulProcessor + typed ValueState) — the successor API to
+    ``applyInPandasWithState``, backed by the RocksDB state store (callers
+    must set ``spark.sql.streaming.stateStore.providerClass`` to the
+    RocksDB provider; TWS requires it). Output and state semantics are
+    IDENTICAL to :func:`track_sessions` in drain (NoTimeout) mode —
+    ``tests/test_stateful.py`` asserts row-level equivalence of the two
+    implementations over the same multi-batch stream.
+
+    Environment note: TWS's Python driver worker speaks protobuf to the
+    JVM state server, so RUNNING this operator needs the ``protobuf``
+    package (plan construction does not); the equivalence test
+    import-or-skips on it, the plan-build smoke test always runs.
+    """
+    import pandas as pd  # local: the processor pickles to executors
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState("open", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            ts_us = sorted(
+                int(t.value // 1000)
+                for pdf in rows
+                for t in pd.to_datetime(pdf["ts"])
+            )
+            if not ts_us:
+                return
+            if self._open.exists():
+                start, last, n = self._open.get()
+            else:
+                start, last, n = ts_us[0], ts_us[0], 0
+            closed: list[tuple[int, int, int]] = []
+            for t in ts_us:
+                if t - last > gap_us and n > 0:
+                    closed.append((start, last, n))
+                    start, n = t, 0
+                last = max(last, t)
+                n += 1
+            self._open.update((start, last, n))
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(closed),
+                        "session_start": [
+                            pd.Timestamp(s, unit="us") for s, _, _ in closed
+                        ],
+                        "session_end": [
+                            pd.Timestamp(e, unit="us") for _, e, _ in closed
+                        ],
+                        "n_events": [c for _, _, c in closed],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.selectExpr(f"{key_col} as user_id", f"{ts_col} as ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _SessionProcessor(),
+            SESSION_SCHEMA,
+            "Append",
+            "None",
+        )
+    )

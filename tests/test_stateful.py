@@ -64,3 +64,130 @@ def test_track_sessions_across_batches(spark, tmp_path):
     assert str(r["session_start"]) == "2024-03-01 10:00:00"
     assert str(r["session_end"]) == "2024-03-01 10:00:10"
     assert r["n_events"] == 2
+
+
+def test_tws_session_tracker_matches_applyinpandas(spark, tmp_path):
+    """The transformWithStateInPandas implementation (Spark 4 StatefulProcessor
+    + RocksDB state store) must produce row-identical closed sessions to the
+    applyInPandasWithState tracker over the same multi-batch, multi-key
+    stream.
+
+    Environment gate: TWS's Python driver worker speaks protobuf to the
+    JVM state server (pyspark/sql/streaming/proto/StateMessage_pb2.py);
+    without the `protobuf` package the worker crashes at init, so the
+    equivalence check runs only where the dependency exists."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's Python worker requires protobuf",
+    )
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.stateful import (
+        track_sessions,
+        track_sessions_tws,
+    )
+
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [u for u, _ in rows],
+                "ts": pd.to_datetime([t for _, t in rows]),
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf).cast(
+                pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
+            ),
+            str(src / name),
+        )
+
+    write_batch(
+        "b1.parquet",
+        [
+            (1, "2024-03-01 10:00:00"),
+            (1, "2024-03-01 10:00:10"),
+            (2, "2024-03-01 10:05:00"),
+        ],
+    )
+    time.sleep(1.5)
+    write_batch(
+        "b2.parquet",
+        [
+            (1, "2024-03-01 12:30:00"),  # closes user 1's first session
+            (2, "2024-03-01 10:20:00"),  # same session for user 2
+            (2, "2024-03-01 13:00:00"),  # closes user 2's first session
+        ],
+    )
+
+    def run(tracker, needs_rocksdb):
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        saved = spark.conf.get(conf_key, None)
+        if needs_rocksdb:
+            spark.conf.set(
+                conf_key,
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
+        try:
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src))
+            )
+            name = f"sessions_{uuid.uuid4().hex[:8]}"
+            q = (
+                tracker(stream, gap_seconds=1800)
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(
+                (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+                for r in spark.table(name).collect()
+            )
+        finally:
+            if needs_rocksdb:
+                if saved is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, saved)
+
+    legacy = run(track_sessions, needs_rocksdb=False)
+    tws = run(track_sessions_tws, needs_rocksdb=True)
+    assert legacy == [
+        (1, "2024-03-01 10:00:00", "2024-03-01 10:00:10", 2),
+        (2, "2024-03-01 10:05:00", "2024-03-01 10:20:00", 2),
+    ]
+    assert tws == legacy
+
+
+def test_tws_tracker_builds_unresolved_plan(spark):
+    """Even without protobuf (which the TWS Python worker needs at RUN
+    time), the transformWithStateInPandas plan must BUILD: correct output
+    schema and streaming flag — catches API-signature drift early."""
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value as user_id", "timestamp as ts"
+    )
+    from enterprise_iot_bigdata_pipeline_spark.streaming.stateful import (
+        track_sessions_tws,
+    )
+
+    out = track_sessions_tws(stream, gap_seconds=60)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+    ]
