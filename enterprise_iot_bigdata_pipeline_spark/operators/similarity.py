@@ -405,3 +405,166 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "bucket", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's memory half): vectors compress to m byte
+# codes, search runs over codes via ADC lookup tables. At 100 TB this is
+# what makes exhaustive ANN feasible at all — a 64-dim float32 corpus is
+# 256 B/vector, the m=8 PQ codes are 8 B (32×), so a 100 TB raw corpus
+# becomes a ~3 TB code table that scans at memory bandwidth.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_sub: int = 256,
+    dim: int = 64,
+    seed: int = 7,
+    sample_n: int = 65_536,
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks (``m × k_sub × dim/m``), trained
+    driver-side on a BOUNDED sample exactly like the IVF coarse quantizer
+    (FAISS practice: quantizer quality saturates on ~256·k samples, and
+    the model is tiny — m·k_sub·(dim/m) = k_sub·dim floats). O(1) in
+    corpus size; train once, serve many."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sample = np.asarray(
+        [r[0] for r in corpus.select(vec_col).limit(sample_n).collect()],
+        dtype="float64",
+    )
+    dsub = dim // m
+    return [
+        kmeans_lloyd(sample[:, j * dsub : (j + 1) * dsub], k_sub, seed=seed + j, max_iter=max_iter)
+        for j in range(m)
+    ]
+
+
+def _pq_codes_udf(codebooks):
+    """vec → array<int> of m codebook indices (argmin sub-distance per
+    subspace). Arrow-batched dense math; the codebooks ride the closure."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(codebooks, dtype="float64")  # m × k_sub × dsub
+    m, _, dsub = B.shape
+
+    def _codes(vecs):
+        M = np.stack(vecs.to_numpy()).astype("float64")
+        out = np.empty((len(M), m), dtype="int32")
+        for j in range(m):
+            sub = M[:, j * dsub : (j + 1) * dsub]  # batch × dsub
+            # ‖x−c‖² per codeword; argmin over k_sub
+            d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    _codes.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_codes, "array<int>")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side compression pass: (id, codes). In a real deployment the
+    codes are what you PERSIST (write_lake) — float vectors leave the hot
+    path entirely."""
+    return fan_out(corpus).select(
+        F.col(id_col), _pq_codes_udf(codebooks)(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query_filter,
+    k: int = 3,
+    m: int = 8,
+    k_sub: int = 256,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+    max_queries: int = 1024,
+) -> DataFrame:
+    """Exhaustive ADC search over PQ codes: each query precomputes an
+    ``m × k_sub`` table of sub-distances to every codeword, and a
+    candidate's approximate squared L2 distance is the sum of m table
+    lookups — no float vector is touched at scan time.
+
+    Scale shape: the query LUT block (q·m·k_sub doubles, bounded by
+    ``max_queries``) broadcasts inside the UDF closure; the corpus-side
+    mapInPandas emits only the per-BATCH top-k per query (the map-side
+    partial of a top-k aggregation), so the final window sees
+    batches·q·k rows, never corpus·q. Guarded like similar_pairs_exact:
+    an unbounded query side would silently turn this into a full cross
+    product."""
+    import numpy as np
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, vec_col, m=m, k_sub=k_sub, dim=dim, seed=seed
+        )
+    B = np.asarray(codebooks, dtype="float64")  # m × k_sub × dsub
+    dsub = B.shape[2]
+
+    q_rows = (
+        corpus.filter(query_filter)
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk query side exceeds max_queries={max_queries}; "
+            "batch the queries or raise the bound deliberately"
+        )
+    q_ids = np.array([r["q_id"] for r in q_rows])
+    Q = np.stack([np.asarray(r["q_vec"], dtype="float64") for r in q_rows])
+    # LUT[q, j, c] = ‖Q[q] subspace j − codeword c‖²
+    lut = np.empty((len(Q), B.shape[0], B.shape[1]))
+    for j in range(B.shape[0]):
+        sub = Q[:, j * dsub : (j + 1) * dsub]
+        lut[:, j, :] = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+
+    encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    def _batch_topk(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())  # batch × m
+            ids = pdf[id_col].to_numpy()
+            # ADC: gather each query's sub-distance for each candidate code
+            # → batch × q approximate distances
+            d = np.zeros((len(codes), len(Q)))
+            for j in range(lut.shape[1]):
+                d += lut[:, j, :][:, codes[:, j]].T  # (batch, q)
+            # k+1: a query's own row may occupy one slot; the post-filter
+            # (id != q_id) must still leave k candidates from this batch
+            take = min(k + 1, len(codes))
+            top = np.argpartition(d, take - 1, axis=0)[:take]  # take × q
+            rows = {
+                "q_id": np.repeat(q_ids, take),
+                id_col: ids[top].T.ravel(),
+                "adc_dist": np.take_along_axis(d, top, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partials = encoded.mapInPandas(
+        _batch_topk, f"q_id long, {id_col} long, adc_dist double"
+    ).filter(F.col(id_col) != F.col("q_id"))
+    w = W.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "adc_dist", "rank")
+    )

@@ -141,3 +141,56 @@ def test_lsh_topk_runs_and_ranks(spark):
         assert ranks == list(range(1, len(rows) + 1))
         sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """Product-quantization ADC search must rank real nearest neighbors:
+    ADC approximates SQUARED L2, so ground truth is exact-L2 top-k. Also
+    checks the compression contract (m codes per vector) and that every
+    query gets k results."""
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    emb = t(spark, SF_CORRECT, "embeddings")
+    books = train_pq_codebooks(emb, m=8, k_sub=256, dim=64)
+    assert len(books) == 8 and all(len(b) == 256 for b in books)
+
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 8 for r in codes)
+
+    # exact-L2 ground truth, driver-side (test-only; 500 vectors)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    exact = {}
+    for qi in np.where(ids < 20)[0]:
+        d = ((M - M[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        exact[ids[qi]] = set(ids[np.argsort(d, kind="stable")[:3]])
+
+    approx = {}
+    for r in pq_topk(emb, F.col("vec_id") < 20, k=3, m=8, k_sub=256, codebooks=books).collect():
+        approx.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    assert all(len(v) == 3 for v in approx.values())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    # standard 8-bit PQ (m=8 × 256 codewords) on 64-dim
+    assert recall >= 0.6, f"PQ ADC recall too low: {recall:.2f}"
+
+
+def test_pq_topk_query_guard(spark):
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import pq_topk
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    emb = t(spark, SF_CORRECT, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(emb, F.lit(True), k=3, max_queries=10)
