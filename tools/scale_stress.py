@@ -30,6 +30,7 @@ STRESSED = [
     "join_large_orders",
     "text_decontaminate",
     "text_pii_redact",
+    "dedup_components",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -43,6 +44,7 @@ MAIN_TABLE = {
     "join_large_orders": "lineitem",
     "text_decontaminate": "documents",
     "text_pii_redact": "documents",
+    "dedup_components": "documents",
 }
 ID_COLS = {
     "events": "event_id",
