@@ -568,3 +568,26 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "adc_dist", "rank")
     )
+
+
+def auto_planes(
+    n_vectors: int,
+    target_occupancy: int = 32,
+    min_planes: int = 8,
+    max_planes: int = 24,
+) -> int:
+    """Plane count holding expected LSH bucket occupancy ≈ constant.
+
+    Candidate-pair cost per round is ~n²/2^planes, so a FIXED plane count
+    goes quadratic as the corpus grows (measured: the 8-plane multiround
+    query is exponent ~0.9 at 10× sf0.1, and worsening). Growing planes
+    with log₂(n/occupancy) keeps per-bucket expansion — and therefore
+    total candidate volume — linear in n. Deployments sizing an index for
+    a known corpus should pass ``n_planes=auto_planes(count)``; the
+    registered queries pin 8 planes because their oracle SQL embeds the
+    hyperplane literals.
+    """
+    import math
+
+    raw = math.ceil(math.log2(max(n_vectors, 1) / target_occupancy))
+    return max(min_planes, min(max_planes, raw))

@@ -194,3 +194,18 @@ def test_pq_topk_query_guard(spark):
     emb = t(spark, SF_CORRECT, "embeddings")
     with pytest.raises(ValueError, match="max_queries"):
         pq_topk(emb, F.lit(True), k=3, max_queries=10)
+
+
+def test_auto_planes_holds_occupancy():
+    """Index sizing: occupancy n/2^planes stays ≤ target across corpus
+    growth (until the max-planes clamp), and growth is logarithmic."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import auto_planes
+
+    assert auto_planes(2_000) == 8          # floor
+    assert auto_planes(20_000) == 10
+    assert auto_planes(2_000_000) == 16
+    assert auto_planes(2_000_000_000) == 24  # clamp
+    for n in (10_000, 10**6, 10**8):
+        p = auto_planes(n)
+        if p < 24:
+            assert n / (1 << p) <= 32

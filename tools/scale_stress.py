@@ -31,6 +31,8 @@ STRESSED = [
     "text_decontaminate",
     "text_pii_redact",
     "dedup_components",
+    "ann_lsh_topk",
+    "dedup_embedding_multiround",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -45,12 +47,15 @@ MAIN_TABLE = {
     "text_decontaminate": "documents",
     "text_pii_redact": "documents",
     "dedup_components": "documents",
+    "ann_lsh_topk": "embeddings",
+    "dedup_embedding_multiround": "embeddings",
 }
 ID_COLS = {
     "events": "event_id",
     "lineitem": "l_orderkey",
     "documents": "doc_id",
     "orders": "o_orderkey",
+    "embeddings": "vec_id",
 }
 
 
@@ -86,6 +91,24 @@ def main() -> None:
                     c = c.withColumn(
                         "text", F.concat(F.col("text"), F.lit(f" copyset{i}"))
                     )
+                if name == "embeddings":
+                    # Same amplifier honesty for vectors: near-copies of each
+                    # vector make every original a genuine N-vector near-dup
+                    # cluster, so true pair OUTPUT grows N² by construction
+                    # (measured: exponent 1.34 with an ε-nudge amplifier —
+                    # the data, not the operator). A per-copy CIRCULAR
+                    # ROTATION of the dims decorrelates copies from their
+                    # originals (different LSH buckets, different neighbors)
+                    # while preserving the norm and value distribution —
+                    # constant near-dup rate, the honest linear test.
+                    rot = (7 * i) % 64
+                    c = c.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {rot + 1}, {64 - rot}), "
+                            f"slice(embedding, 1, {rot}))"
+                        ),
+                    )
                 copies.append(c)
             for c in copies:
                 amplified = amplified.unionByName(c)
@@ -109,6 +132,41 @@ def main() -> None:
         exp = math.log(tn / t1) / math.log(N)
         flag = "" if exp < 1.25 else "  <-- SUPER-LINEAR"
         print(f"{name:32s} {t1:7.2f} {tn:7.2f} {exp:9.2f}{flag}")
+
+    # LSH candidate cost is ~n²/2^planes: FIXED index params measured above
+    # are honest about what the registered 8-plane query would do, but a
+    # scale-tuned index grows planes with log₂(n) to hold bucket occupancy
+    # constant. Measure the operator re-tuned for the amplified corpus —
+    # this is the knob a 100 TB deployment turns.
+    import time as _time
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        embedding_near_dup_multiround,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t as _t
+    from enterprise_iot_bigdata_pipeline_spark.plans.vectors import _MR_ROUNDS, _NEAR_T
+
+    extra_planes = max(0, round(math.log2(N)))
+
+    def timed_planes(sf_dir: str, planes: int) -> float:
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = _time.perf_counter()
+            embedding_near_dup_multiround(
+                _t(spark, sf_dir, "embeddings"),
+                threshold=_NEAR_T,
+                rounds=_MR_ROUNDS,
+                n_planes=8 + extra_planes if sf_dir == stage else 8,
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    t1 = timed_planes(SF, 8)
+    tn = timed_planes(stage, 8 + extra_planes)
+    exp = math.log(tn / t1) / math.log(N)
+    name = f"multiround@{8 + extra_planes}planes"
+    print(f"{name:32s} {t1:7.2f} {tn:7.2f} {exp:9.2f}  (log2-scaled index)")
     spark.stop()
 
 
