@@ -128,12 +128,36 @@ def kmeans_lloyd(sample, n_clusters: int, seed: int = 7, max_iter: int = 10):
     import numpy as np
 
     sample = np.asarray(sample, dtype="float64")
+    if n_clusters > len(sample):
+        raise ValueError(
+            f"kmeans_lloyd: n_clusters={n_clusters} exceeds sample size "
+            f"{len(sample)} — lower the cluster/codeword count or feed a "
+            "larger sample"
+        )
     rnd = np.random.RandomState(seed)
     cents = sample[rnd.choice(len(sample), n_clusters, replace=False)]
+
+    def nearest(cents):
+        # (x−c)² summed per pair, evaluated in CENTROID CHUNKS: the full
+        # sample×clusters×dim broadcast is ~1 GB at PQ defaults
+        # (65536×256×8 float64); chunking bounds peak memory while keeping
+        # the arithmetic — and therefore the resulting centroids —
+        # bit-identical to the unchunked form.
+        best_d = np.full(len(sample), np.inf)
+        best_i = np.zeros(len(sample), dtype="int64")
+        for lo in range(0, len(cents), 16):
+            chunk = cents[lo : lo + 16]
+            d2 = ((sample[:, None, :] - chunk[None, :, :]) ** 2).sum(axis=2)
+            i = d2.argmin(axis=1)
+            d = np.take_along_axis(d2, i[:, None], axis=1).ravel()
+            upd = d < best_d
+            best_d[upd] = d[upd]
+            best_i[upd] = i[upd] + lo
+        return best_i
+
     for _ in range(max_iter):
         # Lloyd's: assign to nearest centroid, recenter
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = nearest(cents)
         new = np.array(
             [
                 sample[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
@@ -409,9 +433,10 @@ def lsh_topk(
 
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ's memory half): vectors compress to m byte
-# codes, search runs over codes via ADC lookup tables. At 100 TB this is
-# what makes exhaustive ANN feasible at all — a 64-dim float32 corpus is
-# 256 B/vector, the m=8 PQ codes are 8 B (32×), so a 100 TB raw corpus
+# codes PACKED INTO ONE 64-BIT LONG (m ≤ 8, k_sub ≤ 256 ⇒ one byte per
+# subspace), search runs over codes via ADC lookup tables. At 100 TB this
+# is what makes exhaustive ANN feasible at all — a 64-dim float32 corpus
+# is 256 B/vector, the packed code is 8 B (32×), so a 100 TB raw corpus
 # becomes a ~3 TB code table that scans at memory bandwidth.
 # ---------------------------------------------------------------------------
 
@@ -435,10 +460,20 @@ def train_pq_codebooks(
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if m > 8 or k_sub > 256:
+        raise ValueError(
+            f"m={m}, k_sub={k_sub}: codes pack one byte per subspace into a "
+            "64-bit long — m ≤ 8 and k_sub ≤ 256"
+        )
     sample = np.asarray(
         [r[0] for r in corpus.select(vec_col).limit(sample_n).collect()],
         dtype="float64",
     )
+    if len(sample) < k_sub:
+        raise ValueError(
+            f"train_pq_codebooks: only {len(sample)} sample vectors for "
+            f"k_sub={k_sub} codewords — lower k_sub or train on more data"
+        )
     dsub = dim // m
     return [
         kmeans_lloyd(sample[:, j * dsub : (j + 1) * dsub], k_sub, seed=seed + j, max_iter=max_iter)
@@ -446,27 +481,39 @@ def train_pq_codebooks(
     ]
 
 
-def _pq_codes_udf(codebooks):
-    """vec → array<int> of m codebook indices (argmin sub-distance per
-    subspace). Arrow-batched dense math; the codebooks ride the closure."""
+def _pq_code_udf(codebooks):
+    """vec → ONE long: m codebook indices (argmin sub-distance per
+    subspace), one byte each, subspace j at bit 8·j. Arrow-batched dense
+    math; the codebooks ride the closure. Codeword distances evaluate in
+    chunks (an unchunked batch×k_sub×dsub float64 temp is ~160 MB per
+    subspace at the default 10k Arrow batch — ×32 local tasks would spike
+    gigabytes)."""
     import numpy as np
     import pandas as pd
 
     B = np.asarray(codebooks, dtype="float64")  # m × k_sub × dsub
     m, _, dsub = B.shape
 
-    def _codes(vecs):
+    def _code(vecs):
         M = np.stack(vecs.to_numpy()).astype("float64")
-        out = np.empty((len(M), m), dtype="int32")
+        packed = np.zeros(len(M), dtype="int64")
         for j in range(m):
             sub = M[:, j * dsub : (j + 1) * dsub]  # batch × dsub
-            # ‖x−c‖² per codeword; argmin over k_sub
-            d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-            out[:, j] = d2.argmin(axis=1)
-        return pd.Series(list(out))
+            best_d = np.full(len(M), np.inf)
+            best_i = np.zeros(len(M), dtype="int64")
+            for lo in range(0, B.shape[1], 64):
+                chunk = B[j][lo : lo + 64]
+                d2 = ((sub[:, None, :] - chunk[None, :, :]) ** 2).sum(axis=2)
+                i = d2.argmin(axis=1)
+                d = np.take_along_axis(d2, i[:, None], axis=1).ravel()
+                upd = d < best_d
+                best_d[upd] = d[upd]
+                best_i[upd] = i[upd] + lo
+            packed |= best_i << (8 * j)
+        return pd.Series(packed)
 
-    _codes.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    return F.pandas_udf(_codes, "array<int>")
+    _code.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_code, "long")
 
 
 def pq_encode(
@@ -475,11 +522,12 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Map-side compression pass: (id, codes). In a real deployment the
-    codes are what you PERSIST (write_lake) — float vectors leave the hot
-    path entirely."""
+    """Map-side compression pass: (id, code) with the m byte-codes packed
+    into one 8-byte long — exactly the 32× claim at dim=64/float32. In a
+    real deployment the code column is what you PERSIST (write_lake);
+    float vectors leave the hot path entirely."""
     return fan_out(corpus).select(
-        F.col(id_col), _pq_codes_udf(codebooks)(F.col(vec_col)).alias("codes")
+        F.col(id_col), _pq_code_udf(codebooks)(F.col(vec_col)).alias("code")
     )
 
 
@@ -507,7 +555,12 @@ def pq_topk(
     partial of a top-k aggregation), so the final window sees
     batches·q·k rows, never corpus·q. Guarded like similar_pairs_exact:
     an unbounded query side would silently turn this into a full cross
-    product."""
+    product.
+
+    Determinism: identical codes give bit-identical ADC distances, so ties
+    are REAL here — per-batch selection orders by (distance, id), the same
+    key the final window ranks by, so the global result is independent of
+    partitioning."""
     import numpy as np
     import pandas as pd
 
@@ -529,6 +582,10 @@ def pq_topk(
             f"pq_topk query side exceeds max_queries={max_queries}; "
             "batch the queries or raise the bound deliberately"
         )
+    spark = corpus.sparkSession
+    out_schema = f"q_id long, {id_col} long, adc_dist double"
+    if not q_rows:
+        return spark.createDataFrame([], out_schema + ", rank int")
     q_ids = np.array([r["q_id"] for r in q_rows])
     Q = np.stack([np.asarray(r["q_vec"], dtype="float64") for r in q_rows])
     # LUT[q, j, c] = ‖Q[q] subspace j − codeword c‖²
@@ -538,30 +595,40 @@ def pq_topk(
         lut[:, j, :] = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
 
     encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    n_sub = B.shape[0]
 
     def _batch_topk(batches):
         for pdf in batches:
-            codes = np.stack(pdf["codes"].to_numpy())  # batch × m
+            packed = pdf["code"].to_numpy().astype("int64")
             ids = pdf[id_col].to_numpy()
-            # ADC: gather each query's sub-distance for each candidate code
-            # → batch × q approximate distances
-            d = np.zeros((len(codes), len(Q)))
-            for j in range(lut.shape[1]):
-                d += lut[:, j, :][:, codes[:, j]].T  # (batch, q)
+            # ADC: gather each query's sub-distance for each candidate's
+            # unpacked byte-code → batch × q approximate distances
+            d = np.zeros((len(packed), len(Q)))
+            for j in range(n_sub):
+                cj = (packed >> (8 * j)) & 0xFF
+                d += lut[:, j, :][:, cj].T  # (batch, q)
             # k+1: a query's own row may occupy one slot; the post-filter
-            # (id != q_id) must still leave k candidates from this batch
-            take = min(k + 1, len(codes))
-            top = np.argpartition(d, take - 1, axis=0)[:take]  # take × q
-            rows = {
-                "q_id": np.repeat(q_ids, take),
-                id_col: ids[top].T.ravel(),
-                "adc_dist": np.take_along_axis(d, top, axis=0).T.ravel(),
-            }
-            yield pd.DataFrame(rows)
+            # (id != q_id) must still leave k candidates from this batch.
+            # lexsort on (id, dist) = order by dist with id tie-break —
+            # boundary ties resolve exactly as the final window will.
+            take = min(k + 1, len(packed))
+            out_ids = np.empty((len(Q), take), dtype=ids.dtype)
+            out_d = np.empty((len(Q), take))
+            for qi in range(len(Q)):
+                sel = np.lexsort((ids, d[:, qi]))[:take]
+                out_ids[qi] = ids[sel]
+                out_d[qi] = d[sel, qi]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, take),
+                    id_col: out_ids.ravel(),
+                    "adc_dist": out_d.ravel(),
+                }
+            )
 
-    partials = encoded.mapInPandas(
-        _batch_topk, f"q_id long, {id_col} long, adc_dist double"
-    ).filter(F.col(id_col) != F.col("q_id"))
+    partials = encoded.mapInPandas(_batch_topk, out_schema).filter(
+        F.col(id_col) != F.col("q_id")
+    )
     w = W.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
     return (
         partials.withColumn("rank", F.row_number().over(w))

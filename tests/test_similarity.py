@@ -161,8 +161,18 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     books = train_pq_codebooks(emb, m=8, k_sub=256, dim=64)
     assert len(books) == 8 and all(len(b) == 256 for b in books)
 
-    codes = pq_encode(emb, books).collect()
-    assert all(len(r["codes"]) == 8 for r in codes)
+    # packed contract: the long is the raw 64 bits (byte 7 may reach the
+    # sign bit); unpacked bytes must equal a driver-side argmin recompute
+    import numpy as np
+
+    codes = {r["vec_id"]: r["code"] & ((1 << 64) - 1) for r in pq_encode(emb, books).collect()}
+    B = np.asarray(books)
+    for r in emb.select("vec_id", "embedding").limit(20).collect():
+        v = np.asarray(r["embedding"], dtype="float64")
+        for j in range(8):
+            expect = (((v[j * 8 : (j + 1) * 8][None, :] - B[j]) ** 2).sum(axis=1)).argmin()
+            got = (codes[r["vec_id"]] >> (8 * j)) & 0xFF
+            assert got == expect, (r["vec_id"], j, got, expect)
 
     # exact-L2 ground truth, driver-side (test-only; 500 vectors)
     rows = emb.select("vec_id", "embedding").collect()
@@ -185,15 +195,26 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     assert recall >= 0.6, f"PQ ADC recall too low: {recall:.2f}"
 
 
-def test_pq_topk_query_guard(spark):
+def test_pq_topk_query_guard_and_empty(spark):
     import pytest
 
-    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import pq_topk
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
     emb = t(spark, SF_CORRECT, "embeddings")
     with pytest.raises(ValueError, match="max_queries"):
         pq_topk(emb, F.lit(True), k=3, max_queries=10)
+    # zero matching queries → empty frame with the output schema, no crash
+    books = train_pq_codebooks(emb)
+    out = pq_topk(emb, F.col("vec_id") < 0, k=3, codebooks=books)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "vec_id", "adc_dist", "rank"]
+    # undersized sample for 256 codewords → descriptive error
+    with pytest.raises(ValueError, match="codewords"):
+        train_pq_codebooks(emb.limit(100))
 
 
 def test_auto_planes_holds_occupancy():

@@ -101,7 +101,10 @@ def main() -> None:
                     # originals (different LSH buckets, different neighbors)
                     # while preserving the norm and value distribution —
                     # constant near-dup rate, the honest linear test.
-                    rot = (7 * i) % 64
+                    # rot ∈ [1, 63], never 0 (an unrotated copy would be an
+                    # exact duplicate — the N² amplifier again); beyond 64
+                    # copies rotations repeat, so copysets would collide.
+                    rot = (i - 1) % 63 + 1
                     c = c.withColumn(
                         "embedding",
                         F.expr(
@@ -157,7 +160,7 @@ def main() -> None:
                 _t(spark, sf_dir, "embeddings"),
                 threshold=_NEAR_T,
                 rounds=_MR_ROUNDS,
-                n_planes=8 + extra_planes if sf_dir == stage else 8,
+                n_planes=planes,
             ).write.format("noop").mode("overwrite").save()
             best = min(best, _time.perf_counter() - t0)
         return best
