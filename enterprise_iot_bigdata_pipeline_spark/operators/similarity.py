@@ -120,6 +120,28 @@ def centroid_norms2(centroids: list[list[float]]) -> list[float]:
     return out
 
 
+def chunked_argmin_sqdist(X, C, chunk: int = 16):
+    """Index of the nearest row of ``C`` for every row of ``X`` by squared
+    L2 distance, evaluated in CENTROID CHUNKS: the full n×k×dim float64
+    broadcast is ~1 GB at PQ defaults (65536×256×8); chunking bounds peak
+    memory while keeping the arithmetic — and therefore every argmin and
+    tie-break (strict ``<`` update ≙ global first-minimum) — bit-identical
+    to the unchunked form. Shared by Lloyd's assignment and PQ encoding so
+    the determinism contract lives in one place."""
+    import numpy as np
+
+    best_d = np.full(len(X), np.inf)
+    best_i = np.zeros(len(X), dtype="int64")
+    for lo in range(0, len(C), chunk):
+        d2 = ((X[:, None, :] - C[lo : lo + chunk][None, :, :]) ** 2).sum(axis=2)
+        i = d2.argmin(axis=1)
+        d = np.take_along_axis(d2, i[:, None], axis=1).ravel()
+        upd = d < best_d
+        best_d[upd] = d[upd]
+        best_i[upd] = i[upd] + lo
+    return best_i
+
+
 def kmeans_lloyd(sample, n_clusters: int, seed: int = 7, max_iter: int = 10):
     """Plain-numpy Lloyd's k-means on an in-memory sample. Shared by the
     Spark-side trainer below and the offline quantizer build
@@ -137,27 +159,9 @@ def kmeans_lloyd(sample, n_clusters: int, seed: int = 7, max_iter: int = 10):
     rnd = np.random.RandomState(seed)
     cents = sample[rnd.choice(len(sample), n_clusters, replace=False)]
 
-    def nearest(cents):
-        # (x−c)² summed per pair, evaluated in CENTROID CHUNKS: the full
-        # sample×clusters×dim broadcast is ~1 GB at PQ defaults
-        # (65536×256×8 float64); chunking bounds peak memory while keeping
-        # the arithmetic — and therefore the resulting centroids —
-        # bit-identical to the unchunked form.
-        best_d = np.full(len(sample), np.inf)
-        best_i = np.zeros(len(sample), dtype="int64")
-        for lo in range(0, len(cents), 16):
-            chunk = cents[lo : lo + 16]
-            d2 = ((sample[:, None, :] - chunk[None, :, :]) ** 2).sum(axis=2)
-            i = d2.argmin(axis=1)
-            d = np.take_along_axis(d2, i[:, None], axis=1).ravel()
-            upd = d < best_d
-            best_d[upd] = d[upd]
-            best_i[upd] = i[upd] + lo
-        return best_i
-
     for _ in range(max_iter):
         # Lloyd's: assign to nearest centroid, recenter
-        assign = nearest(cents)
+        assign = chunked_argmin_sqdist(sample, cents)
         new = np.array(
             [
                 sample[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
@@ -492,24 +496,23 @@ def _pq_code_udf(codebooks):
     import pandas as pd
 
     B = np.asarray(codebooks, dtype="float64")  # m × k_sub × dsub
-    m, _, dsub = B.shape
+    m, k_sub, dsub = B.shape
+    # The one-byte-per-subspace invariant is CONSUMED here, so enforce it
+    # here: externally trained codebooks past these bounds would silently
+    # bleed index bits into the neighbor byte (k_sub > 256) or shift past
+    # the 64-bit word entirely (m > 8 → numpy shift yields 0).
+    if m > 8 or k_sub > 256:
+        raise ValueError(
+            f"codebooks shape {B.shape}: packing needs m ≤ 8 and k_sub ≤ 256 "
+            "(one byte per subspace in a 64-bit code)"
+        )
 
     def _code(vecs):
         M = np.stack(vecs.to_numpy()).astype("float64")
         packed = np.zeros(len(M), dtype="int64")
         for j in range(m):
             sub = M[:, j * dsub : (j + 1) * dsub]  # batch × dsub
-            best_d = np.full(len(M), np.inf)
-            best_i = np.zeros(len(M), dtype="int64")
-            for lo in range(0, B.shape[1], 64):
-                chunk = B[j][lo : lo + 64]
-                d2 = ((sub[:, None, :] - chunk[None, :, :]) ** 2).sum(axis=2)
-                i = d2.argmin(axis=1)
-                d = np.take_along_axis(d2, i[:, None], axis=1).ravel()
-                upd = d < best_d
-                best_d[upd] = d[upd]
-                best_i[upd] = i[upd] + lo
-            packed |= best_i << (8 * j)
+            packed |= chunked_argmin_sqdist(sub, B[j], chunk=64) << (8 * j)
         return pd.Series(packed)
 
     _code.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
@@ -564,13 +567,8 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    if codebooks is None:
-        codebooks = train_pq_codebooks(
-            corpus, vec_col, m=m, k_sub=k_sub, dim=dim, seed=seed
-        )
-    B = np.asarray(codebooks, dtype="float64")  # m × k_sub × dsub
-    dsub = B.shape[2]
-
+    # Query side first: collecting it is cheap, and an empty or oversized
+    # query set must be decided BEFORE paying for codebook training.
     q_rows = (
         corpus.filter(query_filter)
         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
@@ -583,9 +581,17 @@ def pq_topk(
             "batch the queries or raise the bound deliberately"
         )
     spark = corpus.sparkSession
-    out_schema = f"q_id long, {id_col} long, adc_dist double"
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"q_id {id_type}, `{id_col}` {id_type}, adc_dist double"
     if not q_rows:
         return spark.createDataFrame([], out_schema + ", rank int")
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, vec_col, m=m, k_sub=k_sub, dim=dim, seed=seed
+        )
+    B = np.asarray(codebooks, dtype="float64")  # m × k_sub × dsub
+    dsub = B.shape[2]
     q_ids = np.array([r["q_id"] for r in q_rows])
     Q = np.stack([np.asarray(r["q_vec"], dtype="float64") for r in q_rows])
     # LUT[q, j, c] = ‖Q[q] subspace j − codeword c‖²
@@ -609,20 +615,21 @@ def pq_topk(
                 d += lut[:, j, :][:, cj].T  # (batch, q)
             # k+1: a query's own row may occupy one slot; the post-filter
             # (id != q_id) must still leave k candidates from this batch.
-            # lexsort on (id, dist) = order by dist with id tie-break —
-            # boundary ties resolve exactly as the final window will.
+            # (dist, id) ordering without a per-query Python lexsort: rows
+            # are pre-sorted by id once, then ONE stable argsort on
+            # distance across all query columns — stable sort over
+            # id-ordered rows ≡ order by (dist, id), so boundary ties
+            # between identical-code candidates resolve exactly as the
+            # final window will.
             take = min(k + 1, len(packed))
-            out_ids = np.empty((len(Q), take), dtype=ids.dtype)
-            out_d = np.empty((len(Q), take))
-            for qi in range(len(Q)):
-                sel = np.lexsort((ids, d[:, qi]))[:take]
-                out_ids[qi] = ids[sel]
-                out_d[qi] = d[sel, qi]
+            id_order = np.argsort(ids, kind="stable")
+            top = np.argsort(d[id_order], axis=0, kind="stable")[:take]  # take × q
+            sel = id_order[top]  # take × q row indices
             yield pd.DataFrame(
                 {
                     "q_id": np.repeat(q_ids, take),
-                    id_col: out_ids.ravel(),
-                    "adc_dist": out_d.ravel(),
+                    id_col: ids[sel].T.ravel(),
+                    "adc_dist": np.take_along_axis(d, sel, axis=0).T.ravel(),
                 }
             )
 

@@ -230,3 +230,42 @@ def test_auto_planes_holds_occupancy():
         p = auto_planes(n)
         if p < 24:
             assert n / (1 << p) <= 32
+
+
+def test_pq_rejects_unpackable_codebooks_and_handles_string_ids(spark):
+    import numpy as np
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    emb = t(spark, SF_CORRECT, "embeddings")
+    # externally supplied codebooks that don't fit one byte per subspace
+    # must be rejected where the packing invariant is consumed
+    bad = np.zeros((8, 512, 8)).tolist()
+    with pytest.raises(ValueError, match="k_sub"):
+        pq_encode(emb, bad)
+    bad_m = np.zeros((16, 16, 4)).tolist()
+    with pytest.raises(ValueError, match="m"):
+        pq_encode(emb, bad_m)
+
+    # non-long id column: output schema must follow the corpus id type
+    semb = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    books = train_pq_codebooks(semb)
+    out = pq_topk(
+        semb,
+        F.col("vec_id").isin("v1", "v2", "v3"),
+        k=2,
+        codebooks=books,
+    )
+    rows = out.collect()
+    assert dict(out.dtypes)["vec_id"] == "string"
+    assert {r["q_id"] for r in rows} == {"v1", "v2", "v3"}
+    assert all(r["rank"] <= 2 for r in rows)
