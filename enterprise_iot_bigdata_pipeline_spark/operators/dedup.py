@@ -695,3 +695,45 @@ def decontaminate(
             (shared >= threshold).alias("contaminated"),
         )
     )
+
+
+def duplicate_ngram_coverage(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate n-gram coverage (the RefinedWeb/Gopher-style
+    cross-document repetition signal): the fraction of a doc's distinct
+    word ``n``-gram shingles that occur in ≥ ``min_docs`` documents
+    corpus-wide. High coverage marks boilerplate/templated text that
+    per-doc metrics can't see.
+
+    Scale shape: two hash shuffles, both linear — a shingle-keyed count
+    (map-side partial combine; shingles are per-doc distinct so the count
+    IS document frequency) and the doc-keyed final agg. The frequency
+    frame joins back shingle-keyed (one row per distinct shingle — already
+    aggregated, so hot shingles cost one row, not a fan-out).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("df") >= min_docs, 1)).alias("n_dup_shingles"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_dup_shingles",
+            (
+                F.col("n_dup_shingles").cast("double") / F.col("n_shingles")
+            ).alias("dup_coverage"),
+        )
+    )

@@ -227,3 +227,27 @@ def test_pii_redact_counts_and_output(spark):
     assert out[2]["red"] == "no pii at all in this line"
     assert (out[3]["e"], out[3]["p"], out[3]["i"]) == (2, 0, 1)
     assert out[3]["red"] == "two mails [EMAIL] and [EMAIL]; ip [IP]"
+
+
+def test_duplicate_ngram_coverage_known_values(spark):
+    """Cross-doc repetition: a doc sharing its whole text with another has
+    coverage 1.0; a unique doc has 0.0; a half-shared doc is fractional."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import (
+        duplicate_ngram_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # 3 shingles, all shared with doc 2
+            (2, "a b c d e"),            # exact duplicate of doc 1
+            (3, "p q r s t"),            # unique
+            (4, "a b c x y z"),          # shares 'a b c' only (1 of 4)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_ngram_coverage(docs, n=3).collect()}
+    assert out[1]["n_shingles"] == 3 and out[1]["dup_coverage"] == 1.0
+    assert out[2]["dup_coverage"] == 1.0
+    assert out[3]["n_shingles"] == 3 and out[3]["dup_coverage"] == 0.0
+    assert out[4]["n_shingles"] == 4 and out[4]["n_dup_shingles"] == 1
+    assert out[4]["dup_coverage"] == 0.25
