@@ -20,8 +20,12 @@ def parse_s3_key(key: Column) -> Column:
     """
     parts = F.split(key, "/")
     n = F.size(parts)
+    # F.get (not []): under ANSI mode a computed out-of-bounds index is a
+    # job-killing INVALID_ARRAY_INDEX — one malformed key in a 100 TB
+    # listing must yield NULL fields (DuckDB's indexing behavior), not
+    # abort the scan.
     return F.struct(
-        F.regexp_replace(parts[n - 3], "^hiveperiod=", "").alias("hiveperiod"),
-        F.regexp_replace(parts[n - 2], "^dstrct_code=", "").alias("dstrct_code"),
-        parts[n - 1].alias("filename"),
+        F.regexp_replace(F.get(parts, n - 3), "^hiveperiod=", "").alias("hiveperiod"),
+        F.regexp_replace(F.get(parts, n - 2), "^dstrct_code=", "").alias("dstrct_code"),
+        F.get(parts, n - 1).alias("filename"),
     )

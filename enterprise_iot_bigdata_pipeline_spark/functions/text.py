@@ -28,8 +28,15 @@ STOPWORDS_EN = LANG_MARKERS["en"]
 
 
 def words(text: Column) -> Column:
-    """Lower-cased whitespace tokens."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    """Lower-cased whitespace tokens.
+
+    The split class is spelled out instead of ``\\s`` because Java's
+    ``\\s`` includes vertical tab (\\x0B) while RE2's (the DuckDB oracle's
+    ``regexp_split_to_array``) does not — a document containing \\x0B
+    would tokenize differently per engine and silently shift every
+    derived metric, shingle, and MinHash signature. The explicit class is
+    exactly RE2's ASCII ``\\s``."""
+    return F.split(F.lower(F.trim(text)), "[ \t\n\f\r]+")
 
 
 def token_count(text: Column) -> Column:

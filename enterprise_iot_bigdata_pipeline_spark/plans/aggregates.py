@@ -246,7 +246,8 @@ def agg_conditional_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(min(value) AS DOUBLE) AS min_value,
         CAST(max(value) AS DOUBLE) AS max_value,
         CASE WHEN count(value) > 1 THEN sqrt(
-            ({DSUM_SQL("value * value")} - {DSUM_SQL("value")} * {DSUM_SQL("value")} / count(value))
+            greatest(0.0::DOUBLE,
+                {DSUM_SQL("value * value")} - {DSUM_SQL("value")} * {DSUM_SQL("value")} / count(value))
             / (count(value) - 1)
         ) END AS stddev_value,
         count(*) AS n
@@ -267,8 +268,14 @@ def agg_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(v).alias("avg_value"),
             F.min(v).cast("double").alias("min_value"),
             F.max(v).cast("double").alias("max_value"),
-            # guarded: a singleton group divides by zero under ANSI mode
-            F.when(n > 1, F.sqrt((sq - s * s / n) / (n - F.lit(1)))).alias("stddev_value"),
+            # guarded twice: a singleton group divides by zero under ANSI
+            # mode, and a CONSTANT group's numerator lands at ~-1e-18 in
+            # doubles (sq − s²/n) → sqrt(NaN) without the clamp (DuckDB
+            # outright errors on a negative sqrt; both sides clamp at 0)
+            F.when(
+                n > 1,
+                F.sqrt(F.greatest(F.lit(0.0), sq - s * s / n) / (n - F.lit(1))),
+            ).alias("stddev_value"),
             F.count(F.lit(1)).alias("n"),
         )
     )

@@ -76,6 +76,20 @@ def flagship_minute_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         type_code = F.when(F.col("event_type") == v, F.lit(i)) if i == 0 else type_code.when(
             F.col("event_type") == v, F.lit(i)
         )
+    # The int-encoded min is only order-preserving INSIDE the vocabulary;
+    # an out-of-vocab value silently encoded NULL would make min() skip it
+    # (wrong answer, no error). Fail loudly instead — the dictionary is a
+    # hard precondition of this fast path, and the branch costs nothing on
+    # in-vocab rows.
+    type_code = type_code.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("flagship_minute_resample: event_type outside the "
+                      "dictionary vocabulary: "),
+                F.col("event_type"),
+            )
+        ).cast("int")
+    )
     cleaned = (
         ev.withColumn("value_clean", replace_sentinel(F.col("value")))
         .withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("double"))

@@ -88,8 +88,17 @@ def fan_out(df: DataFrame) -> DataFrame:
     shuffle ahead of every text/vector stage at 100 TB would be pure
     overhead.
     """
+    import re
+
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(node in plan for node in _WIDE_NODES):
+    # Match node NAMES at tree positions only (line start after indent /
+    # branch glyphs, optional unresolved tick) — a bare substring test
+    # would also hit column names like `union_key` or paths containing
+    # "Sort" rendered inside a node's argument list.
+    node_re = re.compile(
+        r"(?m)^[\s:+\-*(0-9)]*'?(?:%s)" % "|".join(_WIDE_NODES)
+    )
+    if node_re.search(plan):
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism

@@ -288,7 +288,15 @@ bands AS (
 )
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+JOIN (SELECT band, key, count(DISTINCT doc) AS cnt, min(doc) AS bmin
+      FROM bands GROUP BY band, key) s
+  ON a.band = s.band AND a.key = s.key
+WHERE s.cnt <= {D.DEFAULT_MAX_BUCKET} OR a.doc = s.bmin
 """
+# The WHERE mirrors the Spark side's hot-bucket STAR cap
+# (operators.dedup.bucket_pairs_capped): buckets over the cap emit only
+# (bucket-min, other) pairs, so the oracle stays hash-exact even on a
+# boilerplate flood that collapses thousands of docs into one band key.
 
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
@@ -378,6 +386,10 @@ pairs AS (
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM chunks a JOIN chunks b
           ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
+        JOIN (SELECT chunk, key, count(DISTINCT doc) AS cnt, min(doc) AS bmin
+              FROM chunks GROUP BY chunk, key) s
+          ON a.chunk = s.chunk AND a.key = s.key
+        WHERE s.cnt <= {D.DEFAULT_MAX_BUCKET} OR a.doc = s.bmin
     )
     WHERE hamming <= {_MAX_HAMMING}
 )

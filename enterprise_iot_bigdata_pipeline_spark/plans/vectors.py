@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from enterprise_iot_bigdata_pipeline_spark.functions.vectors import ROUND_DP
 from enterprise_iot_bigdata_pipeline_spark.operators import similarity as S
+from enterprise_iot_bigdata_pipeline_spark.operators.dedup import DEFAULT_MAX_BUCKET
 from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
@@ -66,10 +67,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Random-projection LSH buckets (the scale path's candidate generator)
+# Random-projection LSH buckets (the scale path's candidate generator).
+# (Planes are regenerated per seed inside _bucket_sql_for — no module-level
+# plane set exists on purpose; a stale one would look load-bearing.)
 # ---------------------------------------------------------------------------
-
-_PLANES = S.hyperplanes()
 
 
 def _proj_sql(vec: str, coefs: list[float]) -> str:
@@ -207,13 +208,19 @@ _NEAR_T = 0.2
 
 _MR_ROUNDS = 2
 
+# The cnt/bmin join mirrors the Spark side's hot-bucket STAR cap
+# (operators.dedup.bucket_pairs_capped): buckets past the cap emit only
+# (bucket-min, other) pairs — keeps the oracle hash-exact under floods.
 _MR_CTES = ",\n".join(
     f"""b{r} AS (SELECT vec_id, embedding, CAST({_bucket_sql_for(7 + 101 * r)} AS BIGINT) AS bucket FROM embeddings),
+s{r} AS (SELECT bucket, count(DISTINCT vec_id) AS cnt, min(vec_id) AS bmin FROM b{r} GROUP BY bucket),
 p{r} AS (
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
            {_cos_sql("a.embedding", "c.embedding")} AS cos_sim
     FROM b{r} a JOIN b{r} c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {_cos_sql("a.embedding", "c.embedding")} >= {_NEAR_T}
+    JOIN s{r} s ON a.bucket = s.bucket
+    WHERE (s.cnt <= {DEFAULT_MAX_BUCKET} OR a.vec_id = s.bmin)
+      AND {_cos_sql("a.embedding", "c.embedding")} >= {_NEAR_T}
 )"""
     for r in range(_MR_ROUNDS)
 )

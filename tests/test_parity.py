@@ -120,3 +120,97 @@ def test_lsh_buckets_below_oracle_cap(spark, sf_dir):
             f"embedding LSH bucket of {hottest_emb} members (seed {seed}) "
             f"exceeds the {DEFAULT_MAX_BUCKET} cap at {sf_dir}"
         )
+
+
+def test_lsh_star_cap_mirrored_in_oracle(spark, tmp_path):
+    """A boilerplate flood past the 1024-member bucket cap: the Spark side
+    star-expands, and the oracle SQL must produce the IDENTICAL pair set —
+    the cap is part of the operator's contract, not a hidden divergence."""
+    import duckdb
+
+    from enterprise_iot_bigdata_pipeline_spark.operators import dedup as D
+    from enterprise_iot_bigdata_pipeline_spark.plans.text import _MINHASH_ORACLE
+    from oracle_compare import compare
+
+    rows = [(i, "the same boilerplate text repeated in every doc") for i in range(1100)]
+    rows += [(2000 + i, f"unique filler document number {i} with words w{i} x{i} y{i}") for i in range(20)]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    docs = spark.createDataFrame(pdf)
+    sigs = D.minhash_signatures(docs, "text", "doc_id", 16, 42)
+    pairs = D.lsh_candidate_pairs(sigs, 16, 4)
+    # star cap: 1100 identical docs yield 1099 pairs (min paired with all),
+    # not 1100*1099/2
+    n = pairs.count()
+    assert n < 10_000, f"cap did not engage: {n} pairs"
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    compare(pairs, _MINHASH_ORACLE, con, "minhash_flood")
+
+
+def test_value_stats_constant_group_parity(spark, tmp_path):
+    """A constant-valued group's stddev numerator lands at ~-1e-18 in
+    doubles; without the clamp Spark yields NaN and DuckDB ERRORS on the
+    negative sqrt. Both sides must clamp to exactly 0.0."""
+    import duckdb
+    import pandas as pd
+
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_oracles, all_queries
+    from oracle_compare import compare
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 6),
+            "user_id": [1, 2, 3, 4, 5, 6],
+            "event_type": ["click", "click", "view", "view", "view", "error"],
+            "value": [0.1, 0.1, 0.2, 0.2, 0.2, 5.0],  # constant per group
+            "props": ['{"k": 1}'] * 6,
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    df = all_queries()["agg_value_stats"](spark, str(tmp_path))
+    compare(df, all_oracles()["agg_value_stats"], con, "value_stats_constant")
+    got = {r["event_type"]: r["stddev_value"] for r in df.collect()}
+    assert got["click"] == 0.0 and got["view"] == 0.0
+    assert got["error"] is None  # singleton group
+
+
+def test_parse_s3_key_malformed_yields_nulls(spark):
+    """ANSI mode: a malformed key (too few path segments) must produce
+    NULL fields, not an INVALID_ARRAY_INDEX job abort."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.functions.keys import parse_s3_key
+
+    df = spark.createDataFrame([("file.parquet",), ("a/b.parquet",)], "key string")
+    rows = df.select(parse_s3_key(F.col("key")).alias("p")).select("p.*").collect()
+    assert rows[0]["hiveperiod"] is None
+    assert rows[0]["filename"] == "file.parquet"
+    assert rows[1]["dstrct_code"] == "a"  # best-effort on 2 segments
+
+
+def test_words_vertical_tab_matches_re2(spark):
+    """Java \\s includes \\x0B, RE2's does not — the tokenizer must use
+    the explicit RE2-equivalent class so both engines see ONE token."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.functions.text import token_count
+
+    df = spark.createDataFrame([("a\x0bb",), ("a b",)], "text string")
+    out = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
+    assert out == [1, 2]
+    import duckdb
+
+    duck = duckdb.connect().execute(
+        r"SELECT len(regexp_split_to_array('a' || chr(11) || 'b', '\s+'))"
+    ).fetchone()[0]
+    assert out[0] == duck
