@@ -54,6 +54,33 @@ def committed_epoch(spark: SparkSession, table_path: str) -> int | None:
     return best
 
 
+def recover_swap(spark: SparkSession, path: str) -> None:
+    """Heal a crash INSIDE a previous swap: the window between the two
+    renames (dest retired to ``.__swap_old__``, tmp not yet published)
+    leaves NO table at ``path``. Reaching that window implies the temp
+    table was fully written (the retire rename is ordered after the
+    write), so roll FORWARD when its ``_SUCCESS`` marker confirms
+    completeness, and fall back to restoring the retired table otherwise.
+    Without this, the next writer would see "no table" and re-initialize —
+    silently discarding all accumulated state (the rollup-history-loss
+    failure mode). Callers that branch on ``path_exists`` must invoke this
+    first; ``overwrite_atomic`` self-heals before clearing its temp dirs.
+    """
+    fs, dest, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".__swap_tmp__")
+    old = jvm.org.apache.hadoop.fs.Path(path + ".__swap_old__")
+    if fs.exists(dest):
+        return
+    success = jvm.org.apache.hadoop.fs.Path(tmp.toString() + "/_SUCCESS")
+    if fs.exists(tmp) and fs.exists(success):
+        if not fs.rename(tmp, dest):
+            raise IOError(f"commitlog: swap recovery could not publish {path}")
+        fs.delete(old, True)
+    elif fs.exists(old):
+        if not fs.rename(old, dest):
+            raise IOError(f"commitlog: swap recovery could not restore {path}")
+
+
 def overwrite_atomic(
     spark: SparkSession,
     df: DataFrame,
@@ -64,9 +91,11 @@ def overwrite_atomic(
 
     ``df`` may read from the current ``path`` — the old directory stays
     intact until the new one is fully written. A crash leaves either the
-    old table or the new one, never a mix; orphaned temp dirs from a
+    old table or the new one, never a mix (a crash between the two swap
+    renames is healed by ``recover_swap``); orphaned temp dirs from a
     crashed run are cleaned up by the next call.
     """
+    recover_swap(spark, path)
     fs, dest, jvm = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".__swap_tmp__")
     old = jvm.org.apache.hadoop.fs.Path(path + ".__swap_old__")

@@ -32,13 +32,15 @@ def list_local(spark: SparkSession, root: str, prefix: str = "") -> DataFrame:
     for dirpath, _dirs, files in os.walk(root):
         for f in files:
             p = os.path.join(dirpath, f)
-            key = os.path.relpath(p, root)
+            # normalize separators BEFORE the prefix filter: an S3-style
+            # prefix ('a/b') must match on every platform
+            key = os.path.relpath(p, root).replace(os.sep, "/")
             if not key.startswith(prefix):
                 continue
             st = os.stat(p)
             rows.append(
                 (
-                    key.replace(os.sep, "/"),
+                    key,
                     datetime.fromtimestamp(st.st_mtime, tz=timezone.utc).replace(tzinfo=None),
                     int(st.st_size),
                 )
@@ -85,16 +87,29 @@ def list_fs(spark: SparkSession, root: str, prefix: str = "") -> DataFrame:
 def list_s3(spark: SparkSession, bucket: str, prefix: str = "") -> DataFrame:
     """S3 listing: prefer the Hadoop S3A connector (no extra client);
     fall back to boto3 when its jars are absent but boto3 is present."""
+    s3a_err: Exception | None = None
     try:
         return list_fs(spark, f"s3a://{bucket}", prefix)
-    except Exception:
-        pass
+    except Exception as e:
+        # Keep the REAL failure: swallowing an AccessDenied/region error
+        # here either misroutes debugging to "install boto3" or silently
+        # lists with boto3 under DIFFERENT credentials than the Spark job
+        # will read with — surface both facts.
+        s3a_err = e
     try:
         import boto3
     except ImportError as e:  # pragma: no cover - environment gate
         raise NotImplementedError(
-            "neither the S3A connector nor boto3 is available in this environment"
-        ) from e
+            "S3 listing unavailable: the S3A connector failed "
+            f"({type(s3a_err).__name__}: {s3a_err}) and boto3 is not installed"
+        ) from s3a_err
+    import warnings
+
+    warnings.warn(
+        f"list_s3: S3A listing failed ({type(s3a_err).__name__}); falling back "
+        "to boto3, which may authenticate differently than the Spark job",
+        stacklevel=2,
+    )
     s3 = boto3.client("s3")
     rows = []
     for page in s3.get_paginator("list_objects_v2").paginate(Bucket=bucket, Prefix=prefix):

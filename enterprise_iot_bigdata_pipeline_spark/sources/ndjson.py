@@ -38,6 +38,20 @@ def read_ndjson(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
     )
     if schema is not None:
+        # PERMISSIVE mode only MATERIALIZES corrupt records when the user
+        # schema carries the corrupt-record column — without it a malformed
+        # line silently becomes an all-null row with no quarantine trace.
+        # Append it so the explicit-schema path (the recommended one at
+        # scale) keeps the same contract as the inference path.
+        if isinstance(schema, str):
+            if CORRUPT_COL not in schema:
+                schema = f"{schema}, {CORRUPT_COL} string"
+        elif CORRUPT_COL not in schema.fieldNames():
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                [*schema.fields, StructField(CORRUPT_COL, StringType())]
+            )
         reader = reader.schema(schema)
     df = reader.json(paths if isinstance(paths, list) else [paths])
     return df.withColumn(source_file_col, F.input_file_name())

@@ -26,6 +26,7 @@ from enterprise_iot_bigdata_pipeline_spark.operators.commitlog import (
     committed_epoch,
     overwrite_atomic,
     path_exists,
+    recover_swap,
 )
 
 ROLLUP_KEYS = ("window_start", "dstrct_code")
@@ -36,6 +37,9 @@ def _partials(batch: DataFrame, ts_col: str, window: str, keys: tuple[str, ...])
         batch.groupBy(F.window(F.col(ts_col), window)["start"].alias("window_start"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # n_values separately: sum() skips NULL values, so the derived
+            # average must divide by the non-null count, not the row count
+            F.count(F.col("value")).alias("n_values"),
             F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value"),
         )
     )
@@ -57,6 +61,10 @@ def merge_rollup(
     driver round-trip), so rollup size is bounded by cluster memory,
     not driver memory.
     """
+    # Heal a crash inside a previous swap FIRST: in that state the table
+    # dir is absent and the no-table branch below would re-initialize,
+    # silently discarding all accumulated rollup history.
+    recover_swap(spark, rollup_path)
     if epoch_id is not None:
         last = committed_epoch(spark, rollup_path)
         if last is not None and int(epoch_id) <= last:
@@ -69,6 +77,7 @@ def merge_rollup(
             .groupBy(*key_cols)
             .agg(
                 F.sum("n_events").alias("n_events"),
+                F.sum("n_values").alias("n_values"),
                 F.sum("sum_value").alias("sum_value"),
             )
         )
@@ -110,7 +119,16 @@ def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     r = spark.read.parquet(rollup_path)
     return r.select(
         "window_start",
-        *[c for c in r.columns if c not in ("window_start", "n_events", "sum_value")],
+        *[
+            c
+            for c in r.columns
+            if c not in ("window_start", "n_events", "n_values", "sum_value")
+        ],
         "n_events",
-        (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+        # null-ignoring SQL avg semantics: divide by the non-null value
+        # count; an all-null window averages to NULL, not 0/n
+        F.when(
+            F.col("n_values") > 0,
+            F.col("sum_value").cast("double") / F.col("n_values"),
+        ).alias("avg_value"),
     )

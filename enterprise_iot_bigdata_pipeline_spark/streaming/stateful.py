@@ -44,10 +44,15 @@ def _track(gap_seconds: int, set_timeouts: bool = False):
                 )
             return
 
+        # NaT (null ts — e.g. PERMISSIVE-ingest rows) must be DROPPED:
+        # NaT.value is INT64_MIN, which would sort first as a year-1677
+        # "event", close the real open session against it, and poison the
+        # stored state for every later event on this key.
         ts_us = sorted(
             int(t.value // 1000)  # pandas ns → µs
             for pdf in pdfs
             for t in pd.to_datetime(pdf["ts"])
+            if pd.notna(t)
         )
         if not ts_us:
             return
@@ -143,10 +148,12 @@ def track_sessions_tws(
 
         def handleInputRows(self, key, rows, timer_values):
             (user_id,) = key
+            # drop NaT — see _track: INT64_MIN would poison the state
             ts_us = sorted(
                 int(t.value // 1000)
                 for pdf in rows
                 for t in pd.to_datetime(pdf["ts"])
+                if pd.notna(t)
             )
             if not ts_us:
                 return

@@ -357,3 +357,22 @@ def test_windowed_event_agg_stream_matches_batch(spark, tmp_path):
     assert batch[("2024-03-01 10:00:00", "A")] == 2
     assert batch[("2024-03-01 10:01:00", "A")] == 1
     assert batch[("2024-03-01 10:00:00", "B")] == 1
+
+
+def test_read_ndjson_explicit_schema_still_quarantines(spark, tmp_path):
+    """PERMISSIVE only materializes corrupt records when the schema carries
+    the corrupt-record column — read_ndjson must append it to explicit
+    schemas (the recommended path at scale) so malformed lines are
+    quarantined, not silently nulled."""
+    from enterprise_iot_bigdata_pipeline_spark.sources.ndjson import CORRUPT_COL, read_ndjson
+
+    p = tmp_path / "in.ndjson"
+    p.write_text('{"a": 1, "b": "x"}\n{not json at all\n')
+    for schema in ("a long, b string", None):
+        df = read_ndjson(spark, str(p), schema=schema)
+        assert CORRUPT_COL in df.columns
+        rows = df.collect()
+        good = [r for r in rows if r[CORRUPT_COL] is None]
+        bad = [r for r in rows if r[CORRUPT_COL] is not None]
+        assert len(good) == 1 and good[0]["a"] == 1
+        assert len(bad) == 1 and "not json" in bad[0][CORRUPT_COL]

@@ -82,8 +82,9 @@ def test_merge_rollup_replay_is_idempotent(spark, tmp_path):
 
     rollup = str(tmp_path / "rollup")
     partials = spark.createDataFrame(
-        [("2024-03-01 10:00:00", "B", 2, Decimal("30.0"))],
-        "window_start string, dstrct_code string, n_events long, sum_value decimal(25,6)",
+        [("2024-03-01 10:00:00", "B", 2, 2, Decimal("30.0"))],
+        "window_start string, dstrct_code string, n_events long, n_values long, "
+        "sum_value decimal(25,6)",
     )
     merge_rollup(spark, rollup, partials, ("dstrct_code",), epoch_id=0)
     merge_rollup(spark, rollup, partials, ("dstrct_code",), epoch_id=0)  # replay
@@ -98,3 +99,73 @@ def test_merge_rollup_replay_is_idempotent(spark, tmp_path):
     # and an out-of-order replay of the old epoch after that is skipped too
     merge_rollup(spark, rollup, partials, ("dstrct_code",), epoch_id=1)
     assert spark.read.parquet(rollup).collect()[0]["n_events"] == 4
+
+
+def test_merge_rollup_survives_crash_between_swap_renames(spark, tmp_path):
+    """Simulate a driver crash INSIDE overwrite_atomic's swap window (table
+    retired to .__swap_old__, temp not yet published): the next merge must
+    recover the accumulated table instead of silently re-initializing —
+    the history-loss failure mode."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.commitlog import path_exists
+    from enterprise_iot_bigdata_pipeline_spark.streaming.rollup import (
+        _partials,
+        merge_rollup,
+        read_rollup,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    batch1 = spark.createDataFrame(
+        [("2024-03-01 10:00:10", "B", 10.0), ("2024-03-01 10:00:40", "B", 20.0)],
+        "ts string, dstrct_code string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merge_rollup(spark, rollup, _partials(batch1, "ts", "1 minute", ("dstrct_code",)), ("dstrct_code",), epoch_id=0)
+
+    # crash simulation: a fully-written new table sits in .__swap_tmp__,
+    # the live table was renamed away to .__swap_old__, dest is GONE
+    import shutil
+
+    shutil.copytree(rollup, rollup + ".__swap_tmp__")
+    shutil.move(rollup, rollup + ".__swap_old__")
+    assert not path_exists(spark, rollup)
+
+    batch2 = spark.createDataFrame(
+        [("2024-03-01 10:00:50", "B", 30.0)],
+        "ts string, dstrct_code string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merge_rollup(spark, rollup, _partials(batch2, "ts", "1 minute", ("dstrct_code",)), ("dstrct_code",), epoch_id=1)
+
+    rows = read_rollup(spark, rollup).collect()
+    assert len(rows) == 1
+    # history preserved: 2 events from batch 1 + 1 from batch 2
+    assert rows[0]["n_events"] == 3
+    assert rows[0]["avg_value"] == 20.0
+
+
+def test_read_rollup_avg_ignores_null_values(spark, tmp_path):
+    """SQL avg semantics: null values don't count in the denominator, and
+    an all-null window averages to NULL."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.rollup import (
+        _partials,
+        merge_rollup,
+        read_rollup,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    batch = spark.createDataFrame(
+        [
+            ("2024-03-01 10:00:10", "B", None),
+            ("2024-03-01 10:00:20", "B", 2.0),
+            ("2024-03-01 10:00:40", "B", 2.0),
+            ("2024-03-01 10:01:10", "C", None),
+        ],
+        "ts string, dstrct_code string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merge_rollup(spark, rollup, _partials(batch, "ts", "1 minute", ("dstrct_code",)), ("dstrct_code",))
+    rows = {r["dstrct_code"]: r for r in read_rollup(spark, rollup).collect()}
+    assert rows["B"]["n_events"] == 3
+    assert rows["B"]["avg_value"] == 2.0  # not 4/3
+    assert rows["C"]["avg_value"] is None
