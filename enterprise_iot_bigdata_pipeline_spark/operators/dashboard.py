@@ -110,9 +110,19 @@ def fill_gaps(
     )
     dense = spine.join(base, [*group_cols, "__tick"], "left")
     if ffill:
+        # Secondary sort on the ORIGINAL timestamp: multiple source rows
+        # can share a tick (un-resampled input), and with only __tick in
+        # the ordering, last(ignorenulls) would pick whichever row the
+        # shuffle happened to order last — run-to-run nondeterminism.
         w = (
             W.partitionBy(*group_cols)
-            .orderBy("__tick")
+            .orderBy(
+                F.col("__tick"),
+                F.col(ts_col).asc_nulls_first(),
+                # full tiebreak: identical (tick, ts) rows with different
+                # values resolve to the greatest value, deterministically
+                *[F.col(c).asc_nulls_first() for c in value_cols],
+            )
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         dense = dense.select(

@@ -22,7 +22,11 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from enterprise_iot_bigdata_pipeline_spark.functions.text import shingle_to_int, word_shingles
+from enterprise_iot_bigdata_pipeline_spark.functions.text import (
+    shingle_to_int,
+    word_shingles,
+    words,
+)
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
@@ -199,6 +203,14 @@ def lsh_candidate_pairs(
     see ``bucket_pairs_capped``) — a shuffle keyed by (band, key) that no
     single skewed key can turn into an OOM/straggler.
     """
+    if bands < 1 or bands > k or k % bands:
+        # silently dropping trailing hashes (k % bands != 0) changes recall
+        # with no warning, and bands > k would give EVERY doc the md5('')
+        # band key — the whole corpus in one star-expanded bucket
+        raise ValueError(
+            f"lsh_candidate_pairs: bands={bands} must divide k={k} "
+            "(1 ≤ bands ≤ k)"
+        )
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -270,10 +282,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     argument inside lambdas); nested lambdas capture the word hash.
     """
     pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
-    xs = F.transform(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda w: shingle_to_int(w),
-    )
+    # words() (not a raw \s+ split): Java \s includes vertical tab, RE2's
+    # (the DuckDB oracle's) does not — the shared tokenizer keeps the
+    # fingerprint bit-identical cross-engine on \x0B documents.
+    xs = F.transform(words(F.col(text_col)), lambda w: shingle_to_int(w))
     init = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
     sums = F.aggregate(
         xs,

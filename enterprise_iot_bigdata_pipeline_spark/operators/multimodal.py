@@ -76,24 +76,46 @@ def read_media_dir(
     media_type = F.lit(None).cast("string")
     for e, mt in MEDIA_EXT_TYPES.items():
         media_type = F.when(ext == e, F.lit(mt)).otherwise(media_type)
+    path_hash_id = F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10).cast("long")
     doc_id = (
-        F.when(stem.rlike(r"^\d+$"), stem.cast("long")).otherwise(
-            F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10).cast("long")
-        )
+        F.when(stem.rlike(r"^\d+$"), stem.cast("long")).otherwise(path_hash_id)
         if id_from_name
-        else F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10).cast("long")
+        else path_hash_id
     )
-    return raw.select(
-        doc_id.alias("doc_id"),
-        F.col("content"),
-        F.struct(
-            media_type.alias("media_type"),
-            F.col("length").cast("long").alias("n_bytes"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-        ).alias("meta"),
-        F.col("path").alias("source_file"),
-    )
+
+    def shaped(idc):
+        return raw.select(
+            idc.alias("doc_id"),
+            F.col("content"),
+            F.struct(
+                media_type.alias("media_type"),
+                F.col("length").cast("long").alias("n_bytes"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+            ).alias("meta"),
+            F.col("path").alias("source_file"),
+        )
+
+    out = shaped(doc_id)
+    if id_from_name:
+        # Numeric stems are only a fixture convenience — 'a/1.ppm' and
+        # 'b/1.wav' would share doc_id 1, and every downstream doc_id join
+        # (decode_enrich) would fan out with cross-contaminated metadata.
+        # One metadata-only agg (content column pruned) checks uniqueness;
+        # on collision fall back to path-hash ids for the WHOLE load.
+        total, distinct = out.agg(
+            F.count(F.lit(1)), F.count_distinct(F.col("doc_id"))
+        ).first()
+        if total != distinct:
+            import warnings
+
+            warnings.warn(
+                "read_media_dir: numeric file stems collide across paths; "
+                "falling back to path-hash doc_ids for this load",
+                stacklevel=2,
+            )
+            out = shaped(path_hash_id)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -354,6 +376,11 @@ def extract_features(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 b = np.frombuffer(bytes(content), dtype=np.uint8)
+                if len(b) == 0:
+                    # one empty file must not kill the corpus-wide job
+                    # (np.max of a zero-size array raises; mean is NaN)
+                    rows.append((int(doc_id), 0, None, None, None))
+                    continue
                 counts = np.bincount(b, minlength=256).astype(np.float64)
                 p = counts[counts > 0] / len(b)
                 rows.append(

@@ -17,6 +17,22 @@ def quality_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     Returns one row per rule: n_rows, n_violations, violation_rate —
     computed in a single aggregation pass (no per-rule scans).
     """
+    # Rule names reach stack() SQL text and agg aliases — restrict to
+    # identifiers so a quoted/exotic name can't produce malformed SQL or
+    # an ambiguous column, and make the empty-rules report a valid empty
+    # frame instead of a stack(0) ParseException.
+    import re
+
+    spark = df.sparkSession
+    schema = "rule string, n_rows long, n_violations long, violation_rate double"
+    if not rules:
+        return spark.createDataFrame([], schema)
+    for name in rules:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name) or name == "n_rows":
+            raise ValueError(
+                f"quality_report: rule name {name!r} must be an identifier "
+                "(and not 'n_rows')"
+            )
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
         F.count(F.when(cond, 1)).alias(name) for name, cond in rules.items()
     ]

@@ -27,8 +27,15 @@ HASH_DENOM = float(1 << HASH_BITS)
 def hash_unit(col: Column, salt: str = "") -> Column:
     """Deterministic U[0,1) from a value (optionally salted): 60-bit md5
     prefix divided by 2^60. Exact-int → double division is IEEE-identical
-    across engines."""
-    key = F.concat(col.cast("string"), F.lit(":" + salt)) if salt else col.cast("string")
+    across engines.
+
+    NULL ids hash as one deterministic sentinel (all null-id rows share a
+    fate, like one identity) — without it the hash is NULL, every
+    threshold comparison is three-valued-unknown, and null-id rows
+    silently fall out of every sample while piling into a split's
+    OTHERWISE branch."""
+    s = F.coalesce(col.cast("string"), F.lit("\x00null"))
+    key = F.concat(s, F.lit(":" + salt)) if salt else s
     return (
         F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") / F.lit(HASH_DENOM)
     )

@@ -40,10 +40,30 @@ def merge_into_lake(
     """
     target = spark.read.parquet(root)
     merged = merge_upsert(target, updates, key)
+    keys = [key] if isinstance(key, str) else list(key)
     if partition_cols:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        affected = updates.select(*partition_cols).distinct()
+        # Affected = the updates' partitions PLUS the partitions updated
+        # keys currently live in: a key whose partition value CHANGES must
+        # have its old partition rewritten too, or the stale copy survives
+        # the dynamic overwrite and the key reads back twice.
+        moved_from = target.join(
+            F.broadcast(updates.select(*keys).distinct()), keys, "left_semi"
+        ).select(*partition_cols)
+        affected = (
+            updates.select(*partition_cols).unionByName(moved_from).distinct()
+        )
         subset = merged.join(F.broadcast(affected), list(partition_cols), "left_semi")
+        # Partition bookkeeping BEFORE the write — afterwards these frames
+        # would re-read the just-overwritten lake (self-referential plans).
+        pcols = list(partition_cols)
+        affected_set = {
+            tuple(str(r[c]) for c in pcols) for r in affected.collect()
+        }
+        written_set = {
+            tuple(str(r[c]) for c in pcols)
+            for r in subset.select(*pcols).distinct().collect()
+        }
         n = subset.count()
         (
             subset.repartition(*[F.col(c) for c in partition_cols])
@@ -51,6 +71,14 @@ def merge_into_lake(
             .partitionBy(*partition_cols)
             .parquet(root)
         )
+        # Dynamic overwrite only replaces partitions PRESENT in the output:
+        # a source partition left with zero rows (every resident key moved
+        # away) must be deleted explicitly or its stale files survive.
+        from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+            _delete_partition_dirs,
+        )
+
+        _delete_partition_dirs(spark, root, pcols, affected_set - written_set)
         return n
     # Whole-table rewrite: temp-dir write + atomic rename swap. The write
     # job reads the CURRENT table (untouched until the swap), so there is

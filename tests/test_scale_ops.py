@@ -244,3 +244,95 @@ def test_zordered_lake_preserves_user_z_column(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "userz"))
     assert "__z" in out.columns
     assert out.agg(F.sum("__z")).first()[0] == sum(i % 7 for i in range(100))
+
+
+def test_merge_into_lake_key_moving_between_partitions(spark, tmp_path):
+    """An update that CHANGES a key's partition value must rewrite the old
+    partition too (and delete it when emptied) — otherwise the stale copy
+    survives the dynamic overwrite and the key reads back twice."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.upsert import merge_into_lake
+
+    root = str(tmp_path / "state")
+    spark.createDataFrame(
+        [
+            ("f1", "RUNNING", "2024-03-01"),
+            ("f2", "RUNNING", "2024-03-01"),
+            ("f3", "RUNNING", "2024-03-02"),
+        ],
+        "file string, status string, day string",
+    ).write.partitionBy("day").parquet(root)
+
+    # f3 moves 03-02 -> 03-03; its old partition becomes empty
+    updates = spark.createDataFrame(
+        [("f3", "SUCCESS", "2024-03-03")], "file string, status string, day string"
+    )
+    merge_into_lake(spark, root, updates, key="file", partition_cols=("day",))
+
+    after = spark.read.parquet(root)
+    rows = {(r["file"], r["status"], str(r["day"])) for r in after.collect()}
+    assert rows == {
+        ("f1", "RUNNING", "2024-03-01"),
+        ("f2", "RUNNING", "2024-03-01"),
+        ("f3", "SUCCESS", "2024-03-03"),
+    }
+    assert after.filter(F.col("file") == "f3").count() == 1  # no stale copy
+    import os
+
+    assert not os.path.exists(os.path.join(root, "day=2024-03-02"))
+
+
+def test_lsh_bands_must_divide_k(spark):
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    sigs = minhash_signatures(docs, "text", "doc_id", 16, 42)
+    for bad in (5, 20, 0):
+        with pytest.raises(ValueError, match="bands"):
+            lsh_candidate_pairs(sigs, 16, bad)
+
+
+def test_sampling_null_ids_deterministic(spark):
+    """Null ids must flow through the deterministic hash (single sentinel
+    identity), not vanish from samples / pile into the last split."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.sampling import (
+        assign_split,
+        hash_unit,
+        sample_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",)], "doc_id string"
+    )
+    u = df.select(hash_unit(F.col("doc_id")).alias("u")).collect()
+    assert all(r["u"] is not None for r in u)
+    splits = assign_split(df, "doc_id", {"train": 0.9, "test": 0.1})
+    assert all(r["split"] in ("train", "test") for r in splits.collect())
+    # identical result across runs
+    s1 = sorted(((r["doc_id"] or "", r["split"]) for r in splits.collect()))
+    s2 = sorted(
+        (r["doc_id"] or "", r["split"])
+        for r in assign_split(df, "doc_id", {"train": 0.9, "test": 0.1}).collect()
+    )
+    assert s1 == s2
+    n1 = sample_fraction(df, "doc_id", 0.99).count()
+    assert n1 == sample_fraction(df, "doc_id", 0.99).count()
+
+
+def test_quality_report_empty_and_bad_rule_names(spark):
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.quality import quality_report
+
+    df = spark.range(5)
+    empty = quality_report(df, {})
+    assert empty.count() == 0
+    assert empty.columns == ["rule", "n_rows", "n_violations", "violation_rate"]
+    with pytest.raises(ValueError, match="identifier"):
+        quality_report(df, {"bad name": F.lit(True)})
+    with pytest.raises(ValueError, match="n_rows"):
+        quality_report(df, {"n_rows": F.lit(True)})
