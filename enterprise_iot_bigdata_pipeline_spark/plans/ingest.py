@@ -124,30 +124,34 @@ FROM p
 
 @register("events_quality_profile", _QUALITY_PROFILE_ORACLE)
 def events_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from enterprise_iot_bigdata_pipeline_spark.operators.quality import (
-        profile_table,
-        quality_report,
-    )
-
+    """Both report sections from ONE aggregation pass: the library ops
+    (`quality_report`, `profile_table`) each scan once, so unioning their
+    outputs costs two scans of events — here every rule counter and
+    per-column profile metric rides a single agg, and one stack() lays
+    the tall report out. Same values, half the scan cost."""
     ev = t(spark, sf_dir, "events")
-    rules = {name: F.expr(cond) for name, cond in _EVENT_RULES.items()}
-    q = quality_report(ev, rules).select(
-        F.lit("quality").alias("section"),
-        F.col("rule").alias("name"),
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    aggs += [
+        F.count(F.when(F.expr(cond), 1)).alias(f"q_{name}")
+        for name, cond in _EVENT_RULES.items()
+    ]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    row = ev.agg(*aggs)
+    entries = [
+        f"'quality', '{name}', q_{name}, CAST(NULL AS BIGINT), "
+        f"CASE WHEN n_rows > 0 THEN CAST(q_{name} AS DOUBLE) / n_rows END"
+        for name in _EVENT_RULES
+    ] + [
+        f"'profile', '{c}', nn_{c}, nd_{c}, CAST(NULL AS DOUBLE)"
+        for c in _PROFILE_COLS
+    ]
+    n = len(entries)
+    return row.selectExpr(
         "n_rows",
-        F.col("n_violations").alias("n_a"),
-        F.lit(None).cast("long").alias("n_b"),
-        F.col("violation_rate").alias("rate"),
-    )
-    p = profile_table(ev, _PROFILE_COLS).select(
-        F.lit("profile").alias("section"),
-        F.col("column_name").alias("name"),
-        "n_rows",
-        F.col("n_non_null").alias("n_a"),
-        F.col("n_distinct").alias("n_b"),
-        F.lit(None).cast("double").alias("rate"),
-    )
-    return q.unionByName(p)
+        f"stack({n}, {', '.join(entries)}) as (section, name, n_a, n_b, rate)",
+    ).select("section", "name", "n_rows", "n_a", "n_b", "rate")
 
 
 # ---------------------------------------------------------------------------
