@@ -202,6 +202,15 @@ def lsh_candidate_pairs(
     ``max_bucket`` members per bucket (hot buckets fall back to a star —
     see ``bucket_pairs_capped``) — a shuffle keyed by (band, key) that no
     single skewed key can turn into an OOM/straggler.
+
+    Unlike signed-projection LSH (where bucket count is fixed at 2^planes
+    and must grow with the corpus — see ``similarity.resolve_planes``),
+    band keys here are 128-bit md5 of the band's signature rows: random
+    collisions are negligible at any corpus size, so candidate volume
+    tracks GENUINE near-duplicate mass, not n²/buckets. Corpus growth
+    therefore doesn't require re-tuning (k, bands); those stay the
+    recall/threshold knobs (s-curve (1/bands)^(bands/k)), and duplicate
+    floods are what the ``max_bucket`` star cap bounds.
     """
     if bands < 1 or bands > k or k % bands:
         # silently dropping trailing hashes (k % bands != 0) changes recall

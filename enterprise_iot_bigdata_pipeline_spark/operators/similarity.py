@@ -92,15 +92,35 @@ def projection_buckets_udf(seeds: list[int], n_planes: int = 8, dim: int = 64):
     return F.pandas_udf(_buckets, "array<long>")
 
 
+def resolve_planes(df: DataFrame, n_planes: int | None) -> int:
+    """``n_planes=None`` → size from the corpus via :func:`auto_planes`.
+
+    Candidate volume in signed-projection LSH is ~n²/2^planes per round,
+    so a FIXED plane count goes quadratic as the corpus grows (r4 stress:
+    exponent 0.77 fixed vs 0.26 auto at 10×). Defaults are therefore
+    scale-safe: operators accept ``None`` and derive the plane count from
+    one ``count()`` — metadata-only on parquet, and O(1) regardless
+    because it returns a scalar. Callers whose oracle SQL embeds the
+    8-plane hyperplane literals pin ``n_planes=8`` explicitly."""
+    if n_planes is not None:
+        return n_planes
+    return auto_planes(df.count())
+
+
 def random_projection_buckets(
     df: DataFrame,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """vec → integer bucket via sign bits of hyperplane projections."""
+    """vec → integer bucket via sign bits of hyperplane projections.
+
+    ``n_planes=None`` (default) auto-sizes from the corpus count so
+    expected bucket occupancy — and with it candidate-pair volume in the
+    ops built on this — stays constant as the corpus grows."""
+    n_planes = resolve_planes(df, n_planes)
     udf = projection_buckets_udf([seed], n_planes, dim)
     return fan_out(df).select(
         F.col(id_col), F.col(vec_col), udf(F.col(vec_col))[0].alias("bucket")
@@ -283,7 +303,7 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -297,9 +317,11 @@ def embedding_near_dup_pairs(
     expansion around the bucket minimum — linear output, no single-task
     buffer (see ``operators.dedup.bucket_pairs_capped``). Recall is
     bounded by the bucketing; raise recall by unioning several plane-seed
-    rounds."""
+    rounds. ``n_planes=None`` auto-sizes (``resolve_planes``) so
+    candidate volume stays linear in the corpus."""
     from enterprise_iot_bigdata_pipeline_spark.operators.dedup import bucket_pairs_capped
 
+    n_planes = resolve_planes(df, n_planes)
     bucketed = random_projection_buckets(df, n_planes, dim, seed, id_col, vec_col).select(
         F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).alias("m"),
         "bucket",
@@ -316,7 +338,7 @@ def embedding_near_dup_multiround(
     df: DataFrame,
     threshold: float,
     rounds: int = 3,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     base_seed: int = 7,
     id_col: str = "vec_id",
@@ -339,10 +361,13 @@ def embedding_near_dup_multiround(
     union-of-rounds plan that re-scans the corpus and shuffles once per
     round. A pair caught by several rounds dedups in the final groupBy
     (cos_sim is deterministic per pair, so max = the value). Never a
-    cross join; hot buckets star-cap as usual.
+    cross join; hot buckets star-cap as usual. ``n_planes=None``
+    auto-sizes (``resolve_planes``) so candidate volume stays linear in
+    the corpus.
     """
     from enterprise_iot_bigdata_pipeline_spark.operators.dedup import bucket_pairs_capped
 
+    n_planes = resolve_planes(df, n_planes)
     udf = projection_buckets_udf(
         [base_seed + 101 * r for r in range(rounds)], n_planes, dim
     )
@@ -403,7 +428,7 @@ def lsh_topk(
     corpus: DataFrame,
     query_filter,
     k: int = 3,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -413,7 +438,10 @@ def lsh_topk(
 
     The bucket equi-join replaces the cross join — at scale the shuffle is
     keyed by bucket and each task sees only its bucket's candidates.
+    ``n_planes=None`` auto-sizes (``resolve_planes``) so per-bucket
+    candidate counts stay constant as the corpus grows.
     """
+    n_planes = resolve_planes(corpus, n_planes)
     bucketed = random_projection_buckets(corpus, n_planes, dim, seed, id_col, vec_col).persist()
     q = bucketed.filter(query_filter).select(
         F.col(id_col).alias("q_id"),

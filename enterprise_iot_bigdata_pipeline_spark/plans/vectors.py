@@ -121,7 +121,9 @@ SELECT q_id, vec_id, bucket, cos_sim, rank FROM ranked WHERE rank <= 3
 @register("ann_lsh_topk", _LSH_TOPK_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, F.col("vec_id") < 20, k=3)
+    # n_planes pinned: the oracle SQL above embeds the 8-plane hyperplane
+    # literals. Deployments omit it and get auto_planes sizing.
+    return S.lsh_topk(emb, F.col("vec_id") < 20, k=3, n_planes=8)
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +238,11 @@ GROUP BY vec_a, vec_b
 @register("dedup_embedding_multiround", _MR_ORACLE)
 def dedup_embedding_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_multiround(emb, threshold=_NEAR_T, rounds=_MR_ROUNDS)
+    # n_planes pinned: the oracle CTEs embed the 8-plane literals per
+    # round. Deployments omit it and get auto_planes sizing.
+    return S.embedding_near_dup_multiround(
+        emb, threshold=_NEAR_T, rounds=_MR_ROUNDS, n_planes=8
+    )
 
 
 # (Round-3 consolidation: `vector_norm_stats` retired — the norm kernel is

@@ -110,7 +110,7 @@ def test_lsh_buckets_below_oracle_cap(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     for seed in (7, 7 + 101):  # both multiround plane seeds
         hottest_emb = (
-            random_projection_buckets(emb, seed=seed)
+            random_projection_buckets(emb, n_planes=8, seed=seed)
             .groupBy("bucket")
             .count()
             .agg(F.max("count"))

@@ -232,6 +232,40 @@ def test_auto_planes_holds_occupancy():
             assert n / (1 << p) <= 32
 
 
+def test_default_plane_sizing_is_scale_safe(spark):
+    """Scale-safe defaults (r4 verdict #1): with ``n_planes`` omitted the
+    LSH ops derive plane count from the corpus — a 10×-sf0.1-sized corpus
+    (600k vectors) must pick ≥11 planes, not the old fixed 8 — and the
+    operators actually run with the auto default."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        auto_planes,
+        embedding_near_dup_pairs,
+        lsh_topk,
+        resolve_planes,
+    )
+
+    # 10× the sf0.1 embeddings table (~60k vectors) → must out-size 8 planes
+    assert auto_planes(600_000) >= 11
+
+    big = spark.range(600_000).toDF("vec_id")
+    assert resolve_planes(big, None) == auto_planes(600_000)
+    assert resolve_planes(big, 8) == 8  # explicit pin wins, no count() needed
+
+    # end-to-end on a small corpus: auto default resolves to the floor (8)
+    # and both ops execute
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.cos(i * (F.col("id") % 4 + 1)),
+        ).cast("array<double>").alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(vecs, threshold=0.99)
+    assert pairs.count() > 0  # four planted identical-direction groups
+    topk = lsh_topk(vecs, F.col("vec_id") < 3, k=2)
+    assert topk.count() > 0
+
+
 def test_pq_rejects_unpackable_codebooks_and_handles_string_ids(spark):
     import numpy as np
     import pytest
