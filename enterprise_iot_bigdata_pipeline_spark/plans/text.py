@@ -110,6 +110,35 @@ FROM g
 """
 
 
+def _longest_equal_run(sorted_arr: "F.Column") -> "F.Column":
+    """Length of the longest run of equal adjacent elements in an
+    already-sorted array — i.e. the multiplicity of the array's mode —
+    via one linear ``aggregate`` fold with a (prev, run, best) struct
+    accumulator. Returns 0 for an empty array (callers gate NULL
+    semantics)."""
+    def _step(acc, w):
+        run = (
+            F.when(acc["prev"].eqNullSafe(w), acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _step,
+        lambda acc: acc["best"],
+    )
+
+
 def staged_metrics(docs: DataFrame) -> DataFrame:
     """Per-doc metrics with SINGLE-PASS tokenization: the words array and
     each regex count are materialized once in a staged projection, then
@@ -149,12 +178,14 @@ def staged_metrics(docs: DataFrame) -> DataFrame:
         # Repetition (Gopher-style) intermediates — pruned by Catalyst for
         # consumers that don't select the derived ratios.
         F.size(F.array_distinct("ws")).cast("long").alias("n_distinct_words"),
-        F.array_max(
-            F.transform(
-                F.array_distinct("ws"),
-                lambda w: F.size(F.filter(F.col("ws"), lambda x: x == w)),
-            )
-        )
+        # Top-word count = longest equal run of the SORTED words array:
+        # array_sort + ONE aggregate pass (O(n log n) in doc length,
+        # JVM-side, no Python stage). The previous
+        # transform(distinct, w -> size(filter(ws, = w))) form was
+        # O(|distinct|·|words|) per row — quadratic in document length,
+        # a blow-up on realistic long-doc LLM corpora (r4 verdict #2).
+        # Integer result, so oracle parity is exact by construction.
+        F.when(F.size("ws") > 0, _longest_equal_run(F.array_sort("ws")))
         .cast("long")
         .alias("top_word_n"),
         F.when(F.size("ws") >= 2, F.size("ws") - 1).cast("long").alias("n_2grams"),
