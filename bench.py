@@ -87,15 +87,25 @@ def main() -> None:
     spark.catalog.clearCache()
 
     # Min-of-3: single runs on a shared box are noisy; the minimum is the
-    # engine's actual cost.
+    # engine's actual cost. Raw samples ride along in the artifact so
+    # round-over-round comparisons can see host-load spread instead of
+    # chasing it.
     times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _ in range(3):
-        for name in ok:
+        for name in list(ok):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             if not run(name):
+                # a timed-pass failure must drop the query entirely —
+                # keeping an earlier iteration's timing would both count
+                # its runtime in the headline AND flag it as errored
+                times.pop(name, None)
+                samples.pop(name, None)
+                ok.remove(name)
                 continue
             dt = round(time.perf_counter() - t0, 3)
+            samples.setdefault(name, []).append(dt)
             times[name] = min(times.get(name, dt), dt)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
@@ -105,6 +115,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "samples": samples,
         "sf": sf,
     }
     if errors:

@@ -122,9 +122,15 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     if not moves:
         return 0
 
+    def _s(v):
+        # None preserved: _delete_partition_dirs maps it to
+        # __HIVE_DEFAULT_PARTITION__ (Python str(None) would compose a
+        # "col=None" path that doesn't exist on disk)
+        return None if v is None else str(v)
+
     def _bad_tuple(r):
-        vals = {"hiveperiod": str(r["bad_period"])}
-        vals.update({c: str(r[f"bad_{c}"]) for c in other_cols})
+        vals = {"hiveperiod": _s(r["bad_period"])}
+        vals.update({c: _s(r[f"bad_{c}"]) for c in other_cols})
         return tuple(vals[c] for c in pcols)
 
     bad_parts = {_bad_tuple(r) for r in moves}
@@ -135,10 +141,7 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     # Rows whose accurate date can't be computed (null heartbeat) keep
     # their current partition instead of migrating to the null partition.
     fixed = subset.withColumn("hiveperiod", F.coalesce(accurate, F.col("hiveperiod")))
-    out_parts = {
-        tuple(str(r[c]) for c in pcols)
-        for r in fixed.select(*pcols).distinct().collect()
-    }
+    out_parts = partition_values_set(fixed, pcols)
     n = fixed.count()
     (
         fixed.repartition(*[F.col(c) for c in pcols])
@@ -176,16 +179,42 @@ def table_partition_cols(spark: SparkSession, root: str) -> tuple[str, ...]:
         p = nxt[1]
 
 
+def partition_values_set(df, pcols) -> set[tuple]:
+    """Distinct partition-value tuples of ``df`` as SPARK-cast strings
+    (None preserved): the same string Spark's writer derives the
+    directory name from — unlike Python ``str()``, which formats
+    booleans/floats/None differently and would compose paths that never
+    match the on-disk layout."""
+    return {
+        tuple(r[c] for c in pcols)
+        for r in df.select(
+            *[F.col(c).cast("string").alias(c) for c in pcols]
+        )
+        .distinct()
+        .collect()
+    }
+
+
 def _delete_partition_dirs(spark: SparkSession, root: str, pcols, parts) -> None:
     """Remove partition directories for the given value tuples (ordered as
-    ``pcols``), pruning ancestors left childless, via Hadoop FileSystem —
-    storage-agnostic."""
+    ``pcols``, values Spark-cast strings or None — see
+    ``partition_values_set``), pruning ancestors left childless, via
+    Hadoop FileSystem — storage-agnostic.
+
+    Directory names are composed with Spark's own
+    ``ExternalCatalogUtils.getPartitionPathString`` so NULL values map to
+    ``__HIVE_DEFAULT_PARTITION__`` and special characters URL-escape
+    exactly as the writer escaped them — a raw ``f"{c}={v}"`` silently
+    misses those directories and the stale partition survives."""
     if not parts:
         return
     jvm = spark.sparkContext._jvm
+    cat = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for values in sorted(parts):
-        rel = "/".join(f"{c}={v}" for c, v in zip(pcols, values))
+    for values in sorted(parts, key=lambda vs: tuple(v or "" for v in vs)):
+        rel = "/".join(
+            cat.getPartitionPathString(c, v) for c, v in zip(pcols, values)
+        )
         p = jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}")
         fs = p.getFileSystem(conf)
         fs.delete(p, True)

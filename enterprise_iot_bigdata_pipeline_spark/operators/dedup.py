@@ -558,9 +558,19 @@ def _ckpt_leaf(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(clean, spark)
-    except Exception:
-        # private-API drift: fall back to the plain checkpoint (correct,
-        # but pathological graphs may hit the stats blowup above)
+    except Exception as exc:
+        # private-API drift (internalCreateDataFrame is not public API): a
+        # Spark upgrade must not degrade SILENTLY to the stats-blowup
+        # behavior this function exists to prevent — warn so it's visible.
+        import warnings
+
+        warnings.warn(
+            "_ckpt_leaf: internalCreateDataFrame unavailable "
+            f"({type(exc).__name__}); falling back to plain localCheckpoint "
+            "— iterative self-join loops may hit BigInteger stats blowup",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return ck
 
 

@@ -101,20 +101,23 @@ def read_media_dir(
         # Numeric stems are only a fixture convenience — 'a/1.ppm' and
         # 'b/1.wav' would share doc_id 1, and every downstream doc_id join
         # (decode_enrich) would fan out with cross-contaminated metadata.
-        # One metadata-only agg (content column pruned) checks uniqueness;
-        # on collision fall back to path-hash ids for the WHOLE load.
-        total, distinct = out.agg(
-            F.count(F.lit(1)), F.count_distinct(F.col("doc_id"))
-        ).first()
-        if total != distinct:
-            import warnings
-
-            warnings.warn(
-                "read_media_dir: numeric file stems collide across paths; "
-                "falling back to path-hash doc_ids for this load",
-                stacklevel=2,
+        # One metadata-only agg (content column pruned, numeric-stem rows
+        # only) checks uniqueness. On collision RAISE: doc_id stability is
+        # a join-key contract — the earlier silent whole-load fallback to
+        # path-hash ids meant adding one colliding file later renamed
+        # every previously numeric-stem id across incremental loads.
+        total, distinct = (
+            raw.select(doc_id.alias("doc_id"), stem.rlike(r"^\d+$").alias("is_num"))
+            .filter(F.col("is_num"))
+            .agg(F.count(F.lit(1)), F.count_distinct(F.col("doc_id")))
+            .first()
+        )
+        if total and total != distinct:
+            raise ValueError(
+                "read_media_dir: numeric file stems collide across paths "
+                f"under {path!r} — doc_ids would be ambiguous. Rename the "
+                "files or pass id_from_name=False for stable path-hash ids."
             )
-            out = shaped(path_hash_id)
     return out
 
 

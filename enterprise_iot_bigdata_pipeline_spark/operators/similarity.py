@@ -614,6 +614,20 @@ def pq_topk(
     if not q_rows:
         return spark.createDataFrame([], out_schema + ", rank int")
 
+    # Degenerate queries fail HERE with a named error, before paying for
+    # codebook training — a null or wrong-dimension vector would otherwise
+    # surface as an opaque numpy error inside np.stack/the LUT build.
+    bad = [
+        r["q_id"]
+        for r in q_rows
+        if r["q_vec"] is None or len(r["q_vec"]) != dim
+    ]
+    if bad:
+        raise ValueError(
+            f"pq_topk: query vectors null or not {dim}-dimensional for "
+            f"q_id in {sorted(bad)[:5]}{'…' if len(bad) > 5 else ''}"
+        )
+
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, vec_col, m=m, k_sub=k_sub, dim=dim, seed=seed

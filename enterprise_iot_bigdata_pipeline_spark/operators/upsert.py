@@ -53,17 +53,25 @@ def merge_into_lake(
         affected = (
             updates.select(*partition_cols).unionByName(moved_from).distinct()
         )
-        subset = merged.join(F.broadcast(affected), list(partition_cols), "left_semi")
+        # Null-safe partition match: a plain equi-join drops every row
+        # whose partition value is NULL, so a merge touching the
+        # __HIVE_DEFAULT_PARTITION__ partition would silently delete its
+        # resident rows from the rewrite.
+        pcols = list(partition_cols)
+        aff = affected.alias("aff")
+        cond = None
+        for c in pcols:
+            eq = merged[c].eqNullSafe(aff[c])
+            cond = eq if cond is None else cond & eq
+        subset = merged.join(F.broadcast(aff), cond, "left_semi")
         # Partition bookkeeping BEFORE the write — afterwards these frames
         # would re-read the just-overwritten lake (self-referential plans).
-        pcols = list(partition_cols)
-        affected_set = {
-            tuple(str(r[c]) for c in pcols) for r in affected.collect()
-        }
-        written_set = {
-            tuple(str(r[c]) for c in pcols)
-            for r in subset.select(*pcols).distinct().collect()
-        }
+        from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+            partition_values_set,
+        )
+
+        affected_set = partition_values_set(affected, pcols)
+        written_set = partition_values_set(subset, pcols)
         n = subset.count()
         (
             subset.repartition(*[F.col(c) for c in partition_cols])

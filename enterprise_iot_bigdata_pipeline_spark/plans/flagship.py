@@ -81,14 +81,21 @@ def flagship_minute_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (wrong answer, no error). Fail loudly instead — the dictionary is a
     # hard precondition of this fast path, and the branch costs nothing on
     # in-vocab rows.
-    type_code = type_code.otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("flagship_minute_resample: event_type outside the "
-                      "dictionary vocabulary: "),
-                F.col("event_type"),
-            )
-        ).cast("int")
+    # NULL event_type encodes to NULL (min() skips it — identical to the
+    # string min the encoding replaces, and to the oracle); only a
+    # non-null OUT-OF-VOCAB value fails loudly. The coalesce keeps the
+    # message expression non-null-typed either way (a NULL message would
+    # abort with a blank RuntimeException).
+    type_code = F.when(F.col("event_type").isNull(), F.lit(None).cast("int")).otherwise(
+        type_code.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("flagship_minute_resample: event_type outside the "
+                          "dictionary vocabulary: "),
+                    F.coalesce(F.col("event_type"), F.lit("<null>")),
+                )
+            ).cast("int")
+        )
     )
     cleaned = (
         ev.withColumn("value_clean", replace_sentinel(F.col("value")))

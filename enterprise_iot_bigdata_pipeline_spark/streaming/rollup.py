@@ -72,8 +72,16 @@ def merge_rollup(
     key_cols = ["window_start", *keys]
     if path_exists(spark, rollup_path):
         existing = spark.read.parquet(rollup_path)
+        # State migration: rollup tables persisted before the n_values
+        # column existed must still merge/read (an upgraded streaming job
+        # resumes over its accumulated state). Old rows predate null
+        # tracking; n_events is the closest backfill (values were assumed
+        # non-null), so their derived averages are unchanged.
+        if "n_values" not in existing.columns:
+            existing = existing.withColumn("n_values", F.col("n_events"))
         merged = (
-            existing.unionByName(partials)
+            existing.unionByName(partials, allowMissingColumns=True)
+            .withColumn("n_values", F.coalesce("n_values", "n_events"))
             .groupBy(*key_cols)
             .agg(
                 F.sum("n_events").alias("n_events"),
@@ -117,6 +125,8 @@ def continuous_rollup(
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """Finalized view: derived averages from the additive partials."""
     r = spark.read.parquet(rollup_path)
+    if "n_values" not in r.columns:  # pre-n_values table (see merge_rollup)
+        r = r.withColumn("n_values", F.col("n_events"))
     return r.select(
         "window_start",
         *[

@@ -186,3 +186,23 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
     feats = {r["doc_id"]: r for r in extract_features(media).collect()}
     assert feats[7]["n_bytes"] == 17
     assert feats[12]["max_byte"] == max(b"RIFF fake audio bytes")
+
+
+def test_read_media_dir_raises_on_numeric_stem_collision(spark, tmp_path):
+    """doc_id stability is a join-key contract: colliding numeric stems
+    must raise (the old silent whole-load fallback to path-hash ids
+    renamed every previously numeric-stem id on incremental loads), and
+    id_from_name=False is the documented escape hatch."""
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import read_media_dir
+
+    (tmp_path / "1.ppm").write_bytes(b"P6 fake")
+    (tmp_path / "1.wav").write_bytes(b"RIFF fake")
+
+    with pytest.raises(ValueError, match="collide"):
+        read_media_dir(spark, str(tmp_path))
+
+    out = read_media_dir(spark, str(tmp_path), id_from_name=False)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert len(ids) == 2 and len(set(ids)) == 2  # stable path-hash ids

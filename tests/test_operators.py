@@ -307,3 +307,26 @@ def test_fill_gaps_densifies_and_ffills(spark):
     # single-point group: spine of one tick, untouched value
     u2 = [(r["ts"].minute, r["speed"]) for r in filled.filter("unit = 'u2'").collect()]
     assert u2 == [(1, 21.0)]
+
+
+def test_ckpt_leaf_fallback_warns(spark, monkeypatch):
+    """A Spark upgrade that removes the private internalCreateDataFrame
+    path must not degrade _ckpt_leaf silently back to the stats-blowup
+    behavior it exists to prevent — the fallback stays correct but warns."""
+    import warnings
+
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _ckpt_leaf
+
+    healthy = spark.range(5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # healthy path: no warning at all
+        out = _ckpt_leaf(healthy)
+    assert out.count() == 5
+
+    df = spark.range(7)  # build BEFORE breaking the session's JVM handle
+    monkeypatch.setattr(spark, "_jsparkSession", object(), raising=False)
+    with pytest.warns(RuntimeWarning, match="_ckpt_leaf"):
+        out2 = _ckpt_leaf(df)
+    assert out2.count() == 7

@@ -169,3 +169,45 @@ def test_read_rollup_avg_ignores_null_values(spark, tmp_path):
     assert rows["B"]["n_events"] == 3
     assert rows["B"]["avg_value"] == 2.0  # not 4/3
     assert rows["C"]["avg_value"] is None
+
+
+def test_merge_rollup_migrates_pre_n_values_tables(spark, tmp_path):
+    """An upgraded streaming job must resume over a rollup table persisted
+    before the n_values column existed: merge and read both backfill
+    n_values from n_events (old rows assumed non-null values) instead of
+    raising AnalysisException."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.rollup import (
+        _partials,
+        merge_rollup,
+        read_rollup,
+    )
+
+    rollup = str(tmp_path / "old_rollup")
+    # old-layout table: no n_values column
+    spark.createDataFrame(
+        [("2024-03-01 10:00:00", "B", 2, "4.000000")],
+        "window_start string, dstrct_code string, n_events long, sum_value string",
+    ).select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        "dstrct_code",
+        "n_events",
+        F.col("sum_value").cast("decimal(25,6)").alias("sum_value"),
+    ).write.parquet(rollup)
+
+    # read path alone must work on the old layout
+    pre = {r["dstrct_code"]: r for r in read_rollup(spark, rollup).collect()}
+    assert pre["B"]["avg_value"] == 2.0
+
+    batch = spark.createDataFrame(
+        [("2024-03-01 10:00:30", "B", 8.0), ("2024-03-01 10:00:40", "B", None)],
+        "ts string, dstrct_code string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merge_rollup(
+        spark, rollup, _partials(batch, "ts", "1 minute", ("dstrct_code",)), ("dstrct_code",)
+    )
+    rows = {r["dstrct_code"]: r for r in read_rollup(spark, rollup).collect()}
+    assert rows["B"]["n_events"] == 4
+    # denominator: 2 backfilled + 1 real non-null = 3 → (4+8)/3
+    assert rows["B"]["avg_value"] == 4.0

@@ -281,6 +281,62 @@ def test_merge_into_lake_key_moving_between_partitions(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "day=2024-03-02"))
 
 
+def test_merge_into_lake_escaped_and_null_partitions(spark, tmp_path):
+    """Partition values Spark escapes on write (':' URL-encodes) and NULL
+    (__HIVE_DEFAULT_PARTITION__) must still be matched by the merge: the
+    null-partition residents survive the rewrite (null-safe semi join)
+    and an emptied escaped/null partition's directory is actually deleted
+    (path composed with Spark's own escaping, not raw str())."""
+    import os
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.upsert import merge_into_lake
+
+    root = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [
+            ("f1", "RUNNING", "a:1"),   # ':' escapes to %3A on disk
+            ("f2", "RUNNING", "a:1"),
+            ("f3", "RUNNING", None),    # __HIVE_DEFAULT_PARTITION__
+            ("f4", "RUNNING", None),
+            ("f5", "RUNNING", "plain"),
+        ],
+        "file string, status string, day string",
+    ).write.partitionBy("day").parquet(root)
+    assert os.path.exists(os.path.join(root, "day=a%3A1"))
+
+    # f2 moves out of the escaped partition, f3 out of the null partition;
+    # f4 stays resident in the null partition and must survive
+    updates = spark.createDataFrame(
+        [("f2", "SUCCESS", "plain"), ("f3", "SUCCESS", "plain")],
+        "file string, status string, day string",
+    )
+    merge_into_lake(spark, root, updates, key="file", partition_cols=("day",))
+
+    after = spark.read.parquet(root)
+    rows = {(r["file"], r["status"], r["day"]) for r in after.collect()}
+    assert rows == {
+        ("f1", "RUNNING", "a:1"),
+        ("f2", "SUCCESS", "plain"),
+        ("f3", "SUCCESS", "plain"),
+        ("f4", "RUNNING", None),
+        ("f5", "RUNNING", "plain"),
+    }
+    # no stale copies of the moved keys
+    assert after.filter(F.col("file").isin("f2", "f3")).count() == 2
+
+    # now empty both special partitions entirely: their dirs must be gone
+    updates2 = spark.createDataFrame(
+        [("f1", "DONE", "plain"), ("f4", "DONE", "plain")],
+        "file string, status string, day string",
+    )
+    merge_into_lake(spark, root, updates2, key="file", partition_cols=("day",))
+    assert not os.path.exists(os.path.join(root, "day=a%3A1"))
+    assert not os.path.exists(os.path.join(root, "day=__HIVE_DEFAULT_PARTITION__"))
+    final = spark.read.parquet(root)
+    assert final.count() == 5
+    assert final.filter(F.col("day") == "plain").count() == 5
+
+
 def test_lsh_bands_must_divide_k(spark):
     import pytest
 

@@ -215,6 +215,17 @@ def test_pq_topk_query_guard_and_empty(spark):
     # undersized sample for 256 codewords → descriptive error
     with pytest.raises(ValueError, match="codewords"):
         train_pq_codebooks(emb.limit(100))
+    # degenerate query vectors (null / wrong dim) → named error BEFORE
+    # codebook training, not an opaque numpy error inside np.stack
+    degenerate = emb.unionByName(
+        spark.createDataFrame(
+            [(999_991, None), (999_992, [1.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        ),
+        allowMissingColumns=True,
+    )
+    with pytest.raises(ValueError, match="null or not 64-dimensional"):
+        pq_topk(degenerate, F.col("vec_id") > 999_990, k=2, codebooks=books)
 
 
 def test_auto_planes_holds_occupancy():
