@@ -174,6 +174,187 @@ def parse_ppm(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, pixels: bytes, n_channels: int = 3) -> bytes:
+    """Standards-compliant PNG encoder — stdlib ``zlib``/``struct`` only
+    (no PIL anywhere in this module). 8-bit gray (1), RGB (3) or RGBA (4);
+    scanline filters CYCLE through all five types (row % 5) so a
+    round-trip through ``parse_png`` exercises every unfilter path, not
+    just filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    color_type = {1: 0, 3: 2, 4: 6}[n_channels]
+    if len(pixels) != width * height * n_channels:
+        raise ValueError(
+            f"PNG needs {width * height * n_channels} bytes, got {len(pixels)}"
+        )
+    raw = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width * n_channels)
+    raw16 = raw.astype(np.int16)
+    bpp = n_channels
+    out = bytearray()
+    prior = np.zeros(width * n_channels, dtype=np.int16)
+    for y in range(height):
+        row = raw16[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - left
+        elif f == 2:  # Up
+            filt = row - prior
+        elif f == 3:  # Average
+            filt = row - ((left + prior) >> 1)
+        else:  # Paeth (vectorized: predictions use RAW values only)
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prior[:-bpp]])
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft))
+            filt = row - pred
+        out.append(f)
+        out += (filt & 0xFF).astype(np.uint8).tobytes()
+        prior = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> dict:
+    """Pure-Python PNG decode: stdlib ``zlib`` inflate + scanline
+    unfilter — no imaging library. Supports the overwhelmingly common
+    on-disk shape: 8-bit, non-interlaced, color types 0 (gray), 2 (RGB),
+    3 (palette → expanded to RGB), 4 (gray+alpha), 6 (RGBA) — which
+    covers e.g. every PNG shipped in the reference repo's media/ dirs.
+    Interlaced (Adam7) or sub-byte depths raise a named error.
+
+    Returns width, height, n_channels and the reconstructed pixel bytes
+    (row-major, channels interleaved). Filters 0–2 vectorize; 3–4 have a
+    true sequential dependency and run as a per-byte loop."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, idat, ihdr, plte = 8, [], None, None
+    while i + 8 <= len(payload):
+        size = struct.unpack(">I", payload[i : i + 4])[0]
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + size  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if bpp is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    stride = width * bpp
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != height * (stride + 1):
+        raise ValueError(
+            f"PNG data: want {height * (stride + 1)} filtered bytes, got {len(data)}"
+        )
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(height, stride + 1)
+    filters = arr[:, 0]
+    lines = arr[:, 1:].astype(np.int16)
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(height):
+        f = int(filters[y])
+        line = lines[y]
+        if f == 0:
+            row = line
+        elif f == 1:  # Sub: recon[i] = line[i] + recon[i-bpp] → per-pixel cumsum
+            row = np.cumsum(line.reshape(width, bpp), axis=0, dtype=np.int64).reshape(stride)
+        elif f == 2:  # Up
+            row = line + prior
+        elif f in (3, 4):  # Average / Paeth: sequential per byte — plain
+            # Python ints (numpy scalar extraction per byte is ~5× slower)
+            rb = bytearray(stride)
+            ln = line.tolist()
+            pl = prior.tolist()
+            if f == 3:
+                for x in range(stride):
+                    left = rb[x - bpp] if x >= bpp else 0
+                    rb[x] = (ln[x] + ((left + pl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = rb[x - bpp] if x >= bpp else 0
+                    up = pl[x]
+                    ul = pl[x - bpp] if x >= bpp else 0
+                    p = left + up - ul
+                    pa = p - left
+                    if pa < 0:
+                        pa = -pa
+                    pb = p - up
+                    if pb < 0:
+                        pb = -pb
+                    pc = p - ul
+                    if pc < 0:
+                        pc = -pc
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    rb[x] = (ln[x] + pred) & 0xFF
+            row = np.frombuffer(bytes(rb), dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f} at row {y}")
+        recon[y] = np.asarray(row, dtype=np.int64) & 0xFF
+        prior = recon[y].astype(np.int16)
+    pixels = recon
+    n_channels = bpp
+    if color_type == 3:  # palette → RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        pixels = pal[recon.reshape(-1)].reshape(height, width * 3)
+        n_channels = 3
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": n_channels,
+        "pixels": pixels.tobytes(),
+    }
+
+
 def encode_wav(sample_rate: int, samples, n_channels: int = 1) -> bytes:
     """Minimal PCM WAV (RIFF/WAVE, 16-bit little-endian)."""
     import struct
@@ -225,17 +406,20 @@ def parse_wav(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload: uncompressed netpbm decodes with the
-    pure-Python parser above; compressed formats need a codec import."""
+    """Decode an image payload: netpbm and PNG decode with the pure-Python
+    parsers above (stdlib zlib — no imaging library); JPEG and other
+    DCT-compressed formats still need a codec import."""
     if payload[:2] in (b"P6", b"P5"):
         return parse_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return parse_png(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "compressed-image decode requires an imaging library (PIL/"
-            "opencv); none ships in this environment — uncompressed PPM/PGM "
-            "decodes natively via parse_ppm"
+            "JPEG/DCT-compressed image decode requires an imaging library "
+            "(PIL/opencv); none ships in this environment — netpbm and PNG "
+            "decode natively via parse_ppm/parse_png"
         ) from e
     import io
 
@@ -264,10 +448,14 @@ DECODE_SCHEMA = (
 
 
 def attach_real_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Synthesize real media payloads: even-hash docs become P6 PPM images
-    (w = h%16+1, ht = h%8+1, pixel i = (h+i) % 256), odd-hash docs become
-    16-bit PCM WAVs (rate = 8000 + (h%8)·1000, h%256+64 samples, sample i =
-    (h + 37i) % 65536 - 32768)."""
+    """Synthesize real media payloads: even-hash docs become RGB images
+    with w = h%16+1, ht = h%8+1, pixel i = (h+i) % 256 — as a zlib-
+    compressed PNG when h%4==0 (filters cycle, so decode exercises every
+    unfilter path) and as binary P6 PPM when h%4==2 — and odd-hash docs
+    become 16-bit PCM WAVs (rate = 8000 + (h%8)·1000, h%256+64 samples,
+    sample i = (h + 37i) % 65536 - 32768). Same pixel ramp either way, so
+    the decode oracle's dim/checksum formulas are container-independent —
+    a hash-green row proves the PNG DEFLATE/filter round-trip too."""
     seeded = df.select(
         F.col(id_col).alias("doc_id"),
         F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long").alias("h"),
@@ -283,7 +471,8 @@ def attach_real_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                 if h % 2 == 0:
                     w, ht = h % 16 + 1, h % 8 + 1
                     pixels = ((h + np.arange(3 * w * ht)) % 256).astype(np.uint8)
-                    content = encode_ppm(w, ht, pixels.tobytes())
+                    enc = encode_png if h % 4 == 0 else encode_ppm
+                    content = enc(w, ht, pixels.tobytes())
                 else:
                     n = h % 256 + 64
                     samples = ((h + 37 * np.arange(n)) % 65536) - 32768
@@ -314,6 +503,13 @@ def decode_media(media: DataFrame) -> DataFrame:
                     px = np.frombuffer(img["pixels"], dtype=np.uint8)
                     rows.append(
                         (int(doc_id), "image/ppm", img["width"], img["height"],
+                         None, None, len(px), int(px.sum(dtype=np.int64)))
+                    )
+                elif b[:8] == _PNG_SIG:
+                    img = parse_png(b)
+                    px = np.frombuffer(img["pixels"], dtype=np.uint8)
+                    rows.append(
+                        (int(doc_id), "image/png", img["width"], img["height"],
                          None, None, len(px), int(px.sum(dtype=np.int64)))
                     )
                 elif b[:4] == b"RIFF":

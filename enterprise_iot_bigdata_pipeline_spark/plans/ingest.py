@@ -167,10 +167,11 @@ def events_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Multimodal encode→decode round-trip through the Arrow/mapInPandas path:
-# synthesize REAL media files (binary P6 PPM / 16-bit PCM RIFF WAV) from
-# deterministic ramp content, then decode them with the pure-Python parsers
-# (magic-byte dispatch — no codec library). The oracle recomputes the
-# expected geometry and content checksums directly from the text hash, so a
+# synthesize REAL media files (zlib-compressed PNG / binary P6 PPM / 16-bit
+# PCM RIFF WAV) from deterministic ramp content, then decode them with the
+# pure-Python parsers (magic-byte dispatch — no codec library; PNG rides
+# stdlib zlib + scanline unfilter). The oracle recomputes the expected
+# geometry and content checksums directly from the text hash, so a
 # hash-green row proves encoder, parser, and the Spark plumbing agree.
 # (Replaces the rows-only `multimodal_features` slot from r2 — byte-stats
 # extract_features stays pytest-covered.)
@@ -184,7 +185,9 @@ WITH m AS (
     FROM documents
 )
 SELECT doc_id,
-       CASE WHEN h % 2 = 0 THEN 'image/ppm' ELSE 'audio/wav' END AS media_type,
+       CASE WHEN h % 4 = 0 THEN 'image/png'
+            WHEN h % 2 = 0 THEN 'image/ppm'
+            ELSE 'audio/wav' END AS media_type,
        CASE WHEN h % 2 = 0 THEN CAST(h % 16 + 1 AS INTEGER) END AS width,
        CASE WHEN h % 2 = 0 THEN CAST(h % 8 + 1 AS INTEGER) END AS height,
        CASE WHEN h % 2 = 1 THEN CAST(8000 + (h % 8) * 1000 AS INTEGER) END AS sample_rate,
