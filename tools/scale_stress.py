@@ -3,7 +3,18 @@
 N× rows) and report the runtime scaling exponent. Linear operators should
 land near 1.0; anything super-linear is a red flag for the 100 TB target.
 
-Run: python tools/scale_stress.py [N]
+Run: python tools/scale_stress.py [N] [--mode=rows|longdoc|skew]
+
+Modes:
+- rows (default): N× MORE rows, same row shapes — the per-operator
+  scaling exponent vs corpus size.
+- longdoc: same doc count, text repeated N× — the per-row cost exponent
+  vs DOCUMENT LENGTH (tokenize/shingle/repetition kernels; the realistic
+  LLM long-doc case a row-count stress never exercises).
+- skew: N× rows with ONE user owning 50% of events — runtime RATIO
+  skewed/uniform for the shuffle-heavy event paths (window sessionize,
+  groupBy agg, plain vs salted join). A ratio far above ~2 means the hot
+  key serializes into straggler tasks.
 """
 
 from __future__ import annotations
@@ -17,7 +28,11 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+MODE = next(
+    (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--mode=")), "rows"
+)
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+N = int(_pos[0]) if _pos else 10
 SF = "/root/testdata/sf0.1"
 STRESSED = [
     "flagship_minute_resample",
@@ -173,5 +188,146 @@ def main() -> None:
     spark.stop()
 
 
+def main_longdoc() -> None:
+    """Document-LENGTH stress: same corpus, text repeated N× (plus a
+    per-copy marker word so repeated text isn't a pure cycle). Kernels
+    linear in doc length hold exponent ≲ 0.6 here (wall-clock absorbs
+    constant per-row and job overhead); the old O(|distinct|·|words|)
+    top-word kernel measured ≫ 1."""
+    import math
+    import tempfile
+
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_stress_longdoc")
+    queries = all_queries()
+    stage = tempfile.mkdtemp(prefix="stress_longdoc_")
+    docs = t(spark, SF, "documents")
+    long_text = F.concat_ws(
+        " ", *[F.concat(F.col("text"), F.lit(f" seg{i}")) for i in range(N)]
+    )
+    docs.withColumn("text", long_text).write.mode("overwrite").parquet(
+        f"{stage}/documents.parquet"
+    )
+
+    def timed(sf_dir: str, name: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    print(f"longdoc N={N} (length multiplier)")
+    print(f"{'query':32s} {'1x':>7s} {f'{N}x':>7s} {'exponent':>9s}")
+    for name in ("text_metrics", "dedup_minhash_lsh", "text_decontaminate", "text_pii_redact"):
+        t1 = timed(SF, name)
+        tn = timed(stage, name)
+        exp = math.log(tn / t1) / math.log(N)
+        flag = "" if exp < 1.25 else "  <-- SUPER-LINEAR in doc length"
+        print(f"{name:32s} {t1:7.2f} {tn:7.2f} {exp:9.2f}{flag}")
+    spark.stop()
+
+
+def main_skew() -> None:
+    """Key-skew stress: N×-amplified events, uniform vs one user owning
+    50% of all rows. Reports skewed/uniform runtime ratios for the
+    shuffle paths a hot key hurts: the sessionize window, a groupBy agg,
+    and a dimension join plain vs salted. AQE skew-join is on (session
+    default), so the SMJ ratio shows what AQE absorbs; the salted join
+    shows the explicit mitigation for shapes AQE can't split."""
+    import tempfile
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.salting import salted_join
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_stress_skew")
+    queries = all_queries()
+    ev = t(spark, SF, "events")
+    copies = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        for i in range(1, N)
+    ]
+    big = ev
+    for c in copies:
+        big = big.unionByName(c)
+    stages = {}
+    for kind in ("uniform", "skew"):
+        d = tempfile.mkdtemp(prefix=f"stress_{kind}_")
+        out = big
+        if kind == "skew":
+            # deterministic: every even event lands on user 1 → 50% hot key
+            out = big.withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.col("user_id")),
+            )
+        out.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        stages[kind] = d
+
+    def timed(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    users = spark.range(1, 1501).select(
+        F.col("id").alias("user_id"), (F.col("id") % 50).alias("segment")
+    )
+
+    def report(label, t_uni, t_skew, warn_at=3.0):
+        ratio = t_skew / t_uni
+        flag = "" if ratio < warn_at else "  <-- STRAGGLER"
+        print(f"{label:34s} {t_uni:7.2f} {t_skew:7.2f} {ratio:7.2f}{flag}")
+
+    print(f"skew N={N} (one user = 50% of {N * 100_000} events)")
+    print(f"{'path':34s} {'uniform':>7s} {'skewed':>7s} {'ratio':>7s}")
+    for qname in ("window_sessionize",):
+        report(
+            qname,
+            timed(lambda: queries[qname](spark, stages["uniform"])),
+            timed(lambda: queries[qname](spark, stages["skew"])),
+        )
+
+    def agg(sf_dir):
+        return (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("v"))
+        )
+
+    report("groupBy(user_id) agg", timed(lambda: agg(stages["uniform"])), timed(lambda: agg(stages["skew"])))
+
+    def plain(sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # no broadcast: force the shuffle-join shape a fact-fact join has
+        return (
+            e.hint("merge").join(users.hint("merge"), "user_id")
+            .groupBy("segment").agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def salted(sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return salted_join(e, users, "user_id", salt=32).groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    report("SMJ join (AQE skew-split)", timed(lambda: plain(stages["uniform"])), timed(lambda: plain(stages["skew"])))
+    report("salted join", timed(lambda: salted(stages["uniform"])), timed(lambda: salted(stages["skew"])))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if MODE == "longdoc":
+        main_longdoc()
+    elif MODE == "skew":
+        main_skew()
+    else:
+        main()
