@@ -57,6 +57,8 @@ HEADLINE = [
     "text_decontaminate",
     "text_pii_redact",
     "events_quality_profile",
+    # round-5 additions
+    "sessionize_two_phase",
 ]
 
 

@@ -1,0 +1,134 @@
+"""Skew-proof two-phase sessionization.
+
+The single-pass form (``plans.analytic.window_sessionize``) windows by
+``partitionBy(user)`` — correct, but ONE hot key (a bot, a load balancer's
+synthetic user, a null-ish default id) serializes its entire history into
+one sort task: the r5 skew stress measured 2.06× wall-clock with a user
+owning 50% of 3M events, and at 100 TB a 50%-hot key is simply fatal
+(one task sorting 50 TB).
+
+``sessionize_two_phase`` computes the IDENTICAL session assignment with no
+per-key straggler:
+
+1. **Local phase** — events shuffle once on ``(user, time-bucket)`` (a
+   tumbling bucket, default 1 day). Within each chunk a normal lag/run-sum
+   window assigns LOCAL session numbers. A hot user now occupies one task
+   per bucket, bounded by what the key can physically emit per bucket.
+2. **Summary phase** — one row per chunk (first_ts, last_ts, local
+   session count) — thousands of rows per user at most, never event-scale.
+   A window over chunks (ordered by bucket) decides per chunk whether its
+   first event CONTINUES the previous chunk's last session
+   (``first_ts − prev_last_ts ≤ gap`` — an absent bucket in between means
+   the time gap already exceeds the bucket length ≥ gap, so the lag over
+   existing chunks alone is sufficient), and derives each chunk's global
+   session OFFSET:  ``Σ previous chunks' session counts − Σ continuations
+   so far``  (a continuation merges the chunk's local session 1 into the
+   previous chunk's last session, shifting everything after it down by 1).
+3. **Join back** on ``(user, bucket)``: ``session_id = offset + local``.
+   The join key is the well-distributed chunk key, and the summary side is
+   small enough to broadcast in any realistic deployment.
+
+Requires ``bucket ≥ gap`` (checked): with a shorter bucket, an empty
+bucket between two chunks would NOT prove the time gap exceeds ``gap``,
+and the lag-over-existing-chunks shortcut would split a live session.
+
+Semantics pinned to the single-pass form exactly — ordering by
+``(ts, *order_cols)``, a gap strictly greater than ``gap`` starts a new
+session, the first event of a user is session 1 — so the single-pass SQL
+window is a bit-exact oracle for this operator (and the registered driver
+query uses precisely that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _interval_seconds(spec: str) -> float:
+    """Length of a simple ``'<n> <unit>'`` interval in seconds (for the
+    bucket ≥ gap check; the actual arithmetic stays INTERVAL-typed)."""
+    n, unit = spec.strip().split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+        "week": 604800, "weeks": 604800,
+    }[unit.lower()]
+    return float(n) * mult
+
+
+def sessionize_two_phase(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    bucket: str = "1 day",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    broadcast_summaries: bool = True,
+) -> DataFrame:
+    """All input columns + ``session_id`` (1-based per user), identical to
+    the single-pass ``partitionBy(user)`` lag/run-sum sessionization but
+    with no hot-key straggler. See module docstring for the algorithm."""
+    if _interval_seconds(bucket) < _interval_seconds(gap):
+        raise ValueError(
+            f"sessionize_two_phase: bucket ({bucket!r}) must be >= gap "
+            f"({gap!r}) — otherwise an empty bucket between chunks does "
+            "not prove the session gap elapsed"
+        )
+    gap_i = F.expr(f"INTERVAL {gap}")
+    ts = F.col(ts_col)
+
+    chunked = events.withColumn("_bucket", F.window(ts, bucket)["start"])
+    wl = W.partitionBy(user_col, "_bucket").orderBy(ts_col, *order_cols)
+    prev_ts = F.lag(ts_col).over(wl)
+    is_new = F.when(prev_ts.isNull() | (ts - prev_ts > gap_i), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    local = chunked.withColumn(
+        "_local",
+        F.sum(is_new).over(wl.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+    summ = local.groupBy(user_col, "_bucket").agg(
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+        F.max("_local").alias("_n_sessions"),
+    )
+    ws = W.partitionBy(user_col).orderBy("_bucket")
+    prev_last = F.lag("_last_ts").over(ws)
+    cont = F.when(
+        prev_last.isNotNull() & (F.col("_first_ts") - prev_last <= gap_i), F.lit(1)
+    ).otherwise(F.lit(0))
+    offsets = summ.select(
+        user_col,
+        "_bucket",
+        (
+            F.coalesce(
+                F.sum("_n_sessions").over(
+                    ws.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            - F.sum(cont).over(ws.rowsBetween(W.unboundedPreceding, W.currentRow))
+        ).alias("_offset"),
+    )
+    offsets = offsets.withColumnRenamed(user_col, "_u").withColumnRenamed(
+        "_bucket", "_b"
+    )
+    if broadcast_summaries:
+        offsets = F.broadcast(offsets)
+
+    # Null-safe join keys: a NULL user (or NULL ts → NULL bucket) is a
+    # legitimate window partition in the single-pass form and must not be
+    # dropped by plain equi-join semantics here.
+    out_cols: list[Column | str] = [*events.columns]
+    return (
+        local.join(
+            offsets,
+            F.col(user_col).eqNullSafe(F.col("_u"))
+            & F.col("_bucket").eqNullSafe(F.col("_b")),
+        )
+        .select(*out_cols, (F.col("_offset") + F.col("_local")).alias("session_id"))
+    )

@@ -330,3 +330,74 @@ def test_ckpt_leaf_fallback_warns(spark, monkeypatch):
     with pytest.warns(RuntimeWarning, match="_ckpt_leaf"):
         out2 = _ckpt_leaf(df)
     assert out2.count() == 7
+
+
+def test_sessionize_two_phase_matches_single_pass(spark):
+    """Chunk-boundary algebra: sessions that straddle bucket edges, gaps
+    exactly at the threshold, empty buckets in between, ties on ts, and a
+    hot key — all must reproduce the single-pass assignment exactly."""
+    from pyspark.sql import Window as W
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.sessionize import (
+        sessionize_two_phase,
+    )
+
+    rows = []
+    # user 1: session straddles midnight (23:50 -> 00:10 next day, gap 20m)
+    rows += [(1, 1, "2024-03-01 23:50:00"), (2, 1, "2024-03-02 00:10:00")]
+    # user 1: same-day gap exactly 30m (boundary: NOT a new session)
+    rows += [(3, 1, "2024-03-02 00:40:00")]
+    # user 1: gap 30m + 1s (new session)
+    rows += [(4, 1, "2024-03-02 01:10:01")]
+    # user 1: empty bucket between events (2 days later -> new session)
+    rows += [(5, 1, "2024-03-04 01:00:00")]
+    # user 2: tie on ts (event_id breaks the tie), single session
+    rows += [(6, 2, "2024-03-01 12:00:00"), (7, 2, "2024-03-01 12:00:00")]
+    # user 3 (hot-ish): every 20 min across 3 days = one long session
+    # crossing two midnights, plus a later separate session
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 22, 0, 0)
+    rows += [
+        (100 + i, 3, (t0 + dt.timedelta(minutes=20 * i)).strftime("%Y-%m-%d %H:%M:%S"))
+        for i in range(200)
+    ]
+    rows += [(999, 3, "2024-03-20 09:00:00")]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    # single-pass reference
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")), F.lit(1)
+    ).otherwise(F.lit(0))
+    ref = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+    got = sessionize_two_phase(ev, gap="30 minutes", bucket="1 day")
+    r = {x["event_id"]: x["session_id"] for x in ref.collect()}
+    g = {x["event_id"]: x["session_id"] for x in got.collect()}
+    assert g == r
+    # sanity on the crafted cases
+    assert g[1] == g[2] == g[3] == 1  # straddle + exact-30m boundary
+    assert g[4] == 2 and g[5] == 3     # 30m+1s, then empty-bucket gap
+    assert g[6] == g[7] == 1
+    assert g[100] == g[299] == 1 and g[999] == 2  # 3-day session is ONE
+
+
+def test_sessionize_two_phase_guards_bucket_shorter_than_gap(spark):
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.sessionize import (
+        sessionize_two_phase,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-03-01 10:00:00")], "event_id long, user_id long, ts string"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="bucket"):
+        sessionize_two_phase(ev, gap="2 hours", bucket="30 minutes")
