@@ -59,6 +59,8 @@ HEADLINE = [
     "events_quality_profile",
     # round-5 additions
     "sessionize_two_phase",
+    "mixture_sample",
+    "shuffle_assign",
 ]
 
 

@@ -118,3 +118,116 @@ def pack_greedy(
             ).cast("long"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: float,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Token-budget data mixing — the training-mixture builder: given
+    per-source mixture weights and a total token budget, keep a
+    deterministic per-source Bernoulli sample sized so each source
+    contributes ≈ ``token_budget · weight_s`` tokens (DoReMi/Pile-style
+    mixture application). ``keep_fraction_s = min(1,
+    budget·w_s / tokens_s)`` — an under-represented source clips at 1.0
+    (you can't sample more than exists; re-weight or upsample elsewhere).
+
+    Sources absent from ``weights`` are dropped (the mixture defines the
+    dataset). Selection is the content-hash Bernoulli of
+    ``sample_fraction`` — stable under retries and incremental growth.
+
+    Scale shape: one partial-agg shuffle for the per-source token totals
+    (|sources| rows), a broadcast join of the resulting fractions back
+    onto the corpus, and a map-side filter. No windows, no driver
+    round-trip, no data-plane collect.
+
+    Returns the kept rows plus their source's ``keep_fraction``.
+    """
+    spark = df.sparkSession
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("mixture_sample: weights must sum to > 0")
+    wdf = spark.createDataFrame(
+        [(s, float(w) / total_w) for s, w in weights.items()],
+        f"`{source_col}` string, _mix_w double",
+    )
+    totals = (
+        df.groupBy(source_col)
+        .agg(F.sum(token_col).cast("double").alias("_tok"))
+        .filter(F.col("_tok") > 0)
+    )
+    fractions = totals.join(wdf, source_col).select(
+        source_col,
+        F.least(
+            F.lit(1.0), F.lit(float(token_budget)) * F.col("_mix_w") / F.col("_tok")
+        ).alias("keep_fraction"),
+    )
+    return df.join(F.broadcast(fractions), source_col).filter(
+        hash_unit(F.col(id_col), salt) < F.col("keep_fraction")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 64,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle — the training-order randomizer.
+
+    Training wants examples in pseudo-random order, decorrelated from
+    source/time/id locality. A true global ``orderBy(random)`` at 100 TB
+    is a full sort through one total ordering — the classically painful
+    step. This is the scalable equivalent: ``shard = hash(id) mod n``
+    routes each row to a pseudo-random shard (ONE hash-partition
+    shuffle), and ``pos = row_number over (shard, ordered by a second
+    hash)`` gives the within-shard read order. Reading shards in index
+    order then yields a deterministic permutation of the corpus whose
+    order is independent of the input layout — and unlike ``rand()``
+    it's identical across retries/engines, so the epoch-0 data order of
+    a training run is reproducible bit-for-bit.
+
+    Each window partition is one shard (corpus/n rows) — size shards so
+    a shard fits a task comfortably; more shards = more parallelism and
+    a finer-grained permutation.
+
+    Returns the input columns + ``shard`` (int) + ``pos`` (1-based long).
+    Use a different ``salt`` per epoch for fresh epoch orders.
+    """
+    u_shard = hash_unit(F.col(id_col), f"{salt}:shard")
+    u_order = hash_unit(F.col(id_col), f"{salt}:order")
+    w = W.partitionBy("shard").orderBy(F.col("_u_order").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("shard", F.floor(u_shard * n_shards).cast("int"))
+        .withColumn("_u_order", u_order)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_u_order")
+    )
+
+
+def write_shuffled(
+    df: DataFrame,
+    root: str,
+    id_col: str,
+    n_shards: int = 64,
+    salt: str = "shuffle",
+) -> None:
+    """Materialize the shuffled corpus: one directory per shard
+    (``shard=K/``), rows inside each file in ``pos`` order (parquet
+    preserves write order, and ``sortWithinPartitions`` after an explicit
+    ``repartition(shard)`` makes write order = shuffle order). A trainer
+    streams ``shard=0..n-1`` in filename order and sees the deterministic
+    global permutation."""
+    out = shuffle_shards(df, id_col, n_shards, salt)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(root)
+    )

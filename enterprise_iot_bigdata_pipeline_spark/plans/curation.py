@@ -92,6 +92,74 @@ def sample_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-budget mixture sampling (the training-mixture builder): per-source
+# keep fractions min(1, budget·w_s / tokens_s) applied as the deterministic
+# hash Bernoulli. src3 is over-weighted so its fraction CLIPS at 1.0 (keep
+# everything) while the others sample fractionally — both branches verify.
+# Both engines evaluate the fraction as ((budget · w) / tok) on identical
+# doubles, so the per-doc threshold comparison is bit-exact.
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 1.0, "src2": 1.0, "src3": 9.0}
+_MIX_BUDGET = 12_000.0
+_MIX_NORM = {s: w / sum(_MIX_WEIGHTS.values()) for s, w in _MIX_WEIGHTS.items()}
+
+_MIX_ORACLE = f"""
+WITH tot AS (
+    SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tok
+    FROM documents GROUP BY source
+),
+w(source, w) AS (VALUES {", ".join(f"('{s}', {v!r})" for s, v in _MIX_NORM.items())}),
+fr AS (
+    SELECT tot.source, least(1.0, {_MIX_BUDGET!r} * w.w / tot.tok) AS keep_fraction
+    FROM tot JOIN w ON tot.source = w.source
+    WHERE tot.tok > 0
+)
+SELECT d.doc_id, d.source, d.n_chars, fr.keep_fraction
+FROM documents d JOIN fr ON d.source = fr.source
+WHERE {_u_sql("concat(CAST(doc_id AS VARCHAR), ':mixture')")} < fr.keep_fraction
+"""
+
+
+@register("mixture_sample", _MIX_ORACLE)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return SMP.mixture_sample(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, token_col="n_chars"
+    ).select("doc_id", "source", "n_chars", "keep_fraction")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle: hash-sharded pseudo-random training order —
+# one hash-partition shuffle + per-shard windows, never a global sort. The
+# (shard, pos) assignment is pure content hashing, so the full permutation
+# verifies row-by-row against the oracle.
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 16
+
+_SHUFFLE_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(floor({_u_sql("concat(CAST(doc_id AS VARCHAR), ':shuffle:shard')")} * {_SHUF_SHARDS}) AS INTEGER) AS shard,
+           {_u_sql("concat(CAST(doc_id AS VARCHAR), ':shuffle:order')")} AS u_order
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY u_order ASC, doc_id ASC) AS BIGINT) AS pos
+FROM s
+"""
+
+
+@register("shuffle_assign", _SHUFFLE_ORACLE)
+def shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return SMP.shuffle_shards(docs, "doc_id", _SHUF_SHARDS).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing: shard by id hash, pack consecutive docs to ~budget tokens
 # ---------------------------------------------------------------------------
 

@@ -81,3 +81,77 @@ def test_pack_greedy_budget_tolerance(spark):
     # every doc packed exactly once
     assert packed.count() == docs.count()
     assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_mixture_sample_token_budget_semantics(spark):
+    """Mixture math: kept token mass per source ≈ budget·weight (exact
+    expectation: fraction · tokens), an over-weighted source clips at 1.0
+    and keeps everything, unlisted sources are dropped entirely, and the
+    selection is stable under repartitioning (content-hash Bernoulli)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.sampling import mixture_sample
+
+    rows = []
+    for s, n_rows in (("web", 400), ("code", 100), ("tiny", 5), ("junk", 50)):
+        rows += [(f"{s}:{i}", s, 100) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tokens long")
+    # per source (100 tokens/doc): web 40k tokens, code 10k, tiny 500, junk 5k
+    weights = {"web": 1.0, "code": 1.0, "tiny": 2.0}
+    out = mixture_sample(df, weights, token_budget=8_000)
+    got = out.groupBy("source").agg(
+        F.sum("n_tokens").alias("kept"), F.first("keep_fraction").alias("f")
+    )
+    g = {r["source"]: r for r in got.collect()}
+    assert "junk" not in g  # not in the mixture
+    # tiny over-weighted: budget share 4000 > 500 tokens → clip, keep all
+    assert g["tiny"]["f"] == 1.0 and g["tiny"]["kept"] == 500
+    # fractional sources: expectation f·tokens = 2000; Bernoulli spread
+    assert g["web"]["f"] == 2000 / 40_000
+    assert abs(g["web"]["kept"] - 2000) < 800
+    assert abs(g["code"]["kept"] - 2000) < 800
+
+    again = mixture_sample(df.repartition(13), weights, token_budget=8_000)
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in out.collect()
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="weights"):
+        mixture_sample(df, {}, token_budget=1)
+
+
+def test_shuffle_shards_and_writer(spark, tmp_path):
+    """Deterministic global shuffle: near-uniform shard sizes, order
+    decorrelated from id order, identical under repartition, different
+    salt → different permutation, and the writer materializes shard dirs
+    whose parquet row order IS the shuffle order."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.sampling import (
+        shuffle_shards,
+        write_shuffled,
+    )
+
+    df = spark.range(2_000).select(F.col("id").alias("doc_id"), (F.col("id") * 2).alias("payload"))
+    out = shuffle_shards(df, "doc_id", n_shards=8)
+    sizes = [r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8 and min(sizes) > 150 and max(sizes) < 350  # ~250 each
+
+    # decorrelated: consecutive ids rarely stay consecutive in (shard,pos)
+    one = out.filter(F.col("shard") == 0).orderBy("pos").select("doc_id").collect()
+    ids = [r["doc_id"] for r in one]
+    adjacent = sum(1 for a, b in zip(ids, ids[1:]) if b == a + 1)
+    assert adjacent < len(ids) * 0.05
+
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in shuffle_shards(df.repartition(7), "doc_id", 8).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in out.collect()}
+    epoch1 = {(r["doc_id"], r["shard"], r["pos"]) for r in shuffle_shards(df, "doc_id", 8, salt="epoch1").collect()}
+    assert epoch1 != again
+
+    root = str(tmp_path / "shuffled")
+    write_shuffled(df, root, "doc_id", n_shards=8)
+    back = spark.read.parquet(root)
+    assert back.count() == 2_000
+    assert back.select("doc_id").distinct().count() == 2_000
+    # parquet write order inside shard 3 = pos order (no re-sort on read)
+    shard3 = spark.read.parquet(f"{root}/shard=3").collect()
+    poss = [r["pos"] for r in shard3]
+    assert poss == sorted(poss)

@@ -185,3 +185,29 @@ def test_decontaminate_self_overlap_and_disjoint(spark, seed):
     assert out[1]["contaminated"]
     assert out[2]["n_shared_shingles"] == 0
     assert not out[2]["contaminated"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(w, h, nc, seed):
+    """Driver-side (no Spark jobs): encode_png → parse_png is the identity
+    on pixels for arbitrary sizes/channel counts, including 1-pixel rows
+    (where Sub/Paeth left references are all out of bounds) and tall
+    1-column images."""
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * nc, dtype=np.uint8).tobytes()
+    out = parse_png(encode_png(w, h, px, nc))
+    assert (out["width"], out["height"], out["n_channels"]) == (w, h, nc)
+    assert out["pixels"] == px
