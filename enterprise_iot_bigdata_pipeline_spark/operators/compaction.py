@@ -122,18 +122,17 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     if not moves:
         return 0
 
-    def _s(v):
-        # None preserved: _delete_partition_dirs maps it to
-        # __HIVE_DEFAULT_PARTITION__ (Python str(None) would compose a
-        # "col=None" path that doesn't exist on disk)
-        return None if v is None else str(v)
-
-    def _bad_tuple(r):
-        vals = {"hiveperiod": _s(r["bad_period"])}
-        vals.update({c: _s(r[f"bad_{c}"]) for c in other_cols})
-        return tuple(vals[c] for c in pcols)
-
-    bad_parts = {_bad_tuple(r) for r in moves}
+    # bad_parts through the SAME Spark cast-to-string domain as out_parts
+    # (partition_values_set) — a parallel Python str() path would compare
+    # different string formats for bool/float/null partition values and
+    # the set difference would silently miss dirs to delete. The frame is
+    # rebuilt from the already-collected moves: control-plane rows, no
+    # second lake scan.
+    bad_src = spark.createDataFrame(moves, affected.schema).select(
+        F.col("bad_period").alias("hiveperiod"),
+        *[F.col(f"bad_{c}").alias(c) for c in other_cols],
+    )
+    bad_parts = partition_values_set(bad_src, pcols)
     periods = {str(r["bad_period"]) for r in moves} | {
         str(r["target_period"]) for r in moves
     }

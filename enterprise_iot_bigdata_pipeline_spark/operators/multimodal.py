@@ -101,17 +101,17 @@ def read_media_dir(
         # Numeric stems are only a fixture convenience — 'a/1.ppm' and
         # 'b/1.wav' would share doc_id 1, and every downstream doc_id join
         # (decode_enrich) would fan out with cross-contaminated metadata.
-        # One metadata-only agg (content column pruned, numeric-stem rows
-        # only) checks uniqueness. On collision RAISE: doc_id stability is
-        # a join-key contract — the earlier silent whole-load fallback to
-        # path-hash ids meant adding one colliding file later renamed
-        # every previously numeric-stem id across incremental loads.
-        total, distinct = (
-            raw.select(doc_id.alias("doc_id"), stem.rlike(r"^\d+$").alias("is_num"))
-            .filter(F.col("is_num"))
-            .agg(F.count(F.lit(1)), F.count_distinct(F.col("doc_id")))
-            .first()
-        )
+        # One metadata-only agg (content column pruned) checks uniqueness
+        # across the WHOLE load — numeric-vs-numeric is the realistic
+        # collision, but a numeric stem equal to another file's path-hash
+        # id is the same defect and costs nothing extra to cover. On
+        # collision RAISE: doc_id stability is a join-key contract — the
+        # earlier silent whole-load fallback to path-hash ids meant adding
+        # one colliding file later renamed every previously numeric-stem
+        # id across incremental loads.
+        total, distinct = out.select("doc_id").agg(
+            F.count(F.lit(1)), F.count_distinct(F.col("doc_id"))
+        ).first()
         if total and total != distinct:
             raise ValueError(
                 "read_media_dir: numeric file stems collide across paths "
@@ -176,14 +176,11 @@ def parse_ppm(payload: bytes) -> dict:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-
-def _paeth(a: int, b: int, c: int) -> int:
-    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left."""
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
+# Paeth predictor (PNG spec §9.4, nearest of left/up/up-left) appears
+# twice below on purpose: vectorized over numpy rows in encode_png
+# (predictions read RAW values the encoder has), and as a hand-unrolled
+# int loop in parse_png (true sequential dependency on reconstructed
+# bytes). There is no shared scalar helper — keep the two in sync.
 
 
 def encode_png(width: int, height: int, pixels: bytes, n_channels: int = 3) -> bytes:

@@ -167,8 +167,12 @@ def mixture_sample(
             F.lit(1.0), F.lit(float(token_budget)) * F.col("_mix_w") / F.col("_tok")
         ).alias("keep_fraction"),
     )
+    # keep_fraction == 1.0 keeps EVERY row explicitly: hash_unit's 60-bit
+    # value can round to exactly 1.0 in double (64 of the 2^60 hashes),
+    # and `u < 1.0` would drop those rows from a clipped source.
     return df.join(F.broadcast(fractions), source_col).filter(
-        hash_unit(F.col(id_col), salt) < F.col("keep_fraction")
+        (hash_unit(F.col(id_col), salt) < F.col("keep_fraction"))
+        | (F.col("keep_fraction") == 1.0)
     )
 
 
@@ -202,8 +206,14 @@ def shuffle_shards(
     u_shard = hash_unit(F.col(id_col), f"{salt}:shard")
     u_order = hash_unit(F.col(id_col), f"{salt}:order")
     w = W.partitionBy("shard").orderBy(F.col("_u_order").asc(), F.col(id_col).asc())
+    # least(n-1, ·): hash_unit can round to exactly 1.0 in double (64 of
+    # the 2^60 hashes), and floor(1.0 · n) would mint an out-of-range
+    # shard == n that a reader streaming shard=0..n-1 never visits.
     return (
-        df.withColumn("shard", F.floor(u_shard * n_shards).cast("int"))
+        df.withColumn(
+            "shard",
+            F.least(F.lit(n_shards - 1), F.floor(u_shard * n_shards)).cast("int"),
+        )
         .withColumn("_u_order", u_order)
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_u_order")

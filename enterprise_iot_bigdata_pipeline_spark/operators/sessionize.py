@@ -46,17 +46,34 @@ from pyspark.sql import functions as F
 
 
 def _interval_seconds(spec: str) -> float:
-    """Length of a simple ``'<n> <unit>'`` interval in seconds (for the
-    bucket ≥ gap check; the actual arithmetic stays INTERVAL-typed)."""
-    n, unit = spec.strip().split()
+    """Length of a day-time interval spec — ``'<n> <unit>'`` pairs,
+    compound forms included (``'1 hour 30 minutes'``, like Spark's
+    INTERVAL literal) — in seconds, for the bucket ≥ gap check; the
+    actual arithmetic stays INTERVAL-typed. Month/year units are
+    rejected by name: their length is calendar-dependent, so a
+    fixed-length bucket comparison against them would be a guess."""
     mult = {
         "second": 1, "seconds": 1,
         "minute": 60, "minutes": 60,
         "hour": 3600, "hours": 3600,
         "day": 86400, "days": 86400,
         "week": 604800, "weeks": 604800,
-    }[unit.lower()]
-    return float(n) * mult
+    }
+    toks = spec.strip().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(
+            f"interval spec {spec!r}: expected '<n> <unit>' pairs"
+        )
+    total = 0.0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        if unit.lower() not in mult:
+            raise ValueError(
+                f"interval spec {spec!r}: unsupported unit {unit!r} "
+                "(day-time units only — month/year lengths are "
+                "calendar-dependent)"
+            )
+        total += float(n) * mult[unit.lower()]
+    return total
 
 
 def sessionize_two_phase(

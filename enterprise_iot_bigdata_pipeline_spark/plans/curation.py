@@ -118,6 +118,7 @@ fr AS (
 SELECT d.doc_id, d.source, d.n_chars, fr.keep_fraction
 FROM documents d JOIN fr ON d.source = fr.source
 WHERE {_u_sql("concat(CAST(doc_id AS VARCHAR), ':mixture')")} < fr.keep_fraction
+   OR fr.keep_fraction = 1.0
 """
 
 
@@ -141,7 +142,7 @@ _SHUF_SHARDS = 16
 _SHUFFLE_ORACLE = f"""
 WITH s AS (
     SELECT doc_id,
-           CAST(floor({_u_sql("concat(CAST(doc_id AS VARCHAR), ':shuffle:shard')")} * {_SHUF_SHARDS}) AS INTEGER) AS shard,
+           CAST(least({_SHUF_SHARDS - 1}, floor({_u_sql("concat(CAST(doc_id AS VARCHAR), ':shuffle:shard')")} * {_SHUF_SHARDS})) AS INTEGER) AS shard,
            {_u_sql("concat(CAST(doc_id AS VARCHAR), ':shuffle:order')")} AS u_order
     FROM documents
 )
