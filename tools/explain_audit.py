@@ -32,6 +32,9 @@ AUDITED = [
     "multimodal_decode",
     "text_decontaminate",
     "text_pii_redact",
+    "sessionize_two_phase",
+    "mixture_sample",
+    "shuffle_assign",
 ]
 
 CHECKS = {
@@ -92,6 +95,20 @@ CHECKS = {
     "text_pii_redact": [
         ("BatchEvalPython", False, "regex detection/redaction stays JVM-side"),
         ("ArrowEvalPython", False, "no Python at all — built-in regexp_count/replace"),
+    ],
+    "sessionize_two_phase": [
+        # the whole point of the two-phase form: the event-scale window
+        # partitions on (user, bucket), never on the user alone
+        ("_bucket", True, "event-scale window keyed by (user, time-bucket) — no hot-key task"),
+        ("BroadcastHashJoin", True, "chunk-offset summary joins back broadcast"),
+    ],
+    "mixture_sample": [
+        ("BroadcastHashJoin", True, "per-source keep fractions broadcast onto the corpus"),
+        ("SortMergeJoin", False, "the corpus must never reshuffle for a |sources|-row join"),
+    ],
+    "shuffle_assign": [
+        ("Window", True, "per-shard position is a sharded window"),
+        ("Exchange SinglePartition", False, "a global sort would serialize the corpus in one task"),
     ],
 }
 
