@@ -61,6 +61,8 @@ HEADLINE = [
     "sessionize_two_phase",
     "mixture_sample",
     "shuffle_assign",
+    "text_collapse_stutter",
+    "quality_percentile_filter",
 ]
 
 

@@ -44,6 +44,26 @@ def token_count(text: Column) -> Column:
     return F.size(words(text)).cast("long")
 
 
+def collapse_repeated_tokens(text: Column) -> Column:
+    """Tokens with CONSECUTIVE duplicates dropped (``"a a the the b" →
+    ["a", "the", "b"]``) — the stutter/boilerplate-collapse cleaning step
+    (crawled text is full of repeated tokens from markup flattening).
+    Returns the kept-token ARRAY; join with ``array_join(…, ' ')`` for a
+    cleaned string. One index-aware ``filter`` HOF — linear, JVM-side.
+
+    The previous-element probe is wrapped in ``when(i == 0, …)`` rather
+    than relying on OR short-circuit: ``element_at(ws, 0)`` raises (SQL
+    arrays are 1-based) and CaseWhen is the only construct guaranteed
+    lazy in both interpreted and codegen paths."""
+    ws = words(text)
+    return F.filter(
+        ws,
+        lambda x, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+            x != F.element_at(ws, i)
+        ),
+    )
+
+
 def bpe_token_count(text: Column) -> Column:
     """Count of BPE-ish pre-tokens (letter runs / digit runs / punct)."""
     return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")

@@ -156,9 +156,11 @@ def staged_metrics(docs: DataFrame) -> DataFrame:
     hits = lambda m: F.size(  # noqa: E731
         F.filter(F.col("ws"), lambda w: w.isin(*m))
     ).cast("long")
+    passthrough = [c for c in ("lang", "source") if c in docs.columns]
     base = docs.select(
         "doc_id",
         "text",
+        *passthrough,
         X.words(txt).alias("ws"),
         F.length(txt).alias("n_chars"),
         F.regexp_count(txt, F.lit(X.PUNCT_RE)).alias("n_punct"),
@@ -168,6 +170,7 @@ def staged_metrics(docs: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         "text",
+        *passthrough,
         "n_chars",
         "n_punct",
         "n_non_ascii",
@@ -211,6 +214,7 @@ def staged_metrics(docs: DataFrame) -> DataFrame:
     return base.select(
         "doc_id",
         "text",
+        *passthrough,
         "n_tokens",
         "n_bpe_tokens",
         punct_ratio.alias("punct_ratio"),
@@ -264,6 +268,91 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_word_ratio",
         "top_word_frac",
         "dup_2gram_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stutter collapse: drop CONSECUTIVE duplicate tokens (markup-flattening
+# artifacts). Index-aware filter HOF on both engines; DuckDB's 1-based
+# lambda index probes ws[i-1] (out-of-range list access yields NULL, and
+# `i = 1 OR NULL` is TRUE, so the first token always survives).
+# ---------------------------------------------------------------------------
+
+_COLLAPSE_ORACLE = f"""
+WITH g AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+k AS (
+    SELECT doc_id, ws,
+           list_filter(ws, (x, i) -> i = 1 OR x <> ws[i - 1]) AS kept
+    FROM g
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(array_to_string(kept, ' ')) AS clean_hash
+FROM k
+"""
+
+
+@register("text_collapse_stutter", _COLLAPSE_ORACLE)
+def text_collapse_stutter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    kept = X.collapse_repeated_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality-percentile filter: keep docs at or above the p25
+# quality WITHIN their language — the standard curation policy (a global
+# threshold would evict whole low-scoring languages). percent_rank is
+# (rank−1)/(n−1) on both engines over the identical (score, doc_id) total
+# order, so the doubles — and the kept set — are bit-exact. One shuffle
+# keyed by lang.
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = f"""round(0.4::DOUBLE * least(1.0::DOUBLE, CAST({_TOKENS} AS DOUBLE) / 100.0::DOUBLE)
+      + 0.3::DOUBLE * (1.0::DOUBLE - {_PUNCT_RATIO})
+      + 0.3::DOUBLE * {_STOP_RATIO}, 9)"""
+
+_PCTL_KEEP = 0.25
+
+_PCTL_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id, lang, {_QUALITY_SQL} AS quality_score FROM documents
+),
+r AS (
+    SELECT doc_id, lang, quality_score,
+           percent_rank() OVER (
+               PARTITION BY lang
+               ORDER BY quality_score ASC NULLS LAST, doc_id ASC
+           ) AS pr
+    FROM m
+)
+SELECT doc_id, lang, quality_score, pr FROM r WHERE pr >= {_PCTL_KEEP!r}
+"""
+
+
+@register("quality_percentile_filter", _PCTL_ORACLE)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    m = staged_metrics(docs).select("doc_id", "lang", "quality_score")
+    w = W.partitionBy("lang").orderBy(
+        F.asc_nulls_last("quality_score"), F.asc("doc_id")
+    )
+    return (
+        m.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= F.lit(_PCTL_KEEP))
+        .select("doc_id", "lang", "quality_score", "pr")
     )
 
 

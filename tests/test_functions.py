@@ -251,3 +251,33 @@ def test_duplicate_ngram_coverage_known_values(spark):
     assert out[3]["n_shingles"] == 3 and out[3]["dup_coverage"] == 0.0
     assert out[4]["n_shingles"] == 4 and out[4]["n_dup_shingles"] == 1
     assert out[4]["dup_coverage"] == 0.25
+
+
+def test_collapse_repeated_tokens(spark):
+    """Stutter collapse drops only CONSECUTIVE duplicates, keeps later
+    reoccurrences, and survives single-token and all-same inputs."""
+    from enterprise_iot_bigdata_pipeline_spark.functions.text import (
+        collapse_repeated_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a the the b"),
+            (2, "a b a b"),          # alternating: nothing to drop
+            (3, "x"),
+            (4, "y y y y y"),
+            (5, "The THE the mix"),  # lower-cased first → all 'the' collapse
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["kept"]
+        for r in df.select(
+            "id", F.array_join(collapse_repeated_tokens(F.col("text")), " ").alias("kept")
+        ).collect()
+    }
+    assert out[1] == "a the b"
+    assert out[2] == "a b a b"
+    assert out[3] == "x"
+    assert out[4] == "y"
+    assert out[5] == "the mix"
