@@ -49,19 +49,24 @@ def collapse_repeated_tokens(text: Column) -> Column:
     ["a", "the", "b"]``) — the stutter/boilerplate-collapse cleaning step
     (crawled text is full of repeated tokens from markup flattening).
     Returns the kept-token ARRAY; join with ``array_join(…, ' ')`` for a
-    cleaned string. One index-aware ``filter`` HOF — linear, JVM-side.
+    cleaned string.
 
-    The previous-element probe is wrapped in ``when(i == 0, …)`` rather
-    than relying on OR short-circuit: ``element_at(ws, 0)`` raises (SQL
-    arrays are 1-based) and CaseWhen is the only construct guaranteed
-    lazy in both interpreted and codegen paths."""
+    Shape: zip each token with its predecessor (the array shifted right
+    by one, NULL-padded) and keep where they differ. Each token is then
+    compared against a MATERIALIZED neighbor — the tempting
+    index-lambda form ``filter(ws, (x, i) -> x != element_at(ws, i))``
+    re-evaluates the captured ``ws`` EXPRESSION (the whole split) per
+    element in Spark's interpreted HOF path, which the long-doc stress
+    measured at exponent 1.48 (quadratic in doc length). This form is
+    a constant number of O(n) array ops."""
     ws = words(text)
-    return F.filter(
-        ws,
-        lambda x, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
-            x != F.element_at(ws, i)
-        ),
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
     )
+    zipped = F.arrays_zip(ws.alias("w"), prev.alias("p"))
+    kept = F.filter(zipped, lambda s: s["p"].isNull() | (s["w"] != s["p"]))
+    return F.transform(kept, lambda s: s["w"])
 
 
 def bpe_token_count(text: Column) -> Column:

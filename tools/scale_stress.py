@@ -223,7 +223,14 @@ def main_longdoc() -> None:
 
     print(f"longdoc N={N} (length multiplier)")
     print(f"{'query':32s} {'1x':>7s} {f'{N}x':>7s} {'exponent':>9s}")
-    for name in ("text_metrics", "dedup_minhash_lsh", "text_decontaminate", "text_pii_redact"):
+    for name in (
+        "text_metrics",
+        "dedup_minhash_lsh",
+        "text_decontaminate",
+        "text_pii_redact",
+        "text_collapse_stutter",
+        "quality_percentile_filter",
+    ):
         t1 = timed(SF, name)
         tn = timed(stage, name)
         exp = math.log(tn / t1) / math.log(N)
