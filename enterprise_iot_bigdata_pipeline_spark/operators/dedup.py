@@ -140,14 +140,12 @@ def _pairs_of_sorted(sorted_docs: "F.Column") -> "F.Column":
     )
 
 
-def _bucket_pairs(docs: "F.Column") -> "F.Column":
-    """All (a < b) pairs from an array of members — array<struct<a,b>>.
-
-    Used instead of a bucket self-join: one groupBy produces each bucket's
-    membership once, so the upstream pipeline (signatures, fingerprints)
-    executes once instead of twice, and the join shuffle disappears.
-    """
-    return _pairs_of_sorted(F.array_sort(docs))
+# (No array_sort-wrapping helper here on purpose: passing
+# `_pairs_of_sorted(F.array_sort(docs))` captures the SORT EXPRESSION
+# inside the expansion lambdas, and Spark re-evaluates a captured
+# expression per element — the bucket would re-sort once per member,
+# O(s² log s). Sort inside the upstream aggregate instead so the lambda
+# captures a plain attribute.)
 
 
 DEFAULT_MAX_BUCKET = 1024
@@ -257,9 +255,9 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         sh.groupBy("shingle")
-        .agg(F.collect_set("doc").alias("docs"))
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
         .filter(F.size("docs") >= 2)
-        .select(F.explode(_bucket_pairs(F.col("docs"))).alias("p"))
+        .select(F.explode(_pairs_of_sorted(F.col("docs"))).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
