@@ -18,9 +18,7 @@ per-key straggler:
    session count) — thousands of rows per user at most, never event-scale.
    A window over chunks (ordered by bucket) decides per chunk whether its
    first event CONTINUES the previous chunk's last session
-   (``first_ts − prev_last_ts ≤ gap`` — an absent bucket in between means
-   the time gap already exceeds the bucket length ≥ gap, so the lag over
-   existing chunks alone is sufficient), and derives each chunk's global
+   (``first_ts − prev_last_ts ≤ gap``), and derives each chunk's global
    session OFFSET:  ``Σ previous chunks' session counts − Σ continuations
    so far``  (a continuation merges the chunk's local session 1 into the
    previous chunk's last session, shifting everything after it down by 1).
@@ -28,9 +26,12 @@ per-key straggler:
    The join key is the well-distributed chunk key, and the summary side is
    small enough to broadcast in any realistic deployment.
 
-Requires ``bucket ≥ gap`` (checked): with a shorter bucket, an empty
-bucket between two chunks would NOT prove the time gap exceeds ``gap``,
-and the lag-over-existing-chunks shortcut would split a live session.
+The bucket length is a pure parallelism knob — ANY bucket length is
+exact. Buckets partition time, so a chunk's first event's global
+predecessor is always the previous NON-EMPTY chunk's last event, and the
+continuation test compares those two REAL timestamps; empty buckets in
+between never enter the computation. A shorter bucket just makes more,
+smaller chunks (denser hot keys → pick shorter buckets for more tasks).
 
 Semantics pinned to the single-pass form exactly — ordering by
 ``(ts, *order_cols)``, a gap strictly greater than ``gap`` starts a new
@@ -87,13 +88,13 @@ def sessionize_two_phase(
 ) -> DataFrame:
     """All input columns + ``session_id`` (1-based per user), identical to
     the single-pass ``partitionBy(user)`` lag/run-sum sessionization but
-    with no hot-key straggler. See module docstring for the algorithm."""
-    if _interval_seconds(bucket) < _interval_seconds(gap):
-        raise ValueError(
-            f"sessionize_two_phase: bucket ({bucket!r}) must be >= gap "
-            f"({gap!r}) — otherwise an empty bucket between chunks does "
-            "not prove the session gap elapsed"
-        )
+    with no hot-key straggler. See module docstring for the algorithm;
+    ``bucket`` is a parallelism knob only — any length is exact.
+
+    Both interval specs are validated eagerly (day-time units only) so a
+    typo fails with a named error here, not mid-job in ``F.expr``."""
+    for spec in (gap, bucket):
+        _interval_seconds(spec)
     gap_i = F.expr(f"INTERVAL {gap}")
     ts = F.col(ts_col)
 

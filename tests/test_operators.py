@@ -389,15 +389,54 @@ def test_sessionize_two_phase_matches_single_pass(spark):
     assert g[100] == g[299] == 1 and g[999] == 2  # 3-day session is ONE
 
 
-def test_sessionize_two_phase_guards_bucket_shorter_than_gap(spark):
-    import pytest
+def test_sessionize_two_phase_bucket_shorter_than_gap_still_exact(spark):
+    """The bucket length is a pure parallelism knob: even with bucket ≪
+    gap (sessions spanning MANY chunks, with empty buckets inside a live
+    session), the chunk-summary lag compares real timestamps and the
+    assignment matches the single-pass form exactly."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
 
     from enterprise_iot_bigdata_pipeline_spark.operators.sessionize import (
         sessionize_two_phase,
     )
 
-    ev = spark.createDataFrame(
-        [(1, 1, "2024-03-01 10:00:00")], "event_id long, user_id long, ts string"
-    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
-    with pytest.raises(ValueError, match="bucket"):
-        sessionize_two_phase(ev, gap="2 hours", bucket="30 minutes")
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = []
+    # session 1: events every 90 min (gap 2h, bucket 30min → every event
+    # in its own chunk with 2 empty buckets in between, all ONE session)
+    rows += [
+        (i, 1, (t0 + dt.timedelta(minutes=90 * i)).strftime("%Y-%m-%d %H:%M:%S"))
+        for i in range(8)
+    ]
+    # then 2h+1s of silence → session 2
+    last = t0 + dt.timedelta(minutes=90 * 7)
+    rows += [(99, 1, (last + dt.timedelta(hours=2, seconds=1)).strftime("%Y-%m-%d %H:%M:%S"))]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 2 HOURS")), F.lit(1)
+    ).otherwise(F.lit(0))
+    ref = {
+        r["event_id"]: r["sid"]
+        for r in ev.withColumn(
+            "sid", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        ).collect()
+    }
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize_two_phase(ev, gap="2 hours", bucket="30 minutes").collect()
+    }
+    assert got == ref
+    assert got[0] == got[7] == 1 and got[99] == 2
+
+    # named validation error for a bad interval spec, before any job
+    import pytest
+
+    with pytest.raises(ValueError, match="unit"):
+        sessionize_two_phase(ev, gap="2 fortnights")

@@ -226,10 +226,12 @@ def main_longdoc() -> None:
     for name in (
         "text_metrics",
         "dedup_minhash_lsh",
+        "dedup_simhash",
         "text_decontaminate",
         "text_pii_redact",
         "text_collapse_stutter",
         "quality_percentile_filter",
+        "pipeline_curate_corpus",
     ):
         t1 = timed(SF, name)
         tn = timed(stage, name)
