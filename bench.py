@@ -63,6 +63,7 @@ HEADLINE = [
     "shuffle_assign",
     "text_collapse_stutter",
     "quality_percentile_filter",
+    "events_heavy_hitters",
 ]
 
 

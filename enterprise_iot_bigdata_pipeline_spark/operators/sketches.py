@@ -1,0 +1,120 @@
+"""Mergeable sketch operators.
+
+``approx_heavy_hitters`` — distributed Misra–Gries: the 100 TB answer to
+"what are the top-k values of this column". The exact answer is a full
+``groupBy(value).count()`` — a shuffle carrying EVERY distinct value
+(vocabulary-sized: url hosts, user agents, tokens …). Misra–Gries instead
+keeps a bounded summary of ``width`` counters per partition (one
+sequential pass, no state beyond the summary) and ships only
+``partitions × width`` rows to a tiny merge — map-side in spirit, like a
+partial aggregation whose state can't grow.
+
+Guarantees (standard MG bounds, surfaced in the output):
+- every reported count UNDERCOUNTS by at most the summary's total
+  decrement mass ``D``:  ``approx ≤ true ≤ approx + max_undercount``;
+- any value with true frequency > D is guaranteed to be present in the
+  merged summary (D ≤ n/width, so width bounds the miss threshold).
+
+Spark shape: ``mapInPandas`` (one summary per PARTITION — the iterator
+sees all of a partition's Arrow batches), a ``groupBy(value)`` over the
+summary rows (tiny), and a top-k window. No driver-side data collection;
+the only scalars collected are in the caller's hands.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _mg_trim(state: Counter, width: int) -> int:
+    """Trim ``state`` to ≤ ``width`` counters by the batched Misra–Gries
+    step: subtract the (width+1)-th largest count from everything and
+    drop non-positives. Returns the per-counter decrement (the error mass
+    this trim adds to every surviving and future count)."""
+    if len(state) <= width:
+        return 0
+    # (width+1)-th largest count = the decrement that leaves ≤ width keys
+    dec = sorted(state.values(), reverse=True)[width]
+    for key in list(state):
+        nv = state[key] - dec
+        if nv > 0:
+            state[key] = nv
+        else:
+            del state[key]
+    return dec
+
+
+def approx_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    width: int | None = None,
+) -> DataFrame:
+    """Approximate top-``k`` values of ``df[col]`` with error bounds.
+
+    Output: ``value string, approx_count long, max_undercount long,
+    rank int`` — with D = ``max_undercount`` (the summaries' total
+    decrement mass): ``approx_count ≤ true ≤ approx_count + D`` for
+    every reported value; any value with true frequency > D survives
+    into the merged summary; and any value whose true frequency exceeds
+    the true k-th frequency by more than D is guaranteed into the
+    reported top-k (values closer than D to the boundary may swap with
+    their neighbors — the standard MG top-k caveat).
+
+    ``width`` (default ``8·k``) is the per-partition counter budget: the
+    decrement mass — and so the undercount bound — shrinks as 1/width,
+    at the cost of ``partitions × width`` merge rows. NULLs count as the
+    value "∅" (one deterministic bucket, same convention as
+    ``sampling.hash_unit``).
+    """
+    if k < 1:
+        raise ValueError(f"approx_heavy_hitters: k must be ≥ 1, got {k}")
+    width = 8 * k if width is None else width
+    if width < k:
+        raise ValueError(
+            f"approx_heavy_hitters: width {width} < k {k} — the summary "
+            "cannot hold the values it is asked to report"
+        )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: Counter = Counter()
+        dec_total = 0
+        for pdf in batches:
+            vals = pdf[col]
+            state.update(vals.fillna("∅").astype(str))
+            dec_total += _mg_trim(state, width)
+        rows = [(v, int(c), 0) for v, c in state.items()]
+        # sentinel row carries the partition's decrement mass (NULL value)
+        rows.append((None, 0, int(dec_total)))
+        yield pd.DataFrame(rows, columns=["value", "cnt", "dec"])
+
+    summaries = (
+        df.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(summarize, "value string, cnt long, dec long")
+    )
+    merged = summaries.groupBy("value").agg(
+        F.sum("cnt").alias("approx_count"), F.sum("dec").alias("dec")
+    )
+    # global undercount bound = total decrement mass across partitions
+    bound = merged.filter(F.col("value").isNull()).select(
+        F.sum("dec").alias("max_undercount")
+    )
+    w = W.orderBy(F.desc("approx_count"), F.asc("value"))
+    return (
+        merged.filter(F.col("value").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(bound))
+        .select(
+            "value",
+            "approx_count",
+            F.coalesce("max_undercount", F.lit(0)).alias("max_undercount"),
+            "rank",
+        )
+    )

@@ -325,3 +325,41 @@ def agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via distributed Misra-Gries, verified in the EXACT regime:
+# with width ≥ |vocab| (events has 1 500 users) no decrement ever fires, so
+# the sketch path — per-partition Arrow summaries, sentinel rows, merge,
+# bound join, top-k window — must reproduce the exact groupBy top-k with
+# max_undercount = 0. (The lossy regime is partition-layout-dependent and
+# is covered by the bound/containment pytest instead.)
+# ---------------------------------------------------------------------------
+
+_HH_K = 10
+
+_HH_ORACLE = f"""
+WITH c AS (
+    SELECT coalesce(CAST(user_id AS VARCHAR), '∅') AS value,
+           count(*) AS approx_count
+    FROM events GROUP BY 1
+),
+r AS (
+    SELECT value, approx_count,
+           CAST(0 AS BIGINT) AS max_undercount,
+           CAST(row_number() OVER (ORDER BY approx_count DESC, value ASC) AS INTEGER) AS rank
+    FROM c
+)
+SELECT value, approx_count, max_undercount, rank FROM r WHERE rank <= {_HH_K}
+"""
+
+
+@register("events_heavy_hitters", _HH_ORACLE)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.sketches import (
+        approx_heavy_hitters,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    ev = fan_out(t(spark, sf_dir, "events"))
+    return approx_heavy_hitters(ev, "user_id", k=_HH_K, width=4096)

@@ -1,0 +1,68 @@
+"""Mergeable sketches: distributed Misra-Gries heavy hitters."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _zipf_values(n=60_000, vocab=3_000, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # zipf-ish: value id v appears with weight ~ 1/(v+1)
+    ids = rng.zipf(1.3, size=n) % vocab
+    return [f"v{int(i)}" for i in ids]
+
+
+def test_heavy_hitters_bounds_and_topk(spark):
+    from enterprise_iot_bigdata_pipeline_spark.operators.sketches import (
+        approx_heavy_hitters,
+    )
+
+    vals = _zipf_values()
+    exact = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "token string").repartition(16)
+
+    out = approx_heavy_hitters(df, "token", k=20).collect()
+    assert len(out) == 20
+    D = out[0]["max_undercount"]
+    assert all(r["max_undercount"] == D for r in out)
+    for r in out:
+        true = exact[r["value"]]
+        assert r["approx_count"] <= true <= r["approx_count"] + D, (
+            r["value"], r["approx_count"], true, D
+        )
+    # every value safely above the k-th-true-frequency + D boundary must
+    # be reported (the MG top-k guarantee)
+    kth_true = sorted(exact.values(), reverse=True)[19]
+    must_report = {v for v, c in exact.items() if c > kth_true + D}
+    reported = {r["value"] for r in out}
+    assert must_report <= reported
+    # sketch rows shipped to the merge are bounded, not vocabulary-sized
+    assert D < len(vals) // (8 * 20) + 1  # D <= n/width
+
+    # determinism: same data, same partitioning -> identical output
+    again = approx_heavy_hitters(df, "token", k=20).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_heavy_hitters_exact_when_width_covers_vocab(spark):
+    """With width >= |vocab| no decrement ever fires: the sketch IS the
+    exact groupBy count (D == 0), nulls bucketed deterministically."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.sketches import (
+        approx_heavy_hitters,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 19 + [(None,)] * 7
+    df = spark.createDataFrame(rows, "token string").repartition(5)
+    out = {r["value"]: r for r in approx_heavy_hitters(df, "token", k=4, width=10).collect()}
+    assert out["a"]["approx_count"] == 50 and out["a"]["rank"] == 1
+    assert out["b"]["approx_count"] == 30
+    assert out["∅"]["approx_count"] == 7  # nulls -> one deterministic bucket
+    assert all(r["max_undercount"] == 0 for r in out.values())
+
+    with pytest.raises(ValueError, match="width"):
+        approx_heavy_hitters(df, "token", k=8, width=4)
