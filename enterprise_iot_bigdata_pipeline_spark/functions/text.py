@@ -58,15 +58,10 @@ def collapse_repeated_tokens(text: Column) -> Column:
     re-evaluates the captured ``ws`` EXPRESSION (the whole split) per
     element in Spark's interpreted HOF path, which the long-doc stress
     measured at exponent 1.48 (quadratic in doc length). This form is
-    a constant number of O(n) array ops."""
-    ws = words(text)
-    prev = F.concat(
-        F.array(F.lit(None).cast("string")),
-        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
-    )
-    zipped = F.arrays_zip(ws.alias("w"), prev.alias("p"))
-    kept = F.filter(zipped, lambda s: s["p"].isNull() | (s["w"] != s["p"]))
-    return F.transform(kept, lambda s: s["w"])
+    a constant number of O(n) array ops (the split still evaluates once
+    per top-level reference; stage the words column and use
+    :func:`collapse_repeated_token_array` to pay it exactly once)."""
+    return collapse_repeated_token_array(words(text))
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -180,6 +175,20 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(sz >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
     )
+
+
+def collapse_repeated_token_array(ws: Column) -> Column:
+    """Array form of :func:`collapse_repeated_tokens`: pass an ALREADY
+    MATERIALIZED words column (a plain column reference) when composing
+    into a staged projection — ``ws`` appears several times here, and on
+    a computed expression each appearance would re-run it per row."""
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+    )
+    zipped = F.arrays_zip(ws.alias("w"), prev.alias("p"))
+    kept = F.filter(zipped, lambda s: s["p"].isNull() | (s["w"] != s["p"]))
+    return F.transform(kept, lambda s: s["w"])
 
 
 def shingle_to_int(shingle: Column) -> Column:

@@ -49,10 +49,12 @@ from pyspark.sql import functions as F
 def _interval_seconds(spec: str) -> float:
     """Length of a day-time interval spec — ``'<n> <unit>'`` pairs,
     compound forms included (``'1 hour 30 minutes'``, like Spark's
-    INTERVAL literal) — in seconds, for the bucket ≥ gap check; the
-    actual arithmetic stays INTERVAL-typed. Month/year units are
-    rejected by name: their length is calendar-dependent, so a
-    fixed-length bucket comparison against them would be a guess."""
+    INTERVAL literal) — in seconds. Used purely as EAGER VALIDATION of
+    the gap/bucket specs (a typo fails with a named error here, not
+    mid-job inside ``F.expr``); the session arithmetic itself stays
+    INTERVAL-typed. Month/year units are rejected by name: their length
+    is calendar-dependent and sessionization gaps are wall-clock
+    durations."""
     mult = {
         "second": 1, "seconds": 1,
         "minute": 60, "minutes": 60,

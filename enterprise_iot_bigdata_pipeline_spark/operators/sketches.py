@@ -101,20 +101,21 @@ def approx_heavy_hitters(
     merged = summaries.groupBy("value").agg(
         F.sum("cnt").alias("approx_count"), F.sum("dec").alias("dec")
     )
-    # global undercount bound = total decrement mass across partitions
-    bound = merged.filter(F.col("value").isNull()).select(
-        F.sum("dec").alias("max_undercount")
-    )
+    # Global undercount bound = total decrement mass across partitions,
+    # computed as a whole-frame window over the SAME merged frame — one
+    # branch, so the corpus scan + Python sketch pass execute exactly
+    # once per action (a separate filter-isNull branch would re-run the
+    # MapInPandas subtree: the two filters push below the aggregate and
+    # defeat ReuseExchange). The single-partition window is over the
+    # tiny summary (≤ partitions × width rows), never the corpus.
+    wall = W.partitionBy(F.lit(0))
     w = W.orderBy(F.desc("approx_count"), F.asc("value"))
     return (
-        merged.filter(F.col("value").isNotNull())
+        merged.withColumn(
+            "max_undercount", F.coalesce(F.sum("dec").over(wall), F.lit(0))
+        )
+        .filter(F.col("value").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .join(F.broadcast(bound))
-        .select(
-            "value",
-            "approx_count",
-            F.coalesce("max_undercount", F.lit(0)).alias("max_undercount"),
-            "rank",
-        )
+        .select("value", "approx_count", "max_undercount", "rank")
     )

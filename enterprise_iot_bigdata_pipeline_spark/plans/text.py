@@ -48,6 +48,13 @@ _LANG_CASE = f"""
     END
 """
 
+# The ONE quality-score fragment — every oracle that scores documents
+# (metrics battery, percentile filter, curation pipeline) interpolates
+# this, so a reweighting can never desync them.
+_QUALITY_SQL = f"""round(0.4::DOUBLE * least(1.0::DOUBLE, CAST({_TOKENS} AS DOUBLE) / 100.0::DOUBLE)
+      + 0.3::DOUBLE * (1.0::DOUBLE - {_PUNCT_RATIO})
+      + 0.3::DOUBLE * {_STOP_RATIO}, 9)"""
+
 # DuckDB shingle pipeline (mirrors functions.text.word_shingles, n=3).
 _SHINGLES_CTE = f"""
 words AS (SELECT doc_id AS doc, {_WORDS} AS ws FROM documents),
@@ -93,9 +100,7 @@ SELECT
     CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
     {_PUNCT_RATIO} AS punct_ratio,
     {_STOP_RATIO} AS stopword_ratio,
-    round(0.4::DOUBLE * least(1.0::DOUBLE, CAST({_TOKENS} AS DOUBLE) / 100.0::DOUBLE)
-      + 0.3::DOUBLE * (1.0::DOUBLE - {_PUNCT_RATIO})
-      + 0.3::DOUBLE * {_STOP_RATIO}, 9) AS quality_score,
+    {_QUALITY_SQL} AS quality_score,
     {_LANG_CASE} AS lang_pred,
     md5({_NORM_TEXT}) AS fingerprint,
     {_ROLLING_SQL.format(B=X.ROLL_B, P=X.ROLL_P)} AS rolling_hash,
@@ -295,32 +300,44 @@ FROM k
 
 @register("text_collapse_stutter", _COLLAPSE_ORACLE)
 def text_collapse_stutter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged: words once, collapse once, then the consumers — an inline
+    composition would re-run the split for the token count and the whole
+    collapse pipeline for each of size()/md5() (CollapseProject keeps
+    multi-referenced non-cheap projections staged, the staged_metrics
+    pattern)."""
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
     docs = fan_out(t(spark, sf_dir, "documents"))
-    kept = X.collapse_repeated_tokens(F.col("text"))
-    return docs.select(
-        "doc_id",
-        X.token_count(F.col("text")).alias("n_tokens"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.md5(F.array_join(kept, " ")).alias("clean_hash"),
+    return (
+        docs.select("doc_id", X.words(F.col("text")).alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            X.collapse_repeated_token_array(F.col("ws")).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept").cast("long").alias("n_kept"),
+            F.md5(F.array_join("kept", " ")).alias("clean_hash"),
+        )
     )
 
 
 # ---------------------------------------------------------------------------
-# Per-language quality-percentile filter: keep docs at or above the p25
-# quality WITHIN their language — the standard curation policy (a global
-# threshold would evict whole low-scoring languages). percent_rank is
-# (rank−1)/(n−1) on both engines over the identical (score, doc_id) total
-# order, so the doubles — and the kept set — are bit-exact. One shuffle
-# keyed by lang.
+# Per-language quality-percentile filter: drop the bottom quartile of
+# quality WITHIN each language — the standard curation policy (a global
+# threshold would evict whole low-scoring languages). cume_dist (= rank/n)
+# rather than percent_rank: percent_rank is 0.0 for a one-doc language, so
+# `pr >= 0.25` would evict exactly the small languages the per-language
+# design exists to protect. With `cume_dist > 0.25`, an n=1 language keeps
+# its doc (cd = 1), n=2 keeps both (cd = 0.5, 1.0), n=4 drops exactly its
+# worst (cd = 0.25). cume_dist is rank/n on both engines over the
+# identical (score, doc_id) total order, so the doubles — and the kept
+# set — are bit-exact. One shuffle keyed by lang.
 # ---------------------------------------------------------------------------
 
-_QUALITY_SQL = f"""round(0.4::DOUBLE * least(1.0::DOUBLE, CAST({_TOKENS} AS DOUBLE) / 100.0::DOUBLE)
-      + 0.3::DOUBLE * (1.0::DOUBLE - {_PUNCT_RATIO})
-      + 0.3::DOUBLE * {_STOP_RATIO}, 9)"""
-
-_PCTL_KEEP = 0.25
+_PCTL_DROP = 0.25
 
 _PCTL_ORACLE = f"""
 WITH m AS (
@@ -328,13 +345,13 @@ WITH m AS (
 ),
 r AS (
     SELECT doc_id, lang, quality_score,
-           percent_rank() OVER (
+           cume_dist() OVER (
                PARTITION BY lang
                ORDER BY quality_score ASC NULLS LAST, doc_id ASC
-           ) AS pr
+           ) AS cd
     FROM m
 )
-SELECT doc_id, lang, quality_score, pr FROM r WHERE pr >= {_PCTL_KEEP!r}
+SELECT doc_id, lang, quality_score, cd FROM r WHERE cd > {_PCTL_DROP!r}
 """
 
 
@@ -350,9 +367,9 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc_nulls_last("quality_score"), F.asc("doc_id")
     )
     return (
-        m.withColumn("pr", F.percent_rank().over(w))
-        .filter(F.col("pr") >= F.lit(_PCTL_KEEP))
-        .select("doc_id", "lang", "quality_score", "pr")
+        m.withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("cd") > F.lit(_PCTL_DROP))
+        .select("doc_id", "lang", "quality_score", "cd")
     )
 
 
@@ -546,10 +563,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CURATE_MIN_Q = 0.5
-
-_QUALITY_SQL = f"""round(0.4::DOUBLE * least(1.0::DOUBLE, CAST({_TOKENS} AS DOUBLE) / 100.0::DOUBLE)
-      + 0.3::DOUBLE * (1.0::DOUBLE - {_PUNCT_RATIO})
-      + 0.3::DOUBLE * {_STOP_RATIO}, 9)"""
 
 _CURATE_ORACLE = f"""
 WITH m AS (

@@ -155,3 +155,30 @@ def test_shuffle_shards_and_writer(spark, tmp_path):
     shard3 = spark.read.parquet(f"{root}/shard=3").collect()
     poss = [r["pos"] for r in shard3]
     assert poss == sorted(poss)
+
+
+def test_quality_percentile_filter_keeps_small_languages(spark, tmp_path):
+    """cume_dist (not percent_rank) semantics: a one-doc language keeps
+    its doc (percent_rank would be 0.0 and evict the whole language —
+    the exact outcome per-language filtering exists to prevent), a
+    two-doc language keeps both, and a four-doc language drops exactly
+    its worst-quality doc."""
+    from enterprise_iot_bigdata_pipeline_spark.plans.text import (
+        quality_percentile_filter,
+    )
+
+    rows = []
+    # quality ~ 0.4*min(1, tokens/100): more words -> higher score
+    rows.append((1, "solo " * 30, "xx", "s"))
+    rows.append((10, "the a " * 10, "yy", "s"))
+    rows.append((11, "the a " * 40, "yy", "s"))
+    for i, n in enumerate((5, 20, 40, 80)):
+        rows.append((20 + i, "the and for " * n, "en", "s"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df = df.withColumn("n_chars", F.length("text"))
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    kept = {r["doc_id"] for r in quality_percentile_filter(spark, str(tmp_path)).collect()}
+    assert 1 in kept                      # one-doc language survives
+    assert {10, 11} <= kept               # two-doc language keeps both
+    assert kept & {20, 21, 22, 23} == {21, 22, 23}  # en drops exactly its worst
