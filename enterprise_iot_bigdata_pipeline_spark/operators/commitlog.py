@@ -20,6 +20,18 @@ rename caveats):
 
 Underscore-prefixed files are invisible to Spark/DuckDB parquet readers,
 so markers ride inside the table directory itself.
+
+SINGLE WRITER PER TABLE. The swap protocol assumes one writer at a time
+(the Structured Streaming ``foreachBatch`` model: one query owns one
+target). Two concurrent writers — e.g. a zombie driver attempt plus its
+replacement — would share the fixed temp path and could publish a mixed
+table. Cluster managers that re-attempt drivers must fence the old
+attempt (YARN/K8s defaults do) before the new one writes.
+
+``path_exists`` / ``committed_epoch`` SELF-HEAL a crashed swap before
+answering, so callers branching on "does the table exist / what epoch is
+committed" can never mistake a mid-swap table for an absent one and
+re-initialize over accumulated state.
 """
 
 from __future__ import annotations
@@ -36,12 +48,20 @@ def _fs(spark: SparkSession, path: str):
 
 
 def path_exists(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` exists — healing a crashed swap first, so a table
+    stranded mid-swap (dir absent, ``.__swap_old__``/``.__swap_tmp__``
+    present) reads as the table it is, not as "no table". Callers that
+    would re-initialize on False (incremental dedup indexes, rollups)
+    depend on this to not discard accumulated state."""
+    recover_swap(spark, path)
     fs, jpath, _ = _fs(spark, path)
     return bool(fs.exists(jpath))
 
 
 def committed_epoch(spark: SparkSession, table_path: str) -> int | None:
-    """Highest epoch marker committed with ``table_path`` (None if none)."""
+    """Highest epoch marker committed with ``table_path`` (None if none).
+    Self-heals a crashed swap first — see ``path_exists``."""
+    recover_swap(spark, table_path)
     fs, jpath, _ = _fs(spark, table_path)
     if not fs.exists(jpath):
         return None
@@ -101,10 +121,19 @@ def overwrite_atomic(
     old = jvm.org.apache.hadoop.fs.Path(path + ".__swap_old__")
     fs.delete(tmp, True)
     fs.delete(old, True)
+    # epoch_id=None must CARRY FORWARD the current table's high-water
+    # mark, not destroy it: an epoch-less publish (ops backfill, manual
+    # merge) otherwise wipes the marker, and the next at-least-once
+    # stream replay would double-apply an already-committed batch. Read
+    # it BEFORE writing tmp — committed_epoch self-heals swaps, and with
+    # a fully-written tmp beside an absent dest (first-ever publish) it
+    # would otherwise publish our own tmp out from under the swap below.
+    carry = committed_epoch(spark, path) if epoch_id is None else None
     df.write.mode("overwrite").parquet(tmp.toString())
-    if epoch_id is not None:
+    mark = int(epoch_id) if epoch_id is not None else carry
+    if mark is not None:
         marker = jvm.org.apache.hadoop.fs.Path(
-            tmp.toString() + "/" + EPOCH_PREFIX + str(int(epoch_id))
+            tmp.toString() + "/" + EPOCH_PREFIX + str(mark)
         )
         fs.create(marker, True).close()
     if fs.exists(dest) and not fs.rename(dest, old):

@@ -47,15 +47,41 @@ def compact_batch(
 
     try:
         raw = read_ndjson(spark, paths, schema=schema)
-    except AnalysisException:
-        return 0  # empty/uninferable input — nothing to compact
+    except AnalysisException as exc:
+        # ONLY the empty/uninferable-input case short-circuits; a blanket
+        # catch here silently dropped whole batches on PATH_NOT_FOUND
+        # (one typo'd or raced-away path = every other file's rows lost
+        # with "0 rows, success" reported)
+        cond = getattr(exc, "getCondition", exc.getErrorClass)()
+        if cond == "UNABLE_TO_INFER_SCHEMA":
+            return 0
+        raise
     if not raw.columns or raw.columns == ["source_file"]:
         return 0  # inference found no data columns (all-empty files)
-    df = enrich(raw, distrik)
-    n = df.count()
-    if n == 0:
+    if "heartbeat" not in raw.columns and schema is None:
+        # poison batch: every line corrupt (columns = [_corrupt_record,
+        # source_file]) or a foreign feed without the heartbeat field —
+        # enrich() would abort the stream on UNRESOLVED_COLUMN. Same
+        # graceful quarantine as the empty batch, but say so.
+        import warnings
+
+        warnings.warn(
+            f"compact_batch: no 'heartbeat' column in batch {paths[:3]}… "
+            f"(inferred: {raw.columns}) — batch skipped, not compacted",
+            stacklevel=2,
+        )
         return 0
-    write_lake(df, target)
+    # persist: the count and the write must not each re-gunzip and
+    # re-parse every input file (micro-batches are bounded by
+    # maxFilesPerTrigger, so caching one batch is cheap)
+    df = enrich(raw, distrik).persist()
+    try:
+        n = df.count()
+        if n == 0:
+            return 0
+        write_lake(df, target)
+    finally:
+        df.unpersist()
     return n
 
 
@@ -66,7 +92,15 @@ def audit_misfiled(lake: DataFrame, tz_hours: int = 8) -> DataFrame:
     accurate = to_local(normalize_epoch_auto(F.col("heartbeat")), tz_hours).cast("date")
     return (
         lake.withColumn("accurate_wita_date", accurate)
-        .filter(F.col("hiveperiod") != F.col("accurate_wita_date"))
+        # null-safe: a row stored in the NULL partition
+        # (__HIVE_DEFAULT_PARTITION__) with a valid heartbeat IS misfiled
+        # — plain != evaluates to NULL there and silently hides it. Rows
+        # whose accurate date can't be computed (null heartbeat) are not
+        # misfiled: there is no correct partition to move them to.
+        .filter(
+            ~F.col("hiveperiod").eqNullSafe(F.col("accurate_wita_date"))
+            & F.col("accurate_wita_date").isNotNull()
+        )
         .select("hiveperiod", "dstrct_code", "accurate_wita_date")
         .distinct()
     )
@@ -98,7 +132,6 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     other partition values, and the dynamic overwrite keys on the real
     partition tuple instead of leaving the epoch level's files behind.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pcols = table_partition_cols(spark, root) or PARTITION_COLS
     if "hiveperiod" not in pcols:
         raise ValueError(
@@ -110,7 +143,11 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
     accurate = to_local(normalize_epoch_auto(F.col("heartbeat")), tz_hours).cast("date")
     affected = (
         lake.withColumn("accurate", accurate)
-        .filter(F.col("hiveperiod") != F.col("accurate"))
+        # null-safe misfiled predicate — see audit_misfiled
+        .filter(
+            ~F.col("hiveperiod").eqNullSafe(F.col("accurate"))
+            & F.col("accurate").isNotNull()
+        )
         .select(
             F.col("hiveperiod").alias("bad_period"),
             *[F.col(c).alias(f"bad_{c}") for c in other_cols],
@@ -133,22 +170,66 @@ def repair_misfiled(spark: SparkSession, root: str, tz_hours: int = 8) -> int:
         *[F.col(f"bad_{c}").alias(c) for c in other_cols],
     )
     bad_parts = partition_values_set(bad_src, pcols)
-    periods = {str(r["bad_period"]) for r in moves} | {
-        str(r["target_period"]) for r in moves
-    }
-    subset = lake.filter(F.col("hiveperiod").isin(sorted(periods)))
+    periods = sorted(
+        {str(r["bad_period"]) for r in moves if r["bad_period"] is not None}
+        | {str(r["target_period"]) for r in moves}
+    )
+    null_bad = any(r["bad_period"] is None for r in moves)
+    in_scope = F.col("hiveperiod").isin(periods)
+    if null_bad:  # rows misfiled INTO the null partition are in scope too
+        in_scope = in_scope | F.col("hiveperiod").isNull()
+    subset = lake.filter(in_scope)
     # Rows whose accurate date can't be computed (null heartbeat) keep
     # their current partition instead of migrating to the null partition.
     fixed = subset.withColumn("hiveperiod", F.coalesce(accurate, F.col("hiveperiod")))
-    out_parts = partition_values_set(fixed, pcols)
-    n = fixed.count()
-    (
-        fixed.repartition(*[F.col(c) for c in pcols])
-        .write.mode("overwrite")
-        .option("compression", "snappy")
-        .partitionBy(*pcols)
-        .parquet(root)
-    )
+    # CRASH IDEMPOTENCE: a crash between the overwrite commit and the
+    # stale-dir delete below leaves a row's corrected copy in its target
+    # partition AND its stale copy in the (not-yet-deleted) bad dir; a
+    # rerun reads BOTH and would bake the duplicate into the target
+    # forever. Reconstruct each row group's true multiplicity as the MAX
+    # over its ORIGIN partitions: crash twins live in different origins
+    # (max(1,1) = 1 collapses them) while genuine duplicate rows share
+    # one origin (max keeps their count). Needs groupable columns — a
+    # map-typed lake falls back to the direct rewrite with a warning.
+    data_cols = list(lake.columns)
+    if any("map<" in t for _, t in lake.dtypes):
+        import warnings
+
+        warnings.warn(
+            "repair_misfiled: map-typed column prevents the crash-twin "
+            "dedup; a rerun after a mid-repair crash may duplicate moved "
+            "rows",
+            stacklevel=2,
+        )
+        out = fixed
+    else:
+        origin = subset.withColumn("_origin", F.col("hiveperiod")).withColumn(
+            "hiveperiod", F.coalesce(accurate, F.col("hiveperiod"))
+        )
+        per_origin = origin.groupBy(*data_cols, "_origin").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        mult = per_origin.groupBy(*data_cols).agg(F.max("_n").alias("_n"))
+        out = mult.select(
+            *data_cols,
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_i"),
+        ).drop("_i")
+    out = out.persist()  # feeds bookkeeping collect + count + write
+    try:
+        out_parts = partition_values_set(out, pcols)
+        n = out.count()
+        (
+            out.repartition(*[F.col(c) for c in pcols])
+            .write.mode("overwrite")
+            # writer-level dynamic overwrite: mutating the session conf
+            # would silently change every later overwrite in the session
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "snappy")
+            .partitionBy(*pcols)
+            .parquet(root)
+        )
+    finally:
+        out.unpersist()
     _delete_partition_dirs(spark, root, pcols, bad_parts - out_parts)
     return n
 
@@ -210,16 +291,23 @@ def _delete_partition_dirs(spark: SparkSession, root: str, pcols, parts) -> None
     jvm = spark.sparkContext._jvm
     cat = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_path.getFileSystem(conf)
+    # Qualified-Path equality, not string comparison: a scheme-qualified
+    # or unnormalized root ('file:///x', '/x//y') never string-matches
+    # Path.toString(), and the prune would climb past — and delete — the
+    # table root itself (then NPE at the filesystem root).
+    root_q = fs.makeQualified(root_path)
     for values in sorted(parts, key=lambda vs: tuple(v or "" for v in vs)):
         rel = "/".join(
             cat.getPartitionPathString(c, v) for c, v in zip(pcols, values)
         )
-        p = jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}")
-        fs = p.getFileSystem(conf)
+        p = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}"))
         fs.delete(p, True)
         parent = p.getParent()
         while (
-            parent.toString() != root.rstrip("/")
+            parent is not None
+            and not parent.equals(root_q)
             and fs.exists(parent)
             and len(fs.listStatus(parent)) == 0
         ):
@@ -232,13 +320,27 @@ def compact_partitions(spark: SparkSession, root: str, target_files: int = 1) ->
     each partition into ~``target_files`` files, dynamic overwrite. The
     partition layout is derived from the table, so epoch-partitioned
     streaming targets compact under their own full layout instead of
-    collapsing the epoch level into duplicated rows (round-2 advice)."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    collapsing the epoch level into duplicated rows (round-2 advice).
+
+    Shuffle shape: repartition on (partition cols, content-hash salt
+    mod target_files) — each partition fans out to ~``target_files``
+    tasks/files while job parallelism stays #partitions × target_files.
+    (The earlier ``repartition(target_files, *pcols)`` set the TOTAL
+    task count to target_files: with the default 1, one task rewrote
+    the entire lake serially, and the per-partition file count never
+    followed the knob at all.)"""
     pcols = table_partition_cols(spark, root) or PARTITION_COLS
     lake = spark.read.parquet(root)
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in lake.columns])),
+        F.lit(max(1, int(target_files))),
+    )
     (
-        lake.repartition(target_files, *[F.col(c) for c in pcols])
+        lake.withColumn("_salt", salt)
+        .repartition(*[F.col(c) for c in pcols], F.col("_salt"))
+        .drop("_salt")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .option("compression", "snappy")
         .partitionBy(*pcols)
         .parquet(root)

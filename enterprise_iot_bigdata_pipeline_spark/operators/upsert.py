@@ -15,14 +15,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from enterprise_iot_bigdata_pipeline_spark.operators.commitlog import overwrite_atomic
+from enterprise_iot_bigdata_pipeline_spark.operators.commitlog import (
+    overwrite_atomic,
+    recover_swap,
+)
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
-    """Pure-frame MERGE: target rows not in updates (by key) + all updates."""
+    """Pure-frame MERGE: target rows not in updates (by key) + all updates.
+
+    PRECONDITION: ``updates`` has at most one row per key. Two update
+    rows for one key would BOTH land in the output (the anti-join removes
+    the target copy once), silently breaking the key-uniqueness invariant
+    MERGE maintains — the same situation Delta's MERGE rejects as
+    "multiple source rows matched". This function stays lazy (no
+    validation job); ``merge_into_lake`` enforces the precondition with
+    an explicit check before touching the lake."""
     keys = [key] if isinstance(key, str) else list(key)
     kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     return kept.unionByName(updates.select(*target.columns))
+
+
+def _require_unique_update_keys(updates: DataFrame, keys: list[str]) -> None:
+    dup = (
+        updates.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        vals = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"merge_into_lake: updates contain multiple rows for key "
+            f"{vals} — MERGE requires at most one source row per key "
+            "(dedupe the batch first, e.g. keep the latest by a version "
+            "column)"
+        )
 
 
 def merge_into_lake(
@@ -38,11 +67,29 @@ def merge_into_lake(
 
     Returns the number of rows written.
     """
+    # A table stranded mid-swap by a crashed whole-table merge must heal
+    # BEFORE the read below — otherwise every subsequent merge fails with
+    # PATH_NOT_FOUND and the lake never self-recovers.
+    recover_swap(spark, root)
+    keys = [key] if isinstance(key, str) else list(key)
+    _require_unique_update_keys(updates, keys)
     target = spark.read.parquet(root)
     merged = merge_upsert(target, updates, key)
-    keys = [key] if isinstance(key, str) else list(key)
     if partition_cols:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Caller-supplied partition_cols must MATCH the lake's real
+        # layout: a subset/superset/reordering makes the dynamic
+        # overwrite write a second conflicting directory tree (bricking
+        # the table) or replace whole subtrees with flat files.
+        from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+            table_partition_cols,
+        )
+
+        actual = table_partition_cols(spark, root)
+        if actual and tuple(partition_cols) != actual:
+            raise ValueError(
+                f"merge_into_lake: partition_cols {tuple(partition_cols)} "
+                f"does not match the lake's layout {actual} at {root}"
+            )
         # Affected = the updates' partitions PLUS the partitions updated
         # keys currently live in: a key whose partition value CHANGES must
         # have its old partition rewritten too, or the stale copy survives
@@ -63,7 +110,10 @@ def merge_into_lake(
         for c in pcols:
             eq = merged[c].eqNullSafe(aff[c])
             cond = eq if cond is None else cond & eq
-        subset = merged.join(F.broadcast(aff), cond, "left_semi")
+        # persist: the subset plan (full-lake anti-join) feeds THREE
+        # actions below (two bookkeeping collects + the write) — without
+        # it the merge re-reads the lake three times
+        subset = merged.join(F.broadcast(aff), cond, "left_semi").persist()
         # Partition bookkeeping BEFORE the write — afterwards these frames
         # would re-read the just-overwritten lake (self-referential plans).
         from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
@@ -76,9 +126,14 @@ def merge_into_lake(
         (
             subset.repartition(*[F.col(c) for c in partition_cols])
             .write.mode("overwrite")
+            # writer-level option, NOT session conf: mutating the session
+            # would silently flip every later partitioned overwrite in
+            # the session to dynamic semantics (stale-partition survival)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_cols)
             .parquet(root)
         )
+        subset.unpersist()
         # Dynamic overwrite only replaces partitions PRESENT in the output:
         # a source partition left with zero rows (every resident key moved
         # away) must be deleted explicitly or its stale files survive.

@@ -376,3 +376,191 @@ def test_read_ndjson_explicit_schema_still_quarantines(spark, tmp_path):
         bad = [r for r in rows if r[CORRUPT_COL] is not None]
         assert len(good) == 1 and good[0]["a"] == 1
         assert len(bad) == 1 and "not json" in bad[0][CORRUPT_COL]
+
+
+def test_repair_misfiled_rerun_after_partial_crash_is_idempotent(spark, tmp_path):
+    """Crash window between the overwrite commit and the stale-dir delete:
+    the corrected copy exists in its target partition AND the stale copy
+    still sits in the bad dir. A rerun must converge to ONE copy (crash
+    twins collapse via the max-over-origins multiplicity) while genuine
+    duplicate rows inside one partition keep their count."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+        audit_misfiled,
+        repair_misfiled,
+    )
+
+    root = str(tmp_path / "lake")
+    bad_hb = int(datetime(2024, 3, 1, 22, 0, 0, tzinfo=timezone.utc).timestamp())  # → Mar 2
+    # the half-crashed state, constructed directly:
+    # - stale copy of u2 in 2024-03-01 (its misfiled origin), plus a
+    #   GENUINE duplicate pair u3/u3 also misfiled there
+    # - corrected copies already in 2024-03-02 (the committed overwrite)
+    stale = spark.createDataFrame(
+        [(bad_hb, "u2"), (bad_hb, "u3"), (bad_hb, "u3")],
+        "heartbeat long, unitno string",
+    ).withColumn("dstrct_code", F.lit("D")).withColumn(
+        "hiveperiod", F.lit("2024-03-01").cast("date")
+    )
+    corrected = stale.withColumn("hiveperiod", F.lit("2024-03-02").cast("date"))
+    stale.write.partitionBy("hiveperiod", "dstrct_code").parquet(root)
+    corrected.write.mode("append").partitionBy("hiveperiod", "dstrct_code").parquet(root)
+    assert spark.read.parquet(root).count() == 6  # twins present
+
+    repair_misfiled(spark, root)
+    after = spark.read.parquet(root)
+    rows = [(r["unitno"], str(r["hiveperiod"])) for r in after.collect()]
+    assert sorted(rows) == [
+        ("u2", "2024-03-02"),
+        ("u3", "2024-03-02"),
+        ("u3", "2024-03-02"),  # genuine duplicate preserved, crash twins not
+    ]
+    import os
+
+    assert not os.path.exists(os.path.join(root, "hiveperiod=2024-03-01"))
+    # and a further rerun is a no-op
+    assert repair_misfiled(spark, root) == 0
+    assert audit_misfiled(spark.read.parquet(root)).count() == 0
+
+
+def test_repair_misfiled_reaches_null_partition_rows(spark, tmp_path):
+    """Rows stored in __HIVE_DEFAULT_PARTITION__ with valid heartbeats are
+    misfiled (stored partition ≠ true date) and must be audited, moved,
+    and their null dir deleted — the null-unsafe != predicate silently
+    skipped them forever."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+        audit_misfiled,
+        repair_misfiled,
+    )
+
+    root = str(tmp_path / "lake")
+    hb = int(datetime(2024, 3, 1, 2, 0, 0, tzinfo=timezone.utc).timestamp())  # → Mar 1
+    df = spark.createDataFrame(
+        [(hb, "ok", "2024-03-01"), (hb, "lost", None)],
+        "heartbeat long, unitno string, hiveperiod string",
+    ).withColumn("hiveperiod", F.col("hiveperiod").cast("date")).withColumn(
+        "dstrct_code", F.lit("D")
+    )
+    df.write.partitionBy("hiveperiod", "dstrct_code").parquet(root)
+    import os
+
+    assert os.path.exists(os.path.join(root, "hiveperiod=__HIVE_DEFAULT_PARTITION__"))
+
+    assert audit_misfiled(spark.read.parquet(root)).count() == 1  # the null-partition row
+    repair_misfiled(spark, root)
+    after = spark.read.parquet(root)
+    assert after.count() == 2
+    assert after.filter(F.col("hiveperiod").isNull()).count() == 0
+    assert not os.path.exists(os.path.join(root, "hiveperiod=__HIVE_DEFAULT_PARTITION__"))
+
+
+def test_compact_batch_raises_on_missing_path_and_quarantines_poison(spark, tmp_path):
+    """A missing input path must RAISE (the old blanket AnalysisException
+    catch silently dropped the whole batch); an all-corrupt batch without
+    a heartbeat column quarantines with a warning instead of crashing the
+    stream on UNRESOLVED_COLUMN."""
+    import gzip
+    import warnings
+
+    import pytest
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import compact_batch
+
+    good = tmp_path / "good.json.gz"
+    with gzip.open(good, "wb") as f:
+        f.write(b'{"heartbeat": 1709258400, "unitno": "u1"}\n')
+
+    with pytest.raises(AnalysisException):
+        compact_batch(
+            spark,
+            [str(good), str(tmp_path / "no_such.json.gz")],
+            str(tmp_path / "lake"),
+            "D",
+        )
+
+    poison = tmp_path / "poison.json.gz"
+    with gzip.open(poison, "wb") as f:
+        f.write(b"not json at all\nnor this\n")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        n = compact_batch(spark, [str(poison)], str(tmp_path / "lake2"), "D")
+    assert n == 0
+    assert any("heartbeat" in str(x.message) for x in w)
+
+
+def test_maintenance_does_not_leak_session_overwrite_mode(spark, tmp_path):
+    """merge/repair/compact use writer-level dynamic overwrite: an
+    unrelated partitioned overwrite AFTER them must keep static (full
+    replace) semantics instead of silently preserving stale partitions."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+        compact_partitions,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.operators.upsert import merge_into_lake
+
+    root = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("f1", "A", "d1"), ("f2", "B", "d2")], "file string, status string, day string"
+    ).write.partitionBy("day").parquet(root)
+    merge_into_lake(
+        spark,
+        root,
+        spark.createDataFrame([("f1", "A2", "d1")], "file string, status string, day string"),
+        key="file",
+        partition_cols=("day",),
+    )
+    compact_partitions(spark, root, target_files=1)
+
+    other = str(tmp_path / "other")
+    spark.createDataFrame([(1, "d1"), (2, "d2")], "x long, day string").write.partitionBy(
+        "day"
+    ).parquet(other)
+    # static semantics: this overwrite must REPLACE the whole table
+    spark.createDataFrame([(9, "d1")], "x long, day string").write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(other)
+    assert spark.read.parquet(other).count() == 1  # d2 did not survive
+
+
+def test_compact_partitions_fans_out_per_partition_files(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+        compact_partitions,
+    )
+
+    root = str(tmp_path / "lake")
+    df = spark.range(4000).select(
+        F.col("id").alias("heartbeat"),
+        F.lit("2024-03-01").cast("date").alias("hiveperiod"),
+        (F.col("id") % 2).cast("string").alias("dstrct_code"),
+    )
+    df.repartition(16).write.partitionBy("hiveperiod", "dstrct_code").parquet(root)
+    compact_partitions(spark, root, target_files=4)
+    import glob
+
+    for d in ("0", "1"):
+        files = glob.glob(f"{root}/hiveperiod=2024-03-01/dstrct_code={d}/*.parquet")
+        # target_files is an upper bound per partition; at this tiny scale
+        # AQE rightly coalesces the shuffle further (fewer, larger files
+        # is the compaction GOAL) — what must NOT happen is the old
+        # repartition(target_files, *pcols) shape whose TOTAL task count
+        # was target_files (default 1: one task rewrote the whole lake)
+        assert 1 <= len(files) <= 4
+    assert spark.read.parquet(root).count() == 4000
+
+    # structural: the shuffle is keyed by (pcols, salt), never a
+    # fixed-width repartition that caps whole-job parallelism
+    from enterprise_iot_bigdata_pipeline_spark.operators.compaction import (
+        table_partition_cols,
+    )
+    from pyspark.sql import functions as FF
+
+    lake = spark.read.parquet(root)
+    salt = FF.pmod(
+        FF.xxhash64(FF.struct(*[FF.col(c) for c in lake.columns])), FF.lit(4)
+    )
+    plan = (
+        lake.withColumn("_salt", salt)
+        .repartition(FF.col("hiveperiod"), FF.col("dstrct_code"), FF.col("_salt"))
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "_salt" in plan and "REPARTITION_BY_COL" in plan

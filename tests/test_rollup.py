@@ -128,7 +128,10 @@ def test_merge_rollup_survives_crash_between_swap_renames(spark, tmp_path):
 
     shutil.copytree(rollup, rollup + ".__swap_tmp__")
     shutil.move(rollup, rollup + ".__swap_old__")
-    assert not path_exists(spark, rollup)
+    # path_exists SELF-HEALS the stranded swap before answering (r5): a
+    # caller branching on it can never mistake the mid-swap table for
+    # absent and re-initialize over accumulated state
+    assert path_exists(spark, rollup)
 
     batch2 = spark.createDataFrame(
         [("2024-03-01 10:00:50", "B", 30.0)],
@@ -211,3 +214,39 @@ def test_merge_rollup_migrates_pre_n_values_tables(spark, tmp_path):
     assert rows["B"]["n_events"] == 4
     # denominator: 2 backfilled + 1 real non-null = 3 → (4+8)/3
     assert rows["B"]["avg_value"] == 4.0
+
+
+def test_epochless_publish_preserves_commit_marker(spark, tmp_path):
+    """An ops backfill through overwrite_atomic(epoch_id=None) must carry
+    the table's committed-epoch high-water mark forward — wiping it would
+    make the next at-least-once replay double-add an already-merged
+    batch."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.commitlog import (
+        committed_epoch,
+        overwrite_atomic,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.streaming.rollup import (
+        _partials,
+        merge_rollup,
+        read_rollup,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    batch = spark.createDataFrame(
+        [("2024-03-01 10:00:10", "B", 10.0)],
+        "ts string, dstrct_code string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    parts = _partials(batch, "ts", "1 minute", ("dstrct_code",))
+    merge_rollup(spark, rollup, parts, ("dstrct_code",), epoch_id=5)
+    assert committed_epoch(spark, rollup) == 5
+
+    # epoch-less rewrite (e.g. a manual compaction of the rollup table)
+    overwrite_atomic(spark, spark.read.parquet(rollup), rollup, epoch_id=None)
+    assert committed_epoch(spark, rollup) == 5  # carried forward, not wiped
+
+    # replay of epoch 5 must STILL be skipped
+    merge_rollup(spark, rollup, parts, ("dstrct_code",), epoch_id=5)
+    rows = read_rollup(spark, rollup).collect()
+    assert rows[0]["n_events"] == 1  # not double-added

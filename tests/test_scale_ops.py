@@ -392,3 +392,55 @@ def test_quality_report_empty_and_bad_rule_names(spark):
         quality_report(df, {"bad name": F.lit(True)})
     with pytest.raises(ValueError, match="n_rows"):
         quality_report(df, {"n_rows": F.lit(True)})
+
+
+def test_merge_into_lake_validates_updates_and_layout(spark, tmp_path):
+    """MERGE preconditions fail loudly: duplicate update keys would break
+    the key-uniqueness invariant (both copies would land), and
+    partition_cols that don't match the lake's real directory layout
+    would corrupt the tree under dynamic overwrite."""
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.upsert import merge_into_lake
+
+    root = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("f1", "A", "d1"), ("f2", "B", "d2")], "file string, status string, day string"
+    ).write.partitionBy("day").parquet(root)
+
+    dup = spark.createDataFrame(
+        [("f1", "X", "d1"), ("f1", "Y", "d1")], "file string, status string, day string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into_lake(spark, root, dup, key="file", partition_cols=("day",))
+
+    ok = spark.createDataFrame([("f1", "X", "d1")], "file string, status string, day string")
+    with pytest.raises(ValueError, match="layout"):
+        merge_into_lake(spark, root, ok, key="file", partition_cols=("status",))
+    # and the matching layout still merges
+    merge_into_lake(spark, root, ok, key="file", partition_cols=("day",))
+    rows = {(r["file"], r["status"]) for r in spark.read.parquet(root).collect()}
+    assert rows == {("f1", "X"), ("f2", "B")}
+
+
+def test_merge_into_lake_heals_stranded_swap(spark, tmp_path):
+    """A whole-table merge that crashed between the two swap renames
+    leaves no table dir; the next merge must heal and proceed instead of
+    failing PATH_NOT_FOUND forever."""
+    import shutil
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.upsert import merge_into_lake
+
+    root = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [("k1", 1), ("k2", 2)], "key string, v long"
+    ).write.parquet(root)
+    shutil.copytree(root, root + ".__swap_tmp__")
+    shutil.move(root, root + ".__swap_old__")
+
+    n = merge_into_lake(
+        spark, root, spark.createDataFrame([("k2", 20)], "key string, v long"), key="key"
+    )
+    assert n == 2
+    rows = {(r["key"], r["v"]) for r in spark.read.parquet(root).collect()}
+    assert rows == {("k1", 1), ("k2", 20)}

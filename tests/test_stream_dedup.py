@@ -176,3 +176,36 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     ).collect()}
     assert replay == {11}
     assert spark.read.parquet(idx).count() == n_index
+
+
+def test_incremental_dedup_survives_swap_crash(spark, tmp_path):
+    """The verified r5 failure: a crash inside the index's swap window
+    (dir absent, .__swap_old__/.__swap_tmp__ present) made the next batch
+    see 'no index', re-initialize with only its own fingerprints, and
+    pass known duplicates as novel. path_exists/committed_epoch now
+    self-heal, so the accumulated index survives the crash."""
+    import shutil
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    idx = str(tmp_path / "fp_index")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    incremental_exact_dedup(spark, b1, idx, "text", "doc_id", epoch_id=0)
+    assert spark.read.parquet(idx).count() == 2
+
+    # crash inside the swap: fully-written tmp beside a retired old dir
+    shutil.copytree(idx, idx + ".__swap_tmp__")
+    shutil.move(idx, idx + ".__swap_old__")
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text")], "doc_id long, text string"
+    )
+    novel = incremental_exact_dedup(spark, b2, idx, "text", "doc_id", epoch_id=1)
+    # alpha is a KNOWN duplicate — before the fix it came back as novel
+    assert {r["doc_id"] for r in novel.collect()} == {11}
+    # index healed and advanced: alpha, beta, gamma
+    assert spark.read.parquet(idx).count() == 3
