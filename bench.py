@@ -64,6 +64,8 @@ HEADLINE = [
     "text_collapse_stutter",
     "quality_percentile_filter",
     "events_heavy_hitters",
+    "text_classify_quality",
+    "doc_chunk_sliding",
 ]
 
 

@@ -374,6 +374,153 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Model-based quality classification: a linear text classifier over
+# hashed bag-of-words features (the fastText-style hashing trick — the
+# standard "model score" curation gate, e.g. CCNet/LLaMA wiki-ref
+# filtering). The "model" here is deterministic: each token hashes to a
+# 60-bit md5 bucket whose weight is derived from the bucket id itself,
+# so Spark and the DuckDB oracle evaluate the identical model without a
+# weights artifact. Scoring is per-token INTEGER weights summed exactly
+# (order-independent, unlike float sums), then ONE double division — so
+# the score is bit-identical across engines. Pure map over the scan: no
+# shuffle, no UDF; at 100 TB this is a projection fused into the scan
+# stage.
+# ---------------------------------------------------------------------------
+
+_CLS_MOD, _CLS_SHIFT = 2001, 1000  # weight(h) = h % 2001 - 1000 ∈ [-1000, 1000]
+
+_CLASSIFIER_ORACLE = f"""
+WITH g AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+s AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(ws,
+               w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)
+                    % {_CLS_MOD} - {_CLS_SHIFT})) AS BIGINT) AS score_raw
+    FROM g
+)
+SELECT doc_id, n_tokens, score_raw,
+       CAST(score_raw AS DOUBLE) / (1000.0 * n_tokens) AS model_score,
+       CAST(score_raw AS DOUBLE) / (1000.0 * n_tokens) > 0.0 AS keep
+FROM s
+"""
+
+
+@register("text_classify_quality", _CLASSIFIER_ORACLE)
+def text_classify_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words linear scorer. Staged: words once, then the
+    weight transform touches only its lambda argument (the captured-
+    expression HOF rule), and the fold accumulator is a long — exact
+    integer math end-to-end until the single normalizing division."""
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", X.words(F.col("text")).alias("ws"))
+    scored = staged.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.col("ws"),
+                lambda w: X.shingle_to_int(w) % _CLS_MOD - _CLS_SHIFT,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_raw"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score_raw",
+        (
+            F.col("score_raw").cast("double")
+            / (F.lit(1000.0) * F.col("n_tokens"))
+        ).alias("model_score"),
+    ).withColumn("keep", F.col("model_score") > F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking: split each document into overlapping
+# fixed-size token windows (window W, stride S) — how a training pipeline
+# turns variable-length documents into model-context-sized examples
+# while keeping cross-boundary continuity (W − S tokens of overlap).
+# Chunk identity is (doc_id, chunk_id) with the token span and an md5 of
+# the chunk text (the compact correctness witness; a real run would emit
+# the chunk text itself). Map + bounded explode (fan-out ≈ n_tokens/S per
+# document), partition-local: no shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 64, 48
+
+_CHUNK_ORACLE = f"""
+WITH g AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+c AS (
+    SELECT doc_id, ws,
+           CASE WHEN len(ws) <= {_CHUNK_W} THEN 1
+                ELSE (len(ws) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+           END AS n_chunks
+    FROM g
+),
+d AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS cid FROM c)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(cid * {_CHUNK_S} + 1 AS BIGINT) AS tok_start,
+       CAST(len(ws[cid * {_CHUNK_S} + 1 : cid * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT)
+           AS n_chunk_tokens,
+       md5(array_to_string(
+           ws[cid * {_CHUNK_S} + 1 : cid * {_CHUNK_S} + {_CHUNK_W}], ' '))
+           AS chunk_hash
+FROM d
+"""
+# DuckDB list slicing ws[a:b] is 1-based inclusive with clamped ends —
+# exactly Spark's slice(ws, a, W) for a window of W tokens.
+
+
+@register("doc_chunk_sliding", _CHUNK_ORACLE)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W=64/S=48 token windows. The chunk array is staged once so size()
+    and md5() don't each re-slice; chunk count floors exactly like the
+    oracle's integer division (numerator > 0 on the >W branch, so
+    truncation == floor)."""
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    g = docs.select("doc_id", X.words(F.col("text")).alias("ws"))
+    c = g.select(
+        "doc_id",
+        "ws",
+        F.when(F.size("ws") <= _CHUNK_W, F.lit(1))
+        .otherwise(
+            F.floor(
+                (F.size("ws") - _CHUNK_W + _CHUNK_S - 1) / _CHUNK_S
+            ).cast("int")
+            + 1
+        )
+        .alias("n_chunks"),
+    )
+    d = c.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("cid"),
+    )
+    staged = d.select(
+        "doc_id",
+        F.col("cid").cast("long").alias("chunk_id"),
+        (F.col("cid") * _CHUNK_S + 1).cast("long").alias("tok_start"),
+        F.slice(
+            F.col("ws"), F.col("cid") * _CHUNK_S + 1, F.lit(_CHUNK_W)
+        ).alias("chunk"),
+    )
+    return staged.select(
+        "doc_id",
+        "chunk_id",
+        "tok_start",
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup (hash groupBy)
 # ---------------------------------------------------------------------------
 
