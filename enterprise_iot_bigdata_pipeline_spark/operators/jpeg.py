@@ -1,0 +1,655 @@
+"""Pure-Python/numpy baseline JPEG codec — no imaging library.
+
+``parse_jpeg`` decodes baseline sequential JFIF (SOF0/SOF1): 8-bit,
+1–4 components, arbitrary sampling factors up to 4 (covers 4:4:4,
+4:2:2, 4:2:0), restart markers, multi-segment DQT/DHT. That profile
+covers the overwhelming majority of on-disk JPEGs — including the
+reference repo's own ``v1-basic-etl/media/{after,before}.jpeg``
+(SOF0, 4:2:0), which the media-ingestion tests decode as real-world
+fixtures. Progressive (SOF2), arithmetic coding, 12-bit precision and
+hierarchical modes raise a named ``NotImplementedError``.
+
+``encode_jpeg`` produces baseline JFIF from raw RGB/gray pixels
+(quality-scaled Annex K quantization, standard Huffman tables,
+optional 2×2 chroma subsampling) so round-trip tests exercise every
+decoder path without any external fixture.
+
+Design notes:
+- Entropy (de)coding is a sequential bitstream — plain-int Python by
+  nature. Everything block-shaped (dequantization, the 2-D DCT/IDCT,
+  level shift, chroma upsampling, color conversion) batches over ALL
+  blocks of a component in single numpy einsum/array ops.
+- The decoder trusts only the tables carried IN the file (DQT/DHT), so
+  decoding external JPEGs is independent of the encoder's constant
+  tables; the encoder/decoder pair is self-consistent by construction.
+- Inside the engine this runs per-row in a ``mapInPandas`` batch
+  (operators.multimodal.decode_media): payload bytes never cross the
+  driver, and decode parallelism is the scan's partition parallelism.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Zigzag scan: zigzag position -> row-major index of the 8×8 block.
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K reference quantization tables (spec Tables K.1/K.2), zigzag order
+# applied at encode time; stored here row-major.
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Annex K Huffman tables (Tables K.3–K.6): (bits[1..16], huffval).
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8-point DCT-II basis C: forward F = C·b·Cᵀ, inverse b = Cᵀ·F·C."""
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * n + 1) * k * np.pi / 16) / 2
+    c[0, :] /= np.sqrt(2)
+    return c
+
+
+_C = _dct_matrix()
+
+
+# ---------------------------------------------------------------------------
+# Huffman machinery (spec §C.2 / §F.2.2.3 DECODE)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], huffval: list[int]):
+    """(code length, code) per symbol, in huffval order."""
+    sizes: list[int] = []
+    for length in range(1, 17):
+        sizes.extend([length] * bits[length - 1])
+    codes: list[int] = []
+    code, prev = 0, 0
+    for s in sizes:
+        code <<= s - prev
+        prev = s
+        codes.append(code)
+        code += 1
+    return list(zip(sizes, codes, huffval))
+
+
+class _HuffDecoder:
+    """mincode/maxcode/valptr decode tables (spec §F.2.2.3)."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "huffval")
+
+    def __init__(self, bits: list[int], huffval: list[int]):
+        self.huffval = huffval
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed byte segment."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                self.buf = (self.buf << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                # Past the segment end the spec pads with 1-bits (the
+                # encoder's flush padding); hitting this for real data is
+                # a truncated stream and surfaces as a Huffman error.
+                self.buf = (self.buf << 8) | 0xFF
+            self.nbits += 8
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def huff_decode(self, table: _HuffDecoder) -> int:
+        self._fill(16)
+        window = (self.buf >> (self.nbits - 16)) & 0xFFFF
+        code = window >> 15
+        length = 1
+        while code > table.maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("corrupt JPEG: invalid Huffman code")
+            code = window >> (16 - length)
+        self.nbits -= length
+        self.buf &= (1 << self.nbits) - 1
+        return table.huffval[table.valptr[length] + code - table.mincode[length]]
+
+
+def _extend(v: int, s: int) -> int:
+    """Sign-extend an s-bit magnitude (spec §F.2.2.1 EXTEND)."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _split_scan(data: bytes, start: int):
+    """Split the entropy-coded scan at ``start`` into unstuffed segments
+    (restart-interval boundaries). Returns (segments, end_index) where
+    end_index points at the terminating marker's 0xFF."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = data[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:  # stuffed 0xFF data byte
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker: end of scan
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def parse_jpeg(payload: bytes) -> dict:
+    """Decode a baseline JPEG. Returns ``width``, ``height``,
+    ``n_channels`` and row-major interleaved ``pixels`` bytes (RGB for
+    3-component YCbCr files, single channel for grayscale)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffDecoder] = {}
+    ac_tables: dict[int, _HuffDecoder] = {}
+    frame = None  # (w, h, [(comp_id, hi, vi, tq), ...])
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while i < n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        size = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + size]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                if pq:
+                    raise NotImplementedError("16-bit quantization tables unsupported")
+                vals = np.frombuffer(body[j + 1 : j + 65], dtype=np.uint8).astype(np.int32)
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[list(ZIGZAG)] = vals
+                qtables[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                huffval = list(body[j + 17 : j + 17 + nv])
+                (ac_tables if tc else dc_tables)[th] = _HuffDecoder(bits, huffval)
+                j += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline/extended sequential
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported (8 only)")
+            h = struct.unpack(">H", body[1:3])[0]
+            w = struct.unpack(">H", body[3:5])[0]
+            nc = body[5]
+            comps = [
+                (body[6 + 3 * c], body[7 + 3 * c] >> 4, body[7 + 3 * c] & 15, body[8 + 3 * c])
+                for c in range(nc)
+            ]
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/hierarchical) "
+                "unsupported — baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_sel = [(body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15) for c in range(ns)]
+            scan_start = i + 2 + size
+            return _decode_scan(
+                payload, scan_start, frame, scan_sel, qtables, dc_tables, ac_tables, restart_interval
+            )
+        # APPn / COM / others: skip
+        i += 2 + size
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(payload, start, frame, scan_sel, qtables, dc_tables, ac_tables, restart_interval):
+    w, h, comps = frame
+    if len(scan_sel) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG unsupported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    order = {cid: (dc, ac) for cid, dc, ac in scan_sel}
+    # Per component: padded block grid (rows, cols) in MCU layout.
+    grids = []
+    for cid, hi, vi, tq in comps:
+        grids.append(np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32))
+
+    segments, _end = _split_scan(payload, start)
+    mcus_total = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else mcus_total
+    expect_segs = -(-mcus_total // per_seg)
+    if len(segments) < expect_segs:
+        raise ValueError(
+            f"JPEG scan truncated: {len(segments)} restart segments, expected {expect_segs}"
+        )
+    mcu = 0
+    for seg_idx in range(expect_segs):
+        reader = _BitReader(segments[seg_idx])
+        preds = [0] * len(comps)
+        seg_mcus = min(per_seg, mcus_total - mcu)
+        for _ in range(seg_mcus):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
+                dc_t = dc_tables[order[cid][0]]
+                ac_t = ac_tables[order[cid][1]]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coef = grids[ci][my * vi + by, mx * hi + bx]
+                        s = reader.huff_decode(dc_t)
+                        preds[ci] += _extend(reader.receive(s), s)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff_decode(ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC index past 63")
+                            coef[k] = _extend(reader.receive(s), s)
+                            k += 1
+            mcu += 1
+
+    # Batch numpy stage: dequantize -> de-zigzag -> IDCT -> level shift,
+    # all blocks of a component at once (_idct_component).
+    out_planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        rows, cols, _ = grids[ci].shape
+        plane = _idct_component(grids[ci], qtables[tq], rows, cols)
+        # Crop to this component's true sample dimensions.
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        plane = plane[:ch, :cw]
+        # Upsample to full resolution (nearest neighbor / sample replication).
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(plane[:h, :w])
+
+    if len(out_planes) == 1:
+        pixels = out_planes[0].astype(np.uint8)
+        return {"width": w, "height": h, "n_channels": 1, "pixels": pixels.tobytes()}
+    if len(out_planes) == 3:
+        y, cb, cr = (p.astype(np.float64) for p in out_planes)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return {"width": w, "height": h, "n_channels": 3, "pixels": pixels.tobytes()}
+    raise NotImplementedError(f"{len(out_planes)}-component JPEG unsupported (1 or 3)")
+
+
+def _idct_component(grid: np.ndarray, qtable: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Dequantize + de-zigzag + 2-D IDCT + level shift for every block of
+    one component in batched numpy; returns the (rows·8, cols·8) plane."""
+    zz = grid.reshape(-1, 64).astype(np.float64)
+    blocks = np.zeros_like(zz)
+    blocks[:, list(ZIGZAG)] = zz  # de-zigzag: natural[ZIGZAG[k]] = zz[k]
+    blocks = blocks.reshape(-1, 8, 8) * qtable[np.newaxis, :, :]
+    spatial = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
+    spatial = np.clip(np.round(spatial), 0, 255)
+    plane = (
+        spatial.reshape(rows, cols, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(rows * 8, cols * 8)
+    )
+    return plane
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "buf", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.buf >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.buf &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 → base tables, 100 → all-ones."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _encode_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantize every 8×8 block; returns (n_blocks, 64)
+    int32 in zigzag order (blocks in row-major MCU-grid order)."""
+    rows, cols = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    ).astype(np.float64) - 128.0
+    freq = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
+    quant = np.round(freq / qtable[np.newaxis, :, :]).astype(np.int32)
+    return quant.reshape(-1, 64)[:, list(ZIGZAG)]
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, code-bits) for a DC diff / AC coefficient value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _write_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    dc = int(zz[0])
+    s, bits = _mag_bits(dc - pred)
+    length, code = dc_codes[s]
+    bw.write(code, length)
+    if s:
+        bw.write(bits, s)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s, bits = _mag_bits(v)
+        length, code = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def _pad_replicate(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Pad to (th, tw) by edge replication (the spec's recommendation —
+    keeps padding DCT-cheap and artifact-free at block borders)."""
+    ph, pw = th - plane.shape[0], tw - plane.shape[1]
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    n_channels: int = 3,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder. RGB (3) or grayscale (1) input; 4:4:4 by
+    default, 2×2 chroma subsampling (4:2:0) with ``subsample=True``;
+    optional restart markers every ``restart_interval`` MCUs."""
+    if n_channels not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
+    if len(pixels) != width * height * n_channels:
+        raise ValueError(
+            f"encode_jpeg needs {width * height * n_channels} bytes, got {len(pixels)}"
+        )
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, n_channels).astype(np.float64)
+    ql = _scaled_qtable(QUANT_LUMA, quality)
+    qc = _scaled_qtable(QUANT_CHROMA, quality)
+
+    if n_channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+        if subsample:
+            sh, sv = 2, 2
+            # 2×2 mean over an edge-replicated even-sized plane.
+            eh, ew = -(-height // 2) * 2, -(-width // 2) * 2
+            def down(p):
+                p = _pad_replicate(p, eh, ew)
+                return np.round(
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+                )
+            cb, cr = down(cb), down(cr)
+        else:
+            sh, sv = 1, 1
+        comps = [(1, sh, sv, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
+    else:
+        sh = sv = 1
+        comps = [(1, 1, 1, 0, arr[..., 0])]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # Per component: MCU-padded plane -> zigzag-quantized blocks grid.
+    enc = []
+    for cid, hi, vi, tq, plane in comps:
+        th, tw = mcus_y * vi * 8, mcus_x * hi * 8
+        zz = _encode_blocks(_pad_replicate(plane, th, tw), ql if tq == 0 else qc)
+        enc.append((cid, hi, vi, tq, zz.reshape(mcus_y * vi, mcus_x * hi, 64)))
+
+    # Huffman code dicts {symbol: (length, code)} from the Annex K tables.
+    def codes(tbl):
+        return {v: (s, c) for s, c, v in _canonical_codes(*tbl)}
+
+    dc_l, ac_l, dc_c, ac_c = codes(_DC_LUMA), codes(_AC_LUMA), codes(_DC_CHROMA), codes(_AC_CHROMA)
+
+    # --- headers -----------------------------------------------------------
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tq, tbl):
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(tbl.flatten()[z]) for z in ZIGZAG
+        )
+
+    out += dqt(0, ql)
+    if n_channels == 3:
+        out += dqt(1, qc)
+
+    nf = len(comps)
+    sof = struct.pack(">BHHB", 8, height, width, nf)
+    for cid, hi, vi, tq, _zz in enc:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, tbl):
+        bits, vals = tbl
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+    if n_channels == 3:
+        out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    sos = bytes([nf])
+    for cid, _hi, _vi, tq, _zz in enc:
+        sos += bytes([cid, 0x00 if tq == 0 else 0x11])
+    sos += b"\x00\x3f\x00"  # Ss/Se/Ah+Al for sequential
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # --- entropy-coded scan ------------------------------------------------
+    bw = _BitWriter()
+    preds = [0] * nf
+    mcus_total = mcus_x * mcus_y
+    rst = 0
+    for mcu in range(mcus_total):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+            preds = [0] * nf
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (cid, hi, vi, tq, zz) in enumerate(enc):
+            dc_codes = dc_l if tq == 0 else dc_c
+            ac_codes = ac_l if tq == 0 else ac_c
+            for by in range(vi):
+                for bx in range(hi):
+                    preds[ci] = _write_block(
+                        bw, zz[my * vi + by, mx * hi + bx], preds[ci], dc_codes, ac_codes
+                    )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -404,19 +404,24 @@ def parse_wav(payload: bytes) -> dict:
 
 def decode_image(payload: bytes):
     """Decode an image payload: netpbm and PNG decode with the pure-Python
-    parsers above (stdlib zlib — no imaging library); JPEG and other
-    DCT-compressed formats still need a codec import."""
+    parsers above (stdlib zlib), baseline JPEG with the numpy codec in
+    ``operators.jpeg`` — no imaging library anywhere. Other formats fall
+    through to PIL if (and only if) it happens to be installed."""
     if payload[:2] in (b"P6", b"P5"):
         return parse_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import parse_jpeg
+
+        return parse_jpeg(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "JPEG/DCT-compressed image decode requires an imaging library "
-            "(PIL/opencv); none ships in this environment — netpbm and PNG "
-            "decode natively via parse_ppm/parse_png"
+            "unrecognized image payload (not netpbm/PNG/JPEG — those decode "
+            "natively via parse_ppm/parse_png/parse_jpeg) and no imaging "
+            "library ships in this environment"
         ) from e
     import io
 
@@ -483,10 +488,11 @@ def attach_real_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Decode binary payloads by magic-byte dispatch (P6/P5 → netpbm parser,
-    RIFF → WAV parser), surfacing the decoded geometry and an exact-integer
-    content checksum. Unknown formats yield a null-typed row rather than
-    failing the batch."""
+    """Decode binary payloads by magic-byte dispatch (P6/P5 → netpbm,
+    PNG signature → PNG, SOI → baseline JPEG, RIFF → WAV — all pure-Python
+    codecs), surfacing the decoded geometry and an exact-integer content
+    checksum. Unknown formats yield a null-typed row rather than failing
+    the batch."""
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -507,6 +513,17 @@ def decode_media(media: DataFrame) -> DataFrame:
                     px = np.frombuffer(img["pixels"], dtype=np.uint8)
                     rows.append(
                         (int(doc_id), "image/png", img["width"], img["height"],
+                         None, None, len(px), int(px.sum(dtype=np.int64)))
+                    )
+                elif b[:2] == b"\xff\xd8":
+                    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import (
+                        parse_jpeg,
+                    )
+
+                    img = parse_jpeg(b)
+                    px = np.frombuffer(img["pixels"], dtype=np.uint8)
+                    rows.append(
+                        (int(doc_id), "image/jpeg", img["width"], img["height"],
                          None, None, len(px), int(px.sum(dtype=np.int64)))
                     )
                 elif b[:4] == b"RIFF":

@@ -278,3 +278,106 @@ def test_decode_media_dispatches_png(spark):
             assert (r["width"], r["height"]) == (w, ht)
             assert r["n_units"] == 3 * w * ht
             assert r["checksum"] == sum((h + i) % 256 for i in range(3 * w * ht))
+
+
+def test_jpeg_roundtrip_444_and_420():
+    """Baseline JPEG encode→decode round-trip: 4:4:4 stays near-lossless
+    at q=90 (PSNR > 40 dB); 4:2:0 exercises sampling-factor/upsample/
+    MCU-padding paths on non-multiple-of-16 dims (PSNR > 28 dB)."""
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    h, w = 77, 103  # not multiples of 8 or 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 // (w - 1),
+            yy * 255 // (h - 1),
+            ((xx // 8 + yy // 8) % 2) * 200 + 20,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    def psnr(dec):
+        mse = ((dec.astype(np.float64) - img.astype(np.float64)) ** 2).mean()
+        return 10 * np.log10(255**2 / mse)
+
+    d444 = parse_jpeg(encode_jpeg(w, h, img.tobytes(), 3, quality=90))
+    assert (d444["width"], d444["height"], d444["n_channels"]) == (w, h, 3)
+    assert psnr(np.frombuffer(d444["pixels"], np.uint8).reshape(h, w, 3)) > 40
+
+    d420 = parse_jpeg(encode_jpeg(w, h, img.tobytes(), 3, quality=85, subsample=True))
+    assert (d420["width"], d420["height"], d420["n_channels"]) == (w, h, 3)
+    assert psnr(np.frombuffer(d420["pixels"], np.uint8).reshape(h, w, 3)) > 28
+
+
+def test_jpeg_gray_and_restart_markers():
+    """1-component decode path, and DRI/RSTn handling: restart markers
+    re-segment the bitstream but must not change a single pixel."""
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    h, w = 41, 57
+    g = ((np.arange(h * w) * 13 + 5) % 256).astype(np.uint8)
+    dg = parse_jpeg(encode_jpeg(w, h, g.tobytes(), 1, quality=90))
+    assert (dg["width"], dg["height"], dg["n_channels"]) == (w, h, 1)
+    mse = ((np.frombuffer(dg["pixels"], np.uint8).astype(np.float64) - g) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 35
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx % 256, yy % 256, (xx + yy) % 256], axis=-1).astype(np.uint8)
+    plain = parse_jpeg(encode_jpeg(w, h, img.tobytes(), 3, quality=85, subsample=True))
+    rst = parse_jpeg(
+        encode_jpeg(w, h, img.tobytes(), 3, quality=85, subsample=True, restart_interval=3)
+    )
+    assert plain["pixels"] == rst["pixels"]
+
+
+def test_jpeg_progressive_raises_named_error():
+    """A SOF2 frame must fail with NotImplementedError, not a decode
+    crash: build a minimal header up to the progressive SOF marker."""
+    import struct
+
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import parse_jpeg
+
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        parse_jpeg(sof2)
+
+
+def test_reference_jpegs_decode_via_read_media_dir(spark):
+    """The reference repo's v1-basic-etl/media/*.jpeg (baseline SOF0,
+    4:2:0) are real-world fixtures: binaryFile ingest + the pure-numpy
+    baseline decoder must fill REAL dimensions — PIL never imported."""
+    import sys
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        decode_enrich,
+        read_media_dir,
+    )
+
+    media = read_media_dir(
+        spark, "/root/reference/v1-basic-etl/media", glob="*.jpeg", id_from_name=False
+    )
+    enriched = decode_enrich(media)
+    rows = {
+        r["source_file"].rsplit("/", 1)[-1]: r["meta"] for r in enriched.collect()
+    }
+    assert rows["after.jpeg"]["width"] == 1581
+    assert rows["after.jpeg"]["height"] == 313
+    assert rows["before.jpeg"]["width"] == 1585
+    assert rows["before.jpeg"]["height"] == 171
+    assert all(m["media_type"] == "image/jpeg" for m in rows.values())
+    assert "PIL" not in sys.modules
