@@ -35,6 +35,8 @@ AUDITED = [
     "sessionize_two_phase",
     "mixture_sample",
     "shuffle_assign",
+    "text_classify_quality",
+    "doc_chunk_sliding",
 ]
 
 CHECKS = {
@@ -109,6 +111,17 @@ CHECKS = {
     "shuffle_assign": [
         ("Window", True, "per-shard position is a sharded window"),
         ("Exchange SinglePartition", False, "a global sort would serialize the corpus in one task"),
+    ],
+    # (the round-robin Exchange from the test-corpus fan_out parallelizer
+    # is not a semantic shuffle — only hash/range exchanges are data
+    # redistribution the operator asked for)
+    "text_classify_quality": [
+        ("Exchange hashpartitioning", False, "hashed-BoW scoring is a pure map fused into the scan"),
+        ("BatchEvalPython", False, "token hashing + weight fold stay JVM-side (HOFs)"),
+    ],
+    "doc_chunk_sliding": [
+        ("Exchange hashpartitioning", False, "chunking is map + partition-local explode — no shuffle"),
+        ("Generate explode", True, "the window fan-out is a Generate, not a join"),
     ],
 }
 

@@ -232,6 +232,8 @@ def main_longdoc() -> None:
         "text_collapse_stutter",
         "quality_percentile_filter",
         "pipeline_curate_corpus",
+        "text_classify_quality",
+        "doc_chunk_sliding",
     ):
         t1 = timed(SF, name)
         tn = timed(stage, name)
