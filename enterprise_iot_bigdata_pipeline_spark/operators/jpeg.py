@@ -1,8 +1,9 @@
 """Pure-Python/numpy baseline JPEG codec — no imaging library.
 
 ``parse_jpeg`` decodes baseline sequential JFIF (SOF0/SOF1): 8-bit,
-1–4 components, arbitrary sampling factors up to 4 (covers 4:4:4,
-4:2:2, 4:2:0), restart markers, multi-segment DQT/DHT. That profile
+grayscale (1) or YCbCr (3) components, arbitrary sampling factors up
+to 4 (covers 4:4:4, 4:2:2, 4:2:0), restart markers, fill bytes,
+scan-order ≠ frame-order component interleave, multi-segment DQT/DHT. That profile
 covers the overwhelming majority of on-disk JPEGs — including the
 reference repo's own ``v1-basic-etl/media/{after,before}.jpeg``
 (SOF0, 4:2:0), which the media-ingestion tests decode as real-world
@@ -269,13 +270,24 @@ def parse_jpeg(payload: bytes) -> dict:
     while i < n:
         if payload[i] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
+        # Fill bytes: any run of extra 0xFF before the marker code is
+        # legal padding (T.81 §B.1.1.2) — consume it, don't misread the
+        # real marker byte as a segment length.
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            raise ValueError("corrupt JPEG: truncated at marker")
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # standalone
             i += 2
             continue
+        if i + 4 > n:
+            raise ValueError("corrupt JPEG: truncated segment header")
         size = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if size < 2 or i + 2 + size > n:
+            raise ValueError("corrupt JPEG: segment length past end of data")
         body = payload[i + 4 : i + 2 + size]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             j = 0
@@ -304,6 +316,12 @@ def parse_jpeg(payload: bytes) -> dict:
             h = struct.unpack(">H", body[1:3])[0]
             w = struct.unpack(">H", body[3:5])[0]
             nc = body[5]
+            if nc not in (1, 3):
+                # Reject at SOF time, not after paying for the whole
+                # entropy decode: CMYK (4) / unheard-of 2-component files.
+                raise NotImplementedError(
+                    f"{nc}-component JPEG unsupported (grayscale or YCbCr only)"
+                )
             comps = [
                 (body[6 + 3 * c], body[7 + 3 * c] >> 4, body[7 + 3 * c] & 15, body[8 + 3 * c])
                 for c in range(nc)
@@ -338,7 +356,24 @@ def _decode_scan(payload, start, frame, scan_sel, qtables, dc_tables, ac_tables,
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    order = {cid: (dc, ac) for cid, dc, ac in scan_sel}
+    # MCU interleave follows SCAN (SOS) component order, which T.81
+    # §B.2.3 allows to differ from the frame (SOF) order — resolve each
+    # scan entry to its frame component and iterate in scan order.
+    frame_idx = {c[0]: ci for ci, c in enumerate(comps)}
+    scan_order = []
+    for cid, dc_sel, ac_sel in scan_sel:
+        if cid not in frame_idx:
+            raise ValueError(f"corrupt JPEG: scan component {cid} not in frame")
+        if dc_sel not in dc_tables or ac_sel not in ac_tables:
+            raise ValueError(
+                f"corrupt JPEG: scan references undefined Huffman table "
+                f"(dc={dc_sel}, ac={ac_sel})"
+            )
+        ci = frame_idx[cid]
+        _cid, hi, vi, tq = comps[ci]
+        if tq not in qtables:
+            raise ValueError(f"corrupt JPEG: undefined quantization table {tq}")
+        scan_order.append((ci, hi, vi, dc_tables[dc_sel], ac_tables[ac_sel]))
     # Per component: padded block grid (rows, cols) in MCU layout.
     grids = []
     for cid, hi, vi, tq in comps:
@@ -359,9 +394,7 @@ def _decode_scan(payload, start, frame, scan_sel, qtables, dc_tables, ac_tables,
         seg_mcus = min(per_seg, mcus_total - mcu)
         for _ in range(seg_mcus):
             my, mx = divmod(mcu, mcus_x)
-            for ci, (cid, hi, vi, tq) in enumerate(comps):
-                dc_t = dc_tables[order[cid][0]]
-                ac_t = ac_tables[order[cid][1]]
+            for ci, hi, vi, dc_t, ac_t in scan_order:
                 for by in range(vi):
                     for bx in range(hi):
                         coef = grids[ci][my * vi + by, mx * hi + bx]
@@ -396,6 +429,11 @@ def _decode_scan(payload, start, frame, scan_sel, qtables, dc_tables, ac_tables,
         plane = plane[:ch, :cw]
         # Upsample to full resolution (nearest neighbor / sample replication).
         if hi != hmax or vi != vmax:
+            if hmax % hi or vmax % vi:
+                raise NotImplementedError(
+                    f"non-integer chroma upsampling ratio ({hmax}:{hi}, "
+                    f"{vmax}:{vi}) unsupported — 1/2/4 factor ladders only"
+                )
             plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
         out_planes.append(plane[:h, :w])
 
@@ -477,7 +515,14 @@ def _encode_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
     ).astype(np.float64) - 128.0
     freq = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
     quant = np.round(freq / qtable[np.newaxis, :, :]).astype(np.int32)
-    return quant.reshape(-1, 64)[:, list(ZIGZAG)]
+    zz = quant.reshape(-1, 64)[:, list(ZIGZAG)]
+    # Baseline AC Huffman size categories top out at 10 bits: with an
+    # all-ones qtable (quality 100) a pathological ±alternating block can
+    # reach ±1024 (11 bits) on an AC term — clamp rather than KeyError
+    # inside the encode loop. DC stays unclamped: its −1024..1016 range is
+    # legal under diff coding (sizes through 11 are in the DC tables).
+    zz[:, 1:] = np.clip(zz[:, 1:], -1023, 1023)
+    return zz
 
 
 def _mag_bits(v: int) -> tuple[int, int]:
@@ -535,10 +580,15 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    scan_component_order: tuple[int, ...] | None = None,
 ) -> bytes:
     """Baseline JFIF encoder. RGB (3) or grayscale (1) input; 4:4:4 by
     default, 2×2 chroma subsampling (4:2:0) with ``subsample=True``;
-    optional restart markers every ``restart_interval`` MCUs."""
+    optional restart markers every ``restart_interval`` MCUs.
+    ``scan_component_order`` permutes the SOS component listing (and the
+    MCU interleave with it, per T.81 §B.2.3) — frame order stays 1,2,3;
+    exists to round-trip-test decoders against scan-order ≠ frame-order
+    files, which the spec allows."""
     if n_channels not in (1, 3):
         raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
     if len(pixels) != width * height * n_channels:
@@ -621,15 +671,26 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
+    if scan_component_order is None:
+        scan_enc = enc
+    else:
+        by_id = {e[0]: e for e in enc}
+        if sorted(scan_component_order) != sorted(by_id):
+            raise ValueError(
+                f"scan_component_order {scan_component_order} must permute "
+                f"component ids {sorted(by_id)}"
+            )
+        scan_enc = [by_id[cid] for cid in scan_component_order]
+
     sos = bytes([nf])
-    for cid, _hi, _vi, tq, _zz in enc:
+    for cid, _hi, _vi, tq, _zz in scan_enc:
         sos += bytes([cid, 0x00 if tq == 0 else 0x11])
     sos += b"\x00\x3f\x00"  # Ss/Se/Ah+Al for sequential
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # --- entropy-coded scan ------------------------------------------------
+    # --- entropy-coded scan (MCU interleave in SCAN order) -----------------
     bw = _BitWriter()
-    preds = [0] * nf
+    preds = {e[0]: 0 for e in enc}
     mcus_total = mcus_x * mcus_y
     rst = 0
     for mcu in range(mcus_total):
@@ -639,15 +700,15 @@ def encode_jpeg(
             out += bytes([0xFF, 0xD0 + (rst % 8)])
             rst += 1
             bw = _BitWriter()
-            preds = [0] * nf
+            preds = {e[0]: 0 for e in enc}
         my, mx = divmod(mcu, mcus_x)
-        for ci, (cid, hi, vi, tq, zz) in enumerate(enc):
+        for cid, hi, vi, tq, zz in scan_enc:
             dc_codes = dc_l if tq == 0 else dc_c
             ac_codes = ac_l if tq == 0 else ac_c
             for by in range(vi):
                 for bx in range(hi):
-                    preds[ci] = _write_block(
-                        bw, zz[my * vi + by, mx * hi + bx], preds[ci], dc_codes, ac_codes
+                    preds[cid] = _write_block(
+                        bw, zz[my * vi + by, mx * hi + bx], preds[cid], dc_codes, ac_codes
                     )
     bw.flush()
     out += bw.out

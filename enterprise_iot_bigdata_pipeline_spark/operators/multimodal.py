@@ -520,7 +520,16 @@ def decode_media(media: DataFrame) -> DataFrame:
                         parse_jpeg,
                     )
 
-                    img = parse_jpeg(b)
+                    # Recognized-but-undecodable JPEGs (progressive,
+                    # CMYK, truncated) keep the null-row contract below —
+                    # one bad file must not fail the whole batch.
+                    try:
+                        img = parse_jpeg(b)
+                    except (NotImplementedError, ValueError):
+                        rows.append(
+                            (int(doc_id), None, None, None, None, None, None, None)
+                        )
+                        continue
                     px = np.frombuffer(img["pixels"], dtype=np.uint8)
                     rows.append(
                         (int(doc_id), "image/jpeg", img["width"], img["height"],

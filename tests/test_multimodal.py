@@ -381,3 +381,66 @@ def test_reference_jpegs_decode_via_read_media_dir(spark):
     assert rows["before.jpeg"]["height"] == 171
     assert all(m["media_type"] == "image/jpeg" for m in rows.values())
     assert "PIL" not in sys.modules
+
+
+def test_jpeg_scan_order_fill_bytes_and_named_errors():
+    """Spec-conformance hardening: (a) SOS component order may differ
+    from SOF order — the MCU interleave must follow the SCAN; (b) fill
+    bytes (0xFF runs before a marker) are legal padding; (c) truncated/
+    corrupt payloads raise named ValueError, never bare IndexError;
+    (d) CMYK rejects at SOF time with NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx * 5 % 256, yy * 9 % 256, (xx + yy) % 256], axis=-1).astype(np.uint8)
+
+    plain = encode_jpeg(w, h, img.tobytes(), 3, quality=90)
+    permuted = encode_jpeg(
+        w, h, img.tobytes(), 3, quality=90, scan_component_order=(3, 1, 2)
+    )
+    assert parse_jpeg(plain)["pixels"] == parse_jpeg(permuted)["pixels"]
+
+    # fill bytes: inject an extra 0xFF before the first DQT marker
+    idx = plain.index(b"\xff\xdb")
+    filled = plain[:idx] + b"\xff" + plain[idx:]
+    assert parse_jpeg(filled)["pixels"] == parse_jpeg(plain)["pixels"]
+
+    with pytest.raises(ValueError, match="truncated"):
+        parse_jpeg(b"\xff\xd8\xff")
+    with pytest.raises(ValueError, match="segment length"):
+        parse_jpeg(b"\xff\xd8\xff\xdb\xff\xff")
+    with pytest.raises(ValueError, match="corrupt JPEG|truncated"):
+        parse_jpeg(plain[: len(plain) // 2])  # truncated mid-structure
+
+    cmyk_sof = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 20) + bytes(
+        [8, 0, 8, 0, 8, 4] + [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+    )
+    with pytest.raises(NotImplementedError, match="component"):
+        parse_jpeg(cmyk_sof)
+
+
+def test_decode_media_null_row_on_undecodable_jpeg(spark):
+    """A recognized-but-undecodable JPEG (progressive SOF2) must become a
+    null-typed row, not fail the whole mapInPandas batch."""
+    import struct
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    media = spark.createDataFrame([(1, bytearray(sof2))], "doc_id long, content binary")
+    rows = decode_media(media).collect()
+    assert len(rows) == 1
+    assert rows[0]["media_type"] is None and rows[0]["width"] is None
