@@ -66,6 +66,9 @@ HEADLINE = [
     "events_heavy_hitters",
     "text_classify_quality",
     "doc_chunk_sliding",
+    "text_strip_markup",
+    "web_domain_filter",
+    "segment_dedup_global",
 ]
 
 

@@ -374,6 +374,283 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Markup stripping (boilerplate removal): web-scraped training corpora
+# arrive as HTML; the curation step drops script/style blocks, tags, and
+# entities, keeping readable text (the trafilatura/jusText analog, regex
+# tier). The corpus is plain text, so — exactly like the PII query — the
+# markup is SYNTHESIZED deterministically from each document (title +
+# emphasis tags + a script block derived from doc_id/text), then both
+# engines run the identical strip pipeline; the oracle proves the strip,
+# not the synthesis. All regexes are in the Java∩RE2 dialect
+# (functions/pii.py discipline): inline (?s), non-greedy, no
+# backreferences. Pure map over the scan — no shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+_MARKUP_SCRIPT_RE = r"(?s)<script.*?</script>"
+_MARKUP_STYLE_RE = r"(?s)<style.*?</style>"
+_MARKUP_TAG_RE = r"<[^>]*>"
+
+_STRIP_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id,
+           '<html><head><title>doc &amp; data ' || doc_id ||
+           '</title><style>p {{margin: 0}}</style></head><body><p>' ||
+           replace(text, ' the ', ' <em>the</em> ') ||
+           '</p><script>track(' || doc_id || ')</script></body></html>'
+               AS html
+    FROM documents
+),
+noblk AS (
+    SELECT doc_id, html,
+           regexp_replace(regexp_replace(html, '{_MARKUP_SCRIPT_RE}', '', 'g'),
+                          '{_MARKUP_STYLE_RE}', '', 'g') AS s
+    FROM raw
+),
+notag AS (
+    SELECT doc_id, html,
+           CAST(len(regexp_extract_all(s, '{_MARKUP_TAG_RE}')) AS BIGINT) AS n_tags,
+           regexp_replace(s, '{_MARKUP_TAG_RE}', ' ', 'g') AS s
+    FROM noblk
+),
+clean AS (
+    SELECT doc_id, html, n_tags,
+           trim(regexp_replace(replace(s, '&amp;', '&'), '\\s+', ' ', 'g')) AS s
+    FROM notag
+)
+SELECT doc_id,
+       n_tags,
+       CAST(length(html) AS BIGINT) AS len_raw,
+       CAST(length(s) AS BIGINT) AS len_clean,
+       md5(s) AS clean_hash
+FROM clean
+"""
+
+
+@register("text_strip_markup", _STRIP_ORACLE)
+def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip pipeline staged as sequential projections (each regex pass
+    materialized once): drop script/style blocks, count + remove tags
+    (tags → space so adjacent words don't fuse), decode entities,
+    collapse whitespace. Every stage is a JVM-side regexp — no UDF."""
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc &amp; data "),
+            F.col("doc_id"),
+            F.lit("</title><style>p {margin: 0}</style></head><body><p>"),
+            F.regexp_replace(F.col("text"), F.lit(" the "), F.lit(" <em>the</em> ")),
+            F.lit("</p><script>track("),
+            F.col("doc_id"),
+            F.lit(")</script></body></html>"),
+        ).alias("html"),
+    )
+    noblk = raw.select(
+        "doc_id",
+        "html",
+        F.regexp_replace(
+            F.regexp_replace(F.col("html"), _MARKUP_SCRIPT_RE, ""),
+            _MARKUP_STYLE_RE,
+            "",
+        ).alias("s"),
+    )
+    notag = noblk.select(
+        "doc_id",
+        "html",
+        F.regexp_count(F.col("s"), F.lit(_MARKUP_TAG_RE)).cast("long").alias("n_tags"),
+        F.regexp_replace(F.col("s"), _MARKUP_TAG_RE, " ").alias("s"),
+    )
+    clean = notag.select(
+        "doc_id",
+        "html",
+        "n_tags",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("s"), F.lit(r"&amp;"), F.lit("&")),
+                r"\s+",
+                " ",
+            )
+        ).alias("s"),
+    )
+    return clean.select(
+        "doc_id",
+        "n_tags",
+        F.length("html").cast("long").alias("len_raw"),
+        F.length("s").cast("long").alias("len_clean"),
+        F.md5(F.col("s")).alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global line-level exact dedup (the C4 recipe: any line occurring more
+# than once ANYWHERE in the corpus is deleted from every document except
+# its first occurrence, then documents are reassembled from surviving
+# lines in order). The test corpus has no natural line boundaries (bag-
+# of-words documents, no '.'/newlines — a sentence split is vacuously
+# one unit per doc), so the line unit here is a fixed 8-word segment;
+# the dedup/reassembly machinery is unit-agnostic. Two shuffles, both
+# linear: a window keyed by segment hash picks the global first
+# occurrence ((doc_id, pos) total order — deterministic), and a
+# groupBy(doc) reassembles. At 100 TB the segment-hash shuffle IS the
+# algorithm's cost — key cardinality = distinct-segment count.
+# ---------------------------------------------------------------------------
+
+_SEG_W = 8
+
+_SEG_DEDUP_ORACLE = rf"""
+WITH g AS (
+    SELECT doc_id, {_WORDS} AS ws FROM documents
+),
+d AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(ws) / {_SEG_W}.0) AS INT)),
+               i -> {{'pos': i + 1,
+                      's': array_to_string(ws[i*{_SEG_W}+1 : i*{_SEG_W}+{_SEG_W}], ' ')}}
+           )) AS u
+    FROM g
+),
+r AS (
+    SELECT doc_id, u.pos AS pos, u.s AS s,
+           row_number() OVER (
+               PARTITION BY md5(u.s) ORDER BY doc_id, u.pos
+           ) AS rn
+    FROM d
+)
+SELECT doc_id,
+       count(*) AS n_segs,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       md5(coalesce(
+           string_agg(s, ' ' ORDER BY pos) FILTER (WHERE rn = 1), ''
+       )) AS clean_hash
+FROM r
+GROUP BY doc_id
+"""
+
+
+@register("segment_dedup_global", _SEG_DEDUP_ORACLE)
+def segment_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode is 0-based → +1 aligns with DuckDB's 1-based positions.
+    Docs whose every segment was deduplicated away still emit a row
+    (aggregation runs over ALL segment rows; collect_list skips the null
+    non-kept entries, and the empty join hashes '' on both engines)."""
+    from pyspark.sql import Window as W
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    g = docs.select("doc_id", X.words(F.col("text")).alias("ws"))
+    segs = g.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("ws") / float(_SEG_W)).cast("int") - 1,
+            ),
+            lambda i: F.array_join(
+                F.slice(F.col("ws"), i * _SEG_W + 1, _SEG_W), " "
+            ),
+        ).alias("seglist"),
+    )
+    d = segs.select(
+        "doc_id",
+        F.posexplode(F.col("seglist")).alias("pos0", "s"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    w = W.partitionBy(F.md5(F.col("s"))).orderBy("doc_id", "pos")
+    r = d.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("s"))
+    )
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count(F.when(F.col("rn") == 1, F.lit(1))).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda st: st["s"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level curation stats: web corpora are curated per SOURCE DOMAIN
+# (per-domain quality averages, blocklists, caps) — the aggregation is
+# tiny (|domains| ≪ |docs|) and its result is applied back to every
+# document. The plan shape is the scale story: ONE shuffle keyed by
+# domain for the stats, then the stats frame BROADCASTS back onto the
+# corpus — the corpus itself never reshuffles. Domains are synthesized
+# deterministically from doc_id (37 buckets) since the corpus carries no
+# URL column; the oracle proves the aggregation + filter, not the
+# synthesis. The per-domain mean rides the decimal-accumulation parity
+# helpers (order-insensitive across partitions).
+# ---------------------------------------------------------------------------
+
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DAVG_SQL, davg
+
+# 0.53 sits mid-distribution of the 37 per-domain averages (0.49–0.58 on
+# the test corpus), so the filter actually discriminates; any value is
+# parity-safe since both engines derive bit-identical averages.
+_DOMAIN_KEEP_T = 0.53
+
+_DOMAIN_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id,
+           'd' || (doc_id % 37) || '.example.com' AS domain,
+           {_QUALITY_SQL} AS q
+    FROM documents
+),
+s AS (
+    SELECT domain,
+           count(*) AS domain_docs,
+           {DAVG_SQL('q')} AS domain_avg_q
+    FROM m GROUP BY domain
+)
+SELECT m.doc_id, m.domain, s.domain_docs, s.domain_avg_q,
+       s.domain_avg_q >= {_DOMAIN_KEEP_T!r} AS keep
+FROM m JOIN s USING (domain)
+"""
+
+
+@register("web_domain_filter", _DOMAIN_ORACLE)
+def web_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    m = staged_metrics(docs).select(
+        "doc_id",
+        F.concat(
+            F.lit("d"), F.col("doc_id") % 37, F.lit(".example.com")
+        ).alias("domain"),
+        "quality_score",
+    )
+    # m feeds BOTH the stats aggregation and the join probe — without the
+    # checkpoint the scan + metrics pipeline executes twice (the curate
+    # pipeline's dual-consumer pattern; at real scale this is a table
+    # write of the scored corpus, stats and filter both reading it).
+    m = m.localCheckpoint()
+    stats = m.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("domain_docs"),
+        davg(F.col("quality_score")).alias("domain_avg_q"),
+    )
+    return m.join(F.broadcast(stats), "domain").select(
+        "doc_id",
+        "domain",
+        "domain_docs",
+        "domain_avg_q",
+        (F.col("domain_avg_q") >= F.lit(_DOMAIN_KEEP_T)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Model-based quality classification: a linear text classifier over
 # hashed bag-of-words features (the fastText-style hashing trick — the
 # standard "model score" curation gate, e.g. CCNet/LLaMA wiki-ref

@@ -37,6 +37,9 @@ AUDITED = [
     "shuffle_assign",
     "text_classify_quality",
     "doc_chunk_sliding",
+    "text_strip_markup",
+    "web_domain_filter",
+    "segment_dedup_global",
 ]
 
 CHECKS = {
@@ -122,6 +125,18 @@ CHECKS = {
     "doc_chunk_sliding": [
         ("Exchange hashpartitioning", False, "chunking is map + partition-local explode — no shuffle"),
         ("Generate explode", True, "the window fan-out is a Generate, not a join"),
+    ],
+    "text_strip_markup": [
+        ("Exchange hashpartitioning", False, "markup stripping is a pure map of JVM regex passes"),
+        ("BatchEvalPython", False, "no Python — regexp_replace/regexp_count only"),
+    ],
+    "web_domain_filter": [
+        ("BroadcastHashJoin", True, "domain stats broadcast back onto the corpus"),
+        ("SortMergeJoin", False, "the corpus must never reshuffle for a 37-row stats join"),
+    ],
+    "segment_dedup_global": [
+        ("Window", True, "global first-occurrence is a segment-hash-keyed window"),
+        ("SortMergeJoin", False, "no self-join: dedup + reassembly are window + groupBy"),
     ],
 }
 

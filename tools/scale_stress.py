@@ -234,6 +234,9 @@ def main_longdoc() -> None:
         "pipeline_curate_corpus",
         "text_classify_quality",
         "doc_chunk_sliding",
+        "text_strip_markup",
+        "web_domain_filter",
+        "segment_dedup_global",
     ):
         t1 = timed(SF, name)
         tn = timed(stage, name)
