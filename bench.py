@@ -69,6 +69,10 @@ HEADLINE = [
     "text_strip_markup",
     "web_domain_filter",
     "segment_dedup_global",
+    "timeseries_m4_downsample",
+    "timeseries_anomaly_zscore",
+    "timeseries_interpolate",
+    "join_bloom_prune",
 ]
 
 

@@ -1,0 +1,154 @@
+"""Bloom-filter semi-join reduction (runtime filter as a first-class operator).
+
+The 100 TB join problem this solves: a selective predicate on a small-ish
+dimension keeps only a fraction of its keys, but the fact side still pays a
+full shuffle before the join drops the non-matching rows. Spark's own
+InjectRuntimeFilter covers only a narrow set of shapes; this operator makes
+the semi-join reduction explicit and composable:
+
+  1. ONE narrow pass over the filtered small side builds per-partition
+     bitmap partials (``mapInPandas``, vectorized numpy hashing), merged
+     driver-side — control-plane bounded: ``n_partitions × n_bits/8``
+     bytes, with ``n_bits`` capped (default 2^23 bits = 1 MiB merged).
+  2. The bitmap broadcasts to executors (SparkContext broadcast, not a
+     plan literal) and a vectorized pandas UDF prunes the big side
+     MAP-SIDE, before its shuffle.
+  3. Bloom filters have false positives, so the pruned frame is finished
+     with an exact ``left_semi`` join against the key set — the final
+     result is exactly the semi join; the bloom stage only shrinks the
+     shuffle. (``exact=False`` returns the pruned superset for callers
+     that follow with their own join on the same key.)
+
+Hashing: k multiply-shift functions over the key as int64 — constants are
+fixed odd 64-bit values derived from md5("bloom-i") so membership tests are
+reproducible across sessions and executors. String keys are mapped through
+``xxhash64`` JVM-side first (one deterministic column), so the Python stage
+only ever hashes int64.
+
+No reference counterpart (the reference joins DuckDB-side at single-node
+scale); this is the scale path for `SURVEY.md §2.5`'s selective-dimension
+joins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_MAX_BITS = 1 << 23  # 1 MiB merged bitmap cap — broadcast-friendly
+
+
+def _hash_constants(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k reproducible (odd multiplier, offset) pairs for multiply-shift."""
+    mul = np.empty(k, dtype=np.uint64)
+    add = np.empty(k, dtype=np.uint64)
+    for i in range(k):
+        d = hashlib.md5(f"bloom-{i}".encode()).digest()
+        mul[i] = np.uint64(int.from_bytes(d[:8], "big") | 1)  # odd
+        add[i] = np.uint64(int.from_bytes(d[8:16], "big"))
+    return mul, add
+
+
+def _positions(keys: np.ndarray, n_bits: int, mul: np.ndarray, add: np.ndarray) -> np.ndarray:
+    """(len(keys), k) bit positions; multiply-shift then modulo n_bits."""
+    u = keys.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = u[:, None] * mul[None, :] + add[None, :]
+    # top bits carry the mixing quality of multiply-shift
+    return ((h >> np.uint64(17)) % np.uint64(n_bits)).astype(np.int64)
+
+
+def suggest_bits(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(n_bits, k) sized for ``n_keys`` at target false-positive rate,
+    clamped to the broadcast cap. Standard bloom sizing: m = -n ln p / ln2²,
+    k = (m/n) ln2."""
+    n = max(1, n_keys)
+    m = int(-n * np.log(fpp) / (np.log(2) ** 2))
+    m = max(1 << 10, min(_MAX_BITS, 1 << int(np.ceil(np.log2(max(2, m))))))
+    k = max(1, min(16, round((m / n) * np.log(2))))
+    return m, k
+
+
+def _key_as_long(df: DataFrame, key: str) -> Column:
+    """int64 view of the key column: integral types cast, everything else
+    goes through xxhash64 (deterministic JVM-side)."""
+    dtype = dict(df.dtypes)[key]
+    if dtype in ("bigint", "int", "smallint", "tinyint"):
+        return F.col(key).cast("long")
+    return F.xxhash64(F.col(key))
+
+
+def build_bloom_bits(df: DataFrame, key: str, n_bits: int, k: int) -> bytes:
+    """One narrow pass over ``df``: per-partition numpy bitmaps OR-merged
+    driver-side. The collect is control-plane: one ``n_bits/8``-byte row
+    per partition, independent of row count."""
+    mul, add = _hash_constants(k)
+    n_bytes = n_bits // 8
+    keyed = df.select(_key_as_long(df, key).alias("__k")).where(F.col("__k").isNotNull())
+
+    def to_bitmap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for b in batches:
+            if len(b) == 0:
+                continue
+            seen = True
+            pos = _positions(b["__k"].to_numpy(), n_bits, mul, add).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    partials = keyed.mapInPandas(to_bitmap, "bitmap binary").collect()
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    for row in partials:
+        merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return merged.tobytes()
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_bits: int | None = None,
+    k: int | None = None,
+    fpp: float = 0.01,
+    exact: bool = True,
+) -> DataFrame:
+    """``big LEFT SEMI JOIN small ON big_key = small_key``, with the big
+    side pruned map-side by a bloom filter of the small side's keys before
+    any shuffle. ``n_bits=None`` sizes the filter from a count of the small
+    side (one cheap job over the already-filtered dimension)."""
+    if n_bits is None or k is None:
+        auto_bits, auto_k = suggest_bits(small.count(), fpp)
+        n_bits = n_bits or auto_bits
+        k = k or auto_k
+    if n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+
+    bits = build_bloom_bits(small, small_key, n_bits, k)
+    sc = big.sparkSession.sparkContext
+    bcast = sc.broadcast(np.frombuffer(bits, dtype=np.uint8))
+    mul, add = _hash_constants(k)
+    nb = n_bits
+
+    @pandas_udf("boolean")
+    def might_contain(keys: pd.Series) -> pd.Series:
+        arr = keys.to_numpy(dtype=np.int64, na_value=0)
+        pos = _positions(arr, nb, mul, add)
+        bm = bcast.value
+        hit = (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        ok = hit.all(axis=1) & ~keys.isna().to_numpy()
+        return pd.Series(ok)
+
+    pruned = big.where(might_contain(_key_as_long(big, big_key)))
+    if not exact:
+        return pruned
+    keys = small.select(F.col(small_key).alias(big_key)).dropDuplicates()
+    return pruned.join(keys, on=big_key, how="left_semi")

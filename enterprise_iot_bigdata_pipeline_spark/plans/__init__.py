@@ -38,6 +38,7 @@ _MODULES = [
     "joins",
     "analytic",
     "advanced",
+    "timeseries",
 ]
 
 

@@ -218,3 +218,34 @@ def join_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+# --- Bloom-filter semi-join reduction: a selective predicate keeps ~10% of
+#     orders; the lineitem side is pruned MAP-SIDE by a broadcast bloom of
+#     the surviving keys before any shuffle, then finished with the exact
+#     semi join (operators/bloom.py — the explicit runtime-filter shape for
+#     100 TB fact scans). The oracle is the plain semi join + aggregate:
+#     bloom false positives never reach the result. -------------------------
+
+
+@register(
+    "join_bloom_prune",
+    f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           {DSUM_SQL("l_extendedprice")} AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.bloom import bloom_semi_join
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    kept = bloom_semi_join(li, o, "l_orderkey", "o_orderkey", n_bits=1 << 16, k=5)
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )

@@ -1,0 +1,252 @@
+"""IoT time-series analytics: M4 downsampling, rolling z-score anomaly
+detection, and linear gap interpolation over the events stream.
+
+The reference's dashboard (streamlit-app.py:55-169) resamples and plots
+device telemetry; these are the standard time-series read-path operators a
+complete engine adds on top of that resample: M4 (min/max/first/last per
+pixel bucket — the lossless line-chart downsample), rolling-window anomaly
+flags, and grid interpolation for gappy sensors.
+
+Cross-engine determinism: every mean/variance accumulates through DECIMAL
+(functions.parity), window frames are fully tie-broken by (ts, event_id),
+and interpolation arithmetic uses the identical double expression tree in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DAVG_SQL, davg
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+# --- M4 downsampling: per (series, time bucket) emit min / max / first /
+#     last — the canonical pixel-perfect line-chart reduction (Jugel et al.,
+#     "M4: A Visualization-Oriented Time Series Data Aggregation", VLDB'14).
+#     Spark shape: ONE hash aggregate (no window sort) — first/last ride
+#     min_by/max_by over a packed (ts, event_id) DECIMAL ordering key
+#     (min/max over a raw struct would demote the whole aggregate to
+#     SortAggregate: struct buffers aren't hash-aggregable), so the whole
+#     query is a single partial-agg shuffle of |buckets| rows; at 100 TB
+#     this is the same scan-side-combine shape as any groupBy. The packing
+#     (µs·10¹⁰ + event_id, exact in decimal(38,0)) assumes event_id < 10¹⁰ —
+#     the corpus generator's id space. The oracle derives first/last with
+#     row_number CTEs instead (DuckDB's arg_min can't take a composite
+#     ordering) — same semantics, different plan. ---------------------------
+
+_M4_BUCKET_S = 21600  # 6-hour pixels over the 30-day corpus
+
+
+@register(
+    "timeseries_m4_downsample",
+    f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)/{_M4_BUCKET_S}) AS BIGINT)*{_M4_BUCKET_S} AS bucket_s,
+               ts, event_id, value
+        FROM events
+    ), r AS (
+        SELECT *,
+            row_number() OVER (PARTITION BY event_type, bucket_s ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY event_type, bucket_s ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT event_type, bucket_s,
+           count(*) AS n,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           max(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+           max(CASE WHEN rn_d = 1 THEN value END) AS last_value
+    FROM r
+    GROUP BY event_type, bucket_s
+    """,
+)
+def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts").cast("long") - (F.unix_timestamp("ts").cast("long") % _M4_BUCKET_S)).alias(
+        "bucket_s"
+    )
+    ord_key = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)") * F.lit(10**10)
+        + F.col("event_id")
+    )
+    return (
+        ev.select("event_type", bucket, ord_key.alias("ord"), "value")
+        .groupBy("event_type", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min_by("value", F.col("ord")).alias("first_value"),
+            F.max_by("value", F.col("ord")).alias("last_value"),
+        )
+    )
+
+
+# --- Rolling z-score anomaly detection: trailing 50-event window per
+#     series, flag |x − μ| > 3σ once the window has ≥ 20 samples. Mean and
+#     variance come from decimal-exact window sums (Σx, Σx²) — the same
+#     construction as agg_value_stats, so both engines compute bit-identical
+#     doubles and the 3σ comparison can't flip across engines. One
+#     sort-within-series window pass; series are independent so the shape
+#     is the standard keyed-window shuffle. ---------------------------------
+
+_Z_WIN = 50  # trailing window size (rows)
+_Z_MIN = 20  # minimum samples before flagging
+
+_Z_OVER = "OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)"
+
+
+@register(
+    "timeseries_anomaly_zscore",
+    f"""
+    WITH w AS (
+        SELECT event_id, ts, event_type, value,
+            CAST(sum(CAST(value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS s_w,
+            CAST(sum(CAST(value * value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS q_w,
+            count(value) {_Z_OVER} AS n_w
+        FROM events
+    ), stats AS (
+        SELECT event_id, ts, event_type, value, n_w,
+            s_w / n_w AS mean_w,
+            greatest(0.0::DOUBLE, q_w - s_w * s_w / n_w) / (n_w - 1) AS var_w
+        FROM w
+        WHERE n_w >= {_Z_MIN}
+    )
+    SELECT event_id, ts, event_type, value, n_w, mean_w, var_w
+    FROM stats
+    WHERE (value - mean_w) * (value - mean_w) > 9 * var_w
+    """,
+)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wz = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_Z_WIN - 1), W.currentRow)
+    )
+    v = F.col("value")
+    s_w = F.sum(v.cast("decimal(25,6)")).over(wz).cast("double")
+    q_w = F.sum((v * v).cast("decimal(25,6)")).over(wz).cast("double")
+    n_w = F.count(v).over(wz)
+    windowed = ev.select(
+        "event_id", "ts", "event_type", "value",
+        s_w.alias("s_w"), q_w.alias("q_w"), n_w.alias("n_w"),
+    ).filter(F.col("n_w") >= _Z_MIN)
+    mean_w = F.col("s_w") / F.col("n_w")
+    var_w = F.greatest(
+        F.lit(0.0), F.col("q_w") - F.col("s_w") * F.col("s_w") / F.col("n_w")
+    ) / (F.col("n_w") - F.lit(1))
+    stats = windowed.select(
+        "event_id", "ts", "event_type", "value", "n_w",
+        mean_w.alias("mean_w"), var_w.alias("var_w"),
+    )
+    dev = F.col("value") - F.col("mean_w")
+    return stats.filter(dev * dev > F.lit(9) * F.col("var_w"))
+
+
+# --- Linear gap interpolation on a fixed grid: resample each series to
+#     15-minute ticks (decimal-exact per-tick mean), densify the grid with
+#     sequence+explode (map-side after one min/max agg — no driver range),
+#     and fill missing ticks by linear interpolation between the bracketing
+#     observations (edge ticks extend the nearest observation). prev/next
+#     ride last/first(ignorenulls) windows per series — two frame scans
+#     over ONE keyed sort. The interpolation weight uses the identical
+#     double expression tree in both engines. ------------------------------
+
+_INTERP_STEP_S = 900
+
+
+@register(
+    "timeseries_interpolate",
+    f"""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)/{_INTERP_STEP_S}) AS BIGINT)*{_INTERP_STEP_S} AS tick,
+               {DAVG_SQL("value")} AS v_obs
+        FROM events
+        GROUP BY 1, 2
+    ), rng AS (
+        SELECT event_type, min(tick) AS lo, max(tick) AS hi FROM obs GROUP BY 1
+    ), spine AS (
+        SELECT event_type, unnest(range(lo, hi + {_INTERP_STEP_S}, {_INTERP_STEP_S})) AS tick FROM rng
+    ), dense AS (
+        SELECT s.event_type, s.tick, o.v_obs
+        FROM spine s LEFT JOIN obs o USING (event_type, tick)
+    ), filled AS (
+        SELECT event_type, tick, v_obs,
+            last_value(v_obs IGNORE NULLS) OVER
+                (PARTITION BY event_type ORDER BY tick
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+            last_value(CASE WHEN v_obs IS NOT NULL THEN tick END IGNORE NULLS) OVER
+                (PARTITION BY event_type ORDER BY tick
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+            first_value(v_obs IGNORE NULLS) OVER
+                (PARTITION BY event_type ORDER BY tick
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+            first_value(CASE WHEN v_obs IS NOT NULL THEN tick END IGNORE NULLS) OVER
+                (PARTITION BY event_type ORDER BY tick
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+        FROM dense
+    )
+    SELECT event_type, tick,
+        (v_obs IS NOT NULL) AS is_observed,
+        CASE WHEN v_obs IS NOT NULL THEN v_obs
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                 prev_v + (next_v - prev_v)
+                     * (CAST(tick - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+             ELSE coalesce(prev_v, next_v) END AS value_interp
+    FROM filled
+    """,
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    step = _INTERP_STEP_S
+    tick = (F.unix_timestamp("ts").cast("long") - (F.unix_timestamp("ts").cast("long") % step)).alias("tick")
+    obs = (
+        ev.select("event_type", tick, "value")
+        .groupBy("event_type", "tick")
+        .agg(davg(F.col("value")).alias("v_obs"))
+    )
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("tick").alias("lo"), F.max("tick").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.lit(step))).alias("tick"),
+        )
+    )
+    dense = spine.join(obs, ["event_type", "tick"], "left")
+    wprev = (
+        W.partitionBy("event_type").orderBy("tick").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wnext = (
+        W.partitionBy("event_type").orderBy("tick").rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_tick = F.when(F.col("v_obs").isNotNull(), F.col("tick"))
+    filled = dense.select(
+        "event_type", "tick", "v_obs",
+        F.last("v_obs", ignorenulls=True).over(wprev).alias("prev_v"),
+        F.last(obs_tick, ignorenulls=True).over(wprev).alias("prev_t"),
+        F.first("v_obs", ignorenulls=True).over(wnext).alias("next_v"),
+        F.first(obs_tick, ignorenulls=True).over(wnext).alias("next_t"),
+    )
+    frac = (F.col("tick") - F.col("prev_t")).cast("double") / (
+        F.col("next_t") - F.col("prev_t")
+    ).cast("double")
+    interp = (
+        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+        .otherwise(F.coalesce("prev_v", "next_v"))
+    )
+    return filled.select(
+        "event_type",
+        "tick",
+        F.col("v_obs").isNotNull().alias("is_observed"),
+        interp.alias("value_interp"),
+    )

@@ -1,0 +1,85 @@
+"""Bloom-filter semi-join reduction (operators/bloom.py): the pruned frame
+must be a superset of the true matches (no false negatives — the bloom
+contract), the exact finish must equal a plain semi join, and the map-side
+prune must actually shrink the big side."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.operators.bloom import (
+    _hash_constants,
+    _positions,
+    bloom_semi_join,
+    build_bloom_bits,
+    suggest_bits,
+)
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_semi_join_equivalence(spark):
+    li = t(spark, SF_SMOKE, "lineitem")
+    o = t(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") > 300000)
+    got = bloom_semi_join(li, o, "l_orderkey", "o_orderkey", n_bits=1 << 14, k=4)
+    want = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")).dropDuplicates(),
+        "l_orderkey",
+        "left_semi",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_no_false_negatives_and_prunes(spark):
+    li = t(spark, SF_SMOKE, "lineitem")
+    o = t(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") > 400000)
+    pruned = bloom_semi_join(li, o, "l_orderkey", "o_orderkey", n_bits=1 << 14, k=4, exact=False)
+    true_keys = {r.o_orderkey for r in o.select("o_orderkey").collect()}
+    pruned_keys = {r.l_orderkey for r in pruned.select("l_orderkey").collect()}
+    # every true match survives the bloom stage
+    li_keys = {r.l_orderkey for r in li.select("l_orderkey").collect()}
+    assert (li_keys & true_keys) <= pruned_keys
+    # and the prune is genuinely selective (bloom FPs stay rare at this sizing)
+    assert pruned.count() < li.count() * 0.5
+
+
+def test_string_keys_route_through_xxhash(spark):
+    c = t(spark, SF_SMOKE, "customer")
+    small = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_name")
+    got = bloom_semi_join(c, small, "c_name", "c_name", n_bits=1 << 14, k=4)
+    want = c.filter(F.col("c_mktsegment") == "BUILDING")
+    assert got.count() == want.count()
+
+
+def test_auto_sizing_and_power_of_two_guard(spark):
+    m, k = suggest_bits(1500, fpp=0.01)
+    assert m & (m - 1) == 0 and 1 <= k <= 16
+    li = t(spark, SF_SMOKE, "lineitem").limit(10)
+    o = t(spark, SF_SMOKE, "orders").limit(5)
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_semi_join(li, o, "l_orderkey", "o_orderkey", n_bits=1000, k=3)
+
+
+def test_bitmap_membership_kernel():
+    """Pure-numpy invariant: every inserted key tests positive."""
+    mul, add = _hash_constants(5)
+    keys = np.arange(-500, 500, dtype=np.int64)
+    n_bits = 1 << 12
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    pos = _positions(keys, n_bits, mul, add).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    probe = _positions(keys, n_bits, mul, add)
+    hit = (bits[probe >> 3] & (np.uint8(1) << (probe & 7).astype(np.uint8))) != 0
+    assert hit.all(axis=1).all()
+
+
+def test_empty_small_side(spark):
+    li = t(spark, SF_SMOKE, "lineitem")
+    o = t(spark, SF_SMOKE, "orders").filter(F.lit(False))
+    bits = build_bloom_bits(o, "o_orderkey", 1 << 12, 3)
+    assert not any(bits)
+    assert bloom_semi_join(li, o, "l_orderkey", "o_orderkey", n_bits=1 << 12, k=3).count() == 0

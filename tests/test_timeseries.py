@@ -1,0 +1,89 @@
+"""Edge semantics for plans/timeseries.py beyond the oracle parity rows:
+M4 tie-breaking on equal timestamps, interpolation linearity/edge extension,
+and z-score window warmup gating."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string"
+    )
+
+
+def _write(tmp_path, df, name="events"):
+    # timeseries plans read via tables.t → materialize a corpus-shaped dir
+    import shutil
+
+    out = tmp_path / "sf"
+    out.mkdir(exist_ok=True)
+    for tbl in ("region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{tbl}.parquet", out / f"{tbl}.parquet")
+    df.toPandas().to_parquet(out / f"{name}.parquet", index=False)
+    return str(out)
+
+
+def test_m4_tie_break_on_equal_ts(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans.timeseries import timeseries_m4_downsample
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (2, t0, 1, "click", 20.0, None),  # same ts as event 1: event_id breaks tie
+        (1, t0, 1, "click", 10.0, None),
+        (3, t0 + dt.timedelta(hours=1), 1, "click", 99.0, None),
+        (4, t0 + dt.timedelta(hours=2), 1, "click", 5.0, None),
+    ]
+    sf = _write(tmp_path, _events(spark, rows))
+    out = timeseries_m4_downsample(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.first_value == 10.0  # event_id 1 wins the tie
+    assert r.last_value == 5.0
+    assert r.min_value == 5.0 and r.max_value == 99.0 and r.n == 4
+
+
+def test_interpolation_is_linear_and_extends_edges(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans.timeseries import (
+        _INTERP_STEP_S,
+        timeseries_interpolate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    step = dt.timedelta(seconds=_INTERP_STEP_S)
+    # observations at ticks 0 and 4 → ticks 1-3 interpolate linearly
+    rows = [
+        (1, t0, 1, "click", 10.0, None),
+        (2, t0 + 4 * step, 1, "click", 50.0, None),
+    ]
+    sf = _write(tmp_path, _events(spark, rows))
+    out = {r.tick: r for r in timeseries_interpolate(spark, sf).collect()}
+    ticks = sorted(out)
+    assert len(ticks) == 5
+    vals = [out[k].value_interp for k in ticks]
+    assert vals == [10.0, 20.0, 30.0, 40.0, 50.0]
+    assert [out[k].is_observed for k in ticks] == [True, False, False, False, True]
+
+
+def test_zscore_requires_warmup_and_flags_outlier(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans.timeseries import (
+        _Z_MIN,
+        timeseries_anomaly_zscore,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # constant series with one massive spike after warmup, and one equally
+    # massive spike BEFORE the window has _Z_MIN samples (must not flag)
+    rows = []
+    for i in range(40):
+        v = 1000.0 if i in (5, 30) else 10.0 + (i % 3) * 0.1
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "click", v, None))
+    sf = _write(tmp_path, _events(spark, rows))
+    flagged = {r.event_id for r in timeseries_anomaly_zscore(spark, sf).collect()}
+    assert 30 in flagged  # post-warmup spike caught
+    assert 5 not in flagged  # pre-warmup spike gated by n_w >= _Z_MIN
+    assert _Z_MIN <= 40

@@ -40,6 +40,10 @@ AUDITED = [
     "text_strip_markup",
     "web_domain_filter",
     "segment_dedup_global",
+    "timeseries_m4_downsample",
+    "timeseries_anomaly_zscore",
+    "timeseries_interpolate",
+    "join_bloom_prune",
 ]
 
 CHECKS = {
@@ -137,6 +141,22 @@ CHECKS = {
     "segment_dedup_global": [
         ("Window", True, "global first-occurrence is a segment-hash-keyed window"),
         ("SortMergeJoin", False, "no self-join: dedup + reassembly are window + groupBy"),
+    ],
+    "timeseries_m4_downsample": [
+        ("HashAggregate", True, "M4 is ONE hash aggregate — first/last ride min/max(struct)"),
+        ("Window", False, "no window sort: the row_number form lives only in the oracle"),
+    ],
+    "timeseries_anomaly_zscore": [
+        ("Window", True, "rolling moments are one keyed-window pass"),
+        ("Exchange SinglePartition", False, "series partition independently — no global sort"),
+    ],
+    "timeseries_interpolate": [
+        ("Generate explode", True, "the tick spine is sequence+explode, map-side after the agg"),
+        ("Exchange SinglePartition", False, "no driver-range spine; series stay parallel"),
+    ],
+    "join_bloom_prune": [
+        ("ArrowEvalPython", True, "bloom membership probe is Arrow-batched, map-side on the scan"),
+        ("BatchEvalPython", False, "row-at-a-time Python would be the slow path"),
     ],
 }
 

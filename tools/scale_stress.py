@@ -48,6 +48,10 @@ STRESSED = [
     "dedup_components",
     "ann_lsh_topk",
     "dedup_embedding_multiround",
+    "timeseries_m4_downsample",
+    "timeseries_anomaly_zscore",
+    "timeseries_interpolate",
+    "join_bloom_prune",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -64,6 +68,10 @@ MAIN_TABLE = {
     "dedup_components": "documents",
     "ann_lsh_topk": "embeddings",
     "dedup_embedding_multiround": "embeddings",
+    "timeseries_m4_downsample": "events",
+    "timeseries_anomaly_zscore": "events",
+    "timeseries_interpolate": "events",
+    "join_bloom_prune": "lineitem",
 }
 ID_COLS = {
     "events": "event_id",
