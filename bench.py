@@ -72,6 +72,8 @@ HEADLINE = [
     "timeseries_m4_downsample",
     "timeseries_anomaly_zscore",
     "timeseries_interpolate",
+    "timeseries_trend_ols",
+    "timeseries_fir_smooth",
     "join_bloom_prune",
 ]
 

@@ -250,3 +250,120 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_obs").isNotNull().alias("is_observed"),
         interp.alias("value_interp"),
     )
+
+
+# --- Per-series daily OLS trend (sensor-drift detection): slope/intercept
+#     of value vs seconds-into-day, per (event_type, day). All five input
+#     moments (n, Σx, Σy, Σxy, Σx²) accumulate in DECIMAL — order-
+#     insensitive and bit-identical across engines — then slope/intercept
+#     evaluate in one fixed double expression tree. ONE hash-agg shuffle of
+#     |series × days| rows; x is bounded (0..86400) so the decimal sums
+#     can't overflow at any corpus size that fits a group in a long count.
+#     x uses floor-seconds in both engines (Spark unix_timestamp truncates;
+#     DuckDB epoch() keeps µs — floored explicitly). -------------------------
+
+
+@register(
+    "timeseries_trend_ols",
+    """
+    WITH obs AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS DOUBLE) AS x,
+               value AS y
+        FROM events
+    ), mom AS (
+        SELECT event_type, day,
+               count(*) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM obs
+        GROUP BY event_type, day
+    )
+    SELECT event_type, day, n,
+        CASE WHEN n > 1 AND n * sxx - sx * sx <> 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+        CASE WHEN n > 1 AND n * sxx - sx * sx <> 0
+             THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END AS intercept
+    FROM mom
+    """,
+)
+def timeseries_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts").cast("long") % 86400).cast("double")
+    obs = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        x.alias("x"),
+        F.col("value").alias("y"),
+    )
+    d38 = "decimal(38,6)"
+    mom = obs.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    ok = (n > 1) & (den != 0)
+    return mom.select(
+        "event_type", "day", "n",
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, (sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+# --- FIR / EWMA smoothing: trailing 8-tap exponentially-weighted moving
+#     average per series (α-decay 0.75^j — every coefficient is a dyadic
+#     rational, so the literals are exactly representable doubles in both
+#     engines). Warmup rows renormalize over the taps present. One keyed
+#     window sort; the taps are lag() reads over the SAME frame, so Spark
+#     plans a single Window node. The left-associated addition chain is
+#     written identically in both engines — bit-identical doubles. ----------
+
+_FIR_TAPS = 8
+_FIR_DECAY = 0.75
+
+
+def _fir_coeffs() -> list[float]:
+    return [_FIR_DECAY**j for j in range(_FIR_TAPS)]
+
+
+def _fir_oracle() -> str:
+    cs = _fir_coeffs()
+    over = "OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+    num = " + ".join(
+        f"coalesce(lag(value, {j}) {over} * {c!r}, 0.0)" for j, c in enumerate(cs)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) {over} IS NOT NULL THEN {c!r} ELSE 0.0 END)"
+        for j, c in enumerate(cs)
+    )
+    return f"""
+    SELECT event_id, ts, event_type, value,
+           ({num}) / ({den}) AS value_smooth
+    FROM events
+    """
+
+
+@register("timeseries_fir_smooth", _fir_oracle())
+def timeseries_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    cs = _fir_coeffs()
+    num = None
+    den = None
+    for j, c in enumerate(cs):
+        lag_j = F.lag("value", j).over(w)
+        term = F.coalesce(lag_j * F.lit(c), F.lit(0.0))
+        cnt = F.when(lag_j.isNotNull(), F.lit(c)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = cnt if den is None else den + cnt
+    return ev.select(
+        "event_id", "ts", "event_type", "value", (num / den).alias("value_smooth")
+    )

@@ -87,3 +87,40 @@ def test_zscore_requires_warmup_and_flags_outlier(spark, tmp_path):
     assert 30 in flagged  # post-warmup spike caught
     assert 5 not in flagged  # pre-warmup spike gated by n_w >= _Z_MIN
     assert _Z_MIN <= 40
+
+
+def test_ols_recovers_known_slope(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans.timeseries import timeseries_trend_ols
+
+    t0 = dt.datetime(2024, 1, 5, 0, 0, 0)
+    # y = 2x + 7 exactly (x = seconds into day) → slope 2, intercept 7
+    rows = [
+        (i, t0 + dt.timedelta(seconds=60 * i), 1, "click", 2.0 * (60 * i) + 7.0, None)
+        for i in range(30)
+    ]
+    # constant-x group: slope must be NULL, not a division error
+    rows += [(100 + i, dt.datetime(2024, 1, 6, 12, 0, 0), 1, "view", float(i), None) for i in range(3)]
+    sf = _write(tmp_path, _events(spark, rows))
+    out = {(r.event_type, str(r.day)): r for r in timeseries_trend_ols(spark, sf).collect()}
+    lin = out[("click", "2024-01-05")]
+    assert abs(lin.slope - 2.0) < 1e-9 and abs(lin.intercept - 7.0) < 1e-6
+    const = out[("view", "2024-01-06")]
+    assert const.slope is None and const.intercept is None
+
+
+def test_fir_smooth_exact_two_rows(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans.timeseries import (
+        _FIR_DECAY,
+        timeseries_fir_smooth,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "click", 10.0, None),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 20.0, None),
+    ]
+    sf = _write(tmp_path, _events(spark, rows))
+    out = {r.event_id: r.value_smooth for r in timeseries_fir_smooth(spark, sf).collect()}
+    assert out[1] == 10.0  # warmup row renormalizes to itself
+    c = _FIR_DECAY
+    assert abs(out[2] - (20.0 + c * 10.0) / (1.0 + c)) < 1e-12

@@ -43,6 +43,8 @@ AUDITED = [
     "timeseries_m4_downsample",
     "timeseries_anomaly_zscore",
     "timeseries_interpolate",
+    "timeseries_trend_ols",
+    "timeseries_fir_smooth",
     "join_bloom_prune",
 ]
 
@@ -157,6 +159,14 @@ CHECKS = {
     "join_bloom_prune": [
         ("ArrowEvalPython", True, "bloom membership probe is Arrow-batched, map-side on the scan"),
         ("BatchEvalPython", False, "row-at-a-time Python would be the slow path"),
+    ],
+    "timeseries_trend_ols": [
+        ("HashAggregate", True, "OLS moments are one decimal hash aggregate"),
+        ("Window", False, "no window needed — pure groupBy moments"),
+    ],
+    "timeseries_fir_smooth": [
+        ("Window", True, "all 8 taps share one Window node"),
+        ("Exchange SinglePartition", False, "series partition independently"),
     ],
 }
 

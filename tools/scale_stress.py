@@ -51,6 +51,8 @@ STRESSED = [
     "timeseries_m4_downsample",
     "timeseries_anomaly_zscore",
     "timeseries_interpolate",
+    "timeseries_trend_ols",
+    "timeseries_fir_smooth",
     "join_bloom_prune",
 ]
 # which table each query mainly scans → which copy to amplify
@@ -71,6 +73,8 @@ MAIN_TABLE = {
     "timeseries_m4_downsample": "events",
     "timeseries_anomaly_zscore": "events",
     "timeseries_interpolate": "events",
+    "timeseries_trend_ols": "events",
+    "timeseries_fir_smooth": "events",
     "join_bloom_prune": "lineitem",
 }
 ID_COLS = {
