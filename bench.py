@@ -74,6 +74,7 @@ HEADLINE = [
     "timeseries_interpolate",
     "timeseries_trend_ols",
     "timeseries_fir_smooth",
+    "timeseries_anomaly_chunked",
     "join_bloom_prune",
 ]
 

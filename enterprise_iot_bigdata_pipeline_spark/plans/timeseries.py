@@ -367,3 +367,73 @@ def timeseries_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "ts", "event_type", "value", (num / den).alias("value_smooth")
     )
+
+
+# --- Chunk-parallel z-score: the SAME anomaly semantics as
+#     timeseries_anomaly_zscore, computed via operators/rolling.py's
+#     chunked trailing window. The single-pass form partitions on
+#     event_type — 5 keys ⇒ 5 tasks forever (measured exponent 0.75 at
+#     10×); the chunked form shuffles on (event_type, 10-day bucket) and
+#     replicates each chunk's (window−1)-row tail as context, restoring
+#     |keys|×|buckets| parallelism with bit-identical output. The oracle
+#     IS the single-pass SQL — hash-green proves the chunk algebra exact.
+#     (Same playbook as sessionize_two_phase for the same reason.) ----------
+
+_CHUNK_BUCKET_S = 864_000  # 10-day chunks: mid-chunks hold ≥ w−1 rows at every SF
+
+
+@register(
+    "timeseries_anomaly_chunked",
+    f"""
+    WITH w AS (
+        SELECT event_id, ts, event_type, value,
+            CAST(sum(CAST(value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS s_w,
+            CAST(sum(CAST(value * value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS q_w,
+            count(value) {_Z_OVER} AS n_w
+        FROM events
+    ), stats AS (
+        SELECT event_id, ts, event_type, value, n_w,
+            s_w / n_w AS mean_w,
+            greatest(0.0::DOUBLE, q_w - s_w * s_w / n_w) / (n_w - 1) AS var_w
+        FROM w
+        WHERE n_w >= {_Z_MIN}
+    )
+    SELECT event_id, ts, event_type, value, n_w, mean_w, var_w
+    FROM stats
+    WHERE (value - mean_w) * (value - mean_w) > 9 * var_w
+    """,
+)
+def timeseries_anomaly_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.rolling import rolling_sums_chunked
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    v = F.col("value")
+    rolled = rolling_sums_chunked(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+        window=_Z_WIN,
+        bucket_s=_CHUNK_BUCKET_S,
+        sum_exprs={
+            "s_dec": v.cast("decimal(25,6)"),
+            "q_dec": (v * v).cast("decimal(25,6)"),
+        },
+        count_col="value",
+    )
+    windowed = rolled.select(
+        "event_id", "ts", "event_type", "value",
+        F.col("s_dec").cast("double").alias("s_w"),
+        F.col("q_dec").cast("double").alias("q_w"),
+        "n_w",
+    ).filter(F.col("n_w") >= _Z_MIN)
+    mean_w = F.col("s_w") / F.col("n_w")
+    var_w = F.greatest(
+        F.lit(0.0), F.col("q_w") - F.col("s_w") * F.col("s_w") / F.col("n_w")
+    ) / (F.col("n_w") - F.lit(1))
+    stats = windowed.select(
+        "event_id", "ts", "event_type", "value", "n_w",
+        mean_w.alias("mean_w"), var_w.alias("var_w"),
+    )
+    dev = F.col("value") - F.col("mean_w")
+    return stats.filter(dev * dev > F.lit(9) * F.col("var_w"))

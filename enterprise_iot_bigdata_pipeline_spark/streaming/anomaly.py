@@ -1,0 +1,137 @@
+"""Streaming rolling z-score anomaly detection — the continuous twin of the
+batch ``timeseries_anomaly_zscore`` query (plans/timeseries.py).
+
+State per series key = the trailing ``window-1`` observations
+(ts_µs, event_id, micro-scaled value), held in Spark's state store via
+``applyInPandasWithState``; each micro-batch merges state with the new rows
+(sorted by (ts, event_id)), recomputes the rolling moments, emits the
+flagged rows, and keeps only the window tail as the next state. State is
+bounded: ``window − 1`` tuples per key, independent of stream length.
+
+BIT-EXACT equivalence with the batch query (asserted row-level in
+``tests/test_stream_anomaly.py``): the batch form accumulates Σx and Σx²
+through DECIMAL(25,6); here each value quantizes to integer micro-units via
+``decimal.Decimal`` ROUND_HALF_UP — the same rounding Spark's double →
+decimal cast applies — and sums in exact Python ints, so mean/var/flag
+reproduce the batch doubles exactly (int sums < 2⁵³ convert exactly;
+``float(s)/1e6`` is the correctly-rounded decimal→double cast).
+
+In-order delivery assumption: rows later than an already-processed (ts,
+event_id) for the same key would change history the batch query saw —
+standard for rolling-state operators; pair with a watermark-bounded
+ingest (streaming/ingest.py) when the source can reorder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = (
+    "event_id bigint, ts timestamp, event_type string, value double, "
+    "n_w bigint, mean_w double, var_w double"
+)
+STATE_SCHEMA = "ts array<long>, ids array<long>, micros array<long>, sq_micros array<long>"
+
+_Q6 = Decimal("0.000001")
+
+
+def _micro(x: float) -> int:
+    """Integer micro-units with Spark's double→DECIMAL(25,6) rounding
+    (exact binary expansion, then ROUND_HALF_UP at scale 6)."""
+    return int(Decimal(x).quantize(_Q6, rounding=ROUND_HALF_UP).scaleb(6))
+
+
+def _zscore_fn(window: int, min_n: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        # row = (ts_us, event_id, value, micro, sq_micro, is_new); state
+        # rows were flagged (or not) by earlier batches — only their micro
+        # sums matter here, so a placeholder value reconstruction is fine.
+        rows: list[tuple[int, int, float, int, int, bool]] = []
+        if state.exists:
+            ts_l, ids_l, mic_l, sq_l = state.get
+            rows = [
+                (t, i, m / 1e6, m, s, False)
+                for t, i, m, s in zip(ts_l, ids_l, mic_l, sq_l)
+            ]
+        n_state = len(rows)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).to_numpy()
+            for t, i, v in zip(ts_us, pdf["event_id"].to_numpy(), pdf["value"].to_numpy()):
+                if pd.isna(v):
+                    continue
+                v = float(v)
+                rows.append((int(t), int(i), v, _micro(v), _micro(v * v), True))
+        if len(rows) == n_state:
+            return
+        rows.sort(key=lambda r: (r[0], r[1]))
+
+        out: list[tuple] = []
+        s = q = 0
+        buf: list[tuple[int, int, float, int, int, bool]] = []
+        # seed the rolling sums with the retained tail, then stream the rest
+        for row in rows:
+            t, i, v, m, sq, is_new = row
+            buf.append(row)
+            s += m
+            q += sq
+            if len(buf) > window:
+                _, _, _, m0, sq0, _ = buf.pop(0)
+                s -= m0
+                q -= sq0
+            n = len(buf)
+            if not is_new or n < min_n:
+                continue  # state rows were already emitted by earlier batches
+            s_w = float(s) / 1e6
+            q_w = float(q) / 1e6
+            mean_w = s_w / n
+            var_w = max(0.0, q_w - s_w * s_w / n) / (n - 1)
+            dev = v - mean_w
+            if dev * dev > 9 * var_w:
+                out.append((i, pd.Timestamp(t, unit="us"), event_type, v, n, mean_w, var_w))
+
+        tail = rows[-(window - 1):] if window > 1 else []
+        state.update((
+            [r[0] for r in tail],
+            [r[1] for r in tail],
+            [r[3] for r in tail],
+            [r[4] for r in tail],
+        ))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_id", "ts", "event_type", "value", "n_w", "mean_w", "var_w"],
+            )
+
+    return fn
+
+
+def stream_anomaly_zscore(
+    events: DataFrame,
+    window: int = 50,
+    min_n: int = 20,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Continuous anomaly flags over a streaming events frame with
+    (event_type, event_id, ts, value). Output schema and flag semantics
+    match the batch ``timeseries_anomaly_zscore`` exactly."""
+    return (
+        events.selectExpr(f"{key_col} as event_type", "event_id", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _zscore_fn(window, min_n),
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

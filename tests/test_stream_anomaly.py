@@ -1,0 +1,110 @@
+"""Streaming z-score anomaly detector (streaming/anomaly.py) vs the batch
+query (plans/timeseries.py): same corpus, multi-batch stream → row-level
+BIT-EXACT equality of flags, means, and variances."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_SMOKE
+
+
+def _run_stream(spark, src_dir, window=50, min_n=20):
+    from enterprise_iot_bigdata_pipeline_spark.streaming.anomaly import stream_anomaly_zscore
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp_ntz, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    out = stream_anomaly_zscore(stream, window=window, min_n=min_n)
+    name = f"anom_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).collect()
+
+
+def test_stream_matches_batch_bit_exact(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+    from enterprise_iot_bigdata_pipeline_spark.plans.timeseries import (
+        timeseries_anomaly_zscore,
+    )
+
+    ev = (
+        t(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    # three time-ordered batches: per-key order is preserved, so the
+    # rolling windows the stream sees are the batch query's windows
+    src = tmp_path / "stream"
+    src.mkdir()
+    n = len(ev)
+    for bi, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        tbl = pa.Table.from_pandas(ev.iloc[lo:hi], preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                ]
+            )
+        )
+        pq.write_table(tbl, str(src / f"b{bi}.parquet"))
+        time.sleep(1.1)  # file source orders batches by mtime
+
+    got = {
+        r.event_id: (str(r.ts), r.event_type, r.value, r.n_w, r.mean_w, r.var_w)
+        for r in _run_stream(spark, src)
+    }
+    want = {
+        r.event_id: (str(r.ts), r.event_type, r.value, r.n_w, r.mean_w, r.var_w)
+        for r in timeseries_anomaly_zscore(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+    assert len(want) > 0  # non-vacuous: the corpus does contain anomalies
+
+
+def test_state_bounded_to_window_tail(spark, tmp_path):
+    """State keeps only window−1 tuples per key regardless of stream length."""
+    from enterprise_iot_bigdata_pipeline_spark.streaming.anomaly import _zscore_fn
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.stored = v
+
+    import pandas as pd
+
+    # window must satisfy (n−1)²/n > 9 or a self-included spike can never
+    # reach 3σ (max standardized residual bound) — 20 gives z² up to ~18
+    fn = _zscore_fn(window=20, min_n=2)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": pd.date_range("2024-01-01", periods=100, freq="1min"),
+            "value": [10.0] * 99 + [500.0],
+        }
+    )
+    st = FakeState()
+    out = list(fn(("click",), iter([pdf]), st))
+    ts_l, ids_l, mic_l, sq_l = st.stored
+    assert len(ts_l) == len(ids_l) == len(mic_l) == len(sq_l) == 19  # window − 1
+    assert ids_l == list(range(81, 100))
+    assert len(out) == 1 and out[0].iloc[0]["event_id"] == 99  # the spike flags

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -124,3 +126,62 @@ def test_fir_smooth_exact_two_rows(spark, tmp_path):
     assert out[1] == 10.0  # warmup row renormalizes to itself
     c = _FIR_DECAY
     assert abs(out[2] - (20.0 + c * 10.0) / (1.0 + c)) < 1e-12
+
+
+def test_chunked_rolling_guards_sparse_buckets(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.operators.rolling import (
+        ChunkTooSparseError,
+        rolling_sums_chunked,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # 3 rows/day over 9 days with window 8: 1-day buckets leave mid-chunks
+    # with 3 < 7 rows → must raise; 4-day buckets (mid-chunk 12 ≥ 7) pass
+    rows = [
+        (d * 10 + j, t0 + dt.timedelta(days=d, hours=j), 1, "click", float(d * 10 + j), None)
+        for d in range(9)
+        for j in range(3)
+    ]
+    df = _events(spark, rows)
+    kw = dict(
+        key_col="event_type", ts_col="ts", id_col="event_id",
+        window=8, sum_exprs={"s": F.col("value")}, count_col="value",
+    )
+    with pytest.raises(ChunkTooSparseError):
+        rolling_sums_chunked(df, bucket_s=86_400, **kw).count()
+    ok = rolling_sums_chunked(df, bucket_s=4 * 86_400, **kw)
+    # bit-equal to the single-pass window
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, W.currentRow)
+    )
+    want = df.select(
+        "event_id",
+        F.sum("value").over(w).alias("s"),
+        F.count("value").over(w).alias("n_w"),
+    )
+    got = ok.select("event_id", "s", "n_w")
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_chunked_rolling_rejects_bucket_gap(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.operators.rolling import (
+        ChunkTooSparseError,
+        rolling_sums_chunked,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # dense day 0 and day 4, nothing between → bucket gap breaks adjacency
+    rows = [
+        (d * 100 + j, t0 + dt.timedelta(days=d, minutes=j), 1, "click", 1.0, None)
+        for d in (0, 4)
+        for j in range(20)
+    ]
+    with pytest.raises(ChunkTooSparseError):
+        rolling_sums_chunked(
+            _events(spark, rows),
+            key_col="event_type", ts_col="ts", id_col="event_id",
+            window=8, bucket_s=86_400, sum_exprs={"s": F.col("value")},
+            count_col="value",
+        ).count()

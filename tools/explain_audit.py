@@ -45,6 +45,7 @@ AUDITED = [
     "timeseries_interpolate",
     "timeseries_trend_ols",
     "timeseries_fir_smooth",
+    "timeseries_anomaly_chunked",
     "join_bloom_prune",
 ]
 
@@ -163,6 +164,10 @@ CHECKS = {
     "timeseries_trend_ols": [
         ("HashAggregate", True, "OLS moments are one decimal hash aggregate"),
         ("Window", False, "no window needed — pure groupBy moments"),
+    ],
+    "timeseries_anomaly_chunked": [
+        ("_bucket", True, "rolling window keyed by (series, time-bucket) — no 5-task ceiling"),
+        ("Exchange SinglePartition", False, "chunks partition independently"),
     ],
     "timeseries_fir_smooth": [
         ("Window", True, "all 8 taps share one Window node"),

@@ -53,6 +53,7 @@ STRESSED = [
     "timeseries_interpolate",
     "timeseries_trend_ols",
     "timeseries_fir_smooth",
+    "timeseries_anomaly_chunked",
     "join_bloom_prune",
 ]
 # which table each query mainly scans → which copy to amplify
@@ -75,6 +76,7 @@ MAIN_TABLE = {
     "timeseries_interpolate": "events",
     "timeseries_trend_ols": "events",
     "timeseries_fir_smooth": "events",
+    "timeseries_anomaly_chunked": "events",
     "join_bloom_prune": "lineitem",
 }
 ID_COLS = {
