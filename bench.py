@@ -75,6 +75,7 @@ HEADLINE = [
     "timeseries_trend_ols",
     "timeseries_fir_smooth",
     "timeseries_anomaly_chunked",
+    "streaming_anomaly_zscore",
     "join_bloom_prune",
 ]
 

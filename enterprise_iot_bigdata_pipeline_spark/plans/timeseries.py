@@ -437,3 +437,72 @@ def timeseries_anomaly_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = F.col("value") - F.col("mean_w")
     return stats.filter(dev * dev > F.lit(9) * F.col("var_w"))
+
+
+# --- The streaming anomaly detector as a driver-checked query: the events
+#     table replayed through a real availableNow file-source stream into
+#     streaming/anomaly.py's applyInPandasWithState operator (integer-micro
+#     state accumulation), memory sink. The oracle is the SAME single-pass
+#     SQL as the batch query — hash-green proves the streaming state
+#     algebra reproduces the decimal-exact batch flags bit-for-bit at
+#     driver scale (the pytest additionally proves it across multi-batch
+#     splits). Staging mirrors streaming_hour_agg (plans/ingest.py). -------
+
+
+@register(
+    "streaming_anomaly_zscore",
+    f"""
+    WITH w AS (
+        SELECT event_id, ts, event_type, value,
+            CAST(sum(CAST(value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS s_w,
+            CAST(sum(CAST(value * value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS q_w,
+            count(value) {_Z_OVER} AS n_w
+        FROM events
+    ), stats AS (
+        SELECT event_id, ts, event_type, value, n_w,
+            s_w / n_w AS mean_w,
+            greatest(0.0::DOUBLE, q_w - s_w * s_w / n_w) / (n_w - 1) AS var_w
+        FROM w
+        WHERE n_w >= {_Z_MIN}
+    )
+    SELECT event_id, ts, event_type, value, n_w, mean_w, var_w
+    FROM stats
+    WHERE (value - mean_w) * (value - mean_w) > 9 * var_w
+    """,
+)
+def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.anomaly import (
+        stream_anomaly_zscore,
+    )
+
+    # session-conf side effects (UTC pin + nanosAsLong) — see streaming_hour_agg
+    t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="stream_anom_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
+    try:
+        stream = spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        ).parquet(stage)
+        raw_ts = dict(stream.dtypes).get("ts")
+        if raw_ts == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif raw_ts == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = stream_anomaly_zscore(stream, window=_Z_WIN, min_n=_Z_MIN)
+        name = f"stream_anom_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
