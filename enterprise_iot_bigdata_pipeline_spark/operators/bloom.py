@@ -124,11 +124,19 @@ def bloom_semi_join(
     """``big LEFT SEMI JOIN small ON big_key = small_key``, with the big
     side pruned map-side by a bloom filter of the small side's keys before
     any shuffle. ``n_bits=None`` sizes the filter from a count of the small
-    side (one cheap job over the already-filtered dimension)."""
-    if n_bits is None or k is None:
+    side (one cheap job over the already-filtered dimension); with an
+    explicit ``n_bits``, ``k`` is tuned to THAT bitmap ((m/n)·ln2), not to
+    the discarded auto size. Null big-side keys are dropped (SQL equi-join
+    semantics: NULL never matches) — which also keeps the probe column
+    non-nullable, so Arrow hands the UDF exact int64s (a nullable long
+    batch would arrive as float64 and corrupt keys above 2^53)."""
+    if n_bits is None:
         auto_bits, auto_k = suggest_bits(small.count(), fpp)
-        n_bits = n_bits or auto_bits
+        n_bits = auto_bits
         k = k or auto_k
+    elif k is None:
+        n = max(1, small.count())
+        k = max(1, min(16, round((n_bits / n) * float(np.log(2)))))
     if n_bits & (n_bits - 1):
         raise ValueError(f"n_bits must be a power of two, got {n_bits}")
 
@@ -140,15 +148,17 @@ def bloom_semi_join(
 
     @pandas_udf("boolean")
     def might_contain(keys: pd.Series) -> pd.Series:
-        arr = keys.to_numpy(dtype=np.int64, na_value=0)
+        arr = keys.to_numpy(dtype=np.int64)
         pos = _positions(arr, nb, mul, add)
         bm = bcast.value
         hit = (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
-        ok = hit.all(axis=1) & ~keys.isna().to_numpy()
-        return pd.Series(ok)
+        return pd.Series(hit.all(axis=1))
 
-    pruned = big.where(might_contain(_key_as_long(big, big_key)))
+    # null test on the ORIGINAL column: xxhash64(NULL) is non-null, so the
+    # hashed long can't witness a null string key
+    probe = F.coalesce(_key_as_long(big, big_key), F.lit(0))  # non-null → exact int64 batches
+    pruned = big.where(F.col(big_key).isNotNull() & might_contain(probe))
     if not exact:
         return pruned
-    keys = small.select(F.col(small_key).alias(big_key)).dropDuplicates()
+    keys = small.select(F.col(small_key).alias(big_key))
     return pruned.join(keys, on=big_key, how="left_semi")

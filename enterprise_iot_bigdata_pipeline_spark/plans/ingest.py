@@ -300,7 +300,11 @@ def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         # Memory sink rows live on the driver — safe to drop the staged input
-        # dir right away (no /tmp leak per run).
-        return spark.table(name)
+        # dir right away (no /tmp leak per run). localCheckpoint + dropTempView
+        # also release the sink's driver copy, so repeated bench runs don't
+        # pin one result set per invocation.
+        out_df = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out_df
     finally:
         shutil.rmtree(stage, ignore_errors=True)

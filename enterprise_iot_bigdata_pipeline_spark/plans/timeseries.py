@@ -98,10 +98,10 @@ _Z_MIN = 20  # minimum samples before flagging
 
 _Z_OVER = "OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)"
 
-
-@register(
-    "timeseries_anomaly_zscore",
-    f"""
+# Shared by the single-pass, chunked, and streaming registrations: one
+# semantic, three execution strategies, ONE oracle text — a change to the
+# flag algebra cannot desynchronize the variants from their gate.
+_Z_ORACLE = f"""
     WITH w AS (
         SELECT event_id, ts, event_type, value,
             CAST(sum(CAST(value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS s_w,
@@ -118,7 +118,28 @@ _Z_OVER = "OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 49 P
     SELECT event_id, ts, event_type, value, n_w, mean_w, var_w
     FROM stats
     WHERE (value - mean_w) * (value - mean_w) > 9 * var_w
-    """,
+    """
+
+
+def _z_flag(windowed):
+    """(s_w, q_w, n_w)-windowed frame → flagged anomaly rows; the shared
+    mean/var/3σ algebra of every z-score variant (mirrors _Z_ORACLE)."""
+    windowed = windowed.filter(F.col("n_w") >= _Z_MIN)
+    mean_w = F.col("s_w") / F.col("n_w")
+    var_w = F.greatest(
+        F.lit(0.0), F.col("q_w") - F.col("s_w") * F.col("s_w") / F.col("n_w")
+    ) / (F.col("n_w") - F.lit(1))
+    stats = windowed.select(
+        "event_id", "ts", "event_type", "value", "n_w",
+        mean_w.alias("mean_w"), var_w.alias("var_w"),
+    )
+    dev = F.col("value") - F.col("mean_w")
+    return stats.filter(dev * dev > F.lit(9) * F.col("var_w"))
+
+
+@register(
+    "timeseries_anomaly_zscore",
+    _Z_ORACLE,
 )
 def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
@@ -134,17 +155,8 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed = ev.select(
         "event_id", "ts", "event_type", "value",
         s_w.alias("s_w"), q_w.alias("q_w"), n_w.alias("n_w"),
-    ).filter(F.col("n_w") >= _Z_MIN)
-    mean_w = F.col("s_w") / F.col("n_w")
-    var_w = F.greatest(
-        F.lit(0.0), F.col("q_w") - F.col("s_w") * F.col("s_w") / F.col("n_w")
-    ) / (F.col("n_w") - F.lit(1))
-    stats = windowed.select(
-        "event_id", "ts", "event_type", "value", "n_w",
-        mean_w.alias("mean_w"), var_w.alias("var_w"),
     )
-    dev = F.col("value") - F.col("mean_w")
-    return stats.filter(dev * dev > F.lit(9) * F.col("var_w"))
+    return _z_flag(windowed)
 
 
 # --- Linear gap interpolation on a fixed grid: resample each series to
@@ -384,24 +396,7 @@ _CHUNK_BUCKET_S = 864_000  # 10-day chunks: mid-chunks hold ≥ w−1 rows at ev
 
 @register(
     "timeseries_anomaly_chunked",
-    f"""
-    WITH w AS (
-        SELECT event_id, ts, event_type, value,
-            CAST(sum(CAST(value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS s_w,
-            CAST(sum(CAST(value * value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS q_w,
-            count(value) {_Z_OVER} AS n_w
-        FROM events
-    ), stats AS (
-        SELECT event_id, ts, event_type, value, n_w,
-            s_w / n_w AS mean_w,
-            greatest(0.0::DOUBLE, q_w - s_w * s_w / n_w) / (n_w - 1) AS var_w
-        FROM w
-        WHERE n_w >= {_Z_MIN}
-    )
-    SELECT event_id, ts, event_type, value, n_w, mean_w, var_w
-    FROM stats
-    WHERE (value - mean_w) * (value - mean_w) > 9 * var_w
-    """,
+    _Z_ORACLE,
 )
 def timeseries_anomaly_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.operators.rolling import rolling_sums_chunked
@@ -426,17 +421,8 @@ def timeseries_anomaly_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_dec").cast("double").alias("s_w"),
         F.col("q_dec").cast("double").alias("q_w"),
         "n_w",
-    ).filter(F.col("n_w") >= _Z_MIN)
-    mean_w = F.col("s_w") / F.col("n_w")
-    var_w = F.greatest(
-        F.lit(0.0), F.col("q_w") - F.col("s_w") * F.col("s_w") / F.col("n_w")
-    ) / (F.col("n_w") - F.lit(1))
-    stats = windowed.select(
-        "event_id", "ts", "event_type", "value", "n_w",
-        mean_w.alias("mean_w"), var_w.alias("var_w"),
     )
-    dev = F.col("value") - F.col("mean_w")
-    return stats.filter(dev * dev > F.lit(9) * F.col("var_w"))
+    return _z_flag(windowed)
 
 
 # --- The streaming anomaly detector as a driver-checked query: the events
@@ -451,24 +437,7 @@ def timeseries_anomaly_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_anomaly_zscore",
-    f"""
-    WITH w AS (
-        SELECT event_id, ts, event_type, value,
-            CAST(sum(CAST(value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS s_w,
-            CAST(sum(CAST(value * value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS q_w,
-            count(value) {_Z_OVER} AS n_w
-        FROM events
-    ), stats AS (
-        SELECT event_id, ts, event_type, value, n_w,
-            s_w / n_w AS mean_w,
-            greatest(0.0::DOUBLE, q_w - s_w * s_w / n_w) / (n_w - 1) AS var_w
-        FROM w
-        WHERE n_w >= {_Z_MIN}
-    )
-    SELECT event_id, ts, event_type, value, n_w, mean_w, var_w
-    FROM stats
-    WHERE (value - mean_w) * (value - mean_w) > 9 * var_w
-    """,
+    _Z_ORACLE,
 )
 def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -503,6 +472,16 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        return spark.table(name).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # sever the memory-sink view before returning: localCheckpoint
+        # materializes the rows, dropTempView releases the sink's driver
+        # copy (repeated bench runs would otherwise pin one result set
+        # per invocation for the session's lifetime)
+        out_df = (
+            spark.table(name)
+            .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(name)
+        return out_df
     finally:
         shutil.rmtree(stage, ignore_errors=True)

@@ -35,15 +35,22 @@ OUT_SCHEMA = (
     "event_id bigint, ts timestamp, event_type string, value double, "
     "n_w bigint, mean_w double, var_w double"
 )
-STATE_SCHEMA = "ts array<long>, ids array<long>, micros array<long>, sq_micros array<long>"
+STATE_SCHEMA = (
+    "ts array<long>, ids array<long>, micros array<long>, sq_micros array<long>, "
+    "non_null array<boolean>"
+)
 
 _Q6 = Decimal("0.000001")
 
 
 def _micro(x: float) -> int:
-    """Integer micro-units with Spark's double→DECIMAL(25,6) rounding
-    (exact binary expansion, then ROUND_HALF_UP at scale 6)."""
-    return int(Decimal(x).quantize(_Q6, rounding=ROUND_HALF_UP).scaleb(6))
+    """Integer micro-units with Spark's double→DECIMAL(25,6) rounding.
+    Spark casts via ``BigDecimal.valueOf(d)`` — the SHORTEST round-trip
+    decimal string — then HALF_UP; Python's ``repr`` produces the same
+    shortest string, so ``Decimal(repr(x))`` (NOT ``Decimal(x)``, the exact
+    binary expansion: e.g. 140891.5968535 quantizes to ...853 exact vs
+    ...854 shortest) reproduces the cast bit-for-bit."""
+    return int(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP).scaleb(6))
 
 
 def _zscore_fn(window: int, min_n: int):
@@ -51,15 +58,18 @@ def _zscore_fn(window: int, min_n: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (event_type,) = key
-        # row = (ts_us, event_id, value, micro, sq_micro, is_new); state
-        # rows were flagged (or not) by earlier batches — only their micro
-        # sums matter here, so a placeholder value reconstruction is fine.
-        rows: list[tuple[int, int, float, int, int, bool]] = []
+        # row = (ts_us, event_id, value, micro, sq_micro, non_null, is_new).
+        # Null-value rows STAY in the buffer: the batch ROWS frame spans 50
+        # physical rows, so a null occupies a slot (displacing older rows)
+        # while contributing nothing to the sums and being excluded from
+        # n_w (= count(value)). State rows were flagged (or not) by earlier
+        # batches — only their sums matter, so the placeholder value is fine.
+        rows: list[tuple[int, int, float, int, int, bool, bool]] = []
         if state.exists:
-            ts_l, ids_l, mic_l, sq_l = state.get
+            ts_l, ids_l, mic_l, sq_l, nn_l = state.get
             rows = [
-                (t, i, m / 1e6, m, s, False)
-                for t, i, m, s in zip(ts_l, ids_l, mic_l, sq_l)
+                (t, i, m / 1e6, m, s, bool(nn), False)
+                for t, i, m, s, nn in zip(ts_l, ids_l, mic_l, sq_l, nn_l)
             ]
         n_state = len(rows)
         for pdf in pdfs:
@@ -68,29 +78,32 @@ def _zscore_fn(window: int, min_n: int):
             ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).to_numpy()
             for t, i, v in zip(ts_us, pdf["event_id"].to_numpy(), pdf["value"].to_numpy()):
                 if pd.isna(v):
-                    continue
-                v = float(v)
-                rows.append((int(t), int(i), v, _micro(v), _micro(v * v), True))
+                    rows.append((int(t), int(i), 0.0, 0, 0, False, True))
+                else:
+                    v = float(v)
+                    rows.append((int(t), int(i), v, _micro(v), _micro(v * v), True, True))
         if len(rows) == n_state:
             return
         rows.sort(key=lambda r: (r[0], r[1]))
 
         out: list[tuple] = []
-        s = q = 0
-        buf: list[tuple[int, int, float, int, int, bool]] = []
+        s = q = nn = 0
+        buf: list[tuple[int, int, float, int, int, bool, bool]] = []
         # seed the rolling sums with the retained tail, then stream the rest
         for row in rows:
-            t, i, v, m, sq, is_new = row
+            t, i, v, m, sq, non_null, is_new = row
             buf.append(row)
             s += m
             q += sq
+            nn += non_null
             if len(buf) > window:
-                _, _, _, m0, sq0, _ = buf.pop(0)
+                _, _, _, m0, sq0, nn0, _ = buf.pop(0)
                 s -= m0
                 q -= sq0
-            n = len(buf)
-            if not is_new or n < min_n:
-                continue  # state rows were already emitted by earlier batches
+                nn -= nn0
+            n = nn  # batch n_w = count(value): non-null values in the frame
+            if not is_new or not non_null or n < min_n:
+                continue  # state rows already emitted; null rows never flag
             s_w = float(s) / 1e6
             q_w = float(q) / 1e6
             mean_w = s_w / n
@@ -105,6 +118,7 @@ def _zscore_fn(window: int, min_n: int):
             [r[1] for r in tail],
             [r[3] for r in tail],
             [r[4] for r in tail],
+            [r[5] for r in tail],
         ))
         if out:
             yield pd.DataFrame(

@@ -83,3 +83,18 @@ def test_empty_small_side(spark):
     bits = build_bloom_bits(o, "o_orderkey", 1 << 12, 3)
     assert not any(bits)
     assert bloom_semi_join(li, o, "l_orderkey", "o_orderkey", n_bits=1 << 12, k=3).count() == 0
+
+
+def test_null_and_huge_keys_precision(spark):
+    """A null key in the batch must not degrade the probe to float64:
+    keys above 2^53 would corrupt and genuinely-matching rows would be
+    falsely pruned (the no-false-negative contract)."""
+    base = 1 << 60
+    big = spark.createDataFrame(
+        [(base + 1,), (base + 2,), (base + 3,), (None,), (7,)], "k long"
+    )
+    small = spark.createDataFrame([(base + 1,), (base + 3,)], "k long")
+    got = sorted(
+        r.k for r in bloom_semi_join(big, small, "k", "k", n_bits=1 << 12, k=3).collect()
+    )
+    assert got == [base + 1, base + 3]

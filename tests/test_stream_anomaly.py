@@ -104,7 +104,58 @@ def test_state_bounded_to_window_tail(spark, tmp_path):
     )
     st = FakeState()
     out = list(fn(("click",), iter([pdf]), st))
-    ts_l, ids_l, mic_l, sq_l = st.stored
-    assert len(ts_l) == len(ids_l) == len(mic_l) == len(sq_l) == 19  # window − 1
+    ts_l, ids_l, mic_l, sq_l, nn_l = st.stored
+    assert len(ts_l) == len(ids_l) == len(mic_l) == len(sq_l) == len(nn_l) == 19
     assert ids_l == list(range(81, 100))
+    assert all(nn_l)
     assert len(out) == 1 and out[0].iloc[0]["event_id"] == 99  # the spike flags
+
+
+def test_micro_matches_spark_decimal_cast(spark):
+    """The state accumulator's double→micro quantization must reproduce
+    Spark's double→DECIMAL(25,6) cast on shortest-repr boundary values
+    (Decimal(repr(x)), NOT Decimal(x) — the exact binary expansion rounds
+    the other way on these)."""
+    from enterprise_iot_bigdata_pipeline_spark.streaming.anomaly import _micro
+
+    vals = [140891.5968535, 888598.8412355, 267459.1236465, 0.1, 123.4567895, 490.02]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").selectExpr(
+        "CAST(CAST(v AS DECIMAL(25,6)) * 1000000 AS LONG) AS micro"
+    )
+    spark_micros = [r.micro for r in df.collect()]
+    assert [_micro(v) for v in vals] == spark_micros
+
+
+def test_null_values_occupy_frame_slots(spark, tmp_path):
+    """A null value must displace older rows from the 50-row frame (batch
+    ROWS semantics) while contributing nothing to sums or n_w."""
+    import pandas as pd
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.anomaly import _zscore_fn
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.stored = v
+
+    fn = _zscore_fn(window=4, min_n=2)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.date_range("2024-01-01", periods=6, freq="1min"),
+            "value": [1.0, 2.0, None, 3.0, 4.0, 5.0],
+        }
+    )
+    st = FakeState()
+    list(fn(("click",), iter([pdf]), st))
+    ts_l, ids_l, mic_l, sq_l, nn_l = st.stored
+    # tail = last 3 physical rows incl. nothing dropped for nullness
+    assert ids_l == [3, 4, 5]
+    # row 5's frame is rows 2..5: values (null,3,4,5) → n_w = 3, not 4
+    # (verified indirectly: null kept in state marks non_null False)
+    fn2 = _zscore_fn(window=4, min_n=4)
+    st2 = FakeState()
+    out = list(fn2(("click",), iter([pdf]), st2))
+    assert not out  # no frame ever reaches 4 non-null values → nothing emitted
