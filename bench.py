@@ -76,6 +76,8 @@ HEADLINE = [
     "timeseries_fir_smooth",
     "timeseries_anomaly_chunked",
     "streaming_anomaly_zscore",
+    "timeseries_winsorize",
+    "quality_fk_orphans",
     "join_bloom_prune",
 ]
 

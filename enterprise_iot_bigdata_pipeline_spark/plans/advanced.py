@@ -185,3 +185,54 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(et, F.lit("click"), F.lit("tap")).alias("repl"),
         F.concat_ws(":", et, F.col("user_id").cast("string")).alias("joined"),
     )
+
+
+# --- Referential-integrity audit: orphan counts across every FK edge of
+#     the star schema (the dbt-tests `relationships` check, cross-table
+#     counterpart of events_quality_profile's single-table rules). Each
+#     edge is one broadcast left join + count aggregate — dimension sides
+#     are small by construction, so no fact shuffle anywhere; the five
+#     edge frames union into one 5-row report. NULL FKs count as orphans
+#     (identical LEFT-JOIN-null construct in both engines). ----------------
+
+_FK_EDGES = [
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_edge_sql(edge: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{edge}' AS edge,
+           count(*) AS n_child,
+           CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+    """
+
+
+@register(
+    "quality_fk_orphans",
+    "\nUNION ALL\n".join(_fk_edge_sql(*e) for e in _FK_EDGES),
+)
+def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        c = t(spark, sf_dir, child)
+        p = F.broadcast(t(spark, sf_dir, parent).select(pk))
+        joined = c.join(p, c[fk] == p[pk], "left")
+        frames.append(
+            joined.agg(
+                F.lit(edge).alias("edge"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(p[pk].isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -485,3 +485,45 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out_df
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --- Winsorization: clamp each series' values to its exact [p01, p99]
+#     (outlier suppression before training/aggregation). Per-series exact
+#     interpolated percentiles (DuckDB quantile_cont ≡ Spark percentile,
+#     rounded to 9 dp — the agg_distributions parity recipe) computed in
+#     ONE small aggregate, broadcast back onto the events scan — the fact
+#     side never shuffles. At 100 TB the exact percentile sorts only
+#     within each series' agg buffer; swap `percentile` for
+#     `approx_percentile` when per-series cardinality outgrows memory. ------
+
+
+@register(
+    "timeseries_winsorize",
+    """
+    WITH b AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.01), 9) AS lo,
+               round(quantile_cont(value, 0.99), 9) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.ts, e.event_type, e.value,
+           CASE WHEN e.value < b.lo THEN b.lo
+                WHEN e.value > b.hi THEN b.hi
+                ELSE e.value END AS value_wins,
+           (e.value < b.lo OR e.value > b.hi) AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def timeseries_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.01)), 9).alias("lo"),
+        F.round(F.percentile(F.col("value"), F.lit(0.99)), 9).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    v, lo, hi = F.col("value"), F.col("lo"), F.col("hi")
+    return j.select(
+        "event_id", "ts", "event_type", "value",
+        F.when(v < lo, lo).when(v > hi, hi).otherwise(v).alias("value_wins"),
+        ((v < lo) | (v > hi)).alias("clipped"),
+    )

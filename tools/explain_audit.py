@@ -46,6 +46,8 @@ AUDITED = [
     "timeseries_trend_ols",
     "timeseries_fir_smooth",
     "timeseries_anomaly_chunked",
+    "timeseries_winsorize",
+    "quality_fk_orphans",
     "join_bloom_prune",
 ]
 
@@ -160,6 +162,14 @@ CHECKS = {
     "join_bloom_prune": [
         ("ArrowEvalPython", True, "bloom membership probe is Arrow-batched, map-side on the scan"),
         ("BatchEvalPython", False, "row-at-a-time Python would be the slow path"),
+    ],
+    "timeseries_winsorize": [
+        ("BroadcastHashJoin", True, "per-series bounds broadcast back — fact side never shuffles"),
+        ("SortMergeJoin", False, "a 5-row bounds join must not reshuffle the scan"),
+    ],
+    "quality_fk_orphans": [
+        ("BroadcastHashJoin", True, "every FK edge joins its dimension broadcast"),
+        ("SortMergeJoin", False, "no fact-side shuffle in the audit"),
     ],
     "timeseries_trend_ols": [
         ("HashAggregate", True, "OLS moments are one decimal hash aggregate"),
