@@ -77,6 +77,7 @@ HEADLINE = [
     "timeseries_anomaly_chunked",
     "streaming_anomaly_zscore",
     "timeseries_winsorize",
+    "timeseries_seasonal_profile",
     "quality_fk_orphans",
     "join_bloom_prune",
 ]

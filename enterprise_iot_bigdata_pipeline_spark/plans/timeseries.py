@@ -527,3 +527,48 @@ def timeseries_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(v < lo, lo).when(v > hi, hi).otherwise(v).alias("value_wins"),
         ((v < lo) | (v > hi)).alias("clipped"),
     )
+
+
+# --- Seasonal profile + residual: the hour-of-day seasonal baseline per
+#     series (decimal-exact mean over each (series, hour-of-day) cell) and
+#     each event's deseasonalized residual. One 120-cell aggregate,
+#     broadcast back onto the scan — the fact side never shuffles (the
+#     profile is the IoT "typical day" curve; residuals feed the anomaly
+#     paths above). ---------------------------------------------------------
+
+
+@register(
+    "timeseries_seasonal_profile",
+    f"""
+    WITH prof AS (
+        SELECT event_type,
+               CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+               {DAVG_SQL("value")} AS seasonal_mean,
+               count(*) AS n_cell
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.event_type, e.value,
+           p.hod, p.seasonal_mean, p.n_cell,
+           e.value - p.seasonal_mean AS residual
+    FROM events e
+    JOIN prof p
+      ON e.event_type = p.event_type
+     AND CAST(extract(hour FROM e.ts) AS INTEGER) = p.hod
+    """,
+)
+def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("int")
+    prof = (
+        ev.select("event_type", hod.alias("hod"), "value")
+        .groupBy("event_type", "hod")
+        .agg(davg(F.col("value")).alias("seasonal_mean"), F.count(F.lit(1)).alias("n_cell"))
+    )
+    j = ev.select("event_id", "ts", "event_type", "value", hod.alias("hod")).join(
+        F.broadcast(prof), ["event_type", "hod"]
+    )
+    return j.select(
+        "event_id", "ts", "event_type", "value", "hod", "seasonal_mean", "n_cell",
+        (F.col("value") - F.col("seasonal_mean")).alias("residual"),
+    )

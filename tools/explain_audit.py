@@ -47,6 +47,7 @@ AUDITED = [
     "timeseries_fir_smooth",
     "timeseries_anomaly_chunked",
     "timeseries_winsorize",
+    "timeseries_seasonal_profile",
     "quality_fk_orphans",
     "join_bloom_prune",
 ]
@@ -162,6 +163,10 @@ CHECKS = {
     "join_bloom_prune": [
         ("ArrowEvalPython", True, "bloom membership probe is Arrow-batched, map-side on the scan"),
         ("BatchEvalPython", False, "row-at-a-time Python would be the slow path"),
+    ],
+    "timeseries_seasonal_profile": [
+        ("BroadcastHashJoin", True, "the 120-cell profile broadcasts back — fact side never shuffles"),
+        ("SortMergeJoin", False, "no fact reshuffle for a profile join"),
     ],
     "timeseries_winsorize": [
         ("BroadcastHashJoin", True, "per-series bounds broadcast back — fact side never shuffles"),
