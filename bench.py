@@ -78,6 +78,8 @@ HEADLINE = [
     "streaming_anomaly_zscore",
     "timeseries_winsorize",
     "timeseries_seasonal_profile",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
     "quality_fk_orphans",
     "join_bloom_prune",
 ]

@@ -162,3 +162,105 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "last_click_ts")
     )
+
+
+# --- Funnel analysis: ordered view → click → purchase conversion per user
+#     (each stage's timestamp must follow the previous stage's FIRST
+#     occurrence — the standard product-analytics funnel). One hash
+#     aggregate per user computes the three conditional first-timestamps
+#     via min(CASE …); stages resolve left-to-right in a single pass, so
+#     the whole funnel is ONE shuffle of |users| rows, then a 4-row
+#     summary. Window-free and join-free. --------------------------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+            min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+            min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
+        FROM events GROUP BY user_id
+    ), staged AS (
+        SELECT user_id, t_view,
+            CASE WHEN t_click_any >= t_view THEN t_click_any END AS t_click,
+            CASE WHEN t_buy_any >= (CASE WHEN t_click_any >= t_view THEN t_click_any END)
+                 THEN t_buy_any END AS t_buy
+        FROM per_user
+    )
+    SELECT 'entered' AS stage, count(*) AS n_users FROM staged
+    UNION ALL
+    SELECT 'viewed', count(t_view) FROM staged
+    UNION ALL
+    SELECT 'clicked_after_view', count(t_click) FROM staged
+    UNION ALL
+    SELECT 'bought_after_click', count(t_buy) FROM staged
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def first_of(kind: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click_any"),
+        first_of("purchase").alias("t_buy_any"),
+    )
+    t_click = F.when(F.col("t_click_any") >= F.col("t_view"), F.col("t_click_any"))
+    staged = per_user.select(
+        "user_id",
+        "t_view",
+        t_click.alias("t_click"),
+        F.when(F.col("t_buy_any") >= t_click, F.col("t_buy_any")).alias("t_buy"),
+    )
+
+    def stage(name: str, col: F.Column) -> DataFrame:
+        return staged.agg(F.lit(name).alias("stage"), F.count(col).alias("n_users"))
+
+    out = stage("entered", F.lit(1))
+    for name, c in [
+        ("viewed", F.col("t_view")),
+        ("clicked_after_view", F.col("t_click")),
+        ("bought_after_click", F.col("t_buy")),
+    ]:
+        out = out.unionByName(stage(name, c))
+    return out
+
+
+# --- Cohort retention: users grouped by first-seen week, activity counted
+#     per week offset — the canonical retention triangle. Two shuffles
+#     total: one |users| aggregate for cohort assignment, one
+#     (cohort × offset) count after a broadcast join of the user→cohort
+#     map... at true scale the user map outgrows broadcast and rides the
+#     shuffle join instead; the aggregate shape is unchanged. --------------
+
+
+@register(
+    "cohort_weekly_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(floor(CAST(floor(epoch(min(ts))) AS BIGINT) / 604800) AS BIGINT) AS cohort_w
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_w,
+           CAST(floor(CAST(floor(epoch(e.ts)) AS BIGINT) / 604800) AS BIGINT) - f.cohort_w AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    week = lambda c: (F.unix_timestamp(c).cast("long") / 604800).cast("long")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_w"))
+    joined = ev.select("user_id", week(F.col("ts")).alias("w")).join(
+        F.broadcast(firsts), "user_id"
+    )
+    return (
+        joined.groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )

@@ -185,3 +185,56 @@ def test_chunked_rolling_rejects_bucket_gap(spark, tmp_path):
             window=8, bucket_s=86_400, sum_exprs={"s": F.col("value")},
             count_col="value",
         ).count()
+
+
+def test_chunked_rolling_property_random_shapes(spark):
+    """Randomized equivalence: for random series shapes and any bucket size
+    that passes the density guard, the chunked rolling sums must equal the
+    single-pass window bit-for-bit (guard violations must raise, never
+    silently diverge)."""
+    import random
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.rolling import (
+        ChunkTooSparseError,
+        rolling_sums_chunked,
+    )
+
+    rng = random.Random(20260814)
+    t0 = dt.datetime(2024, 1, 1)
+    for trial in range(6):
+        window = rng.choice([3, 5, 8])
+        n_rows = rng.randint(20, 120)
+        keys = ["a", "b"][: rng.randint(1, 2)]
+        rows = []
+        eid = 0
+        for k in keys:
+            tcur = t0
+            for _ in range(n_rows):
+                tcur += dt.timedelta(minutes=rng.randint(1, 90))
+                rows.append((eid, tcur, 1, k, round(rng.uniform(0, 100), 3), None))
+                eid += 1
+        df = _events(spark, rows)
+        bucket_s = rng.choice([3600, 6 * 3600, 86400])
+        kw = dict(
+            key_col="event_type", ts_col="ts", id_col="event_id",
+            window=window, bucket_s=bucket_s,
+            sum_exprs={"s": F.col("value").cast("decimal(25,6)")},
+            count_col="value",
+        )
+        try:
+            got = rolling_sums_chunked(df, **kw).select("event_id", "s", "n_w")
+        except ChunkTooSparseError:
+            continue  # guard fired — acceptable outcome for a sparse draw
+        w = (
+            W.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-(window - 1), W.currentRow)
+        )
+        want = df.select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(25,6)")).over(w).alias("s"),
+            F.count("value").over(w).alias("n_w"),
+        )
+        assert sorted(got.collect()) == sorted(want.collect()), (
+            trial, window, bucket_s, n_rows,
+        )

@@ -49,6 +49,8 @@ AUDITED = [
     "timeseries_winsorize",
     "timeseries_seasonal_profile",
     "quality_fk_orphans",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
     "join_bloom_prune",
 ]
 
@@ -167,6 +169,14 @@ CHECKS = {
     "timeseries_seasonal_profile": [
         ("BroadcastHashJoin", True, "the 120-cell profile broadcasts back — fact side never shuffles"),
         ("SortMergeJoin", False, "no fact reshuffle for a profile join"),
+    ],
+    "funnel_view_click_purchase": [
+        ("HashAggregate", True, "the funnel is one user-keyed hash aggregate"),
+        ("SortMergeJoin", False, "stage resolution is CASE algebra, not joins"),
+    ],
+    "cohort_weekly_retention": [
+        ("BroadcastHashJoin", True, "user→cohort map broadcasts at this scale"),
+        ("CartesianProduct", False, "no unkeyed join"),
     ],
     "timeseries_winsorize": [
         ("BroadcastHashJoin", True, "per-series bounds broadcast back — fact side never shuffles"),
