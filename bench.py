@@ -80,6 +80,8 @@ HEADLINE = [
     "timeseries_seasonal_profile",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "timeseries_range_window",
+    "text_extract_urls",
     "quality_fk_orphans",
     "join_bloom_prune",
 ]

@@ -1231,3 +1231,84 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("clean"),
     )
+
+
+# --- URL extraction + normalization (link-graph prep for web-corpus
+#     curation): URLs synthesized deterministically per doc_id (the
+#     text_pii_redact pattern — the corpus has none, so the oracle proves
+#     extraction AND normalization), pulled with one regexp_extract_all,
+#     then normalized inside a list lambda: scheme+host lowercased (path
+#     case preserved), trailing utm_* tracking query stripped. Pure map —
+#     no shuffle; the shared Java∩RE2∩DuckDB regex dialect, like PII. ------
+
+_URL_RE = r"https?://[^\s]+"
+_URL_HOST_RE = r"^(https?://[^/]+)"
+_URL_UTM_RE = r"\?utm_[^ ]*$"
+
+
+def _urls_oracle() -> str:
+    dirty = (
+        "text || ' see https://Sub' || CAST(doc_id % 5 AS VARCHAR) || "
+        "'.Example' || CAST(doc_id % 7 AS VARCHAR) || '.com/Page/' || CAST(doc_id AS VARCHAR) || "
+        "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END || "
+        "' and http://cdn' || CAST(doc_id % 4 AS VARCHAR) || '.example.net/A'"
+    )
+    return f"""
+    WITH staged AS (
+        SELECT doc_id, regexp_extract_all({dirty}, '{_URL_RE}') AS urls
+        FROM documents
+    ), norm AS (
+        SELECT doc_id,
+            list_transform(urls, u ->
+                regexp_replace(
+                    regexp_replace(u, '{_URL_HOST_RE}', lower(regexp_extract(u, '{_URL_HOST_RE}', 1))),
+                    '{_URL_UTM_RE}', '')) AS urls_norm
+        FROM staged
+    )
+    SELECT doc_id,
+           CAST(len(urls_norm) AS INTEGER) AS n_urls,
+           array_to_string(urls_norm, ',') AS urls,
+           array_to_string(
+               list_sort(list_distinct(
+                   list_transform(urls_norm, u -> regexp_extract(u, '^https?://([^/]+)', 1)))),
+               ',') AS domains
+    FROM norm
+    """
+
+
+@register("text_extract_urls", _urls_oracle())
+def text_extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" see https://Sub"), (did % 5).cast("string"),
+        F.lit(".Example"), (did % 7).cast("string"),
+        F.lit(".com/Page/"), did.cast("string"),
+        F.when(did % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        F.lit(" and http://cdn"), (did % 4).cast("string"),
+        F.lit(".example.net/A"),
+    )
+    staged = docs.select("doc_id", F.regexp_extract_all(dirty, F.lit(_URL_RE), 0).alias("urls"))
+    norm = staged.select(
+        "doc_id",
+        F.transform(
+            F.col("urls"),
+            lambda u: F.regexp_replace(
+                F.regexp_replace(u, _URL_HOST_RE, F.lower(F.regexp_extract(u, _URL_HOST_RE, 1))),
+                _URL_UTM_RE,
+                "",
+            ),
+        ).alias("urls_norm"),
+    )
+    domain = lambda u: F.regexp_extract(u, r"^https?://([^/]+)", 1)  # noqa: E731
+    return norm.select(
+        "doc_id",
+        F.size("urls_norm").alias("n_urls"),
+        F.array_join("urls_norm", ",").alias("urls"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.transform(F.col("urls_norm"), domain))), ","
+        ).alias("domains"),
+    )

@@ -572,3 +572,51 @@ def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "event_type", "value", "hod", "seasonal_mean", "n_cell",
         (F.col("value") - F.col("seasonal_mean")).alias("residual"),
     )
+
+
+# --- Time-based (RANGE) trailing window: decimal-exact mean/count of each
+#     series' trailing 1 HOUR — the frame kind the ROWS-based operators
+#     above don't exercise (frame membership by timestamp distance, not
+#     row count; simultaneous rows all join the frame). Both engines order
+#     by integer epoch-seconds and use the identical RANGE 3600 frame. One
+#     keyed window sort; series independent. -------------------------------
+
+_RANGE_S = 3600
+
+
+@register(
+    "timeseries_range_window",
+    f"""
+    WITH e AS (
+        SELECT event_id, ts, event_type, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events
+    )
+    SELECT event_id, ts, event_type, value,
+        CAST(sum(CAST(value AS DECIMAL(25,6)))
+             OVER (PARTITION BY event_type ORDER BY ts_s
+                   RANGE BETWEEN {_RANGE_S} PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / count(value)
+             OVER (PARTITION BY event_type ORDER BY ts_s
+                   RANGE BETWEEN {_RANGE_S} PRECEDING AND CURRENT ROW) AS mean_1h,
+        count(value)
+             OVER (PARTITION BY event_type ORDER BY ts_s
+                   RANGE BETWEEN {_RANGE_S} PRECEDING AND CURRENT ROW) AS n_1h
+    FROM e
+    """,
+)
+def timeseries_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_s", F.unix_timestamp("ts").cast("long")
+    )
+    wr = (
+        W.partitionBy("event_type")
+        .orderBy("ts_s")
+        .rangeBetween(-_RANGE_S, W.currentRow)
+    )
+    v = F.col("value")
+    return ev.select(
+        "event_id", "ts", "event_type", "value",
+        (F.sum(v.cast("decimal(25,6)")).over(wr).cast("double") / F.count(v).over(wr)).alias("mean_1h"),
+        F.count(v).over(wr).alias("n_1h"),
+    )

@@ -51,6 +51,8 @@ AUDITED = [
     "quality_fk_orphans",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "timeseries_range_window",
+    "text_extract_urls",
     "join_bloom_prune",
 ]
 
@@ -169,6 +171,14 @@ CHECKS = {
     "timeseries_seasonal_profile": [
         ("BroadcastHashJoin", True, "the 120-cell profile broadcasts back — fact side never shuffles"),
         ("SortMergeJoin", False, "no fact reshuffle for a profile join"),
+    ],
+    "timeseries_range_window": [
+        ("Window", True, "the RANGE frame is one keyed window pass"),
+        ("Exchange SinglePartition", False, "series partition independently"),
+    ],
+    "text_extract_urls": [
+        ("Exchange hashpartitioning", False, "extraction/normalization is a pure regex map"),
+        ("BatchEvalPython", False, "no Python — regexp_extract_all + list lambdas"),
     ],
     "funnel_view_click_purchase": [
         ("HashAggregate", True, "the funnel is one user-keyed hash aggregate"),

@@ -249,6 +249,7 @@ def main_longdoc() -> None:
         "text_classify_quality",
         "doc_chunk_sliding",
         "text_strip_markup",
+        "text_extract_urls",
         "web_domain_filter",
         "segment_dedup_global",
     ):
