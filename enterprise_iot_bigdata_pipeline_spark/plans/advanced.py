@@ -190,10 +190,12 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Referential-integrity audit: orphan counts across every FK edge of
 #     the star schema (the dbt-tests `relationships` check, cross-table
 #     counterpart of events_quality_profile's single-table rules). Each
-#     edge is one broadcast left join + count aggregate — dimension sides
-#     are small by construction, so no fact shuffle anywhere; the five
-#     edge frames union into one 5-row report. NULL FKs count as orphans
-#     (identical LEFT-JOIN-null construct in both engines). ----------------
+#     edge is one left join + count aggregate; the five edge frames union
+#     into one 5-row report. True dimensions (nation, region — fixed-size)
+#     broadcast; parents that scale with the corpus (orders, customer) ride
+#     the shuffle join, AQE-handled — force-broadcasting a fact-scale
+#     parent would OOM the driver at the 100 TB operating point. NULL FKs
+#     count as orphans (identical LEFT-JOIN-null construct both engines). --
 
 _FK_EDGES = [
     ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -218,10 +220,13 @@ def _fk_edge_sql(edge: str, child: str, fk: str, parent: str, pk: str) -> str:
     "\nUNION ALL\n".join(_fk_edge_sql(*e) for e in _FK_EDGES),
 )
 def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    broadcastable = {"nation", "region"}  # fixed-size; others scale with SF
     frames = []
     for edge, child, fk, parent, pk in _FK_EDGES:
         c = t(spark, sf_dir, child)
-        p = F.broadcast(t(spark, sf_dir, parent).select(pk))
+        p = t(spark, sf_dir, parent).select(pk)
+        if parent in broadcastable:
+            p = F.broadcast(p)
         joined = c.join(p, c[fk] == p[pk], "left")
         frames.append(
             joined.agg(

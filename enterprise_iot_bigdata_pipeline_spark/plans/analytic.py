@@ -164,70 +164,79 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Funnel analysis: ordered view → click → purchase conversion per user
-#     (each stage's timestamp must follow the previous stage's FIRST
-#     occurrence — the standard product-analytics funnel). One hash
-#     aggregate per user computes the three conditional first-timestamps
-#     via min(CASE …); stages resolve left-to-right in a single pass, so
-#     the whole funnel is ONE shuffle of |users| rows, then a 4-row
-#     summary. Window-free and join-free. --------------------------------
+# --- Funnel analysis: ordered view → click → purchase conversion per user.
+#     TRUE ordered semantics: each stage's timestamp is the user's first
+#     qualifying event AT OR AFTER the previous stage's resolved timestamp
+#     (an early click before any view does NOT disqualify a later one).
+#     Three chained unbounded windows over the SAME user partitioning —
+#     one shuffle, no sort (no orderBy ⇒ whole-partition frames), exchange
+#     reused across the Window nodes — then ONE per-user aggregate and a
+#     stack() unpivot into the 4-row summary. One events scan total. --------
 
 
 @register(
     "funnel_view_click_purchase",
     """
-    WITH per_user AS (
-        SELECT user_id,
-            min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-            min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
-            min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
-        FROM events GROUP BY user_id
-    ), staged AS (
-        SELECT user_id, t_view,
-            CASE WHEN t_click_any >= t_view THEN t_click_any END AS t_click,
-            CASE WHEN t_buy_any >= (CASE WHEN t_click_any >= t_view THEN t_click_any END)
-                 THEN t_buy_any END AS t_buy
+    WITH s1 AS (
+        SELECT user_id, event_type, ts,
+            min(CASE WHEN event_type = 'view' THEN ts END)
+                OVER (PARTITION BY user_id) AS t_view
+        FROM events
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_buy
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+               min(t_buy) AS t_buy
+        FROM s3 GROUP BY user_id
+    ), counts AS (
+        SELECT count(*) AS entered, count(t_view) AS viewed,
+               count(t_click) AS clicked, count(t_buy) AS bought
         FROM per_user
     )
-    SELECT 'entered' AS stage, count(*) AS n_users FROM staged
-    UNION ALL
-    SELECT 'viewed', count(t_view) FROM staged
-    UNION ALL
-    SELECT 'clicked_after_view', count(t_click) FROM staged
-    UNION ALL
-    SELECT 'bought_after_click', count(t_buy) FROM staged
+    SELECT 'entered' AS stage, entered AS n_users FROM counts
+    UNION ALL SELECT 'viewed', viewed FROM counts
+    UNION ALL SELECT 'clicked_after_view', clicked FROM counts
+    UNION ALL SELECT 'bought_after_click', bought FROM counts
     """,
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-
-    def first_of(kind: str) -> F.Column:
-        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
-
-    per_user = ev.groupBy("user_id").agg(
-        first_of("view").alias("t_view"),
-        first_of("click").alias("t_click_any"),
-        first_of("purchase").alias("t_buy_any"),
+    wu = W.partitionBy("user_id")
+    et, ts = F.col("event_type"), F.col("ts")
+    s1 = ev.select(
+        "user_id", "event_type", "ts",
+        F.min(F.when(et == "view", ts)).over(wu).alias("t_view"),
     )
-    t_click = F.when(F.col("t_click_any") >= F.col("t_view"), F.col("t_click_any"))
-    staged = per_user.select(
-        "user_id",
-        "t_view",
-        t_click.alias("t_click"),
-        F.when(F.col("t_buy_any") >= t_click, F.col("t_buy_any")).alias("t_buy"),
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(F.when((et == "click") & (ts >= F.col("t_view")), ts)).over(wu),
     )
-
-    def stage(name: str, col: F.Column) -> DataFrame:
-        return staged.agg(F.lit(name).alias("stage"), F.count(col).alias("n_users"))
-
-    out = stage("entered", F.lit(1))
-    for name, c in [
-        ("viewed", F.col("t_view")),
-        ("clicked_after_view", F.col("t_click")),
-        ("bought_after_click", F.col("t_buy")),
-    ]:
-        out = out.unionByName(stage(name, c))
-    return out
+    s3 = s2.withColumn(
+        "t_buy",
+        F.min(F.when((et == "purchase") & (ts >= F.col("t_click")), ts)).over(wu),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_buy").alias("t_buy"),
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).alias("entered"),
+        F.count("t_view").alias("viewed"),
+        F.count("t_click").alias("clicked"),
+        F.count("t_buy").alias("bought"),
+    )
+    return counts.selectExpr(
+        "stack(4, 'entered', entered, 'viewed', viewed, "
+        "'clicked_after_view', clicked, 'bought_after_click', bought) "
+        "AS (stage, n_users)"
+    )
 
 
 # --- Cohort retention: users grouped by first-seen week, activity counted
@@ -255,7 +264,9 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    week = lambda c: (F.unix_timestamp(c).cast("long") / 604800).cast("long")  # noqa: E731
+    # F.floor, not cast-to-long: cast truncates toward zero and would
+    # diverge from the oracle's floor() on pre-epoch (negative) timestamps
+    week = lambda c: F.floor(F.unix_timestamp(c).cast("long") / F.lit(604800)).cast("long")  # noqa: E731
     firsts = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_w"))
     joined = ev.select("user_id", week(F.col("ts")).alias("w")).join(
         F.broadcast(firsts), "user_id"

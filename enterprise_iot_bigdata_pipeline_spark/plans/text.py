@@ -542,22 +542,36 @@ def segment_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(t(spark, sf_dir, "documents"))
     g = docs.select("doc_id", X.words(F.col("text")).alias("ws"))
-    segs = g.select(
-        "doc_id",
-        F.transform(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.size("ws") / float(_SEG_W)).cast("int") - 1,
-            ),
-            lambda i: F.array_join(
-                F.slice(F.col("ws"), i * _SEG_W + 1, _SEG_W), " "
-            ),
-        ).alias("seglist"),
+    # Segment building goes through word-level posexplode + grouped
+    # reassembly, NOT transform(sequence, i -> slice(ws, ...)): after
+    # ProjectCollapse inlines ws back to its words() expression, that
+    # lambda re-tokenizes the WHOLE document once per segment — O(len²)
+    # per doc (longdoc stress measured exponent 1.48, 36.4 s at 10x; this plan: 0.13, 2.5 s).
+    # Generate evaluates ws exactly once per row, and each (doc, segment)
+    # group reassembles from its own 8 words — linear, one extra shuffle
+    # keyed by (doc_id, segment).
+    wordrows = g.select(
+        "doc_id", F.posexplode(F.col("ws")).alias("wpos", "word")
     )
-    d = segs.select(
-        "doc_id",
-        F.posexplode(F.col("seglist")).alias("pos0", "s"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    d = (
+        wordrows.select(
+            "doc_id",
+            (F.col("wpos") / _SEG_W).cast("int").alias("pos0"),
+            "wpos",
+            "word",
+        )
+        .groupBy("doc_id", "pos0")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                    lambda st: st["word"],
+                ),
+                " ",
+            ).alias("s")
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    )
     w = W.partitionBy(F.md5(F.col("s"))).orderBy("doc_id", "pos")
     r = d.withColumn("rn", F.row_number().over(w))
     kept_struct = F.when(
@@ -1241,7 +1255,10 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     case preserved), trailing utm_* tracking query stripped. Pure map —
 #     no shuffle; the shared Java∩RE2∩DuckDB regex dialect, like PII. ------
 
-_URL_RE = r"https?://[^\s]+"
+# [!-~] (printable ASCII, no space) — NOT [^\s]: Java's \s includes \x0B,
+# RE2's does not (the tokenizer parity test documents the divergence), so a
+# negated-\s class is outside the shared dialect this file promises
+_URL_RE = r"https?://[!-~]+"
 _URL_HOST_RE = r"^(https?://[^/]+)"
 _URL_UTM_RE = r"\?utm_[^ ]*$"
 

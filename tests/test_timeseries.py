@@ -201,6 +201,7 @@ def test_chunked_rolling_property_random_shapes(spark):
 
     rng = random.Random(20260814)
     t0 = dt.datetime(2024, 1, 1)
+    verified = 0
     for trial in range(6):
         window = rng.choice([3, 5, 8])
         n_rows = rng.randint(20, 120)
@@ -238,3 +239,7 @@ def test_chunked_rolling_property_random_shapes(spark):
         assert sorted(got.collect()) == sorted(want.collect()), (
             trial, window, bucket_s, n_rows,
         )
+        verified += 1
+    # guard against a vacuous pass: draw ranges must keep some trials on
+    # the equality path, not all tripping ChunkTooSparseError
+    assert verified >= 2, verified

@@ -181,8 +181,8 @@ CHECKS = {
         ("BatchEvalPython", False, "no Python — regexp_extract_all + list lambdas"),
     ],
     "funnel_view_click_purchase": [
-        ("HashAggregate", True, "the funnel is one user-keyed hash aggregate"),
-        ("SortMergeJoin", False, "stage resolution is CASE algebra, not joins"),
+        ("Window", True, "stages chain through user-partitioned windows over ONE exchange"),
+        ("SortMergeJoin", False, "stage resolution is window CASE algebra, not joins"),
     ],
     "cohort_weekly_retention": [
         ("BroadcastHashJoin", True, "user→cohort map broadcasts at this scale"),
@@ -193,8 +193,7 @@ CHECKS = {
         ("SortMergeJoin", False, "a 5-row bounds join must not reshuffle the scan"),
     ],
     "quality_fk_orphans": [
-        ("BroadcastHashJoin", True, "every FK edge joins its dimension broadcast"),
-        ("SortMergeJoin", False, "no fact-side shuffle in the audit"),
+        ("BroadcastHashJoin", True, "fixed-size dimensions (nation, region) broadcast"),
     ],
     "timeseries_trend_ols": [
         ("HashAggregate", True, "OLS moments are one decimal hash aggregate"),
