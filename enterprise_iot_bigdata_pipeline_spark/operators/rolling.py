@@ -44,8 +44,9 @@ def rolling_sums_chunked(
     id_col: str,
     window: int,
     bucket_s: int,
-    sum_exprs: dict[str, Column],
+    sum_exprs: dict[str, Column] | None = None,
     count_col: str | None = None,
+    lag_exprs: dict[str, tuple[Column, int]] | None = None,
 ) -> DataFrame:
     """``df`` plus, per row, each ``sum_exprs`` column aggregated over the
     trailing ``window`` rows (ordered by (ts, id) within key) and ``n_w``
@@ -53,7 +54,22 @@ def rolling_sums_chunked(
     match a single-pass ``count(col)``) — computed chunk-parallel,
     bit-identical to the single-pass window. ``sum_exprs`` maps output
     name → column expression evaluated per row then F.sum'd over the
-    frame."""
+    frame.
+
+    ``lag_exprs`` maps output name → (column, offset): per-row ``lag``
+    reads over the same chunked ordering, also bit-identical to the
+    single-pass form — the context tail supplies each chunk's first rows
+    with their true predecessors (any offset ≤ window−1; the same
+    precondition guard applies). This covers FIR/EWMA-style tap kernels,
+    not just frame aggregates."""
+    sum_exprs = sum_exprs or {}
+    lag_exprs = lag_exprs or {}
+    for name, (_, off) in lag_exprs.items():
+        if not 0 <= off <= window - 1:
+            raise ValueError(
+                f"lag_exprs[{name!r}] offset {off} exceeds window-1={window - 1}: "
+                f"the context tail cannot supply it"
+            )
     bucket = (F.unix_timestamp(ts_col).cast("long") / bucket_s).cast("long")
     base = df.withColumn("__bucket", bucket).withColumn("__emit", F.lit(True))
 
@@ -98,9 +114,12 @@ def rolling_sums_chunked(
         .orderBy(ts_col, id_col)
         .rowsBetween(-(window - 1), W.currentRow)
     )
+    word = W.partitionBy(key_col, "__bucket").orderBy(ts_col, id_col)
     out = unioned
     for name, expr in sum_exprs.items():
         out = out.withColumn(name, F.sum(expr).over(wroll))
+    for name, (col, off) in lag_exprs.items():
+        out = out.withColumn(name, F.lag(col, off).over(word))
     n_expr = F.count(F.col(count_col) if count_col else F.lit(1)).over(wroll)
     out = out.withColumn("n_w", n_expr)
     return out.filter(F.col("__emit")).drop("__bucket", "__emit")

@@ -243,3 +243,53 @@ def test_chunked_rolling_property_random_shapes(spark):
     # guard against a vacuous pass: draw ranges must keep some trials on
     # the equality path, not all tripping ChunkTooSparseError
     assert verified >= 2, verified
+
+
+def test_chunked_lags_match_single_pass_fir(spark, tmp_path):
+    """lag_exprs path: a chunked 8-tap FIR must equal the single-pass
+    timeseries_fir_smooth bit-for-bit (context rows supply each chunk's
+    first rows with their true predecessors)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.rolling import rolling_sums_chunked
+    from enterprise_iot_bigdata_pipeline_spark.plans.timeseries import (
+        _FIR_TAPS,
+        _fir_coeffs,
+        timeseries_fir_smooth,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    ev = t(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    rolled = rolling_sums_chunked(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+        window=_FIR_TAPS,
+        bucket_s=10 * 86_400,
+        lag_exprs={f"l{j}": (F.col("value"), j) for j in range(_FIR_TAPS)},
+        count_col="value",
+    )
+    cs = _fir_coeffs()
+    num = den = None
+    for j, c in enumerate(cs):
+        lag_j = F.col(f"l{j}")
+        term = F.coalesce(lag_j * F.lit(c), F.lit(0.0))
+        cnt = F.when(lag_j.isNotNull(), F.lit(c)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = cnt if den is None else den + cnt
+    got = rolled.select("event_id", (num / den).alias("value_smooth"))
+    want = timeseries_fir_smooth(spark, sf).select("event_id", "value_smooth")
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_chunked_lag_offset_guard():
+    import pytest as _pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.rolling import rolling_sums_chunked
+
+    with _pytest.raises(ValueError, match="offset"):
+        rolling_sums_chunked(
+            None, key_col="k", ts_col="ts", id_col="i",
+            window=4, bucket_s=60, lag_exprs={"x": (F.col("v"), 4)},
+        )

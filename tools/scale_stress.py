@@ -318,7 +318,12 @@ def main_skew() -> None:
 
     print(f"skew N={N} (one user = 50% of {N * 100_000} events)")
     print(f"{'path':34s} {'uniform':>7s} {'skewed':>7s} {'ratio':>7s}")
-    for qname in ("window_sessionize", "sessionize_two_phase"):
+    for qname in (
+        "window_sessionize",
+        "sessionize_two_phase",
+        "funnel_view_click_purchase",
+        "cohort_weekly_retention",
+    ):
         report(
             qname,
             timed(lambda: queries[qname](spark, stages["uniform"])),
