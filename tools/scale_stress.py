@@ -54,6 +54,14 @@ STRESSED = [
     "timeseries_trend_ols",
     "timeseries_fir_smooth",
     "timeseries_anomaly_chunked",
+    "timeseries_winsorize",
+    "timeseries_seasonal_profile",
+    "timeseries_range_window",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "quality_fk_orphans",
+    "segment_dedup_global",
+    "text_extract_urls",
     "join_bloom_prune",
 ]
 # which table each query mainly scans → which copy to amplify
@@ -77,6 +85,14 @@ MAIN_TABLE = {
     "timeseries_trend_ols": "events",
     "timeseries_fir_smooth": "events",
     "timeseries_anomaly_chunked": "events",
+    "timeseries_winsorize": "events",
+    "timeseries_seasonal_profile": "events",
+    "timeseries_range_window": "events",
+    "funnel_view_click_purchase": "events",
+    "cohort_weekly_retention": "events",
+    "quality_fk_orphans": "lineitem",
+    "segment_dedup_global": "documents",
+    "text_extract_urls": "documents",
     "join_bloom_prune": "lineitem",
 }
 ID_COLS = {
