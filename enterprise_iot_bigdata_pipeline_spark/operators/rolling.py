@@ -47,6 +47,7 @@ def rolling_sums_chunked(
     sum_exprs: dict[str, Column] | None = None,
     count_col: str | None = None,
     lag_exprs: dict[str, tuple[Column, int]] | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """``df`` plus, per row, each ``sum_exprs`` column aggregated over the
     trailing ``window`` rows (ordered by (ts, id) within key) and ``n_w``
@@ -61,7 +62,13 @@ def rolling_sums_chunked(
     single-pass form — the context tail supplies each chunk's first rows
     with their true predecessors (any offset ≤ window−1; the same
     precondition guard applies). This covers FIR/EWMA-style tap kernels,
-    not just frame aggregates."""
+    not just frame aggregates.
+
+    ``validate=False`` skips the precondition scan (an extra aggregate
+    over ``df`` — a full pass at 100 TB): for deployments that re-run a
+    pinned, already-proven (bucket_s, window) pair on data of the same
+    density. A violation then silently under-fills early-chunk history —
+    only disable it on audited schedules."""
     sum_exprs = sum_exprs or {}
     lag_exprs = lag_exprs or {}
     for name, (_, off) in lag_exprs.items():
@@ -74,26 +81,8 @@ def rolling_sums_chunked(
     base = df.withColumn("__bucket", bucket).withColumn("__emit", F.lit(True))
 
     # ---- precondition: contiguous buckets; non-edge chunks hold ≥ w−1 rows
-    per_chunk = base.groupBy(key_col, "__bucket").agg(F.count(F.lit(1)).alias("__n"))
-    wk = W.partitionBy(key_col)
-    stats = per_chunk.withColumn("__lo", F.min("__bucket").over(wk)).withColumn(
-        "__hi", F.max("__bucket").over(wk)
-    )
-    gaps = stats.groupBy(key_col, "__lo", "__hi").agg(
-        F.count(F.lit(1)).alias("__present")
-    ).filter(F.col("__present") != F.col("__hi") - F.col("__lo") + 1)
-    sparse = stats.filter(
-        (F.col("__bucket") != F.col("__lo"))
-        & (F.col("__bucket") != F.col("__hi"))
-        & (F.col("__n") < window - 1)
-    )
-    bad = gaps.select(key_col).union(sparse.select(key_col)).limit(1).count()
-    if bad:
-        raise ChunkTooSparseError(
-            f"bucket_s={bucket_s} leaves a mid-series chunk under {window - 1} "
-            f"rows (or an empty bucket) for some {key_col}; widen bucket_s or "
-            f"shrink window"
-        )
+    if validate:
+        _validate_chunks(base, key_col, window, bucket_s)
 
     # ---- replicate each chunk's tail into the next bucket as context
     wtail = W.partitionBy(key_col, "__bucket").orderBy(
@@ -123,3 +112,26 @@ def rolling_sums_chunked(
     n_expr = F.count(F.col(count_col) if count_col else F.lit(1)).over(wroll)
     out = out.withColumn("n_w", n_expr)
     return out.filter(F.col("__emit")).drop("__bucket", "__emit")
+
+
+def _validate_chunks(base: DataFrame, key_col: str, window: int, bucket_s: int) -> None:
+    per_chunk = base.groupBy(key_col, "__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    wk = W.partitionBy(key_col)
+    stats = per_chunk.withColumn("__lo", F.min("__bucket").over(wk)).withColumn(
+        "__hi", F.max("__bucket").over(wk)
+    )
+    gaps = stats.groupBy(key_col, "__lo", "__hi").agg(
+        F.count(F.lit(1)).alias("__present")
+    ).filter(F.col("__present") != F.col("__hi") - F.col("__lo") + 1)
+    sparse = stats.filter(
+        (F.col("__bucket") != F.col("__lo"))
+        & (F.col("__bucket") != F.col("__hi"))
+        & (F.col("__n") < window - 1)
+    )
+    bad = gaps.select(key_col).union(sparse.select(key_col)).limit(1).count()
+    if bad:
+        raise ChunkTooSparseError(
+            f"bucket_s={bucket_s} leaves a mid-series chunk under {window - 1} "
+            f"rows (or an empty bucket) for some {key_col}; widen bucket_s or "
+            f"shrink window"
+        )

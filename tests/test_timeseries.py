@@ -293,3 +293,20 @@ def test_chunked_lag_offset_guard():
             None, key_col="k", ts_col="ts", id_col="i",
             window=4, bucket_s=60, lag_exprs={"x": (F.col("v"), 4)},
         )
+
+
+def test_chunked_validate_false_skips_guard_but_matches_on_good_buckets(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.operators.rolling import rolling_sums_chunked
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "click", float(i), None) for i in range(48)
+    ]
+    df = _events(spark, rows)
+    kw = dict(
+        key_col="event_type", ts_col="ts", id_col="event_id",
+        window=6, bucket_s=86_400, sum_exprs={"s": F.col("value")}, count_col="value",
+    )
+    a = rolling_sums_chunked(df, validate=True, **kw).select("event_id", "s", "n_w")
+    b = rolling_sums_chunked(df, validate=False, **kw).select("event_id", "s", "n_w")
+    assert sorted(a.collect()) == sorted(b.collect())
