@@ -643,3 +643,128 @@ def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 4) -> Da
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
     return fan_out(media.select("doc_id", "content")).mapInPandas(per_batch, FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, out_w int, out_h int, n_channels int, pixels binary"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bilinear resize of decoded raster rows (``doc_id, width, height,
+    n_channels, pixels`` — interleaved uint8, the parse_png/parse_ppm
+    output shape) to a fixed (out_w, out_h): the canonical
+    normalize-before-embed stage of an image training pipeline. Pure-numpy
+    vectorized bilinear (align_corners=False, half-pixel centers — the
+    torchvision/PIL convention), Arrow-batched; payloads never visit the
+    driver. Rows with empty pixels pass through as null."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ys = None  # per-(h,w) interpolation grids cached across rows
+        cache: dict = {}
+
+        def grids(h: int, w: int):
+            key = (h, w)
+            if key not in cache:
+                # half-pixel centers: src = (dst + 0.5) * scale − 0.5, clamped
+                sy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+                sx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+                sy = np.clip(sy, 0, h - 1)
+                sx = np.clip(sx, 0, w - 1)
+                y0 = np.floor(sy).astype(np.int64)
+                x0 = np.floor(sx).astype(np.int64)
+                y1 = np.minimum(y0 + 1, h - 1)
+                x1 = np.minimum(x0 + 1, w - 1)
+                wy = (sy - y0)[:, None, None]
+                wx = (sx - x0)[None, :, None]
+                cache[key] = (y0, y1, x0, x1, wy, wx)
+            return cache[key]
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h, nc, px in zip(
+                pdf[id_col], pdf["width"], pdf["height"], pdf["n_channels"], pdf["pixels"]
+            ):
+                if px is None or len(px) == 0 or w <= 0 or h <= 0:
+                    rows.append((int(doc_id), out_w, out_h, int(nc or 0), None))
+                    continue
+                w, h, nc = int(w), int(h), int(nc)
+                img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, nc).astype(np.float64)
+                y0, y1, x0, x1, wy, wx = grids(h, w)
+                top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+                bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+                out = top * (1 - wy) + bot * wy
+                rows.append(
+                    (int(doc_id), out_w, out_h, nc,
+                     np.clip(np.rint(out), 0, 255).astype(np.uint8).tobytes())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "n_channels", "pixels"])
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    cols = media.select(id_col, "width", "height", "n_channels", "pixels")
+    return fan_out(cols).mapInPandas(per_batch, RESIZED_SCHEMA)
+
+
+SPECTROGRAM_SCHEMA = (
+    "doc_id bigint, n_frames int, n_bins int, peak_bin int, "
+    "mean_db double, spectrogram binary"
+)
+
+
+def audio_spectrogram(
+    media: DataFrame,
+    n_fft: int = 256,
+    hop: int = 128,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Log-power spectrogram over decoded audio rows (``doc_id,
+    sample_rate, samples`` — any numeric array: parse_wav's int16 PCM or
+    pre-normalized floats; dB values shift by a constant, peaks don't move): Hann-windowed rFFT frames, 10·log10 power (1e-12 floor), the
+    feature-extraction stage before any audio embedding. Emits the full
+    float32 spectrogram as binary plus summary columns (dominant
+    frequency bin, mean dB). Arrow-batched numpy; one row per clip."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        win = np.hanning(n_fft)
+        for pdf in batches:
+            rows = []
+            for doc_id, samples in zip(pdf[id_col], pdf["samples"]):
+                s = np.asarray(samples, dtype=np.float64)
+                if s.size < n_fft:
+                    rows.append((int(doc_id), 0, n_fft // 2 + 1, None, None, None))
+                    continue
+                n_frames = 1 + (s.size - n_fft) // hop
+                idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+                frames = s[idx] * win[None, :]
+                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                db = 10.0 * np.log10(np.maximum(spec, 1e-12))
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(n_frames),
+                        n_fft // 2 + 1,
+                        int(spec.sum(axis=0).argmax()),
+                        float(db.mean()),
+                        db.astype(np.float32).tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "n_bins", "peak_bin", "mean_db", "spectrogram"],
+            )
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return fan_out(media.select(id_col, "sample_rate", "samples")).mapInPandas(
+        per_batch, SPECTROGRAM_SCHEMA
+    )

@@ -444,3 +444,49 @@ def test_decode_media_null_row_on_undecodable_jpeg(spark):
     rows = decode_media(media).collect()
     assert len(rows) == 1
     assert rows[0]["media_type"] is None and rows[0]["width"] is None
+
+
+def test_resize_images_bilinear_known_values(spark):
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import resize_images
+
+    # 2x2 single-channel gradient; identity resize must be byte-identical
+    px = bytes([0, 100, 200, 255])
+    df = spark.createDataFrame(
+        [(1, 2, 2, 1, bytearray(px)), (2, 0, 0, 1, bytearray(b""))],
+        "doc_id bigint, width int, height int, n_channels int, pixels binary",
+    )
+    same = {r.doc_id: r for r in resize_images(df, 2, 2).collect()}
+    assert bytes(same[1].pixels) == px
+    assert same[2].pixels is None  # empty payload passes through null
+
+    up = {r.doc_id: r for r in resize_images(df, 4, 4).collect()}
+    out = np.frombuffer(bytes(up[1].pixels), dtype=np.uint8).reshape(4, 4)
+    # corners keep source corner values under half-pixel-center bilinear
+    assert out[0, 0] == 0 and out[0, 3] == 100 and out[3, 0] == 200 and out[3, 3] == 255
+    # center interpolates between all four corners
+    assert 0 < out[1, 1] < 255 and out.dtype == np.uint8
+
+
+def test_audio_spectrogram_peak_bin(spark):
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import audio_spectrogram
+
+    sr, n_fft = 8000, 256
+    k = 32  # pure tone centered exactly on FFT bin 32 (1 kHz at 8 kHz/256)
+    n = 2048
+    tone = (0.5 * np.sin(2 * np.pi * (k * sr / n_fft) * np.arange(n) / sr)).tolist()
+    short = [0.0] * 16
+    df = spark.createDataFrame(
+        [(1, sr, tone), (2, sr, short)],
+        "doc_id bigint, sample_rate int, samples array<double>",
+    )
+    out = {r.doc_id: r for r in audio_spectrogram(df, n_fft=n_fft, hop=128).collect()}
+    assert out[1].peak_bin == k
+    assert out[1].n_bins == n_fft // 2 + 1
+    assert out[1].n_frames == 1 + (n - n_fft) // 128
+    spec = np.frombuffer(bytes(out[1].spectrogram), dtype=np.float32)
+    assert spec.size == out[1].n_frames * out[1].n_bins
+    assert out[2].peak_bin is None  # clip shorter than one frame → null summary
