@@ -667,8 +667,7 @@ def resize_images(
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        ys = None  # per-(h,w) interpolation grids cached across rows
-        cache: dict = {}
+        cache: dict = {}  # per-(h,w) interpolation grids cached across rows
 
         def grids(h: int, w: int):
             key = (h, w)
@@ -692,14 +691,24 @@ def resize_images(
             for doc_id, w, h, nc, px in zip(
                 pdf[id_col], pdf["width"], pdf["height"], pdf["n_channels"], pdf["pixels"]
             ):
-                if px is None or len(px) == 0 or w <= 0 or h <= 0:
-                    rows.append((int(doc_id), out_w, out_h, int(nc or 0), None))
+                # null metadata arrives as NaN (Arrow null int → pandas
+                # float); one bad/corrupt row must emit null, not kill the
+                # corpus job (the decode_media null-row contract)
+                meta_ok = all(pd.notna(v) for v in (w, h, nc))
+                if px is None or len(px) == 0 or not meta_ok or w <= 0 or h <= 0:
+                    rows.append((int(doc_id), out_w, out_h, int(nc) if pd.notna(nc) else 0, None))
                     continue
                 w, h, nc = int(w), int(h), int(nc)
-                img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, nc).astype(np.float64)
+                if len(px) != h * w * nc:
+                    rows.append((int(doc_id), out_w, out_h, nc, None))
+                    continue
+                img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, nc)
                 y0, y1, x0, x1, wy, wx = grids(h, w)
-                top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
-                bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+                # gather the two needed row sets FIRST, cast only those
+                r0 = img[y0].astype(np.float64)
+                r1 = img[y1].astype(np.float64)
+                top = r0[:, x0] * (1 - wx) + r0[:, x1] * wx
+                bot = r1[:, x0] * (1 - wx) + r1[:, x1] * wx
                 out = top * (1 - wy) + bot * wy
                 rows.append(
                     (int(doc_id), out_w, out_h, nc,
@@ -765,6 +774,6 @@ def audio_spectrogram(
 
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
-    return fan_out(media.select(id_col, "sample_rate", "samples")).mapInPandas(
+    return fan_out(media.select(id_col, "samples")).mapInPandas(
         per_batch, SPECTROGRAM_SCHEMA
     )

@@ -490,3 +490,20 @@ def test_audio_spectrogram_peak_bin(spark):
     spec = np.frombuffer(bytes(out[1].spectrogram), dtype=np.float32)
     assert spec.size == out[1].n_frames * out[1].n_bins
     assert out[2].peak_bin is None  # clip shorter than one frame → null summary
+
+
+def test_resize_null_and_corrupt_rows_pass_through(spark):
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [
+            (1, None, None, None, None),  # decode-failure null row
+            (2, 4, 4, 3, bytearray(b"\x00" * 40)),  # truncated: 40 != 4*4*3
+            (3, 2, 1, 1, bytearray(b"\x10\x20")),  # valid
+        ],
+        "doc_id bigint, width int, height int, n_channels int, pixels binary",
+    )
+    out = {r.doc_id: r for r in resize_images(df, 2, 1).collect()}
+    assert out[1].pixels is None
+    assert out[2].pixels is None
+    assert bytes(out[3].pixels) == b"\x10\x20"
