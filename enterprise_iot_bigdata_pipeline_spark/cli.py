@@ -8,6 +8,8 @@ query):
   python -m enterprise_iot_bigdata_pipeline_spark.cli repair        --lake LAKE
   python -m enterprise_iot_bigdata_pipeline_spark.cli compact       --lake LAKE
   python -m enterprise_iot_bigdata_pipeline_spark.cli dashboard     --lake LAKE --date 2024-03-01 --district DISTRICTB
+  python -m enterprise_iot_bigdata_pipeline_spark.cli query                    # list the registry
+  python -m enterprise_iot_bigdata_pipeline_spark.cli query flagship_minute_resample --sf-dir DIR
 """
 
 from __future__ import annotations
@@ -47,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--date", required=True)
     d.add_argument("--district", required=True)
     d.add_argument("--units", nargs="*", default=None)
+
+    q = sub.add_parser("query", help="run a registered named query (or list them)")
+    q.add_argument("name", nargs="?", default=None, help="query name; omit to list all")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20, help="rows to show (0 = count only)")
     return p
 
 
@@ -99,6 +106,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             spark.read.parquet(args.lake), args.date, args.district, args.units
         )
         out.show(50, truncate=False)
+    elif args.cmd == "query":
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        queries = all_queries()
+        if args.name is None:
+            for name in sorted(queries):
+                print(name)
+        elif args.name not in queries:
+            print(f"unknown query {args.name!r}; run without a name to list", file=sys.stderr)
+            return 2
+        else:
+            df = queries[args.name](spark, args.sf_dir)
+            if args.limit:
+                df.show(args.limit, truncate=False)
+            print(f"{args.name}: {df.count()} rows")
     return 0
 
 

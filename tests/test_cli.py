@@ -105,3 +105,23 @@ def test_dashboard_operator_semantics(spark, tmp_path):
     assert ld["gpsspeed"] == 5.5
     assert ld["gpsstatus"] == "false"
     assert rows["PM1582"]["gpsstatus"] == "true"
+
+
+def test_cli_query_subcommand(spark, capsys):
+    from enterprise_iot_bigdata_pipeline_spark.cli import main
+
+    # list mode enumerates the registry
+    assert main(["query"], spark=spark) == 0
+    listed = capsys.readouterr().out.split()
+    assert "flagship_minute_resample" in listed and len(listed) >= 70
+
+    # run mode executes a query and reports its row count
+    rc = main(
+        ["query", "sort_topk", "--sf-dir", "/root/testdata/sf0.001", "--limit", "0"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "sort_topk: 100 rows" in capsys.readouterr().out
+
+    # unknown names exit 2 with guidance
+    assert main(["query", "nope"], spark=spark) == 2
