@@ -507,3 +507,29 @@ def test_resize_null_and_corrupt_rows_pass_through(spark):
     assert out[1].pixels is None
     assert out[2].pixels is None
     assert bytes(out[3].pixels) == b"\x10\x20"
+
+
+def test_resize_identity_property(spark):
+    """Identity resize (out dims == in dims) is byte-exact for random
+    shapes/channels — guards the half-pixel grid math at the boundaries."""
+    import random
+
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import resize_images
+
+    rng = random.Random(5)
+    rows = []
+    shapes = {}
+    for doc_id in range(1, 9):
+        w, h, nc = rng.randint(1, 9), rng.randint(1, 9), rng.choice([1, 3, 4])
+        px = bytes(rng.randrange(256) for _ in range(w * h * nc))
+        rows.append((doc_id, w, h, nc, bytearray(px)))
+        shapes[doc_id] = (w, h, px)
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, width int, height int, n_channels int, pixels binary"
+    )
+    # identity per-row requires matching out dims — group rows by shape
+    for doc_id, (w, h, px) in shapes.items():
+        out = resize_images(df.filter(f"doc_id = {doc_id}"), w, h).collect()[0]
+        assert bytes(out.pixels) == px, (doc_id, w, h)
