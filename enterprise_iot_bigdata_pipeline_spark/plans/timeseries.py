@@ -296,9 +296,10 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day, n,
         CASE WHEN n > 1 AND n * sxx - sx * sx <> 0
-             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+             THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) END AS slope,
         CASE WHEN n > 1 AND n * sxx - sx * sx <> 0
-             THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END AS intercept
+             THEN round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+        END AS intercept
     FROM mom
     """,
 )
@@ -323,10 +324,13 @@ def timeseries_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = n * sxx - sx * sx
     slope = (n * sxy - sx * sy) / den
     ok = (n > 1) & (den != 0)
+    # round-9 FMA guard (README parity rule 2): `sy − slope·sx` is an
+    # a−b·c shape DuckDB's vectorized executor may contract into FMA —
+    # last-ulp drift surfaced at the sf0.1 sweep, not at sf0.01
     return mom.select(
         "event_type", "day", "n",
-        F.when(ok, slope).alias("slope"),
-        F.when(ok, (sy - slope * sx) / n).alias("intercept"),
+        F.when(ok, F.round(slope, 9)).alias("slope"),
+        F.when(ok, F.round((sy - slope * sx) / n, 9)).alias("intercept"),
     )
 
 
