@@ -205,11 +205,11 @@ _INTERP_STEP_S = 900
     )
     SELECT event_type, tick,
         (v_obs IS NOT NULL) AS is_observed,
-        CASE WHEN v_obs IS NOT NULL THEN v_obs
+        round(CASE WHEN v_obs IS NOT NULL THEN v_obs
              WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
                  prev_v + (next_v - prev_v)
                      * (CAST(tick - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
-             ELSE coalesce(prev_v, next_v) END AS value_interp
+             ELSE coalesce(prev_v, next_v) END, 9) AS value_interp
     FROM filled
     """,
 )
@@ -256,11 +256,13 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.coalesce("prev_v", "next_v"))
     )
+    # round-9 FMA guard: `prev + diff*frac` is an a+b·c shape (README
+    # parity rule 2) — contraction drift is data-dependent, guard it
     return filled.select(
         "event_type",
         "tick",
         F.col("v_obs").isNotNull().alias("is_observed"),
-        interp.alias("value_interp"),
+        F.round(interp, 9).alias("value_interp"),
     )
 
 
@@ -362,7 +364,7 @@ def _fir_oracle() -> str:
     )
     return f"""
     SELECT event_id, ts, event_type, value,
-           ({num}) / ({den}) AS value_smooth
+           round(({num}) / ({den}), 9) AS value_smooth
     FROM events
     """
 
@@ -380,8 +382,11 @@ def timeseries_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt = F.when(lag_j.isNotNull(), F.lit(c)).otherwise(F.lit(0.0))
         num = term if num is None else num + term
         den = cnt if den is None else den + cnt
+    # round-9 FMA guard: the Σ cⱼ·lagⱼ accumulation is a chain of a+b·c
+    # shapes (README parity rule 2) — guard like the cosine kernels
     return ev.select(
-        "event_id", "ts", "event_type", "value", (num / den).alias("value_smooth")
+        "event_id", "ts", "event_type", "value",
+        F.round(num / den, 9).alias("value_smooth"),
     )
 
 

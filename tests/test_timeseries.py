@@ -67,7 +67,7 @@ def test_interpolation_is_linear_and_extends_edges(spark, tmp_path):
     ticks = sorted(out)
     assert len(ticks) == 5
     vals = [out[k].value_interp for k in ticks]
-    assert vals == [10.0, 20.0, 30.0, 40.0, 50.0]
+    assert vals == [10.0, 20.0, 30.0, 40.0, 50.0]  # exact at 9 dp
     assert [out[k].is_observed for k in ticks] == [True, False, False, False, True]
 
 
@@ -125,7 +125,8 @@ def test_fir_smooth_exact_two_rows(spark, tmp_path):
     out = {r.event_id: r.value_smooth for r in timeseries_fir_smooth(spark, sf).collect()}
     assert out[1] == 10.0  # warmup row renormalizes to itself
     c = _FIR_DECAY
-    assert abs(out[2] - (20.0 + c * 10.0) / (1.0 + c)) < 1e-12
+    # output carries the round-9 FMA guard → compare at that precision
+    assert abs(out[2] - (20.0 + c * 10.0) / (1.0 + c)) < 1e-8
 
 
 def test_chunked_rolling_guards_sparse_buckets(spark, tmp_path):
@@ -278,7 +279,7 @@ def test_chunked_lags_match_single_pass_fir(spark, tmp_path):
         cnt = F.when(lag_j.isNotNull(), F.lit(c)).otherwise(F.lit(0.0))
         num = term if num is None else num + term
         den = cnt if den is None else den + cnt
-    got = rolled.select("event_id", (num / den).alias("value_smooth"))
+    got = rolled.select("event_id", F.round(num / den, 9).alias("value_smooth"))
     want = timeseries_fir_smooth(spark, sf).select("event_id", "value_smooth")
     assert sorted(got.collect()) == sorted(want.collect())
 
