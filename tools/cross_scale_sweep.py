@@ -1,0 +1,56 @@
+"""Cross-scale oracle sweep: run EVERY registered query against its DuckDB
+oracle at a bigger SF than the driver's sf0.01 gate (default sf0.1, 10×).
+
+Why this exists: value distributions shift with scale, so cross-engine
+float hazards that happen to cancel at sf0.01 can surface here — this
+sweep caught the OLS FMA-contraction drift (round 5) that three smaller
+checks missed. Run it whenever a query's float expression tree changes.
+
+Run: python tools/cross_scale_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import SparkSession
+
+    from oracle_compare import compare, duck_connection
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        # non-UTC probe: plans must pin their own time semantics
+        .config("spark.sql.session.timeZone", "Asia/Makassar")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    con = duck_connection(sf_dir)
+    fails = []
+    for name in sorted(q):
+        try:
+            if name in o:
+                compare(q[name](spark, sf_dir), o[name], con, name)
+            else:
+                q[name](spark, sf_dir).count()
+        except Exception as ex:  # noqa: BLE001 — report every query
+            fails.append((name, str(ex)[:200]))
+    print(f"{sf_dir}: checked {len(q)} queries, {len(fails)} failures")
+    for f in fails:
+        print("FAIL", f)
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
