@@ -119,8 +119,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         else:
             df = queries[args.name](spark, args.sf_dir)
             if args.limit:
-                df.show(args.limit, truncate=False)
-            print(f"{args.name}: {df.count()} rows")
+                # ONE execution for both the preview and the count: collect
+                # limit+1 rows, display limit, and report an exact count only
+                # when the result fits — re-running df.count() would execute
+                # the full pipeline a second time.
+                head = df.limit(args.limit + 1).collect()
+                preview = spark.createDataFrame(head[: args.limit], df.schema)
+                preview.show(args.limit, truncate=False)
+                if len(head) > args.limit:
+                    print(f"{args.name}: >{args.limit} rows (showing {args.limit})")
+                else:
+                    print(f"{args.name}: {len(head)} rows")
+            else:
+                print(f"{args.name}: {df.count()} rows")
     return 0
 
 

@@ -7,9 +7,10 @@ InjectRuntimeFilter covers only a narrow set of shapes; this operator makes
 the semi-join reduction explicit and composable:
 
   1. ONE narrow pass over the filtered small side builds per-partition
-     bitmap partials (``mapInPandas``, vectorized numpy hashing), merged
-     driver-side — control-plane bounded: ``n_partitions × n_bits/8``
-     bytes, with ``n_bits`` capped (default 2^23 bits = 1 MiB merged).
+     bitmap partials (``mapInPandas``, vectorized numpy hashing), OR-merged
+     through a ``treeAggregate`` — partials combine ON EXECUTORS level by
+     level, so driver memory is O(n_bits) regardless of partition count
+     (``n_bits`` capped, default 2^23 bits = 1 MiB merged).
   2. The bitmap broadcasts to executors (SparkContext broadcast, not a
      plan literal) and a vectorized pandas UDF prunes the big side
      MAP-SIDE, before its shuffle.
@@ -84,10 +85,21 @@ def _key_as_long(df: DataFrame, key: str) -> Column:
     return F.xxhash64(F.col(key))
 
 
+def _or_into(acc: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """In-place OR combiner for treeAggregate: ``acc`` is each task's own
+    deserialized copy of the zero value, so mutation is safe; ``x`` may be a
+    read-only frombuffer view and is never written."""
+    np.bitwise_or(acc, x, out=acc)
+    return acc
+
+
 def build_bloom_bits(df: DataFrame, key: str, n_bits: int, k: int) -> bytes:
-    """One narrow pass over ``df``: per-partition numpy bitmaps OR-merged
-    driver-side. The collect is control-plane: one ``n_bits/8``-byte row
-    per partition, independent of row count."""
+    """One narrow pass over ``df``: per-partition numpy bitmaps, OR-merged
+    via ``treeAggregate`` so partials combine on executors level by level.
+    Driver memory is O(n_bits) — NOT O(partitions × n_bits): a 10⁹-key
+    build over thousands of input partitions never materializes the partial
+    set driver-side (the previous collect-and-loop held every partial at
+    once)."""
     mul, add = _hash_constants(k)
     n_bytes = n_bits // 8
     keyed = df.select(_key_as_long(df, key).alias("__k")).where(F.col("__k").isNotNull())
@@ -104,10 +116,11 @@ def build_bloom_bits(df: DataFrame, key: str, n_bits: int, k: int) -> bytes:
         if seen:
             yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
-    partials = keyed.mapInPandas(to_bitmap, "bitmap binary").collect()
-    merged = np.zeros(n_bytes, dtype=np.uint8)
-    for row in partials:
-        merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    partials = keyed.mapInPandas(to_bitmap, "bitmap binary")
+    merged = (
+        partials.rdd.map(lambda row: np.frombuffer(row["bitmap"], dtype=np.uint8))
+        .treeAggregate(np.zeros(n_bytes, dtype=np.uint8), _or_into, _or_into, depth=2)
+    )
     return merged.tobytes()
 
 

@@ -34,7 +34,15 @@ from pyspark.sql import functions as F
 class ChunkTooSparseError(ValueError):
     """A non-edge (key, bucket) chunk holds fewer than window−1 rows (or a
     bucket gap breaks contiguity): chunk-local history would be incomplete.
-    Widen ``bucket_s`` or shrink ``window``."""
+    Widen ``bucket_s`` or shrink ``window``. The error message carries a
+    VERIFIED passing ``bucket_s`` (``.suggested_bucket_s``) found by
+    doubling the width against the same validation aggregate, so a
+    100×-scale misconfiguration self-diagnoses instead of making the
+    operator a trial-and-error loop."""
+
+    def __init__(self, msg: str, suggested_bucket_s: int | None = None):
+        super().__init__(msg)
+        self.suggested_bucket_s = suggested_bucket_s
 
 
 def rolling_sums_chunked(
@@ -82,7 +90,7 @@ def rolling_sums_chunked(
 
     # ---- precondition: contiguous buckets; non-edge chunks hold ≥ w−1 rows
     if validate:
-        _validate_chunks(base, key_col, window, bucket_s)
+        _validate_chunks(base, key_col, ts_col, window, bucket_s)
 
     # ---- replicate each chunk's tail into the next bucket as context
     wtail = W.partitionBy(key_col, "__bucket").orderBy(
@@ -114,8 +122,16 @@ def rolling_sums_chunked(
     return out.filter(F.col("__emit")).drop("__bucket", "__emit")
 
 
-def _validate_chunks(base: DataFrame, key_col: str, window: int, bucket_s: int) -> None:
-    per_chunk = base.groupBy(key_col, "__bucket").agg(F.count(F.lit(1)).alias("__n"))
+def _chunk_violation(
+    df: DataFrame, key_col: str, ts_col: str, window: int, bucket_s: int
+) -> bool:
+    """True iff the (key, bucket) chunking at ``bucket_s`` breaks the
+    exactness precondition: a bucket gap, or a non-edge chunk under
+    ``window−1`` rows. One distributed aggregate."""
+    bucket = (F.unix_timestamp(ts_col).cast("long") / bucket_s).cast("long")
+    per_chunk = df.groupBy(key_col, bucket.alias("__bucket")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     wk = W.partitionBy(key_col)
     stats = per_chunk.withColumn("__lo", F.min("__bucket").over(wk)).withColumn(
         "__hi", F.max("__bucket").over(wk)
@@ -128,10 +144,32 @@ def _validate_chunks(base: DataFrame, key_col: str, window: int, bucket_s: int) 
         & (F.col("__bucket") != F.col("__hi"))
         & (F.col("__n") < window - 1)
     )
-    bad = gaps.select(key_col).union(sparse.select(key_col)).limit(1).count()
-    if bad:
-        raise ChunkTooSparseError(
-            f"bucket_s={bucket_s} leaves a mid-series chunk under {window - 1} "
-            f"rows (or an empty bucket) for some {key_col}; widen bucket_s or "
-            f"shrink window"
-        )
+    return bool(gaps.select(key_col).union(sparse.select(key_col)).limit(1).count())
+
+
+def _validate_chunks(
+    base: DataFrame, key_col: str, ts_col: str, window: int, bucket_s: int
+) -> None:
+    if not _chunk_violation(base, key_col, ts_col, window, bucket_s):
+        return
+    # Failure path only: find a VERIFIED passing width by doubling against
+    # the same aggregate. Terminates — once one bucket spans a key's whole
+    # series there are no mid chunks and no gaps, so the check passes.
+    suggestion: int | None = None
+    cand = bucket_s
+    for _ in range(40):
+        cand *= 2
+        if not _chunk_violation(base, key_col, ts_col, window, cand):
+            suggestion = cand
+            break
+    hint = (
+        f"; bucket_s={suggestion} passes on this data"
+        if suggestion is not None
+        else ""
+    )
+    raise ChunkTooSparseError(
+        f"bucket_s={bucket_s} leaves a mid-series chunk under {window - 1} "
+        f"rows (or an empty bucket) for some {key_col}; widen bucket_s or "
+        f"shrink window{hint}",
+        suggested_bucket_s=suggestion,
+    )

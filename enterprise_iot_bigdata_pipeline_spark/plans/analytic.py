@@ -242,9 +242,13 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Cohort retention: users grouped by first-seen week, activity counted
 #     per week offset — the canonical retention triangle. Two shuffles
 #     total: one |users| aggregate for cohort assignment, one
-#     (cohort × offset) count after a broadcast join of the user→cohort
-#     map... at true scale the user map outgrows broadcast and rides the
-#     shuffle join instead; the aggregate shape is unchanged. --------------
+#     (cohort × offset) count after a user_id join of the user→cohort map.
+#     The join carries NO broadcast hint: `firsts` is user-cardinality and
+#     grows with the corpus, so a forced broadcast would OOM executors at
+#     100 TB. AQE promotes it to broadcast automatically when it fits the
+#     autoBroadcastJoinThreshold; otherwise both sides hash-partition on
+#     user_id — the events side reuses that partitioning from the firsts
+#     aggregate's shuffle. ---------------------------------------------------
 
 
 @register(
@@ -268,9 +272,9 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diverge from the oracle's floor() on pre-epoch (negative) timestamps
     week = lambda c: F.floor(F.unix_timestamp(c).cast("long") / F.lit(604800)).cast("long")  # noqa: E731
     firsts = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_w"))
-    joined = ev.select("user_id", week(F.col("ts")).alias("w")).join(
-        F.broadcast(firsts), "user_id"
-    )
+    # No F.broadcast: firsts has one row per distinct user and scales with
+    # the corpus. Let AQE decide (broadcast when small, shuffle join at scale).
+    joined = ev.select("user_id", week(F.col("ts")).alias("w")).join(firsts, "user_id")
     return (
         joined.groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
         .agg(F.count_distinct("user_id").cast("long").alias("n_active"))

@@ -655,7 +655,11 @@ def web_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("domain_docs"),
         davg(F.col("quality_score")).alias("domain_avg_q"),
     )
-    return m.join(F.broadcast(stats), "domain").select(
+    # No F.broadcast hint: domain cardinality grows with a web corpus, so a
+    # forced broadcast of the stats frame is a 100 TB OOM. AQE broadcasts it
+    # automatically while it fits (post-aggregation it usually does); beyond
+    # that both sides hash-partition on domain.
+    return m.join(stats, "domain").select(
         "doc_id",
         "domain",
         "domain_docs",

@@ -65,12 +65,26 @@ _M4_BUCKET_S = 21600  # 6-hour pixels over the 30-day corpus
 )
 def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    bucket = (F.unix_timestamp("ts").cast("long") - (F.unix_timestamp("ts").cast("long") % _M4_BUCKET_S)).alias(
-        "bucket_s"
-    )
-    ord_key = (
+    # x − pmod(x, step) == floor(x/step)·step for ANY sign — negative-safe
+    # (the oracle floors; `x − x % step` truncates toward zero and diverges
+    # pre-epoch) and stays in integer arithmetic, no double round-trip.
+    sec = F.unix_timestamp("ts").cast("long")
+    bucket = (sec - F.pmod(sec, F.lit(_M4_BUCKET_S))).alias("bucket_s")
+    # Packing µs·10¹⁰ + event_id is exact in decimal(38,0) ONLY while
+    # 0 ≤ event_id < 10¹⁰ — enforce at runtime instead of silently
+    # returning a wrong first/last for out-of-range ids.
+    eid_ok = (F.col("event_id") >= 0) & (F.col("event_id") < F.lit(10**10))
+    ord_key = F.when(
+        eid_ok,
         F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)") * F.lit(10**10)
-        + F.col("event_id")
+        + F.col("event_id"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("timeseries_m4_downsample: event_id out of [0, 10^10) — "),
+                F.col("event_id").cast("string"),
+            )
+        ).cast("decimal(38,0)")
     )
     return (
         ev.select("event_type", bucket, ord_key.alias("ord"), "value")
@@ -216,7 +230,10 @@ _INTERP_STEP_S = 900
 def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     step = _INTERP_STEP_S
-    tick = (F.unix_timestamp("ts").cast("long") - (F.unix_timestamp("ts").cast("long") % step)).alias("tick")
+    # pmod-floor, not `x − x % step`: negative-safe (matches the oracle's
+    # floor(epoch/step) on pre-epoch timestamps), integer-exact throughout
+    sec = F.unix_timestamp("ts").cast("long")
+    tick = (sec - F.pmod(sec, F.lit(step))).alias("tick")
     obs = (
         ev.select("event_type", tick, "value")
         .groupBy("event_type", "tick")

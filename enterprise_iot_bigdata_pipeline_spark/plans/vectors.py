@@ -245,6 +245,21 @@ def dedup_embedding_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_embedding_multiround_auto")  # no oracle: planes auto-size by |corpus|
+def dedup_embedding_multiround_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT shape of embedding near-dup: `n_planes=None` →
+    `auto_planes` sizes the hyperplane count from the corpus size, keeping
+    expected bucket occupancy (and thus candidate-pair volume) bounded as
+    data grows — rows-mode exponent ~0.27 vs the 8-plane pin's 1.0. No
+    DuckDB oracle is possible (the plane literals depend on the runtime
+    corpus count), so this slot rides the rows-only gate; its SEMANTICS are
+    covered by the pinned twin above plus the recall pytest
+    (tests/test_similarity.py). Registered so the bench measures what a
+    100 TB run would actually execute, not just the oracle pin."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_multiround(emb, threshold=_NEAR_T, rounds=_MR_ROUNDS)
+
+
 # (Round-3 consolidation: `vector_norm_stats` retired — the norm kernel is
 # hash-verified inside every cosine query above and the decimal-safe
 # davg/dsum parity surface stays covered by agg_pricing_summary /

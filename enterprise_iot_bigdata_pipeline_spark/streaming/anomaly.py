@@ -13,8 +13,12 @@ BIT-EXACT equivalence with the batch query (asserted row-level in
 through DECIMAL(25,6); here each value quantizes to integer micro-units via
 ``decimal.Decimal`` ROUND_HALF_UP — the same rounding Spark's double →
 decimal cast applies — and sums in exact Python ints, so mean/var/flag
-reproduce the batch doubles exactly (int sums < 2⁵³ convert exactly;
-``float(s)/1e6`` is the correctly-rounded decimal→double cast).
+reproduce the batch doubles exactly. The micro sums convert back to double
+via ``float(Decimal(s).scaleb(-6))`` — the correctly-rounded decimal→double
+cast at ANY magnitude. (``float(s)/1e6`` would double-round once |s| > 2⁵³:
+a single |value| ≳ 94 868 pushes Σx² past that, and ~25 % of such
+conversions land 1 ulp off Spark's DECIMAL(25,6)→double cast, flipping
+3σ flags.)
 
 In-order delivery assumption: rows later than an already-processed (ts,
 event_id) for the same key would change history the batch query saw —
@@ -68,7 +72,7 @@ def _zscore_fn(window: int, min_n: int):
         if state.exists:
             ts_l, ids_l, mic_l, sq_l, nn_l = state.get
             rows = [
-                (t, i, m / 1e6, m, s, bool(nn), False)
+                (t, i, float(Decimal(m).scaleb(-6)), m, s, bool(nn), False)
                 for t, i, m, s, nn in zip(ts_l, ids_l, mic_l, sq_l, nn_l)
             ]
         n_state = len(rows)
@@ -104,8 +108,12 @@ def _zscore_fn(window: int, min_n: int):
             n = nn  # batch n_w = count(value): non-null values in the frame
             if not is_new or not non_null or n < min_n:
                 continue  # state rows already emitted; null rows never flag
-            s_w = float(s) / 1e6
-            q_w = float(q) / 1e6
+            # Decimal scaleb, not /1e6: int→float then divide double-rounds
+            # once |s| or |q| exceeds 2^53 (Σx² gets there from one value
+            # ≳ 94 868); Decimal→float is correctly rounded at any magnitude,
+            # matching Spark's DECIMAL(25,6)→double cast bit-for-bit.
+            s_w = float(Decimal(s).scaleb(-6))
+            q_w = float(Decimal(q).scaleb(-6))
             mean_w = s_w / n
             var_w = max(0.0, q_w - s_w * s_w / n) / (n - 1)
             dev = v - mean_w

@@ -85,6 +85,21 @@ def test_empty_small_side(spark):
     assert bloom_semi_join(li, o, "l_orderkey", "o_orderkey", n_bits=1 << 12, k=3).count() == 0
 
 
+def test_tree_merge_many_partitions(spark):
+    """The bitmap partials merge through treeAggregate, not a driver-side
+    collect-and-loop: with ≥64 input partitions the merged bitmap must still
+    equal the single-partition build bit-for-bit (OR is associative and
+    commutative, so partitioning must not matter)."""
+    keys = [(i * 2654435761 % 100003,) for i in range(4000)]
+    one = spark.createDataFrame(keys, "k long").coalesce(1)
+    many = spark.createDataFrame(keys, "k long").repartition(64)
+    assert many.rdd.getNumPartitions() >= 64
+    bits_one = build_bloom_bits(one, "k", 1 << 14, 4)
+    bits_many = build_bloom_bits(many, "k", 1 << 14, 4)
+    assert bits_one == bits_many
+    assert any(bits_many)
+
+
 def test_null_and_huge_keys_precision(spark):
     """A null key in the batch must not degrade the probe to float64:
     keys above 2^53 would corrupt and genuinely-matching rows would be

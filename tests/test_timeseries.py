@@ -148,8 +148,13 @@ def test_chunked_rolling_guards_sparse_buckets(spark, tmp_path):
         key_col="event_type", ts_col="ts", id_col="event_id",
         window=8, sum_exprs={"s": F.col("value")}, count_col="value",
     )
-    with pytest.raises(ChunkTooSparseError):
+    with pytest.raises(ChunkTooSparseError) as exc:
         rolling_sums_chunked(df, bucket_s=86_400, **kw).count()
+    # the error self-diagnoses: it carries a VERIFIED passing width, and
+    # re-running with exactly that suggestion must succeed
+    suggested = exc.value.suggested_bucket_s
+    assert suggested is not None and str(suggested) in str(exc.value)
+    rolling_sums_chunked(df, bucket_s=suggested, **kw).count()
     ok = rolling_sums_chunked(df, bucket_s=4 * 86_400, **kw)
     # bit-equal to the single-pass window
     w = (

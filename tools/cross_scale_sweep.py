@@ -1,16 +1,27 @@
 """Cross-scale oracle sweep: run EVERY registered query against its DuckDB
-oracle at a bigger SF than the driver's sf0.01 gate (default sf0.1, 10×).
+oracle at multiple scale factors and write a machine-readable artifact.
 
 Why this exists: value distributions shift with scale, so cross-engine
 float hazards that happen to cancel at sf0.01 can surface here — this
 sweep caught the OLS FMA-contraction drift (round 5) that three smaller
 checks missed. Run it whenever a query's float expression tree changes.
 
-Run: python tools/cross_scale_sweep.py [sf_dir]
+The driver's CORRECTNESS gate samples ~50 of the registry per round, so
+some slots never get a driver row; the JSON artifact this writes (e.g.
+``SWEEP_r06.json``) makes the FULL registry auditable every round:
+
+    {"sf_dirs": {"<dir>": {"<query>": "ok" | "rows-only-ok" | "FAIL: ..."},
+     "n_queries": N, "n_failures": M}
+
+Run: python tools/cross_scale_sweep.py [--out SWEEP.json] [sf_dir ...]
+(default sf dirs: sf0.001, sf0.01, sf0.1 — the sf0.1 pass is the slow one,
+~2–3 min; pass a single dir while iterating.)
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import sys
 from pathlib import Path
 
@@ -18,9 +29,20 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
+DEFAULT_SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dirs", nargs="*", default=None)
+    ap.add_argument("--out", default=None, help="write the JSON artifact here")
+    args = ap.parse_args()
+    sf_dirs = args.sf_dirs or DEFAULT_SF_DIRS
+
     from pyspark.sql import SparkSession
 
     from oracle_compare import compare, duck_connection
@@ -35,21 +57,33 @@ def main() -> int:
     import __spark_entry__ as e
 
     q, o = e.queries(), e.oracle_sql()
-    con = duck_connection(sf_dir)
-    fails = []
-    for name in sorted(q):
-        try:
-            if name in o:
-                compare(q[name](spark, sf_dir), o[name], con, name)
-            else:
-                q[name](spark, sf_dir).count()
-        except Exception as ex:  # noqa: BLE001 — report every query
-            fails.append((name, str(ex)[:200]))
-    print(f"{sf_dir}: checked {len(q)} queries, {len(fails)} failures")
-    for f in fails:
-        print("FAIL", f)
+    result: dict[str, dict[str, str]] = {}
+    n_fail = 0
+    for sf_dir in sf_dirs:
+        con = duck_connection(sf_dir)
+        statuses: dict[str, str] = {}
+        for name in sorted(q):
+            try:
+                if name in o:
+                    compare(q[name](spark, sf_dir), o[name], con, name)
+                    statuses[name] = "ok"
+                else:
+                    q[name](spark, sf_dir).count()
+                    statuses[name] = "rows-only-ok"
+            except Exception as ex:  # noqa: BLE001 — report every query
+                statuses[name] = f"FAIL: {str(ex)[:200]}"
+                n_fail += 1
+        result[sf_dir] = statuses
+        bad = [(k, v) for k, v in statuses.items() if v.startswith("FAIL")]
+        print(f"{sf_dir}: checked {len(q)} queries, {len(bad)} failures")
+        for f in bad:
+            print("FAIL", f)
+    artifact = {"sf_dirs": result, "n_queries": len(q), "n_failures": n_fail}
+    if args.out:
+        Path(args.out).write_text(json.dumps(artifact, indent=1) + "\n")
+        print(f"wrote {args.out}")
     spark.stop()
-    return 1 if fails else 0
+    return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
