@@ -1,19 +1,26 @@
-"""Pure-Python/numpy baseline JPEG codec — no imaging library.
+"""Pure-Python/numpy JPEG codec — no imaging library.
 
-``parse_jpeg`` decodes baseline sequential JFIF (SOF0/SOF1): 8-bit,
-grayscale (1) or YCbCr (3) components, arbitrary sampling factors up
-to 4 (covers 4:4:4, 4:2:2, 4:2:0), restart markers, fill bytes,
-scan-order ≠ frame-order component interleave, multi-segment DQT/DHT. That profile
-covers the overwhelming majority of on-disk JPEGs — including the
-reference repo's own ``v1-basic-etl/media/{after,before}.jpeg``
-(SOF0, 4:2:0), which the media-ingestion tests decode as real-world
-fixtures. Progressive (SOF2), arithmetic coding, 12-bit precision and
-hierarchical modes raise a named ``NotImplementedError``.
+``parse_jpeg`` decodes sequential JFIF (SOF0/SOF1) AND progressive
+(SOF2): 8-bit, grayscale (1) or YCbCr (3) components, arbitrary
+sampling factors up to 4 (covers 4:4:4, 4:2:2, 4:2:0), restart
+markers, fill bytes, scan-order ≠ frame-order component interleave,
+non-interleaved multi-scan sequential files, multi-segment DQT/DHT,
+and the full progressive feature set: spectral selection (Ss..Se
+bands), successive approximation (DC + AC first/refinement scans,
+T.81 §G.2 semantics incl. EOB runs and correction bits). That profile
+covers effectively all on-disk JPEGs — including the reference repo's
+own ``v1-basic-etl/media/{after,before}.jpeg`` (SOF0, 4:2:0), which
+the media-ingestion tests decode as real-world fixtures. Arithmetic
+coding, 12-bit precision and hierarchical modes raise a named
+``NotImplementedError``.
 
 ``encode_jpeg`` produces baseline JFIF from raw RGB/gray pixels
 (quality-scaled Annex K quantization, standard Huffman tables,
-optional 2×2 chroma subsampling) so round-trip tests exercise every
-decoder path without any external fixture.
+optional 2×2 chroma subsampling); ``encode_jpeg_progressive``
+produces real multi-scan progressive files (spectral selection +
+successive approximation, libjpeg-style default scan script) so
+round-trip tests exercise every decoder path — including EOB-run and
+correction-bit refinement — without any external fixture.
 
 Design notes:
 - Entropy (de)coding is a sequential bitstream — plain-int Python by
@@ -255,15 +262,21 @@ def _split_scan(data: bytes, start: int):
 
 
 def parse_jpeg(payload: bytes) -> dict:
-    """Decode a baseline JPEG. Returns ``width``, ``height``,
-    ``n_channels`` and row-major interleaved ``pixels`` bytes (RGB for
-    3-component YCbCr files, single channel for grayscale)."""
+    """Decode a sequential (SOF0/SOF1) or progressive (SOF2) JPEG.
+    Returns ``width``, ``height``, ``n_channels`` and row-major
+    interleaved ``pixels`` bytes (RGB for 3-component YCbCr files,
+    single channel for grayscale). Multi-scan files (progressive bands
+    / successive-approximation passes, or non-interleaved sequential
+    per-component scans) accumulate coefficients into shared per-
+    component grids; the IDCT/color stage runs once at EOI."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     dc_tables: dict[int, _HuffDecoder] = {}
     ac_tables: dict[int, _HuffDecoder] = {}
     frame = None  # (w, h, [(comp_id, hi, vi, tq), ...])
+    progressive = False
+    grids: list[np.ndarray] | None = None
     restart_interval = 0
     i = 2
     n = len(payload)
@@ -309,10 +322,11 @@ def parse_jpeg(payload: bytes) -> dict:
                 huffval = list(body[j + 17 : j + 17 + nv])
                 (ac_tables if tc else dc_tables)[th] = _HuffDecoder(bits, huffval)
                 j += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported (8 only)")
+            progressive = marker == 0xC2
             h = struct.unpack(">H", body[1:3])[0]
             w = struct.unpack(">H", body[3:5])[0]
             nc = body[5]
@@ -327,10 +341,10 @@ def parse_jpeg(payload: bytes) -> dict:
                 for c in range(nc)
             ]
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/hierarchical) "
-                "unsupported — baseline sequential only"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical/lossless) "
+                "unsupported — sequential and progressive Huffman only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -339,88 +353,263 @@ def parse_jpeg(payload: bytes) -> dict:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan_sel = [(body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15) for c in range(ns)]
-            scan_start = i + 2 + size
-            return _decode_scan(
-                payload, scan_start, frame, scan_sel, qtables, dc_tables, ac_tables, restart_interval
+            spectral = (
+                body[1 + 2 * ns],
+                body[2 + 2 * ns],
+                body[3 + 2 * ns] >> 4,
+                body[3 + 2 * ns] & 15,
+            )  # Ss, Se, Ah, Al
+            if grids is None:
+                w, h, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                grids = [
+                    np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+                    for _cid, hi, vi, _tq in comps
+                ]
+            i = _decode_scan_into(
+                payload, i + 2 + size, frame, scan_sel, spectral,
+                dc_tables, ac_tables, restart_interval, grids, progressive,
             )
+            continue
         # APPn / COM / others: skip
         i += 2 + size
-    raise ValueError("JPEG has no SOS scan")
+    if grids is None:
+        raise ValueError("JPEG has no SOS scan")
+    return _finish_frame(frame, grids, qtables)
 
 
-def _decode_scan(payload, start, frame, scan_sel, qtables, dc_tables, ac_tables, restart_interval):
+def _seq_block(reader: _BitReader, coef: np.ndarray, pred: int, dc_t, ac_t) -> int:
+    """Sequential full-band block decode (spec §F.2.2); returns new DC pred."""
+    s = reader.huff_decode(dc_t)
+    pred += _extend(reader.receive(s), s)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.huff_decode(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC index past 63")
+        coef[k] = _extend(reader.receive(s), s)
+        k += 1
+    return pred
+
+
+def _dc_first_block(reader: _BitReader, coef: np.ndarray, pred: int, dc_t, al: int) -> int:
+    """Progressive DC first scan (§G.2.1): diff-coded DC at point
+    transform Al; returns new pred (in the Al-shifted domain)."""
+    s = reader.huff_decode(dc_t)
+    pred += _extend(reader.receive(s), s)
+    coef[0] = pred << al
+    return pred
+
+
+def _dc_refine_block(reader: _BitReader, coef: np.ndarray, al: int) -> None:
+    """Progressive DC refinement: one raw magnitude bit per block. OR-ing
+    into the two's-complement value is exact for negative DCs too (the
+    first scan sent the arithmetic right-shift)."""
+    if reader.receive(1):
+        coef[0] |= 1 << al
+
+
+def _ac_first_block(
+    reader: _BitReader, coef: np.ndarray, ss: int, se: int, al: int, ac_t, eobrun: int
+) -> int:
+    """Progressive AC first scan for one block (§G.2.2): run/size coding
+    within the Ss..Se band at point transform Al, plus EOBn run-length
+    codes spanning blocks. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff_decode(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits blocks ending here
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index past band end")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(
+    reader: _BitReader, coef: np.ndarray, ss: int, se: int, al: int, ac_t, eobrun: int
+) -> int:
+    """Progressive AC refinement for one block (§G.2.3 / libjpeg
+    decode_mcu_AC_refine): newly-nonzero coefficients arrive as ±1 at
+    bit Al; every already-nonzero coefficient crossed (including during
+    EOB runs) consumes one correction bit. Returns the remaining run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff_decode(ac_t)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:  # EOBn — rest of this block handled below
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: AC refinement size > 1")
+                newval = p1 if reader.receive(1) else -p1
+            # Advance over r zero-HISTORY positions; nonzero-history
+            # positions don't count toward the run but each consumes a
+            # correction bit.
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if reader.receive(1) and not (c & p1):
+                        coef[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("corrupt JPEG: AC refinement index past band")
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        # Within an EOB run: correction bits for every nonzero-history
+        # coefficient in the rest of the band.
+        while k <= se:
+            c = int(coef[k])
+            if c != 0 and reader.receive(1) and not (c & p1):
+                coef[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_into(
+    payload, start, frame, scan_sel, spectral, dc_tables, ac_tables,
+    restart_interval, grids, progressive,
+):
+    """Decode ONE entropy-coded scan into the shared coefficient
+    ``grids``; returns the payload index of the scan's terminating
+    marker. Handles interleaved and non-interleaved traversal (T.81
+    §B.2.3: non-interleaved scans walk the component's OWN block grid,
+    not the MCU-padded one), restart intervals (DC preds and EOB runs
+    reset per segment), and all four progressive scan kinds."""
     w, h, comps = frame
-    if len(scan_sel) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG unsupported")
+    ss, se, ah, al = spectral if progressive else (0, 63, 0, 0)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    dc_scan = ss == 0
+    if progressive and dc_scan and se != 0:
+        raise ValueError("corrupt JPEG: progressive scan mixes DC and AC bands")
+    if progressive and not dc_scan and len(scan_sel) != 1:
+        raise ValueError("corrupt JPEG: progressive AC scan must be single-component")
     # MCU interleave follows SCAN (SOS) component order, which T.81
     # §B.2.3 allows to differ from the frame (SOF) order — resolve each
     # scan entry to its frame component and iterate in scan order.
     frame_idx = {c[0]: ci for ci, c in enumerate(comps)}
-    scan_order = []
+    order = []
     for cid, dc_sel, ac_sel in scan_sel:
         if cid not in frame_idx:
             raise ValueError(f"corrupt JPEG: scan component {cid} not in frame")
-        if dc_sel not in dc_tables or ac_sel not in ac_tables:
+        ci = frame_idx[cid]
+        _cid, hi, vi, _tq = comps[ci]
+        need_dc = dc_scan and ah == 0  # sequential or DC-first: Huffman DC
+        need_ac = se > 0  # sequential or any AC band
+        dc_t = dc_tables.get(dc_sel)
+        ac_t = ac_tables.get(ac_sel)
+        if (need_dc and dc_t is None) or (need_ac and ac_t is None):
             raise ValueError(
                 f"corrupt JPEG: scan references undefined Huffman table "
                 f"(dc={dc_sel}, ac={ac_sel})"
             )
-        ci = frame_idx[cid]
-        _cid, hi, vi, tq = comps[ci]
-        if tq not in qtables:
-            raise ValueError(f"corrupt JPEG: undefined quantization table {tq}")
-        scan_order.append((ci, hi, vi, dc_tables[dc_sel], ac_tables[ac_sel]))
-    # Per component: padded block grid (rows, cols) in MCU layout.
-    grids = []
-    for cid, hi, vi, tq in comps:
-        grids.append(np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32))
+        order.append((ci, hi, vi, dc_t, ac_t))
 
-    segments, _end = _split_scan(payload, start)
-    mcus_total = mcus_x * mcus_y
-    per_seg = restart_interval if restart_interval else mcus_total
-    expect_segs = -(-mcus_total // per_seg)
+    interleaved = len(order) > 1
+    if interleaved:
+        units_total = mcus_x * mcus_y
+        bwid = 0
+    else:
+        ci0, hi, vi, _, _ = order[0]
+        bwid = -(-(-(-w * hi // hmax)) // 8)  # ceil(comp_width / 8)
+        bhgt = -(-(-(-h * vi // vmax)) // 8)
+        units_total = bwid * bhgt
+
+    segments, end = _split_scan(payload, start)
+    per_seg = restart_interval if restart_interval else units_total
+    expect_segs = -(-units_total // per_seg)
     if len(segments) < expect_segs:
         raise ValueError(
             f"JPEG scan truncated: {len(segments)} restart segments, expected {expect_segs}"
         )
-    mcu = 0
+    unit = 0
     for seg_idx in range(expect_segs):
         reader = _BitReader(segments[seg_idx])
         preds = [0] * len(comps)
-        seg_mcus = min(per_seg, mcus_total - mcu)
-        for _ in range(seg_mcus):
-            my, mx = divmod(mcu, mcus_x)
-            for ci, hi, vi, dc_t, ac_t in scan_order:
-                for by in range(vi):
-                    for bx in range(hi):
-                        coef = grids[ci][my * vi + by, mx * hi + bx]
-                        s = reader.huff_decode(dc_t)
-                        preds[ci] += _extend(reader.receive(s), s)
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff_decode(ac_t)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break
-                            k += r
-                            if k > 63:
-                                raise ValueError("corrupt JPEG: AC index past 63")
-                            coef[k] = _extend(reader.receive(s), s)
-                            k += 1
-            mcu += 1
+        eobrun = 0
+        seg_units = min(per_seg, units_total - unit)
+        for _ in range(seg_units):
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for ci, hi, vi, dc_t, ac_t in order:
+                    for by in range(vi):
+                        for bx in range(hi):
+                            coef = grids[ci][my * vi + by, mx * hi + bx]
+                            if not progressive:
+                                preds[ci] = _seq_block(reader, coef, preds[ci], dc_t, ac_t)
+                            elif ah == 0:
+                                preds[ci] = _dc_first_block(reader, coef, preds[ci], dc_t, al)
+                            else:
+                                _dc_refine_block(reader, coef, al)
+            else:
+                ci, hi, vi, dc_t, ac_t = order[0]
+                by, bx = divmod(unit, bwid)
+                coef = grids[ci][by, bx]
+                if not progressive:
+                    preds[ci] = _seq_block(reader, coef, preds[ci], dc_t, ac_t)
+                elif dc_scan and ah == 0:
+                    preds[ci] = _dc_first_block(reader, coef, preds[ci], dc_t, al)
+                elif dc_scan:
+                    _dc_refine_block(reader, coef, al)
+                elif ah == 0:
+                    eobrun = _ac_first_block(reader, coef, ss, se, al, ac_t, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, coef, ss, se, al, ac_t, eobrun)
+            unit += 1
+    return end
 
-    # Batch numpy stage: dequantize -> de-zigzag -> IDCT -> level shift,
-    # all blocks of a component at once (_idct_component).
+
+def _finish_frame(frame, grids, qtables):
+    """Shared finish stage once every scan has landed: dequantize ->
+    de-zigzag -> IDCT -> level shift per component (batched numpy),
+    then chroma upsample + color conversion."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out_planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError(f"corrupt JPEG: undefined quantization table {tq}")
         rows, cols, _ = grids[ci].shape
         plane = _idct_component(grids[ci], qtables[tq], rows, cols)
         # Crop to this component's true sample dimensions.
@@ -572,23 +761,11 @@ def _pad_replicate(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    pixels: bytes,
-    n_channels: int = 3,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-    scan_component_order: tuple[int, ...] | None = None,
-) -> bytes:
-    """Baseline JFIF encoder. RGB (3) or grayscale (1) input; 4:4:4 by
-    default, 2×2 chroma subsampling (4:2:0) with ``subsample=True``;
-    optional restart markers every ``restart_interval`` MCUs.
-    ``scan_component_order`` permutes the SOS component listing (and the
-    MCU interleave with it, per T.81 §B.2.3) — frame order stays 1,2,3;
-    exists to round-trip-test decoders against scan-order ≠ frame-order
-    files, which the spec allows."""
+def _prepare_enc(width, height, pixels, n_channels, quality, subsample):
+    """Shared front half of both encoders: color convert (+ optional 2×2
+    chroma subsample), pad, forward-DCT + quantize. Returns
+    (enc, ql, qc, mcus_x, mcus_y) where enc = [(cid, hi, vi, tq,
+    zigzag-block grid)] in frame order."""
     if n_channels not in (1, 3):
         raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
     if len(pixels) != width * height * n_channels:
@@ -619,7 +796,6 @@ def encode_jpeg(
             sh, sv = 1, 1
         comps = [(1, sh, sv, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
     else:
-        sh = sv = 1
         comps = [(1, 1, 1, 0, arr[..., 0])]
 
     hmax = max(c[1] for c in comps)
@@ -633,40 +809,66 @@ def encode_jpeg(
         th, tw = mcus_y * vi * 8, mcus_x * hi * 8
         zz = _encode_blocks(_pad_replicate(plane, th, tw), ql if tq == 0 else qc)
         enc.append((cid, hi, vi, tq, zz.reshape(mcus_y * vi, mcus_x * hi, 64)))
+    return enc, ql, qc, mcus_x, mcus_y
 
-    # Huffman code dicts {symbol: (length, code)} from the Annex K tables.
-    def codes(tbl):
-        return {v: (s, c) for s, c, v in _canonical_codes(*tbl)}
 
-    dc_l, ac_l, dc_c, ac_c = codes(_DC_LUMA), codes(_AC_LUMA), codes(_DC_CHROMA), codes(_AC_CHROMA)
+def _codes(tbl):
+    """Huffman code dict {symbol: (length, code)} from a (bits, huffval) table."""
+    return {v: (s, c) for s, c, v in _canonical_codes(*tbl)}
+
+
+def _dqt_segment(tq, tbl):
+    return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+        int(tbl.flatten()[z]) for z in ZIGZAG
+    )
+
+
+def _dht_segment(tc, th, tbl):
+    bits, vals = tbl
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    n_channels: int = 3,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    scan_component_order: tuple[int, ...] | None = None,
+) -> bytes:
+    """Baseline JFIF encoder. RGB (3) or grayscale (1) input; 4:4:4 by
+    default, 2×2 chroma subsampling (4:2:0) with ``subsample=True``;
+    optional restart markers every ``restart_interval`` MCUs.
+    ``scan_component_order`` permutes the SOS component listing (and the
+    MCU interleave with it, per T.81 §B.2.3) — frame order stays 1,2,3;
+    exists to round-trip-test decoders against scan-order ≠ frame-order
+    files, which the spec allows."""
+    enc, ql, qc, mcus_x, mcus_y = _prepare_enc(
+        width, height, pixels, n_channels, quality, subsample
+    )
+    dc_l, ac_l, dc_c, ac_c = (
+        _codes(_DC_LUMA), _codes(_AC_LUMA), _codes(_DC_CHROMA), _codes(_AC_CHROMA)
+    )
 
     # --- headers -----------------------------------------------------------
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-
-    def dqt(tq, tbl):
-        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
-            int(tbl.flatten()[z]) for z in ZIGZAG
-        )
-
-    out += dqt(0, ql)
+    out += _dqt_segment(0, ql)
     if n_channels == 3:
-        out += dqt(1, qc)
+        out += _dqt_segment(1, qc)
 
-    nf = len(comps)
+    nf = len(enc)
     sof = struct.pack(">BHHB", 8, height, width, nf)
     for cid, hi, vi, tq, _zz in enc:
         sof += bytes([cid, (hi << 4) | vi, tq])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
 
-    def dht(tc, th, tbl):
-        bits, vals = tbl
-        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-
-    out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
     if n_channels == 3:
-        out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+        out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_CHROMA)
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
@@ -713,4 +915,227 @@ def encode_jpeg(
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+# Flat 8-bit Huffman table for progressive AC scans: 255 symbols
+# 0x00..0xFE at code length 8 (the all-ones 8-bit code stays unassigned
+# per the spec's table-construction rule). Progressive AC needs EOBn
+# symbols (r 1..14, s=0) that the Annex K sequential tables don't carry;
+# a flat table trades compression for covering every symbol — fine for
+# an encoder whose job is generating decoder-exercising fixtures.
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0], list(range(255)))
+
+# Default scan scripts (libjpeg-style): DC first at Al=1, AC bands at
+# coarse precision, then DC + AC refinement passes down to Al=0.
+# Entries: (comp_index or None for interleaved-DC, Ss, Se, Ah, Al).
+_PROG_SCRIPT_3 = [
+    (None, 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),
+    (2, 1, 63, 0, 1),
+    (1, 1, 63, 0, 1),
+    (0, 6, 63, 0, 2),
+    (None, 0, 0, 1, 0),
+    (0, 1, 63, 2, 1),
+    (2, 1, 63, 1, 0),
+    (1, 1, 63, 1, 0),
+    (0, 1, 63, 1, 0),
+]
+_PROG_SCRIPT_1 = [
+    (None, 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),
+    (0, 6, 63, 0, 2),
+    (None, 0, 0, 1, 0),
+    (0, 1, 63, 2, 1),
+    (0, 1, 63, 1, 0),
+]
+
+
+def _emit_eobrun(bw, ac_codes, eobrun: int, pending: list[int]) -> tuple[int, list[int]]:
+    """Flush an accumulated EOB run (EOBn symbol + extra bits) and the
+    correction bits deferred with it (§G.1.2.3: bits buffered during an
+    EOB run are emitted right after the EOBn code)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        length, code = ac_codes[r << 4]
+        bw.write(code, length)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+    for b in pending:
+        bw.write(b, 1)
+    return 0, []
+
+
+def _enc_ac_first(bw, blocks, ss, se, al, ac_codes) -> None:
+    """AC first scan for one component: run/size over the band at point
+    transform Al (magnitude shift), EOB runs accumulated across blocks."""
+    eobrun = 0
+    for zz in blocks:
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (-v if v < 0 else v) >> al
+            if t == 0:
+                run += 1
+                continue
+            eobrun, _ = _emit_eobrun(bw, ac_codes, eobrun, [])
+            while run > 15:
+                length, code = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+            sv = t if v > 0 else -t
+            s, bits = _mag_bits(sv)
+            length, code = ac_codes[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(bits, s)
+            run = 0
+        if run > 0:  # block ends in zeros (or is all-zero): joins the EOB run
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _emit_eobrun(bw, ac_codes, eobrun, [])
+    _emit_eobrun(bw, ac_codes, eobrun, [])
+
+
+def _enc_ac_refine(bw, blocks, ss, se, al, ac_codes) -> None:
+    """AC refinement scan for one component (libjpeg encode_mcu_AC_refine
+    structure): newly-nonzero coefficients emit (run, 1) + sign bit;
+    already-nonzero coefficients contribute correction bits, buffered and
+    emitted after the next symbol (or with the EOB run they ride on)."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits deferred with the EOB run
+    for zz in blocks:
+        # Pre-pass: magnitudes at this precision; EOB position = last
+        # NEWLY-nonzero coefficient (t == 1) — history coefficients past
+        # it fold into the EOB run.
+        absval = []
+        eob_pos = ss - 1
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (-v if v < 0 else v) >> al
+            absval.append(t)
+            if t == 1:
+                eob_pos = k
+        run = 0
+        br: list[int] = []  # this block's in-flight correction bits
+        for k in range(ss, se + 1):
+            t = absval[k - ss]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob_pos:
+                eobrun, pending = _emit_eobrun(bw, ac_codes, eobrun, pending)
+                length, code = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            if t > 1:  # history coefficient: correction bit, no run advance
+                br.append(t & 1)
+                continue
+            # newly nonzero (t == 1)
+            eobrun, pending = _emit_eobrun(bw, ac_codes, eobrun, pending)
+            length, code = ac_codes[(run << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if int(zz[k]) > 0 else 0, 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                eobrun, pending = _emit_eobrun(bw, ac_codes, eobrun, pending)
+    _emit_eobrun(bw, ac_codes, eobrun, pending)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    n_channels: int = 3,
+    quality: int = 90,
+    subsample: bool = False,
+    scans: list[tuple[int | None, int, int, int, int]] | None = None,
+) -> bytes:
+    """Progressive JFIF encoder (SOF2): spectral selection + successive
+    approximation. ``scans`` entries are (comp_index or None, Ss, Se,
+    Ah, Al); ``None`` means an interleaved DC scan over every component.
+    The default script refines DC and AC down to Al=0, so the decoded
+    image is bit-identical to the baseline encode at the same
+    quality/subsample settings (same quantized coefficients, different
+    scan order) — which is exactly what the round-trip tests assert."""
+    enc, ql, qc, mcus_x, mcus_y = _prepare_enc(
+        width, height, pixels, n_channels, quality, subsample
+    )
+    if scans is None:
+        scans = _PROG_SCRIPT_3 if n_channels == 3 else _PROG_SCRIPT_1
+    dc_codes_by_tq = {0: _codes(_DC_LUMA), 1: _codes(_DC_CHROMA)}
+    ac_prog = _codes(_AC_PROG)
+    hmax = max(e[1] for e in enc)
+    vmax = max(e[2] for e in enc)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, ql)
+    if n_channels == 3:
+        out += _dqt_segment(1, qc)
+    nf = len(enc)
+    sof = struct.pack(">BHHB", 8, height, width, nf)
+    for cid, hi, vi, tq, _zz in enc:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    out += _dht_segment(0, 0, _DC_LUMA)
+    if n_channels == 3:
+        out += _dht_segment(0, 1, _DC_CHROMA)
+    out += _dht_segment(1, 0, _AC_PROG)
+
+    for comp, ss, se, ah, al in scans:
+        bw = _BitWriter()
+        if ss == 0:  # DC scan (interleaved over all components)
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            sos = bytes([nf])
+            for cid, _hi, _vi, tq, _zz in enc:
+                sos += bytes([cid, (0 if tq == 0 else 1) << 4])
+            sos += bytes([0, 0, (ah << 4) | al])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            preds = [0] * nf
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for idx, (cid, hi, vi, tq, zz) in enumerate(enc):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            dc = int(zz[my * vi + by, mx * hi + bx, 0])
+                            if ah == 0:  # first: diff-coded arithmetic shift
+                                t = dc >> al
+                                s, bits = _mag_bits(t - preds[idx])
+                                length, code = dc_codes_by_tq[min(tq, 1)][s]
+                                bw.write(code, length)
+                                if s:
+                                    bw.write(bits, s)
+                                preds[idx] = t
+                            else:  # refinement: one raw magnitude bit
+                                bw.write((dc >> al) & 1, 1)
+        else:  # AC scan: single component, non-interleaved block order
+            if comp is None:
+                raise ValueError("progressive AC scan needs a component index")
+            cid, hi, vi, tq, zz = enc[comp]
+            sos = bytes([1, cid, 0x00]) + bytes([ss, se, (ah << 4) | al])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            bwid = -(-(-(-width * hi // hmax)) // 8)
+            bhgt = -(-(-(-height * vi // vmax)) // 8)
+            blocks = [zz[by, bx] for by in range(bhgt) for bx in range(bwid)]
+            if ah == 0:
+                _enc_ac_first(bw, blocks, ss, se, al, ac_prog)
+            else:
+                _enc_ac_refine(bw, blocks, ss, se, al, ac_prog)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -520,8 +520,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                         parse_jpeg,
                     )
 
-                    # Recognized-but-undecodable JPEGs (progressive,
-                    # CMYK, truncated) keep the null-row contract below —
+                    # Recognized-but-undecodable JPEGs (arithmetic-coded,
+                    # CMYK, 12-bit, truncated — progressive decodes
+                    # natively now) keep the null-row contract below —
                     # one bad file must not fail the whole batch.
                     try:
                         img = parse_jpeg(b)

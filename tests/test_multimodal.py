@@ -341,20 +341,69 @@ def test_jpeg_gray_and_restart_markers():
     assert plain["pixels"] == rst["pixels"]
 
 
-def test_jpeg_progressive_raises_named_error():
-    """A SOF2 frame must fail with NotImplementedError, not a decode
-    crash: build a minimal header up to the progressive SOF marker."""
-    import struct
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) decode: the default scan script refines every
+    coefficient down to Al=0, so the decoded progressive image must be
+    BIT-IDENTICAL to the baseline decode of the same quantized
+    coefficients — across 4:4:4, 4:2:0 (interleaved-DC MCU order over
+    subsampled grids) and grayscale, on non-multiple-of-16 dims. This
+    exercises DC first/refinement, AC band first scans, EOB runs, and
+    the AC correction-bit refinement path."""
+    import numpy as np
 
-    import pytest
-
-    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import parse_jpeg
-
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(
-        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
     )
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        parse_jpeg(sof2)
+
+    h, w = 77, 103
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), ((xx // 8 + yy // 8) % 2) * 200 + 20],
+        axis=-1,
+    ).astype(np.uint8)
+    for q, sub in [(90, False), (85, True), (30, True)]:
+        seq = parse_jpeg(encode_jpeg(w, h, img.tobytes(), 3, quality=q, subsample=sub))
+        prog = parse_jpeg(
+            encode_jpeg_progressive(w, h, img.tobytes(), 3, quality=q, subsample=sub)
+        )
+        assert (prog["width"], prog["height"], prog["n_channels"]) == (w, h, 3)
+        assert prog["pixels"] == seq["pixels"], f"q={q} sub={sub}"
+    g = ((np.arange(41 * 57) * 13 + 5) % 256).astype(np.uint8)
+    seq = parse_jpeg(encode_jpeg(57, 41, g.tobytes(), 1, quality=90))
+    prog = parse_jpeg(encode_jpeg_progressive(57, 41, g.tobytes(), 1, quality=90))
+    assert prog["pixels"] == seq["pixels"]
+
+
+def test_jpeg_progressive_spectral_only_and_decode_media(spark):
+    """(a) A spectral-selection-only script (Al=0, no successive
+    approximation) is a different legal progressive layout — also
+    bit-identical to baseline. (b) decode_media no longer nulls
+    progressive payloads: a progressive JPEG row comes back with real
+    dimensions."""
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import decode_media
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+    scans = [(None, 0, 0, 0, 0), (0, 1, 63, 0, 0), (1, 1, 63, 0, 0), (2, 1, 63, 0, 0)]
+    seq = parse_jpeg(encode_jpeg(70, 50, img.tobytes(), 3, quality=80))
+    prog_bytes = encode_jpeg_progressive(
+        70, 50, img.tobytes(), 3, quality=80, scans=scans
+    )
+    assert parse_jpeg(prog_bytes)["pixels"] == seq["pixels"]
+
+    df = spark.createDataFrame([(1, bytearray(prog_bytes))], "doc_id long, content binary")
+    row = decode_media(df).collect()[0]
+    assert row["media_type"] == "image/jpeg"
+    assert (row["width"], row["height"]) == (70, 50)
 
 
 def test_reference_jpegs_decode_via_read_media_dir(spark):
