@@ -89,6 +89,8 @@ HEADLINE = [
     # the oracle embeds the hyperplane literals; this row measures what a
     # 100 TB run would actually execute — auto-sized planes)
     "dedup_embedding_multiround_auto",
+    "timeseries_time_weighted_avg",
+    "timeseries_gap_topk",
 ]
 
 

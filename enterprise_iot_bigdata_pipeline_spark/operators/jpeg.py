@@ -838,6 +838,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     scan_component_order: tuple[int, ...] | None = None,
+    non_interleaved: bool = False,
 ) -> bytes:
     """Baseline JFIF encoder. RGB (3) or grayscale (1) input; 4:4:4 by
     default, 2×2 chroma subsampling (4:2:0) with ``subsample=True``;
@@ -845,7 +846,14 @@ def encode_jpeg(
     ``scan_component_order`` permutes the SOS component listing (and the
     MCU interleave with it, per T.81 §B.2.3) — frame order stays 1,2,3;
     exists to round-trip-test decoders against scan-order ≠ frame-order
-    files, which the spec allows."""
+    files, which the spec allows. ``non_interleaved=True`` emits one SOS
+    per component (ns=1, each scan walking that component's own block
+    grid) — the other legal sequential layout, for round-trip-testing
+    the multi-scan decode path."""
+    if non_interleaved and (restart_interval or scan_component_order):
+        raise ValueError(
+            "non_interleaved doesn't combine with restart_interval/scan_component_order"
+        )
     enc, ql, qc, mcus_x, mcus_y = _prepare_enc(
         width, height, pixels, n_channels, quality, subsample
     )
@@ -872,6 +880,29 @@ def encode_jpeg(
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    if non_interleaved:
+        # One full-band sequential scan per component, each walking the
+        # component's OWN block grid (ceil(sample dims / 8)) — not the
+        # MCU-padded grid (T.81 §B.2.3).
+        hmax = max(e[1] for e in enc)
+        vmax = max(e[2] for e in enc)
+        for cid, hi, vi, tq, zz in enc:
+            sos = bytes([1, cid, 0x00 if tq == 0 else 0x11, 0x00, 0x3F, 0x00])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            dc_codes = dc_l if tq == 0 else dc_c
+            ac_codes = ac_l if tq == 0 else ac_c
+            bwid = -(-(-(-width * hi // hmax)) // 8)
+            bhgt = -(-(-(-height * vi // vmax)) // 8)
+            bw = _BitWriter()
+            pred = 0
+            for by in range(bhgt):
+                for bx in range(bwid):
+                    pred = _write_block(bw, zz[by, bx], pred, dc_codes, ac_codes)
+            bw.flush()
+            out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
 
     if scan_component_order is None:
         scan_enc = enc

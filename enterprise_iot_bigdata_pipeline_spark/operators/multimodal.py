@@ -183,28 +183,23 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # bytes). There is no shared scalar helper — keep the two in sync.
 
 
-def encode_png(width: int, height: int, pixels: bytes, n_channels: int = 3) -> bytes:
-    """Standards-compliant PNG encoder — stdlib ``zlib``/``struct`` only
-    (no PIL anywhere in this module). 8-bit gray (1), RGB (3) or RGBA (4);
-    scanline filters CYCLE through all five types (row % 5) so a
-    round-trip through ``parse_png`` exercises every unfilter path, not
-    just filter 0."""
-    import struct
-    import zlib
+# Adam7 interlace grid (PNG spec §8.2): per pass (x_start, y_start,
+# x_step, y_step). Each pass is filtered as an independent mini-image.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _filter_scanlines(raw16, bpp: int) -> bytearray:
+    """Filter one (sub-)image's rows, cycling filter type row % 5 so a
+    round-trip exercises every unfilter path, not just filter 0."""
     import numpy as np
 
-    color_type = {1: 0, 3: 2, 4: 6}[n_channels]
-    if len(pixels) != width * height * n_channels:
-        raise ValueError(
-            f"PNG needs {width * height * n_channels} bytes, got {len(pixels)}"
-        )
-    raw = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width * n_channels)
-    raw16 = raw.astype(np.int16)
-    bpp = n_channels
     out = bytearray()
-    prior = np.zeros(width * n_channels, dtype=np.int16)
-    for y in range(height):
+    stride = raw16.shape[1]
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(raw16.shape[0]):
         row = raw16[y]
         left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
         f = y % 5
@@ -225,6 +220,42 @@ def encode_png(width: int, height: int, pixels: bytes, n_channels: int = 3) -> b
         out.append(f)
         out += (filt & 0xFF).astype(np.uint8).tobytes()
         prior = row
+    return out
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, n_channels: int = 3, interlace: bool = False
+) -> bytes:
+    """Standards-compliant PNG encoder — stdlib ``zlib``/``struct`` only
+    (no PIL anywhere in this module). 8-bit gray (1), RGB (3) or RGBA (4);
+    scanline filters CYCLE through all five types (row % 5) so a
+    round-trip through ``parse_png`` exercises every unfilter path, not
+    just filter 0. ``interlace=True`` writes a real Adam7 file (each of
+    the seven passes filtered as its own mini-image, per spec §8.2) so
+    the interlaced decode path round-trips without external fixtures."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    color_type = {1: 0, 3: 2, 4: 6}[n_channels]
+    if len(pixels) != width * height * n_channels:
+        raise ValueError(
+            f"PNG needs {width * height * n_channels} bytes, got {len(pixels)}"
+        )
+    bpp = n_channels
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, n_channels)
+    out = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no bytes
+            raw16 = sub.reshape(sub.shape[0], sub.shape[1] * bpp).astype(np.int16)
+            out += _filter_scanlines(raw16, bpp)
+    else:
+        raw16 = img.reshape(height, width * bpp).astype(np.int16)
+        out = _filter_scanlines(raw16, bpp)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -234,7 +265,7 @@ def encode_png(width: int, height: int, pixels: bytes, n_channels: int = 3) -> b
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -243,70 +274,30 @@ def encode_png(width: int, height: int, pixels: bytes, n_channels: int = 3) -> b
     )
 
 
-def parse_png(payload: bytes) -> dict:
-    """Pure-Python PNG decode: stdlib ``zlib`` inflate + scanline
-    unfilter — no imaging library. Supports the overwhelmingly common
-    on-disk shape: 8-bit, non-interlaced, color types 0 (gray), 2 (RGB),
-    3 (palette → expanded to RGB), 4 (gray+alpha), 6 (RGBA) — which
-    covers e.g. every PNG shipped in the reference repo's media/ dirs.
-    Interlaced (Adam7) or sub-byte depths raise a named error.
-
-    Returns width, height, n_channels and the reconstructed pixel bytes
-    (row-major, channels interleaved). Filters 0–2 vectorize; 3–4 have a
-    true sequential dependency and run as a per-byte loop."""
-    import struct
-    import zlib
-
+def _unfilter_scanlines(data: bytes, n_rows: int, n_cols: int, bpp: int):
+    """Reverse PNG scanline filtering for one (sub-)image: ``data`` holds
+    ``n_rows`` scanlines of 1 filter byte + ``n_cols·bpp`` samples.
+    Filters 0–2 vectorize; 3–4 have a true sequential dependency and run
+    as a per-byte loop (plain Python ints — numpy scalar extraction per
+    byte is ~5× slower). Returns a (n_rows, n_cols·bpp) uint8 array."""
     import numpy as np
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    i, idat, ihdr, plte = 8, [], None, None
-    while i + 8 <= len(payload):
-        size = struct.unpack(">I", payload[i : i + 4])[0]
-        tag = payload[i + 4 : i + 8]
-        body = payload[i + 8 : i + 8 + size]
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"PLTE":
-            plte = body
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        i += 12 + size  # len + tag + body + crc
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT chunk")
-    width, height, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if bpp is None:
-        raise ValueError(f"unknown PNG color type {color_type}")
-    stride = width * bpp
-    data = zlib.decompress(b"".join(idat))
-    if len(data) != height * (stride + 1):
-        raise ValueError(
-            f"PNG data: want {height * (stride + 1)} filtered bytes, got {len(data)}"
-        )
-    arr = np.frombuffer(data, dtype=np.uint8).reshape(height, stride + 1)
+    stride = n_cols * bpp
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(n_rows, stride + 1)
     filters = arr[:, 0]
     lines = arr[:, 1:].astype(np.int16)
-    recon = np.zeros((height, stride), dtype=np.uint8)
+    recon = np.zeros((n_rows, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int16)
-    for y in range(height):
+    for y in range(n_rows):
         f = int(filters[y])
         line = lines[y]
         if f == 0:
             row = line
         elif f == 1:  # Sub: recon[i] = line[i] + recon[i-bpp] → per-pixel cumsum
-            row = np.cumsum(line.reshape(width, bpp), axis=0, dtype=np.int64).reshape(stride)
+            row = np.cumsum(line.reshape(n_cols, bpp), axis=0, dtype=np.int64).reshape(stride)
         elif f == 2:  # Up
             row = line + prior
-        elif f in (3, 4):  # Average / Paeth: sequential per byte — plain
-            # Python ints (numpy scalar extraction per byte is ~5× slower)
+        elif f in (3, 4):  # Average / Paeth
             rb = bytearray(stride)
             ln = line.tolist()
             pl = prior.tolist()
@@ -336,6 +327,78 @@ def parse_png(payload: bytes) -> dict:
             raise ValueError(f"unknown PNG filter type {f} at row {y}")
         recon[y] = np.asarray(row, dtype=np.int64) & 0xFF
         prior = recon[y].astype(np.int16)
+    return recon
+
+
+def parse_png(payload: bytes) -> dict:
+    """Pure-Python PNG decode: stdlib ``zlib`` inflate + scanline
+    unfilter — no imaging library. Supports 8-bit color types 0 (gray),
+    2 (RGB), 3 (palette → expanded to RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced AND Adam7-interlaced (each of the seven passes
+    unfiltered as its own mini-image, then scattered onto the spec §8.2
+    grid) — which covers e.g. every PNG shipped in the reference repo's
+    media/ dirs. Sub-byte / 16-bit depths raise a named error.
+
+    Returns width, height, n_channels and the reconstructed pixel bytes
+    (row-major, channels interleaved)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, idat, ihdr, plte = 8, [], None, None
+    while i + 8 <= len(payload):
+        size = struct.unpack(">I", payload[i : i + 4])[0]
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + size  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if bpp is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    stride = width * bpp
+    data = zlib.decompress(b"".join(idat))
+    if interlace:
+        img = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            nbytes = ph * (pw * bpp + 1)
+            if off + nbytes > len(data):
+                raise ValueError("PNG data: truncated Adam7 pass")
+            sub = _unfilter_scanlines(data[off : off + nbytes], ph, pw, bpp)
+            img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+            off += nbytes
+        if off != len(data):
+            raise ValueError(
+                f"PNG data: {len(data) - off} trailing bytes after Adam7 passes"
+            )
+        recon = img.reshape(height, stride)
+    else:
+        if len(data) != height * (stride + 1):
+            raise ValueError(
+                f"PNG data: want {height * (stride + 1)} filtered bytes, got {len(data)}"
+            )
+        recon = _unfilter_scanlines(data, height, width, bpp)
     pixels = recon
     n_channels = bpp
     if color_type == 3:  # palette → RGB

@@ -646,3 +646,116 @@ def timeseries_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(v.cast("decimal(25,6)")).over(wr).cast("double") / F.count(v).over(wr)).alias("mean_1h"),
         F.count(v).over(wr).alias("n_1h"),
     )
+
+
+# --- Time-weighted average (the irregular-sampling mean every TSDB
+#     exposes): piecewise-constant (LOCF) segments weighted by their
+#     duration, per series. Σ(vᵢ·wᵢ) accumulates in DECIMAL — each
+#     product is ONE IEEE multiply (identical both engines, no a+b·c
+#     tree to contract), the sum is exact, and the final division is a
+#     single double op. Shape: one keyed-sort window (lead) + one hash
+#     agg on the same key — the agg reuses the window's partitioning, so
+#     it's ONE shuffle total at any scale. -----------------------------------
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    """
+    WITH v AS (
+        SELECT event_type, ts, event_id, value FROM events
+        WHERE value IS NOT NULL
+    ), s AS (
+        SELECT event_type, value,
+            epoch_us(ts) AS t_us,
+            lead(epoch_us(ts)) OVER
+                (PARTITION BY event_type ORDER BY ts, event_id) AS next_us
+        FROM v
+    )
+    SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n_segments,
+        CAST(sum(next_us - t_us) AS BIGINT) AS span_us,
+        round(CAST(sum(CAST(value * ((next_us - t_us) / 1000000.0) AS DECIMAL(25,6))) AS DOUBLE)
+              / (CAST(sum(next_us - t_us) AS DOUBLE) / 1000000.0), 9) AS twa
+    FROM s WHERE next_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wlead = W.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        "value",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(wlead).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dt_us = F.col("next_us") - F.col("t_us")
+    # weight in seconds via ONE double division; v·w is one multiply —
+    # no multiply-add tree, so no round-9 FMA guard needed here
+    wv = (F.col("value") * (dt_us / F.lit(1000000.0))).cast("decimal(25,6)")
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(dt_us).cast("long").alias("span_us"),
+        F.round(
+            F.sum(wv).cast("double")
+            / (F.sum(dt_us).cast("double") / F.lit(1000000.0)),
+            9,
+        ).alias("twa"),
+    )
+
+
+# --- Gap detection: the k largest inter-arrival gaps per series (sensor
+#     outage triage). Rank-based rather than a fixed threshold so the
+#     query is non-vacuous at every scale factor (a threshold tuned at
+#     sf0.001 densities returns nothing at sf0.1 and vice versa). Output
+#     is integers + timestamps — hash-exact, no float surface at all.
+#     Shape: two window functions over ONE keyed sort (lag feeds
+#     row_number on the same (event_type, ts, event_id) ordering), then a
+#     rank filter; |keys| parallelism is fine for top-k triage output,
+#     and the chunked-window escape hatch (operators/rolling.py) applies
+#     if a deployment needs more. -------------------------------------------
+
+_GAP_TOPK = 10
+
+
+@register(
+    "timeseries_gap_topk",
+    f"""
+    WITH g AS (
+        SELECT event_type, ts, event_id,
+            lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), d AS (
+        SELECT event_type, prev_ts AS gap_start, ts AS gap_end, event_id,
+            epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+        FROM g WHERE prev_ts IS NOT NULL
+    ), r AS (
+        SELECT *, row_number() OVER
+            (PARTITION BY event_type ORDER BY gap_us DESC, gap_end, event_id) AS rk
+        FROM d
+    )
+    SELECT event_type, gap_start, gap_end,
+           CAST(gap_us AS BIGINT) AS gap_us, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_GAP_TOPK}
+    """,
+)
+def timeseries_gap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    word = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        F.lag("ts").over(word).alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        "event_id",
+        (t_us - F.lag(t_us).over(word)).alias("gap_us"),
+    ).filter(F.col("gap_start").isNotNull())
+    wrank = W.partitionBy("event_type").orderBy(
+        F.col("gap_us").desc(), "gap_end", "event_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(wrank).cast("long"))
+        .filter(F.col("rk") <= _GAP_TOPK)
+        .select("event_type", "gap_start", "gap_end", F.col("gap_us").cast("long").alias("gap_us"), "rk")
+    )

@@ -227,6 +227,28 @@ def test_png_codec_roundtrip_all_filters():
         assert out["pixels"] == px
 
 
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode: each of the seven passes unfilters as its own
+    mini-image and scatters onto the §8.2 grid — the round-trip must be
+    byte-exact, including dims where some passes are empty (w or h < 5)
+    and single-pixel images (only pass 1 non-empty)."""
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for (w, h, nc) in [(1, 1, 1), (7, 5, 3), (103, 77, 3), (33, 2, 1), (2, 33, 4), (16, 16, 3)]:
+        px = rng.integers(0, 256, (h, w, nc), dtype=np.uint8).tobytes()
+        out = parse_png(encode_png(w, h, px, nc, interlace=True))
+        assert (out["width"], out["height"], out["n_channels"]) == (w, h, nc)
+        assert out["pixels"] == px
+        # interlaced and plain files decode identically
+        assert out["pixels"] == parse_png(encode_png(w, h, px, nc))["pixels"]
+
+
 def test_reference_pngs_decode_via_read_media_dir(spark):
     """The reference repo's own media/*.png are real-world fixtures: the
     binaryFile ingest + pure-Python PNG decode (stdlib zlib inflate +
@@ -374,6 +396,28 @@ def test_jpeg_progressive_roundtrip_matches_baseline():
     seq = parse_jpeg(encode_jpeg(57, 41, g.tobytes(), 1, quality=90))
     prog = parse_jpeg(encode_jpeg_progressive(57, 41, g.tobytes(), 1, quality=90))
     assert prog["pixels"] == seq["pixels"]
+
+
+def test_jpeg_sequential_non_interleaved_multi_scan():
+    """T.81 also allows SEQUENTIAL files with one scan per component
+    (ns=1 each, walking the component's own block grid instead of the
+    MCU-padded one) — decode must be bit-identical to the interleaved
+    layout, including under 4:2:0 where the grids genuinely differ."""
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    for (w, h, nc, sub) in [(70, 50, 3, False), (37, 29, 3, True), (41, 57, 1, False)]:
+        img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+        a = parse_jpeg(encode_jpeg(w, h, img.tobytes(), nc, quality=85, subsample=sub))
+        b = parse_jpeg(
+            encode_jpeg(w, h, img.tobytes(), nc, quality=85, subsample=sub, non_interleaved=True)
+        )
+        assert a["pixels"] == b["pixels"], (w, h, nc, sub)
 
 
 def test_jpeg_progressive_spectral_only_and_decode_media(spark):

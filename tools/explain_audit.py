@@ -54,6 +54,9 @@ AUDITED = [
     "timeseries_range_window",
     "text_extract_urls",
     "join_bloom_prune",
+    "timeseries_time_weighted_avg",
+    "timeseries_gap_topk",
+    "dedup_embedding_multiround_auto",
 ]
 
 CHECKS = {
@@ -185,7 +188,12 @@ CHECKS = {
         ("SortMergeJoin", False, "stage resolution is window CASE algebra, not joins"),
     ],
     "cohort_weekly_retention": [
-        ("BroadcastHashJoin", True, "user→cohort map broadcasts at this scale"),
+        # audited with autobroadcast OFF (r6: the F.broadcast hint on the
+        # user-cardinality map was removed — at test scale the planner
+        # still broadcasts on size stats, but the 100 TB degradation must
+        # be a shuffle join, which this override makes visible):
+        ("SortMergeJoin", True, "user-cardinality map degrades to a shuffle join, never a forced broadcast"),
+        ("BroadcastHashJoin", False, "no broadcast under the no-stats regime — the hint is gone"),
         ("CartesianProduct", False, "no unkeyed join"),
     ],
     "timeseries_winsorize": [
@@ -212,8 +220,25 @@ CHECKS = {
 
 # Per-query session-conf overrides applied while BUILDING the audited plan
 # (restored afterwards). Used to surface scale-dependent shapes at test SFs.
+CHECKS_R6 = {
+    "timeseries_time_weighted_avg": [
+        ("Window", True, "LOCF segment weights come from ONE keyed-sort lead window"),
+        ("BatchEvalPython", False, "segment algebra stays JVM-side"),
+    ],
+    "timeseries_gap_topk": [
+        ("Window", True, "lag + rank ride windows over one keyed sort"),
+        ("Exchange SinglePartition", False, "top-k is per-series, never a global sort"),
+    ],
+    "dedup_embedding_multiround_auto": [
+        ("BroadcastNestedLoopJoin", False, "auto-sized planes still bucket equi-join only"),
+        ("CartesianProduct", False, "no all-pairs path in the deployment shape"),
+    ],
+}
+CHECKS.update(CHECKS_R6)
+
 CONF_OVERRIDES = {
     "join_large_orders": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "cohort_weekly_retention": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 

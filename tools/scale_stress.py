@@ -63,6 +63,8 @@ STRESSED = [
     "segment_dedup_global",
     "text_extract_urls",
     "join_bloom_prune",
+    "timeseries_time_weighted_avg",
+    "timeseries_gap_topk",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -94,6 +96,8 @@ MAIN_TABLE = {
     "segment_dedup_global": "documents",
     "text_extract_urls": "documents",
     "join_bloom_prune": "lineitem",
+    "timeseries_time_weighted_avg": "events",
+    "timeseries_gap_topk": "events",
 }
 ID_COLS = {
     "events": "event_id",
