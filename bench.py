@@ -91,6 +91,8 @@ HEADLINE = [
     "dedup_embedding_multiround_auto",
     "timeseries_time_weighted_avg",
     "timeseries_gap_topk",
+    "join_fuzzy_names",
+    "text_inverted_index",
 ]
 
 

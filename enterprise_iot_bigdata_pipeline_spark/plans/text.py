@@ -1333,3 +1333,62 @@ def text_extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(F.transform(F.col("urls_norm"), domain))), ","
         ).alias("domains"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (token → document-frequency + capped posting list):
+# the search/retrieval-side artifact of a curation pipeline, and the
+# pattern behind exact-dedup-by-witness and contamination lookups. One
+# explode + one hash aggregate; posting lists are SORTED and CAPPED
+# (first _POSTING_CAP doc ids) so no group's output grows with the
+# corpus — at 100 TB the full postings would go to a bucketed table
+# write instead, but the df counts and capped lists here are exactly the
+# aggregation shape that job runs. String-joined output keeps the
+# oracle hash surface scalar (no array-typed columns).
+# ---------------------------------------------------------------------------
+
+_POSTING_CAP = 20
+_IDX_MIN_DF = 5
+_IDX_MIN_LEN = 4
+
+_INV_ORACLE = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+')) AS token
+    FROM documents
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, {_POSTING_CAP}), ',') AS postings
+FROM tok
+WHERE length(token) >= {_IDX_MIN_LEN}
+GROUP BY token
+HAVING count(*) >= {_IDX_MIN_DF}
+"""
+
+
+@register("text_inverted_index", _INV_ORACLE)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9]+")
+            ).alias("token"),
+        )
+        .filter(F.length("token") >= _IDX_MIN_LEN)
+        .dropDuplicates(["doc_id", "token"])
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, _POSTING_CAP), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= _IDX_MIN_DF)
+    )

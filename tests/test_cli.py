@@ -123,5 +123,20 @@ def test_cli_query_subcommand(spark, capsys):
     assert rc == 0
     assert "sort_topk: 100 rows" in capsys.readouterr().out
 
+    # --limit previews WITHOUT re-executing: exact count when the result
+    # fits the preview, a ">N rows" marker when it doesn't
+    rc = main(
+        ["query", "sort_topk", "--sf-dir", "/root/testdata/sf0.001", "--limit", "200"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "sort_topk: 100 rows" in capsys.readouterr().out
+    rc = main(
+        ["query", "sort_topk", "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "sort_topk: >5 rows (showing 5)" in capsys.readouterr().out
+
     # unknown names exit 2 with guidance
     assert main(["query", "nope"], spark=spark) == 2

@@ -57,6 +57,8 @@ AUDITED = [
     "timeseries_time_weighted_avg",
     "timeseries_gap_topk",
     "dedup_embedding_multiround_auto",
+    "join_fuzzy_names",
+    "text_inverted_index",
 ]
 
 CHECKS = {
@@ -232,6 +234,15 @@ CHECKS_R6 = {
     "dedup_embedding_multiround_auto": [
         ("BroadcastNestedLoopJoin", False, "auto-sized planes still bucket equi-join only"),
         ("CartesianProduct", False, "no all-pairs path in the deployment shape"),
+    ],
+    "join_fuzzy_names": [
+        ("Window", True, "sorted-neighborhood candidates ride lead() over ONE keyed sort"),
+        ("SortMergeJoin", False, "no self-join shuffle — O(n·w), never per-block n²"),
+        ("CartesianProduct", False, "no all-pairs verify"),
+    ],
+    "text_inverted_index": [
+        ("ObjectHashAggregate", True, "posting-list collect is a hash agg, not a sort agg"),
+        ("Exchange SinglePartition", False, "postings build per-token, never a global collect"),
     ],
 }
 CHECKS.update(CHECKS_R6)

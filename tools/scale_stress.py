@@ -65,6 +65,8 @@ STRESSED = [
     "join_bloom_prune",
     "timeseries_time_weighted_avg",
     "timeseries_gap_topk",
+    "join_fuzzy_names",
+    "text_inverted_index",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -98,6 +100,8 @@ MAIN_TABLE = {
     "join_bloom_prune": "lineitem",
     "timeseries_time_weighted_avg": "events",
     "timeseries_gap_topk": "events",
+    "join_fuzzy_names": "customer",
+    "text_inverted_index": "documents",
 }
 ID_COLS = {
     "events": "event_id",
@@ -105,6 +109,7 @@ ID_COLS = {
     "documents": "doc_id",
     "orders": "o_orderkey",
     "embeddings": "vec_id",
+    "customer": "c_custkey",
 }
 
 
@@ -160,6 +165,15 @@ def main() -> None:
                             f"concat(slice(embedding, {rot + 1}, {64 - rot}), "
                             f"slice(embedding, 1, {rot}))"
                         ),
+                    )
+                if name == "customer":
+                    # Amplifier honesty for the sorted-neighborhood fuzzy
+                    # join: verbatim name copies stack N identical names
+                    # adjacent in sort order (every window slot a distance-0
+                    # match — measures the amplifier). A per-copy name
+                    # suffix keeps the near-duplicate rate constant.
+                    c = c.withColumn(
+                        "c_name", F.concat(F.col("c_name"), F.lit(f"#{i}"))
                     )
                 copies.append(c)
             for c in copies:
