@@ -465,6 +465,157 @@ def parse_wav(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container METADATA (no codec decode — the container
+# walk is pure struct arithmetic; the sample decode itself needs a real
+# codec and is stubbed per the multimodal design: plumbing + typed
+# metadata real, entropy decode gated).
+# ---------------------------------------------------------------------------
+
+
+def build_mp4_meta(
+    timescale: int,
+    duration: int,
+    video_wh: tuple[int, int] | None = None,
+    audio: bool = False,
+    major_brand: bytes = b"isom",
+) -> bytes:
+    """Construct a minimal VALID ISO-BMFF box tree (ftyp + moov with
+    mvhd and one tkhd+mdia/hdlr per track) so the parser round-trips
+    without external media fixtures. No mdat — metadata only."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+    ftyp = box(b"ftyp", major_brand + struct.pack(">I", 0) + b"isomiso2")
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + matrix + b"\x00" * 24 + struct.pack(">I", 99),
+    )
+    traks = b""
+    tracks = []
+    if video_wh is not None:
+        tracks.append((b"vide", video_wh))
+    if audio:
+        tracks.append((b"soun", (0, 0)))
+    for tid, (handler, (w, h)) in enumerate(tracks, start=1):
+        tkhd = full(
+            b"tkhd", 0, 7,
+            struct.pack(">IIII", 0, 0, tid, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0x0100 if handler == b"soun" else 0, 0)
+            + matrix
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+        )
+        mdhd = full(
+            b"mdhd", 0, 0,
+            struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = full(
+            b"hdlr", 0, 0,
+            struct.pack(">I", 0) + handler + b"\x00" * 12 + b"track\x00",
+        )
+        traks += box(b"trak", tkhd + box(b"mdia", mdhd + hdlr))
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for the boxes in data[start:end];
+    handles 64-bit largesize (size==1) and to-end (size==0) boxes."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", data[i : i + 4])[0]
+        tag = data[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated MP4: largesize past end")
+            size = struct.unpack(">Q", data[i + 8 : i + 16])[0]
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError(f"corrupt MP4: box {tag!r} size {size} past end")
+        yield tag, body, i + size
+        i += size
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """Walk an MP4/ISO-BMFF box tree for typed container metadata:
+    major brand, movie timescale + duration (mvhd v0/v1), per-track
+    dimensions (tkhd, 16.16 fixed) and handler class (hdlr vide/soun).
+    Sample data is NOT decoded — that requires a real codec
+    (``decode_mp4_samples`` raises the stub contract)."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4/ISO-BMFF payload (missing ftyp)")
+    meta: dict = {
+        "major_brand": payload[8:12].decode("latin-1"),
+        "timescale": None, "duration": None, "duration_s": None,
+        "n_tracks": 0, "width": None, "height": None,
+        "has_video": False, "has_audio": False,
+    }
+
+    def walk(start: int, end: int, ctx: dict) -> None:
+        for tag, b0, b1 in _mp4_boxes(payload, start, end):
+            if tag == b"mvhd":
+                ver = payload[b0]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", payload[b0 + 20 : b0 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", payload[b0 + 12 : b0 + 20])
+                meta["timescale"], meta["duration"] = ts, dur
+                meta["duration_s"] = round(dur / ts, 6) if ts else None
+            elif tag == b"tkhd":
+                ver = payload[b0]
+                off = b1 - b0 - 8  # width/height are the LAST 8 body bytes
+                w16, h16 = struct.unpack(">II", payload[b0 + off : b0 + off + 8])
+                ctx["wh"] = (w16 >> 16, h16 >> 16)
+            elif tag == b"hdlr":
+                handler = payload[b0 + 8 : b0 + 12]
+                if handler == b"vide":
+                    meta["has_video"] = True
+                    if meta["width"] is None and ctx.get("wh"):
+                        meta["width"], meta["height"] = ctx["wh"]
+                elif handler == b"soun":
+                    meta["has_audio"] = True
+            elif tag == b"trak":
+                meta["n_tracks"] += 1
+                walk(b0, b1, {})
+            elif tag in _MP4_CONTAINERS:
+                walk(b0, b1, ctx)
+
+    walk(0, len(payload), {})
+    if meta["timescale"] is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    return meta
+
+
+def decode_mp4_samples(payload: bytes):
+    """Stub contract: decoding MP4 SAMPLES needs an H.264/AAC-class codec
+    not available (and out of scope) here. The container metadata path
+    (``parse_mp4_meta``) is fully implemented; a deployment wires a codec
+    library into this hook."""
+    raise NotImplementedError(
+        "MP4 sample decode requires a video/audio codec; container metadata "
+        "is available via parse_mp4_meta"
+    )
+
+
 def decode_image(payload: bytes):
     """Decode an image payload: netpbm and PNG decode with the pure-Python
     parsers above (stdlib zlib), baseline JPEG with the numpy codec in
@@ -606,6 +757,22 @@ def decode_media(media: DataFrame) -> DataFrame:
                         (int(doc_id), "audio/wav", None, None,
                          wav["sample_rate"], wav["n_channels"], len(s),
                          int(s.sum(dtype=np.int64)))
+                    )
+                elif len(b) >= 12 and b[4:8] == b"ftyp":
+                    # MP4/ISO-BMFF: container metadata only (sample decode
+                    # needs a codec — decode_mp4_samples is the stub hook).
+                    # n_units carries duration in timescale units;
+                    # sample_rate carries the movie timescale.
+                    try:
+                        m = parse_mp4_meta(b)
+                    except ValueError:
+                        rows.append(
+                            (int(doc_id), None, None, None, None, None, None, None)
+                        )
+                        continue
+                    rows.append(
+                        (int(doc_id), "video/mp4", m["width"], m["height"],
+                         m["timescale"], m["n_tracks"], m["duration"], None)
                     )
                 else:
                     rows.append((int(doc_id), None, None, None, None, None, None, None))

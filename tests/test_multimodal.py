@@ -626,3 +626,46 @@ def test_resize_identity_property(spark):
     for doc_id, (w, h, px) in shapes.items():
         out = resize_images(df.filter(f"doc_id = {doc_id}"), w, h).collect()[0]
         assert bytes(out.pixels) == px, (doc_id, w, h)
+
+
+def test_mp4_container_metadata_roundtrip(spark):
+    """MP4/ISO-BMFF container walk: a constructed box tree (ftyp + moov
+    with mvhd + video/audio traks) round-trips typed metadata — brand,
+    timescale, duration, per-track dims, handler classes; sample decode
+    stays a named stub (codec out of scope). decode_media dispatches on
+    the ftyp signature and fills the metadata columns."""
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        build_mp4_meta,
+        decode_media,
+        decode_mp4_samples,
+        parse_mp4_meta,
+    )
+
+    b = build_mp4_meta(timescale=90000, duration=2700000, video_wh=(1920, 1080), audio=True)
+    m = parse_mp4_meta(b)
+    assert m["major_brand"] == "isom"
+    assert (m["timescale"], m["duration"], m["duration_s"]) == (90000, 2700000, 30.0)
+    assert (m["width"], m["height"], m["n_tracks"]) == (1920, 1080, 2)
+    assert m["has_video"] and m["has_audio"]
+
+    audio_only = parse_mp4_meta(build_mp4_meta(1000, 5500, audio=True))
+    assert audio_only["width"] is None and audio_only["has_audio"]
+    assert audio_only["duration_s"] == 5.5
+
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_meta(b"\x00\x00\x00\x08free")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_mp4_samples(b)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b)), (2, bytearray(b"\x00\x00\x00\x0cftypXXXX"))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert rows[1]["media_type"] == "video/mp4"
+    assert (rows[1]["width"], rows[1]["height"]) == (1920, 1080)
+    assert (rows[1]["sample_rate"], rows[1]["n_channels"], rows[1]["n_units"]) == (90000, 2, 2700000)
+    # corrupt ftyp payload degrades to the null row, never a batch kill
+    assert rows[2]["media_type"] is None

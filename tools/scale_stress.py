@@ -286,6 +286,7 @@ def main_longdoc() -> None:
         "text_extract_urls",
         "web_domain_filter",
         "segment_dedup_global",
+        "text_inverted_index",
     ):
         t1 = timed(SF, name)
         tn = timed(stage, name)
