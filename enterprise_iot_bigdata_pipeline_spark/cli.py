@@ -120,12 +120,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             df = queries[args.name](spark, args.sf_dir)
             if args.limit:
                 # ONE execution for both the preview and the count: collect
-                # limit+1 rows, display limit, and report an exact count only
-                # when the result fits — re-running df.count() would execute
-                # the full pipeline a second time.
+                # limit+1 rows, format them DRIVER-LOCALLY (round-tripping
+                # collected rows through createDataFrame+show would pay
+                # schema re-validation and a second Spark job just to
+                # pretty-print), and report an exact count only when the
+                # result fits — re-running df.count() would execute the
+                # full pipeline a second time.
                 head = df.limit(args.limit + 1).collect()
-                preview = spark.createDataFrame(head[: args.limit], df.schema)
-                preview.show(args.limit, truncate=False)
+                shown = head[: args.limit]
+                cols = df.columns
+                cells = [[str(row[c]) for c in cols] for row in shown]
+                widths = [
+                    max(len(c), *(len(r[i]) for r in cells)) if cells else len(c)
+                    for i, c in enumerate(cols)
+                ]
+                sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+                print(sep)
+                print("| " + " | ".join(c.ljust(w) for c, w in zip(cols, widths)) + " |")
+                print(sep)
+                for r in cells:
+                    print("| " + " | ".join(v.ljust(w) for v, w in zip(r, widths)) + " |")
+                print(sep)
                 if len(head) > args.limit:
                     print(f"{args.name}: >{args.limit} rows (showing {args.limit})")
                 else:

@@ -228,6 +228,16 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+def _comp_blocks(dim: int, fac: int, fmax: int) -> int:
+    """Blocks along one axis of a component's OWN sample grid:
+    ceil(ceil(dim·fac/fmax) / 8). This is the non-interleaved scan
+    traversal count (T.81 §B.2.3) — encoder and decoder MUST agree on it
+    or multi-scan/progressive files mis-round-trip, hence one shared
+    helper instead of three inline copies."""
+    samples = -(-dim * fac // fmax)
+    return -(-samples // 8)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
@@ -551,8 +561,8 @@ def _decode_scan_into(
         bwid = 0
     else:
         ci0, hi, vi, _, _ = order[0]
-        bwid = -(-(-(-w * hi // hmax)) // 8)  # ceil(comp_width / 8)
-        bhgt = -(-(-(-h * vi // vmax)) // 8)
+        bwid = _comp_blocks(w, hi, hmax)
+        bhgt = _comp_blocks(h, vi, vmax)
         units_total = bwid * bhgt
 
     segments, end = _split_scan(payload, start)
@@ -892,8 +902,8 @@ def encode_jpeg(
             out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
             dc_codes = dc_l if tq == 0 else dc_c
             ac_codes = ac_l if tq == 0 else ac_c
-            bwid = -(-(-(-width * hi // hmax)) // 8)
-            bhgt = -(-(-(-height * vi // vmax)) // 8)
+            bwid = _comp_blocks(width, hi, hmax)
+            bhgt = _comp_blocks(height, vi, vmax)
             bw = _BitWriter()
             pred = 0
             for by in range(bhgt):
@@ -1159,8 +1169,8 @@ def encode_jpeg_progressive(
             cid, hi, vi, tq, zz = enc[comp]
             sos = bytes([1, cid, 0x00]) + bytes([ss, se, (ah << 4) | al])
             out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-            bwid = -(-(-(-width * hi // hmax)) // 8)
-            bhgt = -(-(-(-height * vi // vmax)) // 8)
+            bwid = _comp_blocks(width, hi, hmax)
+            bhgt = _comp_blocks(height, vi, vmax)
             blocks = [zz[by, bx] for by in range(bhgt) for bx in range(bwid)]
             if ah == 0:
                 _enc_ac_first(bw, blocks, ss, se, al, ac_prog)

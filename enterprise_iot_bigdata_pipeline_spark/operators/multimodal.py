@@ -558,7 +558,13 @@ def parse_mp4_meta(payload: bytes) -> dict:
     major brand, movie timescale + duration (mvhd v0/v1), per-track
     dimensions (tkhd, 16.16 fixed) and handler class (hdlr vide/soun).
     Sample data is NOT decoded — that requires a real codec
-    (``decode_mp4_samples`` raises the stub contract)."""
+    (``decode_mp4_samples`` raises the stub contract).
+
+    Error contract: EVERY malformed payload raises ValueError — box-size
+    lies that survive the _mp4_boxes bounds check but leave a short mvhd/
+    tkhd body would otherwise surface as struct.error/IndexError and kill
+    a whole decode batch instead of one row; nesting is depth-capped so a
+    crafted self-containing box can't recurse unboundedly."""
     import struct
 
     if len(payload) < 12 or payload[4:8] != b"ftyp":
@@ -570,9 +576,13 @@ def parse_mp4_meta(payload: bytes) -> dict:
         "has_video": False, "has_audio": False,
     }
 
-    def walk(start: int, end: int, ctx: dict) -> None:
+    def walk(start: int, end: int, ctx: dict, depth: int) -> None:
+        if depth > 16:
+            raise ValueError("corrupt MP4: box nesting deeper than 16")
         for tag, b0, b1 in _mp4_boxes(payload, start, end):
             if tag == b"mvhd":
+                if b1 - b0 < 32:
+                    raise ValueError("corrupt MP4: mvhd body too short")
                 ver = payload[b0]
                 if ver == 1:
                     ts, dur = struct.unpack(">IQ", payload[b0 + 20 : b0 + 32])
@@ -581,11 +591,14 @@ def parse_mp4_meta(payload: bytes) -> dict:
                 meta["timescale"], meta["duration"] = ts, dur
                 meta["duration_s"] = round(dur / ts, 6) if ts else None
             elif tag == b"tkhd":
-                ver = payload[b0]
+                if b1 - b0 < 16:
+                    raise ValueError("corrupt MP4: tkhd body too short")
                 off = b1 - b0 - 8  # width/height are the LAST 8 body bytes
                 w16, h16 = struct.unpack(">II", payload[b0 + off : b0 + off + 8])
                 ctx["wh"] = (w16 >> 16, h16 >> 16)
             elif tag == b"hdlr":
+                if b1 - b0 < 12:
+                    raise ValueError("corrupt MP4: hdlr body too short")
                 handler = payload[b0 + 8 : b0 + 12]
                 if handler == b"vide":
                     meta["has_video"] = True
@@ -595,11 +608,14 @@ def parse_mp4_meta(payload: bytes) -> dict:
                     meta["has_audio"] = True
             elif tag == b"trak":
                 meta["n_tracks"] += 1
-                walk(b0, b1, {})
+                walk(b0, b1, {}, depth + 1)
             elif tag in _MP4_CONTAINERS:
-                walk(b0, b1, ctx)
+                walk(b0, b1, ctx, depth + 1)
 
-    walk(0, len(payload), {})
+    try:
+        walk(0, len(payload), {}, 0)
+    except (struct.error, IndexError) as exc:  # any short-slice past the guards
+        raise ValueError(f"corrupt MP4: {exc}") from exc
     if meta["timescale"] is None:
         raise ValueError("MP4 missing moov/mvhd")
     return meta

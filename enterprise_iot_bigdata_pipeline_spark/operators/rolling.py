@@ -45,6 +45,17 @@ class ChunkTooSparseError(ValueError):
         self.suggested_bucket_s = suggested_bucket_s
 
 
+def _bucket_expr(ts_col: str, bucket_s: int) -> Column:
+    """THE chunking bucket key — shared by the window computation and the
+    validator so they can never diverge (a validator checking a different
+    bucketing than the one executed would pass while chunk history is
+    silently under-filled). Truncation (not floor) is fine HERE because
+    the bucket only partitions work: the mapping is monotonic, so
+    contiguity/ordering hold for any sign; results are bit-identical to
+    the single-pass window regardless of boundaries."""
+    return (F.unix_timestamp(ts_col).cast("long") / bucket_s).cast("long")
+
+
 def rolling_sums_chunked(
     df: DataFrame,
     key_col: str,
@@ -85,8 +96,9 @@ def rolling_sums_chunked(
                 f"lag_exprs[{name!r}] offset {off} exceeds window-1={window - 1}: "
                 f"the context tail cannot supply it"
             )
-    bucket = (F.unix_timestamp(ts_col).cast("long") / bucket_s).cast("long")
-    base = df.withColumn("__bucket", bucket).withColumn("__emit", F.lit(True))
+    base = df.withColumn("__bucket", _bucket_expr(ts_col, bucket_s)).withColumn(
+        "__emit", F.lit(True)
+    )
 
     # ---- precondition: contiguous buckets; non-edge chunks hold ≥ w−1 rows
     if validate:
@@ -128,8 +140,7 @@ def _chunk_violation(
     """True iff the (key, bucket) chunking at ``bucket_s`` breaks the
     exactness precondition: a bucket gap, or a non-edge chunk under
     ``window−1`` rows. One distributed aggregate."""
-    bucket = (F.unix_timestamp(ts_col).cast("long") / bucket_s).cast("long")
-    per_chunk = df.groupBy(key_col, bucket.alias("__bucket")).agg(
+    per_chunk = df.groupBy(key_col, _bucket_expr(ts_col, bucket_s).alias("__bucket")).agg(
         F.count(F.lit(1)).alias("__n")
     )
     wk = W.partitionBy(key_col)

@@ -659,6 +659,23 @@ def test_mp4_container_metadata_roundtrip(spark):
     with pytest.raises(NotImplementedError, match="codec"):
         decode_mp4_samples(b)
 
+    # error CONTRACT: malformed internals must be ValueError, never a
+    # struct.error/IndexError/RecursionError that kills a decode batch
+    import struct as _st
+
+    def _box(tag, payload):
+        return _st.pack(">I", 8 + len(payload)) + tag + payload
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4)
+    short_v1 = ftyp + _box(b"moov", _box(b"mvhd", b"\x01" + b"\x00" * 15))
+    empty_mvhd = ftyp + _box(b"moov", _box(b"mvhd", b""))
+    nested = _box(b"mvhd", b"\x00" * 32)
+    for _ in range(30):
+        nested = _box(b"trak", nested)
+    for bad in (short_v1, empty_mvhd, ftyp + _box(b"moov", nested)):
+        with pytest.raises(ValueError, match="corrupt MP4"):
+            parse_mp4_meta(bad)
+
     df = spark.createDataFrame(
         [(1, bytearray(b)), (2, bytearray(b"\x00\x00\x00\x0cftypXXXX"))],
         "doc_id long, content binary",
