@@ -93,6 +93,8 @@ HEADLINE = [
     "timeseries_gap_topk",
     "join_fuzzy_names",
     "text_inverted_index",
+    "json_extract_fields",
+    "join_snapshot_diff",
 ]
 
 

@@ -241,3 +241,78 @@ def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# --- Semi-structured (JSON) column processing: parse the REAL ``props``
+#     JSON column (driver corpus: '{"k": N}') AND a nested document
+#     serialized from typed columns, extracting scalar / nested-object /
+#     array-index fields. The synthetic JSON text is built with explicit
+#     concat (identical bytes in both engines — to_json's spacing/
+#     key-order/float formatting differs across engines, so serializer
+#     output is NOT a portable surface; the PARSE path is what this
+#     query gates). Values are ints/strings only — no float-formatting
+#     hazard. Pure map over the scan: no shuffle, fused into whole-stage
+#     codegen; at 100 TB this is a projection on the read path, the
+#     standard log-enrichment shape. -----------------------------------------
+
+
+@register(
+    "json_extract_fields",
+    """
+    WITH j AS (
+        SELECT event_id, props,
+               '{"id": ' || event_id || ', "type": "' || event_type
+               || '", "u": {"uid": ' || user_id || ', "tags": ["t'
+               || (user_id % 7) || '", "t' || (user_id % 5) || '"]}, "arr": ['
+               || (event_id % 11) || ', ' || (event_id % 13) || ']}' AS js
+        FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k,
+           CAST(json_extract_string(js, '$.id') AS BIGINT) AS id_back,
+           json_extract_string(js, '$.type') AS type_back,
+           CAST(json_extract_string(js, '$.u.uid') AS BIGINT) AS uid,
+           json_extract_string(js, '$.u.tags[0]') AS tag0,
+           json_extract_string(js, '$.u.tags[1]') AS tag1,
+           CAST(json_extract_string(js, '$.arr[1]') AS BIGINT) AS arr1,
+           (json_extract(js, '$.missing') IS NULL) AS missing_is_null
+    FROM j
+    """,
+)
+def json_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"id": '), F.col("event_id").cast("string"),
+        F.lit(', "type": "'), F.col("event_type"),
+        F.lit('", "u": {"uid": '), F.col("user_id").cast("string"),
+        F.lit(', "tags": ["t'), (F.col("user_id") % 7).cast("string"),
+        F.lit('", "t'), (F.col("user_id") % 5).cast("string"),
+        F.lit('"]}, "arr": ['), (F.col("event_id") % 11).cast("string"),
+        F.lit(", "), (F.col("event_id") % 13).cast("string"),
+        F.lit("]}"),
+    )
+    staged = ev.select("event_id", "props", js.alias("js"))
+    # ONE from_json parse per row, then struct-field extraction — eight
+    # separate get_json_object calls each re-parse the document (measured
+    # 2.1 s vs sub-second at sf0.1). `missing` is in the schema but never
+    # in the document, so its null-ness proves absent-path semantics.
+    schema = (
+        "id BIGINT, type STRING, u STRUCT<uid: BIGINT, tags: ARRAY<STRING>>, "
+        "arr ARRAY<BIGINT>, missing STRING"
+    )
+    parsed = staged.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+        F.from_json("js", schema).alias("d"),
+    )
+    return parsed.select(
+        "event_id",
+        "props_k",
+        F.col("d.id").alias("id_back"),
+        F.col("d.type").alias("type_back"),
+        F.col("d.u.uid").alias("uid"),
+        F.element_at("d.u.tags", 1).alias("tag0"),
+        F.element_at("d.u.tags", 2).alias("tag1"),
+        F.element_at("d.arr", 2).alias("arr1"),
+        F.col("d.missing").isNull().alias("missing_is_null"),
+    )

@@ -319,3 +319,71 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.name_b").alias("name_b"),
         dist.cast("long").alias("dist"),
     )
+
+
+# --- Snapshot diff (CDC shape): FULL OUTER join of two table versions
+#     keyed by id, classifying rows added / removed / changed — the
+#     lakehouse reconciliation op behind incremental syncs and
+#     anti-entropy audits (and the registry's full-outer-join coverage).
+#     Versions are derived deterministically from one scan: "old" drops
+#     event_id % 10 == 0, "new" drops % 7 == 0 and perturbs value on
+#     % 5 == 0 — both engines compute the same frames, so the diff is
+#     exact (value comparison is null-safe on bit-identical doubles).
+#     One key shuffle per side; unchanged rows are filtered before any
+#     materialization. ------------------------------------------------------
+
+
+@register(
+    "join_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT event_id, value FROM events WHERE event_id % 10 != 0
+    ), new AS (
+        SELECT event_id,
+               CASE WHEN event_id % 5 = 0 THEN value + 1 ELSE value END AS value
+        FROM events WHERE event_id % 7 != 0
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.value AS value_old,
+           n.value AS value_new
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL
+       OR o.value IS DISTINCT FROM n.value
+    """,
+)
+def join_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    old = ev.filter(F.col("event_id") % 10 != 0).withColumnsRenamed(
+        {"event_id": "id_o", "value": "value_old"}
+    )
+    new = (
+        ev.filter(F.col("event_id") % 7 != 0)
+        .select(
+            F.col("event_id").alias("id_n"),
+            F.when(F.col("event_id") % 5 == 0, F.col("value") + 1)
+            .otherwise(F.col("value"))
+            .alias("value_new"),
+        )
+    )
+    d = old.join(new, old["id_o"] == new["id_n"], "full_outer")
+    change = (
+        F.when(F.col("id_o").isNull(), F.lit("added"))
+        .when(F.col("id_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        d.filter(
+            F.col("id_o").isNull()
+            | F.col("id_n").isNull()
+            | ~F.col("value_old").eqNullSafe(F.col("value_new"))
+        )
+        .select(
+            F.coalesce("id_o", "id_n").alias("event_id"),
+            change.alias("change_type"),
+            "value_old",
+            "value_new",
+        )
+    )

@@ -59,6 +59,8 @@ AUDITED = [
     "dedup_embedding_multiround_auto",
     "join_fuzzy_names",
     "text_inverted_index",
+    "json_extract_fields",
+    "join_snapshot_diff",
 ]
 
 CHECKS = {
@@ -249,6 +251,14 @@ CHECKS_R6 = {
     "text_inverted_index": [
         ("ObjectHashAggregate", True, "posting-list collect is a hash agg, not a sort agg"),
         ("Exchange SinglePartition", False, "postings build per-token, never a global collect"),
+    ],
+    "json_extract_fields": [
+        ("Exchange hashpartitioning", False, "JSON build/parse/extract is a pure map fused into the scan"),
+        ("BatchEvalPython", False, "get_json_object stays JVM-side"),
+    ],
+    "join_snapshot_diff": [
+        ("FullOuter", True, "CDC diff is a keyed full-outer join (SMJ node carries the type)"),
+        ("CartesianProduct", False, "keyed join only"),
     ],
 }
 CHECKS.update(CHECKS_R6)

@@ -67,6 +67,8 @@ STRESSED = [
     "timeseries_gap_topk",
     "join_fuzzy_names",
     "text_inverted_index",
+    "json_extract_fields",
+    "join_snapshot_diff",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -102,6 +104,8 @@ MAIN_TABLE = {
     "timeseries_gap_topk": "events",
     "join_fuzzy_names": "customer",
     "text_inverted_index": "documents",
+    "json_extract_fields": "events",
+    "join_snapshot_diff": "events",
 }
 ID_COLS = {
     "events": "event_id",
