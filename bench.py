@@ -95,6 +95,12 @@ HEADLINE = [
     "text_inverted_index",
     "json_extract_fields",
     "join_snapshot_diff",
+    # round-6 session 2: robust outliers, grid spatial join, fixed-centroid
+    # assignment, corpus-frequency bigram stats
+    "timeseries_mad_outliers",
+    "events_spatial_pairs",
+    "embeddings_cluster_assign",
+    "text_bigram_corpus_freq",
 ]
 
 

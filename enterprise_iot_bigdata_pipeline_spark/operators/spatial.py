@@ -1,0 +1,93 @@
+"""Grid-cell bucketed spatial self-join: all point pairs within a radius,
+without a cross product.
+
+"Which devices are within r of each other" is the canonical quadratic
+trap for a geo/IoT corpus (the reference's device fleet carries no
+coordinates, so this is extension surface, same tier as the dedup/ANN
+operators). The standard scale-out answer is fixed-grid bucketing — the
+same candidate-generation idea as the banded-LSH dedup join
+(operators/dedup.py): map each point to a square cell of side `radius`,
+replicate ONE side to its 3×3 cell neighborhood (any pair within r spans
+at most one cell boundary per axis), equi-join on the cell key, then
+apply the exact distance predicate to candidates only.
+
+Scale shape: a 9× map-side replication of one input plus ONE equi-join
+shuffle on the cell key — cost is O(n + candidate pairs), never O(n²).
+Candidate volume is governed by cell occupancy (≈ density · r²); dense
+urban cells skew the join, which AQE's skew-join split (on in the
+session defaults) handles without a custom salt. Each qualifying pair is
+emitted exactly once: the join key is the RIGHT point's true cell, which
+appears exactly once among the left point's nine probe cells, and the
+`id_a < id_b` predicate drops the symmetric twin.
+
+Arithmetic stays in the input column dtype: integer coordinate columns
+(e.g. milli-degree fixed point) give an exactly-computed integer `dist2`
+— the form the registered parity query uses, since a float boundary
+predicate at dist² ≈ r² can flip by one ulp across engines — while
+double columns work with the usual float-boundary caveat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(c: Column, width) -> Column:
+    # true floor (not truncation) so negative coordinates bucket correctly;
+    # exact for |c| < 2^53 regardless of int/double input dtype
+    return F.floor(c / F.lit(width)).cast("long")
+
+
+def grid_radius_self_join(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius,
+) -> DataFrame:
+    """All pairs with Euclidean distance ≤ `radius`, via 3×3 grid probing.
+
+    Returns (id_a, id_b, dist2) with id_a < id_b, one row per qualifying
+    pair; `dist2` is the squared distance in the coordinate columns'
+    native dtype (exact for integer coordinates).
+    """
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+    )
+    # probe side: each point replicated onto its own cell plus the 8 neighbors
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = (
+        pts.select("_id", "_x", "_y", F.explode(offsets).alias("o"))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_x").alias("xa"),
+            F.col("_y").alias("ya"),
+            (_cell(F.col("_x"), radius) + F.col("o.dx")).alias("cx"),
+            (_cell(F.col("_y"), radius) + F.col("o.dy")).alias("cy"),
+        )
+    )
+    build = pts.select(
+        F.col("_id").alias("id_b"),
+        F.col("_x").alias("xb"),
+        F.col("_y").alias("yb"),
+        _cell(F.col("_x"), radius).alias("cx"),
+        _cell(F.col("_y"), radius).alias("cy"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    dist2 = dx * dx + dy * dy
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist2 <= F.lit(radius) * F.lit(radius))
+        .select("id_a", "id_b", dist2.alias("dist2"))
+    )

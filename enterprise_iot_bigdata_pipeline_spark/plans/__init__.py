@@ -39,6 +39,7 @@ _MODULES = [
     "analytic",
     "advanced",
     "timeseries",
+    "spatial",
 ]
 
 

@@ -1392,3 +1392,86 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= _IDX_MIN_DF)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency bigram statistics — the join-with-global-counts curation
+# signal (CCNet scores docs by LM perplexity; with no LM in the container
+# the corpus itself is the model: a doc whose bigrams are all
+# high-frequency is boilerplate-like, one full of low-frequency bigrams is
+# distinctive, and the bigram type-token ratio is the Gopher-style
+# within-doc repetition signal at pair granularity — all exact integer
+# counts, so the only float ops are two final correctly-rounded divisions).
+#
+# Scale shape: one explode (ALL bigram occurrences, not the distinct
+# shingle set dedup uses), ONE groupBy building the corpus frequency
+# table, one equi-join of occurrences against it on the bigram key, one
+# per-doc re-aggregate. The frequency table scales with vocabulary² (far
+# sublinear in corpus size); hot bigrams ("of the") skew the join key →
+# AQE skew-split handles, and the count side of each hot key is a single
+# row so no mitigation beyond that is needed. The per-doc DISTINCT rides
+# Spark's two-phase distinct-aggregate expansion — partial-aggregated
+# map-side like any groupBy.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_CTE = f"""
+words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+bg AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                    i -> array_to_string(ws[i:i+1], ' '))) AS g
+    FROM words WHERE len(ws) >= 2
+),
+cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g)
+"""
+
+
+@register(
+    "text_bigram_corpus_freq",
+    f"""
+    WITH {_BIGRAM_CTE}
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           count(DISTINCT b.g) AS n_distinct_bigrams,
+           round(CAST(count(DISTINCT b.g) AS DOUBLE) / count(*), 9) AS bigram_ttr,
+           CAST(sum(cnt.c) AS BIGINT) AS freq_sum,
+           round(CAST(sum(cnt.c) AS DOUBLE) / count(*), 9) AS mean_freq
+    FROM bg b JOIN cnt ON b.g = cnt.g
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = X.words(F.col("text"))
+    sz = F.size(w)
+    tail = F.slice(w, 2, F.greatest(sz - 1, F.lit(0)))
+    # zip_with pads the shorter side with NULL; slicing to sz-1 drops the
+    # padded tail, leaving every bigram OCCURRENCE (no array_distinct —
+    # the frequency table needs multiplicity)
+    grams = F.slice(
+        F.zip_with(w, tail, lambda a, b: F.concat(a, F.lit(" "), b)),
+        1,
+        F.greatest(sz - 1, F.lit(0)),
+    )
+    bg = (
+        docs.filter(sz >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    cnt = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    j = bg.join(cnt, "g")
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("g").alias("n_distinct_bigrams"),
+        F.sum("c").alias("freq_sum"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        F.round(
+            F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"), 9
+        ).alias("bigram_ttr"),
+        "freq_sum",
+        F.round(F.col("freq_sum").cast("double") / F.col("n_bigrams"), 9).alias(
+            "mean_freq"
+        ),
+    )

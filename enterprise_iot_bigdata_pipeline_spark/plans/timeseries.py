@@ -759,3 +759,60 @@ def timeseries_gap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _GAP_TOPK)
         .select("event_type", "gap_start", "gap_end", F.col("gap_us").cast("long").alias("gap_us"), "rk")
     )
+
+
+# --- Robust outliers via median/MAD: the classic heavy-tail-safe twin of
+#     the z-score paths above (median and MAD are insensitive to the very
+#     outliers being flagged; reference's dashboard flags by mean±3σ which
+#     a single spike drags). Shape: two tiny per-series aggregates (exact
+#     percentile over each series' agg buffer, like timeseries_winsorize)
+#     broadcast back onto the scan — event_type is the bounded device-class
+#     dimension, so the broadcast side is fixed-size at any corpus scale;
+#     the fact side never shuffles. Swap `percentile` for
+#     `approx_percentile` when per-series cardinality outgrows memory.
+#     Parity: medians rounded to 9dp before reuse (interpolated percentile
+#     is the one ulp-divergent step); downstream abs/mul/div/compare are
+#     single correctly-rounded ops in the identical order both engines. ----
+
+
+@register(
+    "timeseries_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.ts, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS absdev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, round(quantile_cont(absdev, 0.5), 9) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.ts, d.event_type, d.value, d.med, s.mad, d.absdev,
+           CASE WHEN s.mad > 0
+                THEN round(d.absdev / (1.4826 * s.mad), 9) END AS robust_z,
+           (s.mad > 0 AND d.absdev > 3.0 * (1.4826 * s.mad)) AS is_outlier
+    FROM dev d JOIN mad s USING (event_type)
+    """,
+)
+def timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 9).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("absdev"), F.lit(0.5)), 9).alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    scaled = F.lit(1.4826) * F.col("mad")
+    return j.select(
+        "event_id", "ts", "event_type", "value", "med", "mad", "absdev",
+        F.when(F.col("mad") > 0, F.round(F.col("absdev") / scaled, 9)).alias("robust_z"),
+        ((F.col("mad") > 0) & (F.col("absdev") > F.lit(3.0) * scaled)).alias("is_outlier"),
+    )

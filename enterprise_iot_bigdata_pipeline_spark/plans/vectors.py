@@ -335,3 +335,76 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, c: acc + (c + F.lit(128)).cast("long"),
         ).alias("q_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-centroid cluster assignment (the Lloyd's-iteration / IVF routing
+# step as a standalone query). K centroid literals are embedded in both
+# engines (same 4-dp-rounded generator as the LSH hyperplanes); each
+# vector is assigned to its max-cosine centroid, ties to the lowest id.
+#
+# Scale shape: a PURE MAP — no shuffle, no window. The Spark side computes
+# all K cosines per row and takes the argmax with array_max over
+# (cos, -cid) structs (lexicographic struct ordering ≡ ORDER BY cos DESC,
+# cid ASC), so assignment cost is K dot products per row inside codegen
+# and the plan is a single project over the scan. The oracle reaches the
+# same argmax with an unnest + row_number CTE — same semantics, different
+# plan (like the M4 first/last derivation). At 100 TB the centroid set is
+# a broadcast-sized constant and assignment parallelism is scan
+# parallelism; cluster-size stats are one further groupBy on the output.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_K = 8
+_CLUSTER_SEED = 101
+
+
+def _cluster_oracle() -> str:
+    cen = S.hyperplanes(n_planes=_CLUSTER_K, dim=DIM, seed=_CLUSTER_SEED)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(cen)
+    )
+    return f"""
+    WITH cen(cid, cvec) AS (VALUES {values}),
+    pairs AS (
+        SELECT e.vec_id, e.label, c.cid,
+               coalesce({_cos_sql("e.embedding", "c.cvec")}, -2.0) AS cos_sim
+        FROM embeddings e CROSS JOIN cen c
+    ),
+    r AS (
+        SELECT vec_id, label, cid, cos_sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, cid) AS rn
+        FROM pairs
+    )
+    SELECT vec_id, label, CAST(cid AS INTEGER) AS cluster_id,
+           cos_sim AS cos_best
+    FROM r WHERE rn = 1
+    """
+
+
+@register("embeddings_cluster_assign", _cluster_oracle())
+def embeddings_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.functions.vectors import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    cen = S.hyperplanes(n_planes=_CLUSTER_K, dim=DIM, seed=_CLUSTER_SEED)
+    candidates = F.array(
+        *[
+            F.struct(
+                F.coalesce(
+                    cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])),
+                    F.lit(-2.0),
+                ).alias("cos_sim"),
+                F.lit(-i).alias("nid"),
+            )
+            for i, c in enumerate(cen)
+        ]
+    )
+    best = F.array_max(candidates)
+    return emb.select(
+        "vec_id",
+        "label",
+        (-best["nid"]).cast("int").alias("cluster_id"),
+        best["cos_sim"].alias("cos_best"),
+    )

@@ -440,3 +440,52 @@ def test_sessionize_two_phase_bucket_shorter_than_gap_still_exact(spark):
 
     with pytest.raises(ValueError, match="unit"):
         sessionize_two_phase(ev, gap="2 fortnights")
+
+
+def test_grid_radius_self_join_matches_brute_force(spark):
+    """Grid-bucketed pairs ≡ brute-force pairs, including a negative-coord
+    quadrant (floor-division cells) and a pair exactly AT the radius
+    (boundary is inclusive)."""
+    import itertools
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.spatial import (
+        grid_radius_self_join,
+    )
+
+    pts = [
+        (1, 0, 0),
+        (2, 5, 0),          # exactly at radius 5 from id 1 — must be kept
+        (3, 3, 4),          # dist 5 from id 1 (3-4-5), 4.47.. from id 2
+        (4, -7, -2),        # negative quadrant
+        (5, -9, -5),        # dist sqrt(4+9)=3.6 from id 4
+        (6, 100, 100),      # isolated
+        (7, -7, 3),         # dist 5 from id 4 (cells differ by 1 on y)
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r.id_a, r.id_b, r.dist2)
+        for r in grid_radius_self_join(df, "id", "x", "y", 5).collect()
+    }
+    want = set()
+    for (ia, xa, ya), (ib, xb, yb) in itertools.combinations(pts, 2):
+        d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+        if d2 <= 25:
+            want.add((min(ia, ib), max(ia, ib), d2))
+    assert got == want
+    assert (1, 2, 25) in want  # the boundary pair really is in the answer
+
+
+def test_grid_radius_self_join_emits_each_pair_once(spark):
+    """Points in the SAME cell (the 0-offset probe overlaps the build side)
+    must still pair exactly once."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.spatial import (
+        grid_radius_self_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 10), (2, 11, 11), (3, 12, 10)], "id long, x long, y long"
+    )
+    rows = grid_radius_self_join(df, "id", "x", "y", 100).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)]
+    assert len(pairs) == len(set(pairs))

@@ -61,6 +61,10 @@ AUDITED = [
     "text_inverted_index",
     "json_extract_fields",
     "join_snapshot_diff",
+    "timeseries_mad_outliers",
+    "events_spatial_pairs",
+    "embeddings_cluster_assign",
+    "text_bigram_corpus_freq",
 ]
 
 CHECKS = {
@@ -260,6 +264,28 @@ CHECKS_R6 = {
         ("FullOuter", True, "CDC diff is a keyed full-outer join (SMJ node carries the type)"),
         ("CartesianProduct", False, "keyed join only"),
     ],
+    "timeseries_mad_outliers": [
+        ("BroadcastHashJoin", True, "median/MAD stats broadcast back — fact side never shuffles"),
+        ("SortMergeJoin", False, "a 5-row stats join must not reshuffle the scan"),
+    ],
+    # (audited with autobroadcast OFF: the build side would broadcast at
+    # test scale; what must hold at 100 TB is a KEYED cell-join shuffle,
+    # never an all-pairs plan)
+    "events_spatial_pairs": [
+        ("Generate", True, "3×3 cell probing is a map-side explode"),
+        ("SortMergeJoin", True, "candidate pairing degrades to a keyed shuffle join on the cell"),
+        ("CartesianProduct", False, "never O(n²): only cell-key candidates are distance-tested"),
+        ("BroadcastNestedLoopJoin", False, "ditto — no unkeyed join"),
+    ],
+    "embeddings_cluster_assign": [
+        ("Exchange", False, "K-centroid argmax is a PURE MAP — no shuffle, no window"),
+        ("BatchEvalPython", False, "all K cosines + struct argmax stay JVM-side"),
+    ],
+    "text_bigram_corpus_freq": [
+        ("Generate", True, "bigram occurrences fan out via explode, map-side"),
+        ("HashAggregate", True, "frequency table and per-doc stats are hash aggs"),
+        ("CartesianProduct", False, "occurrence↔frequency is a keyed join only"),
+    ],
 }
 CHECKS.update(CHECKS_R6)
 
@@ -267,6 +293,7 @@ CONF_OVERRIDES = {
     "join_large_orders": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "cohort_weekly_retention": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "web_domain_filter": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "events_spatial_pairs": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 

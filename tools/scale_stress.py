@@ -69,6 +69,10 @@ STRESSED = [
     "text_inverted_index",
     "json_extract_fields",
     "join_snapshot_diff",
+    "timeseries_mad_outliers",
+    "events_spatial_pairs",
+    "embeddings_cluster_assign",
+    "text_bigram_corpus_freq",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -106,6 +110,10 @@ MAIN_TABLE = {
     "text_inverted_index": "documents",
     "json_extract_fields": "events",
     "join_snapshot_diff": "events",
+    "timeseries_mad_outliers": "events",
+    "events_spatial_pairs": "events",
+    "embeddings_cluster_assign": "embeddings",
+    "text_bigram_corpus_freq": "documents",
 }
 ID_COLS = {
     "events": "event_id",
