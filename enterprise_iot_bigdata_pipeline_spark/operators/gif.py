@@ -1,0 +1,270 @@
+"""Pure-Python GIF codec (87a/89a): variable-width LZW both directions,
+global/local color tables, interlace, extension skipping.
+
+Completes the native still-image coverage next to the netpbm/PNG/JPEG
+codecs (operators/multimodal.py, operators/jpeg.py): GIF is the one
+remaining magic-byte a web-crawl corpus hits constantly. Executor-side
+only — decode runs inside the Arrow-batched `decode_media` dispatch, so
+payload bytes never reach the driver; a corrupt stream raises ValueError
+which the dispatch turns into a null row (one bad file must not kill the
+batch).
+
+The LZW code-width protocol (start at min_code_size+1 bits, grow when
+the next free slot reaches 2^width, hard cap 12 bits, CLEAR resets the
+table) is implemented symmetrically in encoder and decoder and
+round-trip-tested past the 4096-slot reset.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAX_CODE_WIDTH = 12
+_TABLE_LIMIT = 1 << _MAX_CODE_WIDTH  # 4096: CLEAR must be emitted at this fill
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF's LZW bit order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("gif: LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        code = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return code
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    bw = _BitWriter()
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    bw.write(clear, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < _MAX_CODE_WIDTH:
+            width += 1
+        elif next_code == _TABLE_LIMIT:
+            bw.write(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = bytes([byte])
+    if w:
+        bw.write(table[w], width)
+    bw.write(end, width)
+    return bw.flush()
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    br = _BitReader(data)
+    out = bytearray()
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        code = br.read(width)
+        if code == clear:
+            width = min_code_size + 1
+            del table[end + 1 :]
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("gif: code beyond table")
+        out += entry
+        if prev is not None and len(table) < _TABLE_LIMIT:
+            table.append(prev + entry[:1])
+            # one slot EARLY relative to the encoder's bump (next_code ==
+            # 2^width): the decoder's table lags the encoder's by exactly
+            # one entry at the same stream position — it can only build
+            # entry E_i after reading the code that reveals E_i's first
+            # byte — so matching widths means bumping at 2^width − 1
+            if len(table) == (1 << width) - 1 and width < _MAX_CODE_WIDTH:
+                width += 1
+        prev = entry
+
+
+_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes = _GRAY_PALETTE,
+) -> bytes:
+    """Single-frame GIF89a with a 256-entry global color table.
+
+    `indices` is the row-major index stream (one byte per pixel);
+    `palette` is 768 bytes of packed RGB triples (default: identity
+    grayscale, index i → (i, i, i), which makes decoded-RGB checksums a
+    pure function of the index ramp — the parity trick the registered
+    multimodal query uses)."""
+    if len(indices) != width * height:
+        raise ValueError("gif: indices must be width*height bytes")
+    if len(palette) != 768:
+        raise ValueError("gif: palette must be 256 RGB triples")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0xF7, 0, 0))  # GCT present, 8-bit color, 256 entries
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(8)  # LZW min code size
+    compressed = _lzw_encode(indices, 8)
+    for i in range(0, len(compressed), 255):
+        chunk = compressed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def parse_gif(payload: bytes) -> dict:
+    """Decode the FIRST frame of a GIF87a/89a to RGB.
+
+    Returns {width, height, pixels} with `pixels` row-major RGB bytes.
+    Extensions (graphic control, comment, application) are skipped;
+    local color tables and interlaced frames are handled; any structural
+    lie raises ValueError (the decode_media null-row contract)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated header")
+    flags = payload[10]
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        gct = payload[pos : pos + n]
+        if len(gct) < n:
+            raise ValueError("gif: truncated global color table")
+        pos += n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("gif: missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("gif: no image data")
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("gif: truncated extension")
+                size = payload[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+        break
+    if pos + 9 > len(payload):
+        raise ValueError("gif: truncated image descriptor")
+    _, _, w, h = struct.unpack_from("<HHHH", payload, pos)
+    iflags = payload[pos + 8]
+    pos += 9
+    table = gct
+    if iflags & 0x80:
+        n = 3 * (2 << (iflags & 0x07))
+        table = payload[pos : pos + n]
+        if len(table) < n:
+            raise ValueError("gif: truncated local color table")
+        pos += n
+    if not table:
+        raise ValueError("gif: no color table")
+    if w == 0 or h == 0:
+        raise ValueError("gif: zero-sized frame")
+    if pos >= len(payload):
+        raise ValueError("gif: missing LZW code size")
+    min_code_size = payload[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 11:
+        raise ValueError("gif: bad LZW min code size")
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("gif: truncated image data")
+        size = payload[pos]
+        pos += 1
+        if size == 0:
+            break
+        data += payload[pos : pos + size]
+        pos += size
+    indices = _lzw_decode(bytes(data), min_code_size)
+    if len(indices) < w * h:
+        raise ValueError("gif: short pixel data")
+    indices = indices[: w * h]
+    if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+        rows = [b""] * h
+        src = 0
+        for start, step in _INTERLACE_PASSES:
+            for r in range(start, h, step):
+                rows[r] = indices[src * w : (src + 1) * w]
+                src += 1
+        indices = b"".join(rows)
+    import numpy as np
+
+    n_colors = len(table) // 3
+    idx = np.frombuffer(indices, dtype=np.uint8)
+    if int(idx.max(initial=0)) >= n_colors:
+        raise ValueError("gif: index beyond color table")
+    lut = np.frombuffer(table, dtype=np.uint8).reshape(n_colors, 3)
+    return {"width": w, "height": h, "pixels": lut[idx].tobytes()}

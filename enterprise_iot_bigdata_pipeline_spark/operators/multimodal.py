@@ -174,6 +174,83 @@ def parse_ppm(payload: bytes) -> dict:
     }
 
 
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """24-bit BI_RGB Windows bitmap (BITMAPINFOHEADER). ``pixels`` is raw
+    row-major top-down RGB; BMP stores rows bottom-up as BGR with 4-byte
+    row padding, which this writer produces and parse_bmp undoes."""
+    import struct
+
+    import numpy as np
+
+    if len(pixels) != 3 * width * height:
+        raise ValueError(f"BMP needs {3 * width * height} bytes, got {len(pixels)}")
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    bgr = rgb[::-1, :, ::-1]  # bottom-up rows, channel swap
+    pad = (-3 * width) % 4
+    padded = np.zeros((height, 3 * width + pad), dtype=np.uint8)
+    padded[:, : 3 * width] = bgr.reshape(height, 3 * width)
+    data = padded.tobytes()
+    pix_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(data), 0, 0, pix_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + data
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """Parse uncompressed BMP: 24-bit BI_RGB and 8-bit paletted, BITMAPINFO
+    or BITMAPV4/V5 headers, bottom-up (positive height) or top-down
+    (negative). Returns {width, height, pixels} as row-major top-down RGB.
+    RLE/bitfield compressed payloads raise NotImplementedError (a NAMED
+    format gate, null-row-contained by decode_media); structural lies
+    raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("bmp: bad signature or truncated file header")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("bmp: BITMAPCOREHEADER not supported")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"bmp: compression {compression} not supported")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"bmp: {bpp}-bit not supported")
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError("bmp: bad dimensions")
+    bytes_pp = bpp // 8
+    row_size = (bytes_pp * width + 3) // 4 * 4
+    need = pix_off + row_size * height
+    if len(payload) < need:
+        raise ValueError(f"bmp: truncated pixel data (want {need} bytes)")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_size * height,
+                        offset=pix_off).reshape(height, row_size)
+    rows = raw[:, : bytes_pp * width]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        rgb = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR → RGB
+    else:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)
+        idx = rows.reshape(height, width)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("bmp: palette index out of range")
+        rgb = pal[idx][:, :, :3][:, :, ::-1]  # BGRX entries → RGB
+    return {"width": width, "height": height, "pixels": rgb.tobytes()}
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 # Paeth predictor (PNG spec §9.4, nearest of left/up/up-left) appears
@@ -680,14 +757,18 @@ DECODE_SCHEMA = (
 
 
 def attach_real_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Synthesize real media payloads: even-hash docs become RGB images
-    with w = h%16+1, ht = h%8+1, pixel i = (h+i) % 256 — as a zlib-
-    compressed PNG when h%4==0 (filters cycle, so decode exercises every
-    unfilter path) and as binary P6 PPM when h%4==2 — and odd-hash docs
-    become 16-bit PCM WAVs (rate = 8000 + (h%8)·1000, h%256+64 samples,
-    sample i = (h + 37i) % 65536 - 32768). Same pixel ramp either way, so
-    the decode oracle's dim/checksum formulas are container-independent —
-    a hash-green row proves the PNG DEFLATE/filter round-trip too."""
+    """Synthesize real media payloads: even-hash docs become images with
+    w = h%16+1, ht = h%8+1 — RGB ramp pixel i = (h+i) % 256 as a zlib-
+    compressed PNG when h%8==0 (filters cycle, so decode exercises every
+    unfilter path), binary P6 PPM when h%8==2, 24-bit BI_RGB BMP when
+    h%8==4, and an INDEXED ramp (index i = (h+i) % 256, identity-gray
+    palette) as LZW-compressed GIF when h%8==6 — and odd-hash docs become
+    16-bit PCM WAVs (rate = 8000 + (h%8)·1000, h%256+64 samples,
+    sample i = (h + 37i) % 65536 - 32768). The RGB containers share one
+    ramp so the decode oracle's dim/checksum formulas are container-
+    independent; GIF's identity palette triples each index byte, so its
+    checksum is exactly 3× the w·ht ramp sum — a hash-green row proves
+    the DEFLATE/filter and LZW round-trips too."""
     seeded = df.select(
         F.col(id_col).alias("doc_id"),
         F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long").alias("h"),
@@ -696,15 +777,21 @@ def attach_real_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from enterprise_iot_bigdata_pipeline_spark.operators.gif import encode_gif
+
         for pdf in batches:
             rows = []
             for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
                 h = int(h)
                 if h % 2 == 0:
                     w, ht = h % 16 + 1, h % 8 + 1
-                    pixels = ((h + np.arange(3 * w * ht)) % 256).astype(np.uint8)
-                    enc = encode_png if h % 4 == 0 else encode_ppm
-                    content = enc(w, ht, pixels.tobytes())
+                    if h % 8 == 6:
+                        idx = ((h + np.arange(w * ht)) % 256).astype(np.uint8)
+                        content = encode_gif(w, ht, idx.tobytes())
+                    else:
+                        pixels = ((h + np.arange(3 * w * ht)) % 256).astype(np.uint8)
+                        enc = {0: encode_png, 2: encode_ppm, 4: encode_bmp}[h % 8]
+                        content = enc(w, ht, pixels.tobytes())
                 else:
                     n = h % 256 + 64
                     samples = ((h + 37 * np.arange(n)) % 65536) - 32768
@@ -719,10 +806,10 @@ def attach_real_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode binary payloads by magic-byte dispatch (P6/P5 → netpbm,
-    PNG signature → PNG, SOI → baseline JPEG, RIFF → WAV — all pure-Python
-    codecs), surfacing the decoded geometry and an exact-integer content
-    checksum. Unknown formats yield a null-typed row rather than failing
-    the batch."""
+    PNG signature → PNG, SOI → JPEG, BM → BMP, GIF8xa → GIF, RIFF → WAV —
+    all pure-Python codecs), surfacing the decoded geometry and an
+    exact-integer content checksum. Unknown formats yield a null-typed
+    row rather than failing the batch."""
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -743,6 +830,36 @@ def decode_media(media: DataFrame) -> DataFrame:
                     px = np.frombuffer(img["pixels"], dtype=np.uint8)
                     rows.append(
                         (int(doc_id), "image/png", img["width"], img["height"],
+                         None, None, len(px), int(px.sum(dtype=np.int64)))
+                    )
+                elif b[:2] == b"BM":
+                    try:
+                        img = parse_bmp(b)
+                    except (NotImplementedError, ValueError):
+                        rows.append(
+                            (int(doc_id), None, None, None, None, None, None, None)
+                        )
+                        continue
+                    px = np.frombuffer(img["pixels"], dtype=np.uint8)
+                    rows.append(
+                        (int(doc_id), "image/bmp", img["width"], img["height"],
+                         None, None, len(px), int(px.sum(dtype=np.int64)))
+                    )
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    from enterprise_iot_bigdata_pipeline_spark.operators.gif import (
+                        parse_gif,
+                    )
+
+                    try:
+                        img = parse_gif(b)
+                    except ValueError:
+                        rows.append(
+                            (int(doc_id), None, None, None, None, None, None, None)
+                        )
+                        continue
+                    px = np.frombuffer(img["pixels"], dtype=np.uint8)
+                    rows.append(
+                        (int(doc_id), "image/gif", img["width"], img["height"],
                          None, None, len(px), int(px.sum(dtype=np.int64)))
                     )
                 elif b[:2] == b"\xff\xd8":

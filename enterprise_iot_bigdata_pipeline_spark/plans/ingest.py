@@ -167,10 +167,10 @@ def events_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Multimodal encode→decode round-trip through the Arrow/mapInPandas path:
-# synthesize REAL media files (zlib-compressed PNG / binary P6 PPM / 16-bit
-# PCM RIFF WAV) from deterministic ramp content, then decode them with the
-# pure-Python parsers (magic-byte dispatch — no codec library; PNG rides
-# stdlib zlib + scanline unfilter). The oracle recomputes the expected
+# synthesize REAL media files (zlib-compressed PNG / binary P6 PPM / 24-bit
+# BMP / LZW-compressed GIF / 16-bit PCM RIFF WAV) from deterministic ramp
+# content, then decode them with the pure-Python parsers (magic-byte
+# dispatch — no codec library). The oracle recomputes the expected
 # geometry and content checksums directly from the text hash, so a
 # hash-green row proves encoder, parser, and the Spark plumbing agree.
 # (Replaces the rows-only `multimodal_features` slot from r2 — byte-stats
@@ -185,8 +185,10 @@ WITH m AS (
     FROM documents
 )
 SELECT doc_id,
-       CASE WHEN h % 4 = 0 THEN 'image/png'
-            WHEN h % 2 = 0 THEN 'image/ppm'
+       CASE WHEN h % 8 = 0 THEN 'image/png'
+            WHEN h % 8 = 2 THEN 'image/ppm'
+            WHEN h % 8 = 4 THEN 'image/bmp'
+            WHEN h % 8 = 6 THEN 'image/gif'
             ELSE 'audio/wav' END AS media_type,
        CASE WHEN h % 2 = 0 THEN CAST(h % 16 + 1 AS INTEGER) END AS width,
        CASE WHEN h % 2 = 0 THEN CAST(h % 8 + 1 AS INTEGER) END AS height,
@@ -194,7 +196,10 @@ SELECT doc_id,
        CASE WHEN h % 2 = 1 THEN CAST(1 AS INTEGER) END AS n_channels,
        CAST(CASE WHEN h % 2 = 0 THEN 3 * (h % 16 + 1) * (h % 8 + 1)
                  ELSE h % 256 + 64 END AS BIGINT) AS n_units,
-       CAST(CASE WHEN h % 2 = 0
+       CAST(CASE WHEN h % 8 = 6
+                 THEN 3 * list_sum(list_transform(generate_series(0, (h % 16 + 1) * (h % 8 + 1) - 1),
+                                                  i -> (h + i) % 256))
+                 WHEN h % 2 = 0
                  THEN list_sum(list_transform(generate_series(0, 3 * (h % 16 + 1) * (h % 8 + 1) - 1),
                                               i -> (h + i) % 256))
                  ELSE list_sum(list_transform(generate_series(0, h % 256 + 63),

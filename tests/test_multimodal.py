@@ -148,7 +148,7 @@ def test_attach_real_media_decode_roundtrip(spark):
     out = decode_media(attach_real_media(docs)).collect()
     assert len(out) == 40
     for r in out:
-        if r["media_type"] in ("image/ppm", "image/png"):
+        if r["media_type"] in ("image/ppm", "image/png", "image/bmp", "image/gif"):
             assert 1 <= r["width"] <= 16 and 1 <= r["height"] <= 8
             assert r["n_units"] == 3 * r["width"] * r["height"]
         else:
@@ -289,17 +289,21 @@ def test_decode_media_dispatches_png(spark):
     decoded = decode_media(attach_real_media(docs))
     rows = decoded.collect()
     kinds = {r["media_type"] for r in rows}
-    assert kinds == {"image/png", "image/ppm", "audio/wav"}
+    assert kinds == {"image/png", "image/ppm", "image/bmp", "image/gif", "audio/wav"}
     import hashlib
 
     for r in rows:
         h = int(hashlib.md5(f"doc number {r['doc_id']} text".encode()).hexdigest()[:8], 16)
         if h % 2 == 0:
-            assert r["media_type"] == ("image/png" if h % 4 == 0 else "image/ppm")
+            want = {0: "image/png", 2: "image/ppm", 4: "image/bmp", 6: "image/gif"}
+            assert r["media_type"] == want[h % 8]
             w, ht = h % 16 + 1, h % 8 + 1
             assert (r["width"], r["height"]) == (w, ht)
             assert r["n_units"] == 3 * w * ht
-            assert r["checksum"] == sum((h + i) % 256 for i in range(3 * w * ht))
+            if h % 8 == 6:  # identity-gray GIF: each index byte tripled
+                assert r["checksum"] == 3 * sum((h + i) % 256 for i in range(w * ht))
+            else:
+                assert r["checksum"] == sum((h + i) % 256 for i in range(3 * w * ht))
 
 
 def test_jpeg_roundtrip_444_and_420():
@@ -686,3 +690,137 @@ def test_mp4_container_metadata_roundtrip(spark):
     assert (rows[1]["sample_rate"], rows[1]["n_channels"], rows[1]["n_units"]) == (90000, 2, 2700000)
     # corrupt ftyp payload degrades to the null row, never a batch kill
     assert rows[2]["media_type"] is None
+
+
+def test_bmp_roundtrip_24bit_and_paletted():
+    import struct
+
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        parse_bmp,
+    )
+
+    # 24-bit round trip, width chosen so the row needs padding (3*5=15 → pad 1)
+    w, h = 5, 4
+    pixels = bytes((7 * i + 3) % 256 for i in range(3 * w * h))
+    img = parse_bmp(encode_bmp(w, h, pixels))
+    assert (img["width"], img["height"]) == (w, h)
+    assert img["pixels"] == pixels
+
+    # 8-bit paletted, bottom-up: identity grayscale palette (BGRX entries)
+    idx = bytes((i * 11) % 256 for i in range(w * h))
+    pal = b"".join(bytes((v, v, v, 0)) for v in range(256))
+    row = (w + 3) // 4 * 4
+    data = bytearray()
+    for r in range(h - 1, -1, -1):
+        data += idx[w * r : w * (r + 1)] + b"\x00" * (row - w)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + 1024 + len(data), 0, 0, 14 + 40 + 1024)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(data), 0, 0, 256, 0)
+    img8 = parse_bmp(hdr + info + pal + bytes(data))
+    got = np.frombuffer(img8["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    want = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+    assert (got == want[:, :, None]).all()
+
+    # named gates and structural lies stay contained
+    with pytest.raises(NotImplementedError):
+        parse_bmp(hdr + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, 0, 0, 0, 0, 0))
+    with pytest.raises(ValueError):
+        parse_bmp((hdr + info + pal + bytes(data))[:-20])
+
+
+def test_gif_roundtrip_including_lzw_table_reset():
+    from enterprise_iot_bigdata_pipeline_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        encode_gif,
+        parse_gif,
+    )
+
+    # LZW kernel round trip on data large+varied enough to blow past the
+    # 4096-slot table (forces the in-stream CLEAR/reset path)
+    data = bytes((i * i + 7 * i) % 256 for i in range(40000))
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+    # full-container round trip with the identity-grayscale palette:
+    # decoded RGB must be each index tripled
+    w, h = 13, 9
+    idx = bytes((5 * i + 1) % 256 for i in range(w * h))
+    img = parse_gif(encode_gif(w, h, idx))
+    assert (img["width"], img["height"]) == (w, h)
+    assert img["pixels"] == b"".join(bytes((v, v, v)) for v in idx)
+
+
+def test_gif_interlace_extensions_and_corruption():
+    import struct
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.gif import (
+        _INTERLACE_PASSES,
+        _lzw_encode,
+        encode_gif,
+        parse_gif,
+    )
+
+    # hand-build an interlaced frame with a graphic-control extension in
+    # front: rows stored in 8/8/4/2 pass order must come back sequential
+    w, h = 4, 10
+    rows = [bytes((r * 16 + c) for c in range(w)) for r in range(h)]
+    stored = b"".join(rows[r] for start, step in _INTERLACE_PASSES
+                      for r in range(start, h, step))
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h) + bytes((0xF7, 0, 0)) + pal
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"          # GCE extension
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x40"  # interlaced
+    out.append(8)
+    comp = _lzw_encode(stored, 8)
+    for i in range(0, len(comp), 255):
+        out.append(len(comp[i:i + 255]))
+        out += comp[i:i + 255]
+    out += b"\x00\x3b"
+    img = parse_gif(bytes(out))
+    assert img["pixels"] == b"".join(bytes((v, v, v)) for v in b"".join(rows))
+
+    # corruption containment: every crafted lie raises ValueError, never
+    # an uncaught struct/index error
+    good = encode_gif(3, 3, bytes(range(9)))
+    for bad in (
+        b"GIF89a" + good[6:20],                      # truncated mid-table
+        good[:-2],                                    # missing trailer byte
+        good[:13 + 768] + b"\x99" + good[13 + 768 + 1:],  # unknown block tag
+                                                      # (descriptor offset —
+                                                      # 0x2c also occurs as a
+                                                      # palette byte)
+        good[:13 + 768] + b"\x3b",                    # trailer before image
+    ):
+        with pytest.raises(ValueError):
+            parse_gif(bad)
+
+
+def test_decode_media_dispatches_bmp_and_gif(spark):
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.gif import encode_gif
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+    )
+
+    w, h = 6, 3
+    rgb = bytes((11 * i) % 256 for i in range(3 * w * h))
+    idx = bytes((3 * i) % 256 for i in range(w * h))
+    rows = [
+        (1, encode_bmp(w, h, rgb)),
+        (2, encode_gif(w, h, idx)),
+        (3, b"BM" + b"\x00" * 10),        # corrupt BMP → null row
+        (4, b"GIF89a" + b"\x00" * 4),     # corrupt GIF → null row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in decode_media(df).collect()}
+    assert got[1].media_type == "image/bmp"
+    assert (got[1].width, got[1].height) == (w, h)
+    assert got[1].checksum == int(np.frombuffer(rgb, np.uint8).sum())
+    assert got[2].media_type == "image/gif"
+    assert got[2].n_units == 3 * w * h
+    assert got[2].checksum == 3 * int(np.frombuffer(idx, np.uint8).sum())
+    assert got[3].media_type is None and got[4].media_type is None

@@ -31,6 +31,12 @@ from pyspark.sql import functions as F  # noqa: E402
 MODE = next(
     (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--mode=")), "rows"
 )
+# --only=q1,q2 restricts the run (iterating on one operator's exponent
+# without paying the full ~40-query sweep)
+ONLY = next(
+    (a.split("=", 1)[1].split(",") for a in sys.argv[1:] if a.startswith("--only=")),
+    None,
+)
 _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
 N = int(_pos[0]) if _pos else 10
 SF = "/root/testdata/sf0.1"
@@ -204,7 +210,7 @@ def main() -> None:
     import math
 
     print(f"{'query':32s} {'1x':>7s} {f'{N}x':>7s} {'exponent':>9s}")
-    for name in STRESSED:
+    for name in STRESSED if ONLY is None else [n for n in STRESSED if n in ONLY]:
         t1 = timed(SF, name)
         tn = timed(stage, name)
         exp = math.log(tn / t1) / math.log(N)
@@ -240,11 +246,12 @@ def main() -> None:
             best = min(best, _time.perf_counter() - t0)
         return best
 
-    t1 = timed_planes(SF, 8)
-    tn = timed_planes(stage, 8 + extra_planes)
-    exp = math.log(tn / t1) / math.log(N)
-    name = f"multiround@{8 + extra_planes}planes"
-    print(f"{name:32s} {t1:7.2f} {tn:7.2f} {exp:9.2f}  (log2-scaled index)")
+    if ONLY is None or "dedup_embedding_multiround" in ONLY:
+        t1 = timed_planes(SF, 8)
+        tn = timed_planes(stage, 8 + extra_planes)
+        exp = math.log(tn / t1) / math.log(N)
+        name = f"multiround@{8 + extra_planes}planes"
+        print(f"{name:32s} {t1:7.2f} {tn:7.2f} {exp:9.2f}  (log2-scaled index)")
     spark.stop()
 
 
