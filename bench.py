@@ -101,6 +101,11 @@ HEADLINE = [
     "events_spatial_pairs",
     "embeddings_cluster_assign",
     "text_bigram_corpus_freq",
+    "events_value_quartiles",
+    "events_type_cooccurrence",
+    "graph_pagerank_nations",
+    "events_transition_matrix",
+    "mmr_diversify_topk",
 ]
 
 

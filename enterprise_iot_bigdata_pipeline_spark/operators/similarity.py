@@ -707,3 +707,93 @@ def auto_planes(
 
     raw = math.ceil(math.log2(max(n_vectors, 1) / target_occupancy))
     return max(min_planes, min(max_planes, raw))
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: diversify a cosine top-`pool`
+    candidate set down to `k` picks per query (Carbonell & Goldstein,
+    SIGIR'98 — the standard redundancy-reducing selection for RAG context
+    and training-data dedup-aware sampling).
+
+    Greedy semantics: pick 1 is the highest-relevance candidate; pick t
+    maximizes round(λ·rel − (1−λ)·max_sim_to_selected, 9), ties to the
+    lowest id. Returns (q_id, vec_id, pick_order, score).
+
+    Scale shape: candidate generation is the existing brute/LSH top-k
+    (one broadcast join); everything after operates on |queries|·pool
+    rows — the pairwise-sim table is pool²-bounded PER QUERY (never
+    corpus-quadratic) and each greedy step is a keyed join + window over
+    those bounded frames, so cost scales linearly in |queries| and the
+    corpus is touched exactly twice (candidate scan + vector fetch).
+    """
+    rel = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    # materialize the pool ONCE: both frames are |queries|·pool-bounded,
+    # and without the checkpoint every greedy step's lineage would re-run
+    # the corpus-scale top-k scan (measured 15.5 s → 2-3 s at sf0.1)
+    cv = (
+        rel.join(vecs, rel[id_col] == F.col("_vid"))
+        .select("q_id", id_col, F.col("cos_sim").alias("rel"), "_v")
+        .localCheckpoint()
+    )
+    a = cv.select("q_id", F.col(id_col).alias("va"), F.col("_v").alias("_va"))
+    b = cv.select("q_id", F.col(id_col).alias("vb"), F.col("_v").alias("_vb"))
+    sims = (
+        a.join(b, "q_id")
+        .filter(F.col("va") != F.col("vb"))
+        .select("q_id", "va", "vb", cosine(F.col("_va"), F.col("_vb")).alias("s"))
+        .localCheckpoint()
+    )
+    w1 = W.partitionBy("q_id").orderBy(F.desc("rel"), F.asc(id_col))
+    selected = (
+        cv.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            id_col,
+            F.lit(1).alias("pick_order"),
+            F.col("rel").alias("score"),
+        )
+    )
+    for t in range(2, k + 1):
+        maxsim = (
+            sims.join(
+                selected.select("q_id", F.col(id_col).alias("vb")), ["q_id", "vb"]
+            )
+            .groupBy("q_id", "va")
+            .agg(F.max("s").alias("maxsim"))
+        )
+        remaining = cv.join(selected.select("q_id", id_col), ["q_id", id_col], "left_anti")
+        score = F.round(
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim"), 9
+        )
+        wt = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))
+        # join via renamed maxsim columns: both frames descend from cv, so
+        # a column-object equality on q_id resolves trivially-true (same
+        # lineage attribute) instead of becoming a join condition
+        ms = maxsim.select(
+            F.col("q_id").alias("_mq"), F.col("va").alias("_mv"), "maxsim"
+        )
+        pick = (
+            remaining.join(
+                ms,
+                (F.col("q_id") == F.col("_mq")) & (F.col(id_col) == F.col("_mv")),
+            )
+            .select("q_id", id_col, score.alias("score"))
+            .withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select("q_id", id_col, F.lit(t).alias("pick_order"), "score")
+        )
+        # flatten per step (PageRank-cadence rationale, plans/graph.py):
+        # the selected frame is |queries|·k rows and each step's window
+        # argmax otherwise nests the whole prior greedy plan
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected

@@ -40,6 +40,7 @@ _MODULES = [
     "advanced",
     "timeseries",
     "spatial",
+    "graph",
 ]
 
 

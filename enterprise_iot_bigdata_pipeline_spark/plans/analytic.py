@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DAVG_SQL, davg
 from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
@@ -278,4 +279,151 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
         .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+# --- Quartile banding (ntile): the one ranking window function the
+#     registry didn't exercise. Per-series ntile(4) over a FULLY
+#     tie-broken ordering (value, event_id — ntile on a partial order is
+#     nondeterministic), then a per-band summary so the surfaced result
+#     is the 20-row band table (bounds + exact-decimal mean), not 10⁵ raw
+#     rows. Shape: one keyed window sort + one hash re-agg; series
+#     partition independently. Same 5-key low-cardinality caveat as
+#     timeseries_range_window: at 100 TB per-series data volume, the
+#     banding itself is the chunked-rolling escape hatch's job. ------------
+
+
+@register(
+    "events_value_quartiles",
+    f"""
+    WITH q AS (
+        SELECT event_type, value,
+               ntile(4) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS quartile
+        FROM events
+    )
+    SELECT event_type, quartile,
+           count(*) AS n,
+           min(value) AS lo,
+           max(value) AS hi,
+           {DAVG_SQL("value")} AS mean_value
+    FROM q
+    GROUP BY event_type, quartile
+    """,
+)
+def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    q = ev.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        davg(F.col("value")).alias("mean_value"),
+    )
+
+
+# --- Event-type co-occurrence (market-basket over user behavior): which
+#     pairs of event types the same users engage in, with support. Shape:
+#     ONE distinct-pair reduction (user_id, event_type) — bounded at
+#     |users|·|types| — then a self equi-join on user_id whose per-key fan
+#     -out is capped by the TYPE cardinality (≤ C(|types|,2) pairs per
+#     user, never corpus-quadratic), then a |types|² count. The support
+#     denominator is a 1-row broadcast-joined scalar. ----------------------
+
+
+@register(
+    "events_type_cooccurrence",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_both,
+           round(CAST(count(*) AS DOUBLE) / any_value(tot.n_users), 9) AS support
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    CROSS JOIN tot
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    pairs = ut.alias("a").join(
+        ut.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_both"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.any_value("n_users"), 9
+            ).alias("support"),
+        )
+    )
+
+
+# --- Behavioral transition matrix (first-order Markov): counts of
+#     consecutive event_type transitions within each user's timeline plus
+#     the per-source transition probability — the sequence-mining
+#     complement of the funnel (which fixes a stage order; this surfaces
+#     ALL observed orders). Shape: ONE user-keyed window sort (lag) → one
+#     |types|² hash aggregate; the probability denominator joins back on
+#     the |types|-row from-side margin, broadcast-sized at any corpus
+#     scale. Ties in simultaneous events are broken by event_id like
+#     every other window in the registry. ----------------------------------
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS type_from, event_type AS type_to,
+               count(*) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    margin AS (SELECT type_from, sum(n_trans) AS n_from FROM trans GROUP BY 1)
+    SELECT t.type_from, t.type_to, t.n_trans,
+           CAST(m.n_from AS BIGINT) AS n_from,
+           round(CAST(t.n_trans AS DOUBLE) / m.n_from, 9) AS p_trans
+    FROM trans t JOIN margin m ON t.type_from = m.type_from
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("type_from"),
+            F.col("event_type").alias("type_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    margin = trans.groupBy("type_from").agg(F.sum("n_trans").alias("n_from"))
+    return trans.join(F.broadcast(margin), "type_from").select(
+        "type_from",
+        "type_to",
+        "n_trans",
+        F.col("n_from").cast("long").alias("n_from"),
+        F.round(F.col("n_trans").cast("double") / F.col("n_from"), 9).alias("p_trans"),
     )

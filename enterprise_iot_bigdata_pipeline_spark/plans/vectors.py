@@ -408,3 +408,98 @@ def embeddings_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-best["nid"]).cast("int").alias("cluster_id"),
         best["cos_sim"].alias("cos_best"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (greedy maximal marginal relevance over a cosine
+# top-20 pool, λ=0.5, k=5 picks for 3 query vectors). The oracle unrolls
+# the same greedy recursion as generated CTEs — one (step, selected-set)
+# CTE pair per pick, like the PageRank iteration unroll (plans/graph.py):
+# each step scores every unselected candidate by
+# round(0.5·rel − 0.5·max_sim_to_selected, 9) and takes the window argmax
+# with id tiebreak, so a hash-green row proves all five greedy decisions.
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+_MMR_POOL = 20
+_MMR_NQ = 3
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    prev = "sel1"
+    for t in range(2, _MMR_K + 1):
+        steps.append(
+            f"""m{t} AS (
+        SELECT s.q_id, s.va, max(s.s) AS maxsim
+        FROM sims s JOIN {prev} p ON s.q_id = p.q_id AND s.vb = p.vec_id
+        GROUP BY s.q_id, s.va
+    ),
+    s{t} AS (
+        SELECT q_id, vec_id, {t} AS pick_order, score FROM (
+            SELECT r.q_id, r.vec_id,
+                   round(0.5 * r.rel - 0.5 * m.maxsim, 9) AS score,
+                   row_number() OVER (
+                       PARTITION BY r.q_id
+                       ORDER BY round(0.5 * r.rel - 0.5 * m.maxsim, 9) DESC,
+                                r.vec_id) AS rn
+            FROM cv r
+            JOIN m{t} m ON r.q_id = m.q_id AND r.vec_id = m.va
+            WHERE NOT EXISTS (SELECT 1 FROM {prev} p2
+                              WHERE p2.q_id = r.q_id AND p2.vec_id = r.vec_id)
+        ) WHERE rn = 1
+    ),
+    sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{t})"""
+        )
+        prev = f"sel{t}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < {_MMR_NQ}),
+    pairs AS (
+        SELECT q.q_id, c.vec_id, {_cos_sql("q.q_vec", "c.embedding")} AS rel
+        FROM embeddings c, q WHERE c.vec_id != q.q_id
+    ),
+    cands AS (
+        SELECT q_id, vec_id, rel FROM (
+            SELECT q_id, vec_id, rel,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, vec_id) AS rn
+            FROM pairs
+        ) WHERE rn <= {_MMR_POOL}
+    ),
+    cv AS (
+        SELECT c.q_id, c.vec_id, c.rel, e.embedding AS v
+        FROM cands c JOIN embeddings e USING (vec_id)
+    ),
+    sims AS (
+        SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb, {_cos_sql("a.v", "b.v")} AS s
+        FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id != b.vec_id
+    ),
+    sel1 AS (
+        SELECT q_id, vec_id, 1 AS pick_order, rel AS score FROM (
+            SELECT q_id, vec_id, rel,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, vec_id) AS rn
+            FROM cv
+        ) WHERE rn = 1
+    ),
+    {chain}
+    SELECT q_id, vec_id, CAST(pick_order AS INTEGER) AS pick_order, score
+    FROM {prev}
+    """
+
+
+@register("mmr_diversify_topk", _mmr_oracle())
+def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.mmr_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _MMR_NQ),
+        k=_MMR_K,
+        pool=_MMR_POOL,
+        lam=0.5,
+    )
+    return out.select(
+        "q_id", "vec_id", F.col("pick_order").cast("int").alias("pick_order"), "score"
+    )

@@ -314,3 +314,30 @@ def test_pq_rejects_unpackable_codebooks_and_handles_string_ids(spark):
     assert dict(out.dtypes)["vec_id"] == "string"
     assert {r["q_id"] for r in rows} == {"v1", "v2", "v3"}
     assert all(r["rank"] <= 2 for r in rows)
+
+
+def test_mmr_topk_flips_redundant_pick(spark):
+    """MMR must demote a near-duplicate of the first pick in favor of a
+    more diverse candidate, even though the duplicate has higher raw
+    relevance — and the plain top-k must show the opposite order (the
+    redundancy the operator exists to remove)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        mmr_topk,
+    )
+
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0]),   # the query
+        (1, [1.0, 0.9, 0.0, 0.0]),   # top relevance
+        (2, [0.9, 1.0, 0.0, 0.0]),   # equally relevant, near-dup of 1
+        (3, [0.1, 1.5, 0.0, 0.0]),   # less relevant but diverse
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id = 0")
+
+    naive = cosine_topk(corpus, queries, k=2)
+    assert [r.vec_id for r in naive.orderBy("rank").collect()] == [1, 2]
+
+    mmr = mmr_topk(corpus, queries, k=2, pool=3, lam=0.5)
+    got = [(r.pick_order, r.vec_id) for r in mmr.orderBy("pick_order").collect()]
+    assert got == [(1, 1), (2, 3)]

@@ -65,6 +65,11 @@ AUDITED = [
     "events_spatial_pairs",
     "embeddings_cluster_assign",
     "text_bigram_corpus_freq",
+    "events_value_quartiles",
+    "events_type_cooccurrence",
+    "graph_pagerank_nations",
+    "events_transition_matrix",
+    "mmr_diversify_topk",
 ]
 
 CHECKS = {
@@ -285,6 +290,28 @@ CHECKS_R6 = {
         ("Generate", True, "bigram occurrences fan out via explode, map-side"),
         ("HashAggregate", True, "frequency table and per-doc stats are hash aggs"),
         ("CartesianProduct", False, "occurrence↔frequency is a keyed join only"),
+    ],
+    "events_value_quartiles": [
+        ("Window", True, "ntile rides one keyed window sort"),
+        ("Exchange SinglePartition", False, "series band independently — no global sort"),
+    ],
+    "events_type_cooccurrence": [
+        ("HashAggregate", True, "distinct (user, type) reduction is a hash agg"),
+        ("CartesianProduct", False, "pairing is a user-keyed equi-join, fan-out ≤ C(|types|,2)"),
+    ],
+    "graph_pagerank_nations": [
+        ("Scan ExistingRDD", True, "edge build runs ONCE behind the localCheckpoint leaf"),
+        ("lineitem", False, "iterations must not re-execute the fact join via lineage"),
+        ("CartesianProduct", False, "contribution steps are keyed joins"),
+    ],
+    "events_transition_matrix": [
+        ("Window", True, "transition pairing is lag over ONE user-keyed sort"),
+        ("BroadcastHashJoin", True, "the |types|-row margin joins back broadcast"),
+        ("CartesianProduct", False, "keyed joins only"),
+    ],
+    "mmr_diversify_topk": [
+        ("CartesianProduct", False, "pair sims are q_id-keyed, pool²-bounded per query"),
+        ("BatchEvalPython", False, "cosines stay JVM-side (HOF fold)"),
     ],
 }
 CHECKS.update(CHECKS_R6)

@@ -79,6 +79,11 @@ STRESSED = [
     "events_spatial_pairs",
     "embeddings_cluster_assign",
     "text_bigram_corpus_freq",
+    "events_value_quartiles",
+    "events_type_cooccurrence",
+    "graph_pagerank_nations",
+    "events_transition_matrix",
+    "mmr_diversify_topk",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -120,6 +125,11 @@ MAIN_TABLE = {
     "events_spatial_pairs": "events",
     "embeddings_cluster_assign": "embeddings",
     "text_bigram_corpus_freq": "documents",
+    "events_value_quartiles": "events",
+    "events_type_cooccurrence": "events",
+    "graph_pagerank_nations": "lineitem",
+    "events_transition_matrix": "events",
+    "mmr_diversify_topk": "embeddings",
 }
 ID_COLS = {
     "events": "event_id",
@@ -306,7 +316,10 @@ def main_longdoc() -> None:
         "web_domain_filter",
         "segment_dedup_global",
         "text_inverted_index",
+        "text_bigram_corpus_freq",
     ):
+        if ONLY is not None and name not in ONLY:
+            continue
         t1 = timed(SF, name)
         tn = timed(stage, name)
         exp = math.log(tn / t1) / math.log(N)
