@@ -106,6 +106,11 @@ HEADLINE = [
     "graph_pagerank_nations",
     "events_transition_matrix",
     "mmr_diversify_topk",
+    "xml_extract_fields",
+    "variant_extract_fields",
+    "events_session_window_agg",
+    "events_rank_battery",
+    "csv_extract_fields",
 ]
 
 

@@ -316,3 +316,163 @@ def json_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("d.arr", 2).alias("arr1"),
         F.col("d.missing").isNull().alias("missing_is_null"),
     )
+
+
+# --- Semi-structured (XML) column processing: the same serialize-then-
+#     parse gate as json_extract_fields but through Spark 4's native XML
+#     support (from_xml — the spark-xml package merged into core). The
+#     document is built with explicit concat from typed columns; only
+#     SPARK parses it (DuckDB has no XML functions), so the oracle simply
+#     re-derives every extracted field from the typed columns — a
+#     hash-green row proves parse(serialize(x)) == x for elements,
+#     attributes (the `_`-prefixed schema fields), nested elements, and
+#     an absent element's null. Doubles are safe through the text
+#     round-trip: Spark's double→string is shortest-round-trip
+#     formatting, so v parses back bit-identical. Pure map, no shuffle. -----
+
+
+@register(
+    "xml_extract_fields",
+    """
+    SELECT event_id,
+           event_id AS id_attr,
+           event_type AS type_back,
+           value AS v_back,
+           user_id AS uid,
+           CAST(user_id % 7 AS BIGINT) AS nested_m,
+           CAST(NULL AS VARCHAR) AS missing_el,
+           TRUE AS missing_is_null
+    FROM events
+    """,
+)
+def xml_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit('<event id="'), F.col("event_id").cast("string"),
+        F.lit('"><type>'), F.col("event_type"),
+        F.lit("</type><v>"), F.col("value").cast("string"),
+        F.lit("</v><u><uid>"), F.col("user_id").cast("string"),
+        F.lit("</uid><m>"), (F.col("user_id") % 7).cast("string"),
+        F.lit("</m></u></event>"),
+    )
+    schema = (
+        "_id BIGINT, type STRING, v DOUBLE, "
+        "u STRUCT<uid: BIGINT, m: BIGINT>, missing STRING"
+    )
+    parsed = ev.select("event_id", F.from_xml(xml, schema).alias("x"))
+    return parsed.select(
+        "event_id",
+        F.col("x._id").alias("id_attr"),
+        F.col("x.type").alias("type_back"),
+        F.col("x.v").alias("v_back"),
+        F.col("x.u.uid").alias("uid"),
+        F.col("x.u.m").alias("nested_m"),
+        F.col("x.missing").alias("missing_el"),
+        F.col("x.missing").isNull().alias("missing_is_null"),
+    )
+
+
+# --- VARIANT-typed semi-structured processing (Spark 4's open-variant
+#     binary format): parse_json → VariantType once, then typed
+#     variant_get path extraction — the shredded-access surface that
+#     replaces string re-parsing per path. Same portable-parse design as
+#     json_extract_fields (explicit concat builds the document; the
+#     oracle extracts with DuckDB's JSON functions), so a hash-green row
+#     proves the variant encode/decode round-trip agrees with a plain
+#     JSON engine on scalars, nested paths, array indexing, typed casts,
+#     and absent-path nulls. Pure map over the scan. -----------------------
+
+
+@register(
+    "variant_extract_fields",
+    """
+    WITH j AS (
+        SELECT event_id, props,
+               '{"meta": {"src": "s' || (event_id % 4) || '", "prio": '
+               || (event_id % 3) || '}, "vals": [' || (event_id % 9)
+               || ', ' || (event_id % 10) || ', ' || (event_id % 11)
+               || '], "flag": ' || (CASE WHEN event_id % 2 = 0
+                                         THEN 'true' ELSE 'false' END) || '}' AS js
+        FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k,
+           json_extract_string(js, '$.meta.src') AS src,
+           CAST(json_extract_string(js, '$.meta.prio') AS INTEGER) AS prio,
+           CAST(json_extract_string(js, '$.vals[2]') AS BIGINT) AS val2,
+           CAST(json_extract_string(js, '$.flag') AS BOOLEAN) AS flag,
+           (json_extract(js, '$.meta.absent') IS NULL) AS absent_is_null
+    FROM j
+    """,
+)
+def variant_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"meta": {"src": "s'), (F.col("event_id") % 4).cast("string"),
+        F.lit('", "prio": '), (F.col("event_id") % 3).cast("string"),
+        F.lit('}, "vals": ['), (F.col("event_id") % 9).cast("string"),
+        F.lit(", "), (F.col("event_id") % 10).cast("string"),
+        F.lit(", "), (F.col("event_id") % 11).cast("string"),
+        F.lit('], "flag": '),
+        F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("}"),
+    )
+    # ONE variant decode per row feeds every path (from_json-style single
+    # parse); try_variant_get on the absent path proves missing-key null
+    v = ev.select(
+        "event_id",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("props_k"),
+        F.parse_json(js).alias("var"),
+    )
+    return v.select(
+        "event_id",
+        "props_k",
+        F.variant_get("var", "$.meta.src", "string").alias("src"),
+        F.variant_get("var", "$.meta.prio", "int").alias("prio"),
+        F.variant_get("var", "$.vals[2]", "bigint").alias("val2"),
+        F.variant_get("var", "$.flag", "boolean").alias("flag"),
+        F.try_variant_get("var", "$.meta.absent", "string").isNull().alias("absent_is_null"),
+    )
+
+
+# --- Semi-structured (CSV) column processing — completes the embedded-
+#     format trio (JSON → json/variant_extract_fields, XML →
+#     xml_extract_fields): a CSV line built from typed columns with
+#     explicit concat, parsed back with from_csv against a DDL schema,
+#     including a quoted field containing the delimiter and a trailing
+#     absent column (null). Only Spark parses; the oracle re-derives the
+#     fields from the typed columns. Pure map over the scan. ---------------
+
+
+@register(
+    "csv_extract_fields",
+    """
+    SELECT event_id,
+           event_id AS id_back,
+           event_type AS type_back,
+           value AS v_back,
+           'x,' || CAST(user_id AS VARCHAR) AS quoted_back,
+           CAST(NULL AS BIGINT) AS absent_col,
+           TRUE AS absent_is_null
+    FROM events
+    """,
+)
+def csv_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_id").cast("string"), F.lit(","),
+        F.col("event_type"), F.lit(","),
+        F.col("value").cast("string"), F.lit(',"x,'),
+        F.col("user_id").cast("string"), F.lit('"'),
+    )
+    schema = "id BIGINT, type STRING, v DOUBLE, q STRING, absent BIGINT"
+    parsed = ev.select("event_id", F.from_csv(line, schema).alias("c"))
+    return parsed.select(
+        "event_id",
+        F.col("c.id").alias("id_back"),
+        F.col("c.type").alias("type_back"),
+        F.col("c.v").alias("v_back"),
+        F.col("c.q").alias("quoted_back"),
+        F.col("c.absent").alias("absent_col"),
+        F.col("c.absent").isNull().alias("absent_is_null"),
+    )

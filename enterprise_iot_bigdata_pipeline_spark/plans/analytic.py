@@ -427,3 +427,108 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_from").cast("long").alias("n_from"),
         F.round(F.col("n_trans").cast("double") / F.col("n_from"), 9).alias("p_trans"),
     )
+
+
+# --- Native session-window aggregate (F.session_window — the idiomatic
+#     Spark gap-session groupBy, identical API in batch and Structured
+#     Streaming). Semantics pinned by the oracle: sessions MERGE while
+#     each event arrives strictly before the previous event's ts + gap,
+#     so a gap of EXACTLY 30 minutes splits (the [ts, ts+gap) windows no
+#     longer overlap) — hence `>=` in the oracle's is_new, not the `>`
+#     the row-level sessionize queries use; session end is last ts + gap.
+#     Shape: one user-keyed shuffle into a session-merging aggregate —
+#     the same plan a streaming deployment runs with a watermark. ----------
+
+
+@register(
+    "events_session_window_agg",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTES AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- Ranking-function battery: rank / dense_rank / percent_rank /
+#     cume_dist over a deliberately tie-heavy key (floor(value) — raw
+#     doubles almost never tie, which would make rank ≡ row_number and
+#     the distinction vacuous). One keyed window sort serves all four
+#     functions plus the row_number tiebreak that keeps the top-5 cut
+#     deterministic inside a tie group. percent_rank/cume_dist are
+#     single correctly-rounded divisions of identical integers. ------------
+
+
+@register(
+    "events_rank_battery",
+    """
+    WITH r AS (
+        SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS vb,
+               rank()         OVER w AS rnk,
+               dense_rank()   OVER w AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist()    OVER w AS cdist,
+               row_number()   OVER (PARTITION BY event_type
+                                    ORDER BY floor(value) DESC, event_id) AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY floor(value) DESC)
+    )
+    SELECT event_id, event_type, vb,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(drnk AS BIGINT) AS drnk,
+           round(prnk, 9) AS prnk,
+           round(cdist, 9) AS cdist
+    FROM r WHERE rn <= 5
+    """,
+)
+def events_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    vb = F.floor("value")
+    wr = W.partitionBy("event_type").orderBy(F.desc(vb))
+    wn = W.partitionBy("event_type").orderBy(F.desc(vb), F.asc("event_id"))
+    r = ev.select(
+        "event_id",
+        "event_type",
+        vb.alias("vb"),
+        F.rank().over(wr).cast("long").alias("rnk"),
+        F.dense_rank().over(wr).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(wr), 9).alias("prnk"),
+        F.round(F.cume_dist().over(wr), 9).alias("cdist"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    return r.filter(F.col("rn") <= 5).drop("rn")

@@ -191,3 +191,60 @@ def test_tws_tracker_builds_unresolved_plan(spark):
         "session_end",
         "n_events",
     ]
+
+
+def test_native_session_window_stream_matches_batch(spark, tmp_path):
+    """F.session_window must produce identical sessions through the
+    Structured Streaming path (availableNow + watermark + complete-mode
+    sink) as through the batch groupBy — the API's core promise and the
+    registered events_session_window_agg's streaming twin."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    src = str(tmp_path / "src")
+    out_tbl = "sw_parity_out"
+    # watermarks require TIMESTAMP (LTZ); the UTC session makes the
+    # ntz→ltz cast instant-preserving, so batch and stream agree
+    ev = t(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+    )
+    want = {tuple(r) for r in batch.collect()}
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(out_tbl)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table(out_tbl).collect()}
+    assert got == want
+    assert len(got) > 0

@@ -70,6 +70,11 @@ AUDITED = [
     "graph_pagerank_nations",
     "events_transition_matrix",
     "mmr_diversify_topk",
+    "xml_extract_fields",
+    "variant_extract_fields",
+    "events_session_window_agg",
+    "events_rank_battery",
+    "csv_extract_fields",
 ]
 
 CHECKS = {
@@ -312,6 +317,26 @@ CHECKS_R6 = {
     "mmr_diversify_topk": [
         ("CartesianProduct", False, "pair sims are q_id-keyed, pool²-bounded per query"),
         ("BatchEvalPython", False, "cosines stay JVM-side (HOF fold)"),
+    ],
+    "xml_extract_fields": [
+        ("Exchange hashpartitioning", False, "XML build/parse/extract is a pure map fused into the scan"),
+        ("BatchEvalPython", False, "from_xml stays JVM-side"),
+    ],
+    "variant_extract_fields": [
+        ("Exchange hashpartitioning", False, "variant decode + typed gets are a pure map"),
+        ("BatchEvalPython", False, "parse_json/variant_get stay JVM-side"),
+    ],
+    "events_session_window_agg": [
+        ("session_window", True, "native gap-session aggregate key (not a window+re-agg emulation)"),
+        ("Exchange SinglePartition", False, "users session independently"),
+    ],
+    "events_rank_battery": [
+        ("Window", True, "all four ranking functions share one keyed window sort"),
+        ("Exchange SinglePartition", False, "series rank independently"),
+    ],
+    "csv_extract_fields": [
+        ("Exchange hashpartitioning", False, "CSV build/parse/extract is a pure map fused into the scan"),
+        ("BatchEvalPython", False, "from_csv stays JVM-side"),
     ],
 }
 CHECKS.update(CHECKS_R6)

@@ -84,6 +84,11 @@ STRESSED = [
     "graph_pagerank_nations",
     "events_transition_matrix",
     "mmr_diversify_topk",
+    "xml_extract_fields",
+    "variant_extract_fields",
+    "events_session_window_agg",
+    "events_rank_battery",
+    "csv_extract_fields",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -130,6 +135,11 @@ MAIN_TABLE = {
     "graph_pagerank_nations": "lineitem",
     "events_transition_matrix": "events",
     "mmr_diversify_topk": "embeddings",
+    "xml_extract_fields": "events",
+    "variant_extract_fields": "events",
+    "events_session_window_agg": "events",
+    "events_rank_battery": "events",
+    "csv_extract_fields": "events",
 }
 ID_COLS = {
     "events": "event_id",
@@ -390,7 +400,12 @@ def main_skew() -> None:
         "sessionize_two_phase",
         "funnel_view_click_purchase",
         "cohort_weekly_retention",
+        "events_session_window_agg",
+        "events_transition_matrix",
+        "events_type_cooccurrence",
     ):
+        if ONLY is not None and qname not in ONLY:
+            continue
         report(
             qname,
             timed(lambda: queries[qname](spark, stages["uniform"])),
