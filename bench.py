@@ -111,6 +111,7 @@ HEADLINE = [
     "events_session_window_agg",
     "events_rank_battery",
     "csv_extract_fields",
+    "events_quartile_banded",
 ]
 
 

@@ -532,3 +532,54 @@ def events_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wn).alias("rn"),
     )
     return r.filter(F.col("rn") <= 5).drop("rn")
+
+
+# --- Scale-safe quartile banding twin: the ntile query above sorts each
+#     series in a window (5-key low-cardinality family — per-series
+#     volume is one task's problem at 100 TB). This twin computes the
+#     three quartile BOUNDS per series in one tiny aggregate (exact
+#     percentile, rounded 9 dp like winsorize — swap approx_percentile
+#     past memory), broadcasts them back, and bands with a pure-map CASE:
+#     the fact side never sorts and never shuffles. Semantics differ from
+#     ntile at ties ONLY (ties share a band here; ntile splits them to
+#     equalize counts) — the same registered-pin-vs-deployment-shape
+#     pairing as timeseries_anomaly_zscore/chunked. ------------------------
+
+
+@register(
+    "events_quartile_banded",
+    """
+    WITH b AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 9) AS q1,
+               round(quantile_cont(value, 0.50), 9) AS q2,
+               round(quantile_cont(value, 0.75), 9) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value <= b.q1 THEN 1
+                WHEN e.value <= b.q2 THEN 2
+                WHEN e.value <= b.q3 THEN 3
+                ELSE 4 END AS band,
+           b.q1, b.q2, b.q3
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def events_quartile_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.25)), 9).alias("q1"),
+        F.round(F.percentile(F.col("value"), F.lit(0.50)), 9).alias("q2"),
+        F.round(F.percentile(F.col("value"), F.lit(0.75)), 9).alias("q3"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    v = F.col("value")
+    band = (
+        F.when(v <= F.col("q1"), 1)
+        .when(v <= F.col("q2"), 2)
+        .when(v <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return j.select(
+        "event_id", "event_type", "value", band.alias("band"), "q1", "q2", "q3"
+    )

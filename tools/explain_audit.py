@@ -75,6 +75,7 @@ AUDITED = [
     "events_session_window_agg",
     "events_rank_battery",
     "csv_extract_fields",
+    "events_quartile_banded",
 ]
 
 CHECKS = {
@@ -337,6 +338,10 @@ CHECKS_R6 = {
     "csv_extract_fields": [
         ("Exchange hashpartitioning", False, "CSV build/parse/extract is a pure map fused into the scan"),
         ("BatchEvalPython", False, "from_csv stays JVM-side"),
+    ],
+    "events_quartile_banded": [
+        ("BroadcastHashJoin", True, "quartile bounds broadcast back — fact side never sorts or shuffles"),
+        ("Window", False, "the scale-safe twin has NO per-series window sort"),
     ],
 }
 CHECKS.update(CHECKS_R6)

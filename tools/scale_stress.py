@@ -89,6 +89,7 @@ STRESSED = [
     "events_session_window_agg",
     "events_rank_battery",
     "csv_extract_fields",
+    "events_quartile_banded",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -140,6 +141,7 @@ MAIN_TABLE = {
     "events_session_window_agg": "events",
     "events_rank_battery": "events",
     "csv_extract_fields": "events",
+    "events_quartile_banded": "events",
 }
 ID_COLS = {
     "events": "event_id",
