@@ -94,6 +94,16 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
         w = bytes([byte])
     if w:
         bw.write(table[w], width)
+        # mirror the decoder's append-on-final-code before writing END:
+        # the decoder cannot know a code is the last and always appends
+        # (prev + entry[0]), which can land on 2^width − 1 and bump ITS
+        # width — without this pseudo-add the encoder writes END at the
+        # old width and the decoder reads past the stream end whenever
+        # the flush padding lands on a byte boundary (found by fuzzing:
+        # ~4% of 250–320-byte low-alphabet streams at min_code_size 2)
+        next_code += 1
+        if next_code == (1 << width) and width < _MAX_CODE_WIDTH:
+            width += 1
     bw.write(end, width)
     return bw.flush()
 

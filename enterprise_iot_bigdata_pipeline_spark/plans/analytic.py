@@ -444,7 +444,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_agg",
     """
     WITH gaps AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          IS NULL
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -454,7 +454,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id, ts, value,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM gaps
     )

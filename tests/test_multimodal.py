@@ -824,3 +824,34 @@ def test_decode_media_dispatches_bmp_and_gif(spark):
     assert got[2].n_units == 3 * w * h
     assert got[2].checksum == 3 * int(np.frombuffer(idx, np.uint8).sum())
     assert got[3].media_type is None and got[4].media_type is None
+
+
+def test_gif_lzw_end_code_width_boundary_fuzz():
+    """Regression: the encoder must mirror the decoder's append-on-final-
+    code before writing END — the decoder's table can hit 2^width − 1 on
+    the last data code and bump its read width, and an END written at the
+    old width then reads past the stream end (spurious 'truncated' on a
+    valid GIF). Fuzz both the raw LZW kernel (min_code_size 2, the
+    fastest-growing width schedule) and the full container path."""
+    import random
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        encode_gif,
+        parse_gif,
+    )
+
+    rnd = random.Random(11)
+    for trial in range(400):
+        n = rnd.randrange(200, 340)
+        data = bytes(rnd.randrange(4) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data, 2), 2) == data, f"trial {trial}"
+
+    for trial in range(350):
+        n = rnd.randrange(200, 300)
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        img = parse_gif(encode_gif(1, n, data))
+        assert img["pixels"] == b"".join(bytes((v, v, v)) for v in data), (
+            f"container trial {trial}"
+        )
