@@ -112,6 +112,7 @@ HEADLINE = [
     "events_rank_battery",
     "csv_extract_fields",
     "events_quartile_banded",
+    "bpe_train_merges",
 ]
 
 

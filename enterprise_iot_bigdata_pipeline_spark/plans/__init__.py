@@ -41,6 +41,7 @@ _MODULES = [
     "timeseries",
     "spatial",
     "graph",
+    "bpe",
 ]
 
 

@@ -1,0 +1,172 @@
+"""BPE tokenizer merge training over the document corpus.
+
+The byte-pair-encoding loop (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"): N rounds of
+corpus-wide adjacent-symbol pair counting → most-frequent pair (ties:
+count DESC, then lexicographic) → greedy left-to-right non-overlapping
+merge everywhere. The classic trick makes this vocabulary-scale, not
+corpus-scale: train on the WORD-FREQUENCY table (one weighted row per
+distinct word), so after one corpus-wide word count every round runs
+over |vocab| rows.
+
+Scale shape: ONE corpus-scale explode + groupBy builds the vocabulary;
+the N training rounds each run a vocab-scale pair explode + hash agg, a
+1-row argmax collect (control plane — the merge decision is a scalar,
+like the IVF centroid collect), and an Arrow-batched merge map. The
+vocab frame is localCheckpoint-ed per round (PageRank cadence: lineage
+would otherwise re-run every prior round's merge).
+
+Cross-engine check: the DuckDB oracle re-runs the SAME training loop
+with an INDEPENDENT merge implementation — unrolled per-round CTEs
+where the greedy non-overlap is relational (flag adjacent matches,
+gaps-and-islands run ids, keep odd positions within each run — a run of
+k consecutive flags merges at positions 1,3,5…, exactly the greedy
+left-to-right scan) — so a hash-green row means two different
+algorithms agreed on every pair count, every tie-break, and every merge
+application. Pytest additionally pins both against a pure-Python
+reference BPE.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions import text as X
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+_ROUNDS = 6
+_EOW = "</w>"
+
+_WORDS_SQL = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def merge_pair_udf(a: str, b: str):
+    """Arrow-batched greedy merge: scan each symbol array left to right,
+    replacing every non-overlapping adjacent (a, b) with a+b — the
+    reference semantics of BPE merge application."""
+    merged = a + b
+
+    def _apply(col: pd.Series) -> pd.Series:
+        out = []
+        for arr in col:
+            res = []
+            i, n = 0, len(arr)
+            while i < n:
+                if i + 1 < n and arr[i] == a and arr[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(arr[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    _apply.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_apply, "array<string>")
+
+
+def train_bpe(
+    docs: DataFrame, n_rounds: int = _ROUNDS, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Run the merge-training loop; returns [(round, sym_a, sym_b, count)]."""
+    words = docs.select(F.explode(X.words(F.col(text_col))).alias("w")).filter(
+        F.length("w") > 0
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    syms = F.concat(F.split("w", ""), F.array(F.lit(_EOW)))
+    state = vocab.select("w", "cnt", syms.alias("syms")).localCheckpoint()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_rounds + 1):
+        sz = F.size("syms")
+        head = F.slice("syms", 1, F.greatest(sz - 1, F.lit(0)))
+        tail = F.slice("syms", 2, F.greatest(sz - 1, F.lit(0)))
+        pairs = state.select(
+            "cnt",
+            F.explode(
+                F.zip_with(head, tail, lambda x, y: F.struct(x.alias("a"), y.alias("b")))
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((r, a, b, c))
+        state = state.select(
+            "w", "cnt", merge_pair_udf(a, b)(F.col("syms")).alias("syms")
+        ).localCheckpoint()
+    return merges
+
+
+def _bpe_oracle() -> str:
+    steps = []
+    bests = []
+    for r in range(1, _ROUNDS + 1):
+        prev = f"st{r - 1}"
+        steps.append(
+            f"""p{r} AS (
+        SELECT s.syms[i] AS a, s.syms[i + 1] AS b, sum(s.cnt) AS c
+        FROM {prev} s, unnest(range(1, len(s.syms))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    best{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    pos{r} AS (
+        SELECT s.w, s.cnt, i, s.syms[i] AS sym,
+               (i < len(s.syms)
+                AND s.syms[i] = (SELECT a FROM best{r})
+                AND s.syms[i + 1] = (SELECT b FROM best{r})) AS f
+        FROM {prev} s, unnest(range(1, len(s.syms) + 1)) AS t(i)
+    ),
+    grp{r} AS (
+        SELECT *, CASE WHEN f THEN i - row_number()
+                       OVER (PARTITION BY w, f ORDER BY i) END AS rk
+        FROM pos{r}
+    ),
+    keep{r} AS (
+        SELECT *, f AND (row_number()
+                         OVER (PARTITION BY w, rk ORDER BY i) % 2 = 1) AS m
+        FROM grp{r}
+    ),
+    wm{r} AS (
+        SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt,
+                  lag(m) OVER (PARTITION BY w ORDER BY i) AS pm
+        FROM keep{r}
+    ),
+    st{r} AS (
+        SELECT w, cnt,
+               list(CASE WHEN m THEN sym || nxt ELSE sym END ORDER BY i) AS syms
+        FROM wm{r}
+        WHERE NOT coalesce(pm, FALSE)
+        GROUP BY w, cnt
+    )"""
+        )
+        bests.append(
+            f"SELECT {r} AS round, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_count FROM best{r}"
+        )
+    chain = ",\n    ".join(steps)
+    union = "\n    UNION ALL ".join(bests)
+    return f"""
+    WITH words AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents),
+    vocab AS (SELECT w, count(*) AS cnt FROM words WHERE len(w) > 0 GROUP BY w),
+    st0 AS (SELECT w, cnt, list_append(string_split(w, ''), '{_EOW}') AS syms
+            FROM vocab),
+    {chain}
+    {union}
+    """
+
+
+@register("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = train_bpe(t(spark, sf_dir, "documents"), n_rounds=_ROUNDS)
+    return spark.createDataFrame(
+        merges, "round int, sym_a string, sym_b string, pair_count long"
+    )

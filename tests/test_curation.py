@@ -182,3 +182,58 @@ def test_quality_percentile_filter_keeps_small_languages(spark, tmp_path):
     assert 1 in kept                      # one-doc language survives
     assert {10, 11} <= kept               # two-doc language keeps both
     assert kept & {20, 21, 22, 23} == {21, 22, 23}  # en drops exactly its worst
+
+
+def _bpe_reference(word_counts: dict, n_rounds: int):
+    """Pure-Python Sennrich-style BPE trainer (the textbook algorithm) —
+    the third independent implementation pinning the Spark loop and the
+    relational oracle."""
+    state = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for r in range(1, n_rounds + 1):
+        counts: dict = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        # tie-break: count DESC, then lexicographic (a, b)
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, c))
+        for w, syms in state.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            state[w] = res
+    return merges
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed trainer must reproduce the textbook algorithm's
+    merge table exactly — including a chain merge (a pair built from an
+    earlier round's merged symbol) and the greedy non-overlap rule on
+    repeated symbols."""
+    from collections import Counter
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.bpe import train_bpe
+
+    texts = [
+        "low low low low lower lower newest newest newest widest",
+        "aaaa aaaa banana bandana",
+        "low newest banana newest",
+    ]
+    docs = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "doc_id long, text string")
+    got = train_bpe(docs, n_rounds=8)
+
+    wc = Counter(w for s in texts for w in s.split())
+    want = _bpe_reference(dict(wc), 8)
+    assert got == want
+    # the run must exercise a chain merge: some round's pair references a
+    # multi-char symbol produced earlier (otherwise this test is weak)
+    assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in got)

@@ -76,6 +76,7 @@ AUDITED = [
     "events_rank_battery",
     "csv_extract_fields",
     "events_quartile_banded",
+    "bpe_train_merges",
 ]
 
 CHECKS = {
@@ -342,6 +343,13 @@ CHECKS_R6 = {
     "events_quartile_banded": [
         ("BroadcastHashJoin", True, "quartile bounds broadcast back — fact side never sorts or shuffles"),
         ("Window", False, "the scale-safe twin has NO per-series window sort"),
+    ],
+    "bpe_train_merges": [
+        # the registered query returns the driver-built merge table; the
+        # training loop's plans are exercised (and checkpoint-bounded) at
+        # build time, so the audit only pins that nothing exploded into
+        # the final frame
+        ("CartesianProduct", False, "merge table is a |rounds|-row local frame"),
     ],
 }
 CHECKS.update(CHECKS_R6)

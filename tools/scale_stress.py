@@ -90,6 +90,7 @@ STRESSED = [
     "events_rank_battery",
     "csv_extract_fields",
     "events_quartile_banded",
+    "bpe_train_merges",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -142,6 +143,7 @@ MAIN_TABLE = {
     "events_rank_battery": "events",
     "csv_extract_fields": "events",
     "events_quartile_banded": "events",
+    "bpe_train_merges": "documents",
 }
 ID_COLS = {
     "events": "event_id",
