@@ -113,6 +113,8 @@ HEADLINE = [
     "csv_extract_fields",
     "events_quartile_banded",
     "bpe_train_merges",
+    "timeseries_burst_windows",
+    "events_transition_dwell",
 ]
 
 

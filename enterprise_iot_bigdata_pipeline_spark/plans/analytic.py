@@ -583,3 +583,69 @@ def events_quartile_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id", "event_type", "value", band.alias("band"), "q1", "q2", "q3"
     )
+
+
+# --- Transition dwell-time statistics: the DURATION dimension the
+#     transition matrix drops — per (type_from, type_to) transition, how
+#     long users linger before moving (exact integer µs deltas; decimal-
+#     exact mean; exact interpolated median rounded 9 dp like every
+#     percentile in the registry). Same single user-keyed window sort as
+#     the matrix, one |types|² aggregate. -------------------------------
+
+
+@register(
+    "events_transition_dwell",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    d AS (
+        SELECT prev_type AS type_from, event_type AS type_to,
+               CAST(floor(epoch(ts) * 1000000) - floor(epoch(prev_ts) * 1000000)
+                    AS BIGINT) AS dwell_us
+        FROM seq WHERE prev_type IS NOT NULL
+    )
+    SELECT type_from, type_to,
+           count(*) AS n_trans,
+           CAST(sum(dwell_us) AS BIGINT) AS total_us,
+           CAST(CAST(sum(dwell_us) AS BIGINT) AS DOUBLE) / count(*)
+               AS mean_us,
+           round(quantile_cont(dwell_us, 0.5) / 1000000.0, 6) AS median_s
+    FROM d GROUP BY type_from, type_to
+    """,
+)
+def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("type_from"),
+        (tus - F.lag(tus).over(w)).alias("dwell_us"),
+    ).filter(F.col("type_from").isNotNull())
+    return (
+        seq.groupBy("type_from", F.col("event_type").alias("type_to"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("dwell_us").cast("long").alias("total_us"),
+            # NOT the decimal(25,6) mean: µs sums push the decimal's
+            # internal integer past 2^53 and DuckDB's decimal→double cast
+            # double-rounds there (the round-5 streaming-z advice item).
+            # The dwell values are integral, so the exact BIGINT total
+            # cast to double (correctly rounded at any magnitude in both
+            # engines) divided by the count is bit-stable.
+            (F.sum("dwell_us").cast("long").cast("double")
+             / F.count(F.lit(1))).alias("mean_us"),
+            # interpolated median of ~10^10-µs values: one ulp is ~4e-6,
+            # beyond a round-9 guard — rescale to seconds first so round-6
+            # absorbs the engines' differing interpolation forms
+            F.round(
+                F.percentile(F.col("dwell_us"), F.lit(0.5)) / F.lit(1000000.0), 6
+            ).alias("median_s"),
+        )
+    )

@@ -816,3 +816,96 @@ def timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("mad") > 0, F.round(F.col("absdev") / scaled, 9)).alias("robust_z"),
         ((F.col("mad") > 0) & (F.col("absdev") > F.lit(3.0) * scaled)).alias("is_outlier"),
     )
+
+
+# --- Burst detection: COUNT-based anomaly (alert storms / thundering
+#     herds), the volume-side complement of the value-based z-score
+#     paths. Per (series, minute) event counts — including a 3-sigma
+#     threshold from per-series count moments computed over the DENSE
+#     minute grid (absent minutes are zero-count and must pull the mean
+#     down; an agg over observed minutes only would bias μ and σ up).
+#     Shape: one minute-bucket hash agg, one sequence/explode densify
+#     per series (grid bounded by the corpus time span), one tiny
+#     moments aggregate broadcast back. All moments in exact DECIMAL;
+#     the σ comparison squares both sides (burst ⇔ (n−μ)² > 9σ², n>μ) so
+#     no sqrt enters the flag — integer-exact cross-engine. ---------------
+
+_BURST_BUCKET_S = 60
+
+
+@register(
+    "timeseries_burst_windows",
+    f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / {_BURST_BUCKET_S}) AS BIGINT) AS minute_b,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(minute_b) AS lo, max(minute_b) AS hi FROM m),
+    grid AS (
+        SELECT t.event_type, g.minute_b
+        FROM (SELECT DISTINCT event_type FROM m) t,
+             (SELECT unnest(generate_series((SELECT lo FROM span),
+                                            (SELECT hi FROM span))) AS minute_b) g
+    ),
+    dense AS (
+        SELECT g.event_type, g.minute_b, coalesce(m.n, 0) AS n
+        FROM grid g LEFT JOIN m ON g.event_type = m.event_type
+                               AND g.minute_b = m.minute_b
+    ),
+    stats AS (
+        SELECT event_type,
+               count(*) AS n_minutes,
+               CAST(sum(CAST(n AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mu,
+               CAST(sum(CAST(n AS DECIMAL(25,6)) * CAST(n AS DECIMAL(25,6))) AS DOUBLE)
+                 / count(*) AS m2
+        FROM dense GROUP BY event_type
+    )
+    SELECT d.event_type, d.minute_b, d.n,
+           round(s.mu, 9) AS mu,
+           (d.n > round(s.mu, 9) AND
+            (d.n - round(s.mu, 9)) * (d.n - round(s.mu, 9))
+              > 9.0 * round(s.m2 - s.mu * s.mu, 9)) AS is_burst
+    FROM dense d JOIN stats s USING (event_type)
+    WHERE d.n > 0
+    """,
+)
+def timeseries_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    minute = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / _BURST_BUCKET_S).cast(
+        "long"
+    )
+    m = ev.select("event_type", minute.alias("minute_b")).groupBy(
+        "event_type", "minute_b"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = m.agg(F.min("minute_b").alias("lo"), F.max("minute_b").alias("hi"))
+    grid = (
+        m.select("event_type").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("minute_b"))
+    )
+    dense = grid.join(m, ["event_type", "minute_b"], "left").select(
+        "event_type", "minute_b", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    nd = F.col("n").cast("decimal(25,6)")
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        (F.sum(nd).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(nd * nd).cast("double") / F.count(F.lit(1))).alias("m2"),
+    )
+    j = dense.join(F.broadcast(stats), "event_type").filter(F.col("n") > 0)
+    # round-9 FMA guard (README parity rule 2): m2 − mu·mu is an a−b·c
+    # shape DuckDB may contract, and it feeds a COMPARISON — round both
+    # the mean and the variance before the flag so a boundary row can't
+    # ulp-flip cross-engine
+    mu_r = F.round(F.col("mu"), 9)
+    var_r = F.round(F.col("m2") - F.col("mu") * F.col("mu"), 9)
+    dev = F.col("n") - mu_r
+    return j.select(
+        "event_type",
+        "minute_b",
+        "n",
+        mu_r.alias("mu"),
+        ((F.col("n") > mu_r) & (dev * dev > F.lit(9.0) * var_r)).alias("is_burst"),
+    )

@@ -77,6 +77,8 @@ AUDITED = [
     "csv_extract_fields",
     "events_quartile_banded",
     "bpe_train_merges",
+    "timeseries_burst_windows",
+    "events_transition_dwell",
 ]
 
 CHECKS = {
@@ -350,6 +352,14 @@ CHECKS_R6 = {
         # build time, so the audit only pins that nothing exploded into
         # the final frame
         ("CartesianProduct", False, "merge table is a |rounds|-row local frame"),
+    ],
+    "timeseries_burst_windows": [
+        ("Generate explode", True, "dense minute grid is sequence+explode per series, no driver range"),
+        ("BroadcastHashJoin", True, "count moments broadcast back — the minute table never reshuffles"),
+    ],
+    "events_transition_dwell": [
+        ("Window", True, "dwell deltas ride the same ONE user-keyed lag sort as the matrix"),
+        ("Exchange SinglePartition", False, "per-transition stats, never a global sort"),
     ],
 }
 CHECKS.update(CHECKS_R6)

@@ -91,6 +91,8 @@ STRESSED = [
     "csv_extract_fields",
     "events_quartile_banded",
     "bpe_train_merges",
+    "timeseries_burst_windows",
+    "events_transition_dwell",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -144,6 +146,8 @@ MAIN_TABLE = {
     "csv_extract_fields": "events",
     "events_quartile_banded": "events",
     "bpe_train_merges": "documents",
+    "timeseries_burst_windows": "events",
+    "events_transition_dwell": "events",
 }
 ID_COLS = {
     "events": "event_id",
