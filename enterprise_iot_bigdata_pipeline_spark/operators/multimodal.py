@@ -49,6 +49,8 @@ MEDIA_EXT_TYPES = {
     "jpeg": "image/jpeg",
     "ppm": "image/ppm",
     "pgm": "image/pgm",
+    "tif": "image/tiff",
+    "tiff": "image/tiff",
     "wav": "audio/wav",
     "mp3": "audio/mpeg",
     "mp4": "video/mp4",
@@ -806,7 +808,8 @@ def attach_real_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode binary payloads by magic-byte dispatch (P6/P5 → netpbm,
-    PNG signature → PNG, SOI → JPEG, BM → BMP, GIF8xa → GIF, RIFF → WAV —
+    PNG signature → PNG, SOI → JPEG, BM → BMP, GIF8xa → GIF,
+    II*/MM* → TIFF, RIFF → WAV —
     all pure-Python codecs), surfacing the decoded geometry and an
     exact-integer content checksum. Unknown formats yield a null-typed
     row rather than failing the batch."""
@@ -830,6 +833,19 @@ def decode_media(media: DataFrame) -> DataFrame:
                     px = np.frombuffer(img["pixels"], dtype=np.uint8)
                     rows.append(
                         (int(doc_id), "image/png", img["width"], img["height"],
+                         None, None, len(px), int(px.sum(dtype=np.int64)))
+                    )
+                elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                    try:
+                        img = parse_tiff(b)
+                    except (NotImplementedError, ValueError):
+                        rows.append(
+                            (int(doc_id), None, None, None, None, None, None, None)
+                        )
+                        continue
+                    px = np.frombuffer(img["pixels"], dtype=np.uint8)
+                    rows.append(
+                        (int(doc_id), "image/tiff", img["width"], img["height"],
                          None, None, len(px), int(px.sum(dtype=np.int64)))
                     )
                 elif b[:2] == b"BM":
@@ -1141,3 +1157,147 @@ def audio_spectrogram(
     return fan_out(media.select(id_col, "samples")).mapInPandas(
         per_batch, SPECTROGRAM_SCHEMA
     )
+
+
+_TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression",
+              262: "photometric", 273: "strip_offsets", 277: "spp",
+              278: "rows_per_strip", 279: "strip_counts"}
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): n ∈ [0,127] → copy
+    n+1 literal bytes; n ∈ [-127,-1] → repeat next byte 1−n times;
+    −128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            chunk = data[i : i + n + 1]
+            if len(chunk) < n + 1:
+                raise ValueError("tiff: truncated PackBits literal run")
+            out += chunk
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("tiff: truncated PackBits repeat run")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("tiff: PackBits output short")
+    return bytes(out[:expected])
+
+
+def encode_tiff(width: int, height: int, pixels: bytes, gray: bool = False) -> bytes:
+    """Minimal little-endian baseline TIFF: one uncompressed strip, 8-bit
+    grayscale or RGB. ``pixels`` is row-major samples (w·h or 3·w·h)."""
+    import struct
+
+    spp = 1 if gray else 3
+    if len(pixels) != spp * width * height:
+        raise ValueError(f"TIFF needs {spp * width * height} bytes, got {len(pixels)}")
+    n_entries = 8
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_entries + 4
+    bits_off = data_off
+    extra = b""
+    if gray:
+        bits_val, bits_count = 8, 1
+        pix_off = data_off
+    else:
+        bits_val, bits_count = bits_off, 3  # offset to the 3 shorts below
+        extra = struct.pack("<HHH", 8, 8, 8)
+        pix_off = data_off + 6
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    ifd = struct.pack("<H", n_entries)
+    ifd += entry(256, 4, 1, width)
+    ifd += entry(257, 4, 1, height)
+    ifd += entry(258, 3, bits_count, bits_val if not gray else 8)
+    ifd += entry(259, 3, 1, 1)                      # no compression
+    ifd += entry(262, 3, 1, 1 if gray else 2)       # BlackIsZero / RGB
+    ifd += entry(273, 4, 1, pix_off)
+    ifd += entry(277, 3, 1, spp)
+    ifd += entry(279, 4, 1, len(pixels))
+    ifd += struct.pack("<I", 0)                     # no next IFD
+    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + extra + pixels
+
+
+def parse_tiff(payload: bytes) -> dict:
+    """Baseline TIFF: II/MM byte orders, 8-bit gray and RGB, strip layout,
+    compression 1 (none) and 32773 (PackBits). Returns {width, height,
+    pixels} row-major (gray stays 1 byte/px). Other bit depths, tiles and
+    LZW/JPEG-in-TIFF raise NotImplementedError (named gates, null-row-
+    contained by decode_media); structural lies raise ValueError."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("tiff: bad signature")
+    if len(payload) < 8:
+        raise ValueError("tiff: truncated header")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("tiff: IFD out of range")
+    (n,) = struct.unpack_from(e + "H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n > len(payload):
+        raise ValueError("tiff: truncated IFD")
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+    tags: dict = {}
+    for k in range(n):
+        tag, typ, count = struct.unpack_from(e + "HHI", payload, ifd_off + 2 + 12 * k)
+        voff = ifd_off + 2 + 12 * k + 8
+        if tag not in _TIFF_TAGS:
+            continue
+        if typ not in _TYPE_SIZE:
+            raise NotImplementedError(f"tiff: field type {typ}")
+        size = _TYPE_SIZE[typ] * count
+        if size > 4:
+            (off,) = struct.unpack_from(e + "I", payload, voff)
+            if off + size > len(payload):
+                raise ValueError("tiff: tag value out of range")
+            base = off
+        else:
+            base = voff
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        vals = struct.unpack_from(e + fmt * count, payload, base)
+        tags[_TIFF_TAGS[tag]] = list(vals)
+    for req in ("width", "height", "strip_offsets", "strip_counts"):
+        if req not in tags:
+            raise ValueError(f"tiff: missing required tag {req}")
+    width, height = tags["width"][0], tags["height"][0]
+    if width <= 0 or height <= 0:
+        raise ValueError("tiff: bad dimensions")
+    spp = tags.get("spp", [1])[0]
+    bits = tags.get("bits", [8])
+    comp = tags.get("compression", [1])[0]
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise NotImplementedError(f"tiff: {bits}-bit spp={spp} not supported")
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"tiff: compression {comp} not supported")
+    rows_per_strip = tags.get("rows_per_strip", [height])[0] or height
+    out = bytearray()
+    row = 0
+    for off, cnt in zip(tags["strip_offsets"], tags["strip_counts"]):
+        if off + cnt > len(payload):
+            raise ValueError("tiff: strip out of range")
+        strip = payload[off : off + cnt]
+        n_rows = min(rows_per_strip, height - row)
+        want = n_rows * width * spp
+        if comp == 32773:
+            strip = _packbits_decode(strip, want)
+        if len(strip) < want:
+            raise ValueError("tiff: strip data short")
+        out += strip[:want]
+        row += n_rows
+    if row < height:
+        raise ValueError("tiff: strips cover fewer rows than height")
+    return {"width": width, "height": height, "pixels": bytes(out)}

@@ -855,3 +855,63 @@ def test_gif_lzw_end_code_width_boundary_fuzz():
         assert img["pixels"] == b"".join(bytes((v, v, v)) for v in data), (
             f"container trial {trial}"
         )
+
+
+def test_tiff_roundtrip_packbits_and_dispatch(spark):
+    import struct
+
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        _packbits_decode,
+        decode_media,
+        encode_tiff,
+        parse_tiff,
+    )
+
+    # RGB + gray round-trips through the strip reader
+    w, h = 7, 5
+    rgb = bytes((13 * i + 5) % 256 for i in range(3 * w * h))
+    assert parse_tiff(encode_tiff(w, h, rgb))["pixels"] == rgb
+    gray = bytes((3 * i) % 256 for i in range(w * h))
+    img = parse_tiff(encode_tiff(w, h, gray, gray=True))
+    assert img["pixels"] == gray and (img["width"], img["height"]) == (w, h)
+
+    # PackBits kernel: spec example semantics (literal run, repeat run,
+    # -128 no-op), plus a crafted truncation
+    comp = bytes([2, 0xAA, 0xBB, 0xCC, 0x80, 256 - 3, 0x11, 1, 0xDD, 0xEE])
+    assert _packbits_decode(comp, 9) == bytes(
+        [0xAA, 0xBB, 0xCC, 0x11, 0x11, 0x11, 0x11, 0xDD, 0xEE]
+    )
+    with pytest.raises(ValueError):
+        _packbits_decode(bytes([5, 0x01]), 6)
+
+    # big-endian (MM) PackBits single-strip gray file, built by hand
+    data = bytes([7] * 10 + [1, 2, 3])  # 13 px: repeat run + literal run
+    comp2 = bytes([256 - 9, 7, 2, 1, 2, 3])
+    ifd = struct.pack(">H", 6)
+    ifd += struct.pack(">HHII", 256, 4, 1, 13)
+    ifd += struct.pack(">HHII", 257, 4, 1, 1)
+    ifd += struct.pack(">HHII", 259, 3, 1, 32773 << 16)  # short in left bytes
+    ifd += struct.pack(">HHII", 273, 4, 1, 8 + 2 + 6 * 12 + 4)
+    ifd += struct.pack(">HHII", 277, 3, 1, 1 << 16)
+    ifd += struct.pack(">HHII", 279, 4, 1, len(comp2))
+    ifd += struct.pack(">I", 0)
+    mm = b"MM\x00*" + struct.pack(">I", 8) + ifd + comp2
+    img2 = parse_tiff(mm)
+    assert img2["pixels"] == data and img2["width"] == 13
+
+    # named gates + dispatch containment
+    lzw = encode_tiff(2, 2, bytes(12)).replace(
+        struct.pack("<HHII", 259, 3, 1, 1), struct.pack("<HHII", 259, 3, 1, 5), 1
+    )
+    with pytest.raises(NotImplementedError):
+        parse_tiff(lzw)
+    df = spark.createDataFrame(
+        [(1, encode_tiff(w, h, rgb)), (2, lzw), (3, b"II*\x00" + b"\x00" * 3)],
+        "doc_id long, content binary",
+    )
+    got = {r.doc_id: r for r in decode_media(df).collect()}
+    assert got[1].media_type == "image/tiff"
+    assert got[1].checksum == int(np.frombuffer(rgb, np.uint8).sum())
+    assert got[2].media_type is None and got[3].media_type is None
