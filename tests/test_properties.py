@@ -211,3 +211,61 @@ def test_png_roundtrip_property(w, h, nc, seed):
     out = parse_png(encode_png(w, h, px, nc))
     assert (out["width"], out["height"], out["n_channels"]) == (w, h, nc)
     assert out["pixels"] == px
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    ),
+    st.sampled_from([3, 7, 12]),
+)
+def test_grid_radius_join_matches_brute_force_property(spark, pts, radius):
+    """For ANY point set (negative quadrants included) and radius, the
+    grid-bucketed pairs must equal the brute-force pairs exactly."""
+    import itertools
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.spatial import (
+        grid_radius_self_join,
+    )
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        (r.id_a, r.id_b, r.dist2)
+        for r in grid_radius_self_join(df, "id", "x", "y", radius).collect()
+    }
+    want = {
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for a, b in itertools.combinations(rows, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= radius * radius
+    }
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=3,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_bpe_train_matches_reference_property(spark, words, n_rounds):
+    """The distributed BPE trainer must reproduce the textbook algorithm
+    for ANY word multiset and round count (tiny alphabet maximizes pair
+    collisions, tie-breaks, and chain merges)."""
+    from collections import Counter
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.bpe import train_bpe
+    from tests.test_curation import _bpe_reference
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = train_bpe(docs, n_rounds=n_rounds)
+    want = _bpe_reference(dict(Counter(words)), n_rounds)
+    assert got == want
