@@ -115,6 +115,8 @@ HEADLINE = [
     "bpe_train_merges",
     "timeseries_burst_windows",
     "events_transition_dwell",
+    "timeseries_cusum_shift",
+    "embeddings_jl_project",
 ]
 
 

@@ -909,3 +909,74 @@ def timeseries_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu_r.alias("mu"),
         ((F.col("n") > mu_r) & (dev * dev > F.lit(9.0) * var_r)).alias("is_burst"),
     )
+
+
+# --- CUSUM change-point detection (Page 1954): the upper one-sided
+#     cumulative sum S_i = max(0, S_{i-1} + (x_i − k)) flags sustained
+#     upward level shifts the point-wise z-score paths miss. The
+#     recursion is not directly window-expressible, but the classic
+#     identity S_i = P_i − min_{j≤i} P_j (P = prefix sum of x−k)
+#     linearizes it into TWO frames over ONE keyed sort: a decimal-exact
+#     running sum and a running min of it — no UDF, no iteration. k is
+#     the per-series decimal-exact mean (broadcast back), so drift is
+#     measured against each series' own level; h = 5σ would be the
+#     alarm line in production, here surfaced as the raw statistic plus
+#     a fixed-multiple flag to keep the oracle exact. ---------------------
+
+
+@register(
+    "timeseries_cusum_shift",
+    f"""
+    WITH stats AS (
+        SELECT event_type, {DAVG_SQL("value")} AS mu
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_id, e.ts, e.event_type, e.value,
+               CAST(e.value AS DECIMAL(25,6))
+                 - CAST(round(s.mu, 9) AS DECIMAL(25,6)) AS dev
+        FROM events e JOIN stats s USING (event_type)
+    ),
+    pr AS (
+        SELECT event_id, ts, event_type, value,
+               sum(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pref
+        FROM d
+    ),
+    p AS (
+        SELECT *, min(pref) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS run_min
+        FROM pr
+    )
+    SELECT event_id, ts, event_type, value,
+           CAST(pref - run_min AS DOUBLE) AS cusum,
+           (pref - run_min > CAST(100.0 AS DECIMAL(25,6))) AS is_shifted
+    FROM p
+    """,
+)
+def timeseries_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(davg(F.col("value")).alias("mu"))
+    d = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id", "ts", "event_type", "value",
+        (
+            F.col("value").cast("decimal(25,6)")
+            - F.round(F.col("mu"), 9).cast("decimal(25,6)")
+        ).alias("dev"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    pref = F.sum("dev").over(w)
+    p = d.select(
+        "event_id", "ts", "event_type", "value",
+        pref.alias("pref"), F.min(pref).over(w).alias("run_min"),
+    )
+    cusum_dec = F.col("pref") - F.col("run_min")
+    return p.select(
+        "event_id", "ts", "event_type", "value",
+        cusum_dec.cast("double").alias("cusum"),
+        (cusum_dec > F.lit(100.0).cast("decimal(25,6)")).alias("is_shifted"),
+    )

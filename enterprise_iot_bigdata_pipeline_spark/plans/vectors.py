@@ -503,3 +503,62 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", "vec_id", F.col("pick_order").cast("int").alias("pick_order"), "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (64 → 16 dims): the standard
+# cheap dimensionality reduction for embedding pipelines (distance-
+# preserving within (1±ε) w.h.p.) — the preprocessing step before LSH /
+# clustering when the native dim is wasteful. The projection matrix is
+# the seeded 4-dp literal generator the LSH planes use, embedded in both
+# engines; each output coordinate is one unrolled left-associated dot
+# product rounded to 9 dp (the established cosine-kernel parity recipe).
+# Pure map over the scan — no shuffle at any scale; also surfaces the
+# projected norm² (decimal-free: rounded coords → exact-identical
+# squares both engines, rounded once more on output).
+# ---------------------------------------------------------------------------
+
+_JL_OUT_DIM = 16
+_JL_SEED = 271
+
+
+def _jl_oracle() -> str:
+    rows = S.hyperplanes(n_planes=_JL_OUT_DIM, dim=DIM, seed=_JL_SEED)
+    coords = ", ".join(
+        f"round(({_dot_sql_lit('embedding', r)}), {ROUND_DP})" for r in rows
+    )
+    sq = " + ".join(f"p[{i + 1}] * p[{i + 1}]" for i in range(_JL_OUT_DIM))
+    return f"""
+    WITH p0 AS (
+        SELECT vec_id, label, [{coords}] AS p FROM embeddings
+    )
+    SELECT vec_id, label, p AS projected, round({sq}, {ROUND_DP}) AS proj_norm2
+    FROM p0
+    """
+
+
+def _dot_sql_lit(vec: str, coefs: list[float]) -> str:
+    return " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * {c!r}" for i, c in enumerate(coefs)
+    )
+
+
+@register("embeddings_jl_project", _jl_oracle())
+def embeddings_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.functions.vectors import dot
+
+    emb = t(spark, sf_dir, "embeddings")
+    rows = S.hyperplanes(n_planes=_JL_OUT_DIM, dim=DIM, seed=_JL_SEED)
+    coords = [
+        F.round(dot(F.col("embedding"), F.array(*[F.lit(v) for v in r])), ROUND_DP)
+        for r in rows
+    ]
+    p = F.array(*coords)
+    proj = emb.select("vec_id", "label", p.alias("projected"))
+    norm2 = None
+    for i in range(_JL_OUT_DIM):
+        term = F.element_at("projected", i + 1) * F.element_at("projected", i + 1)
+        norm2 = term if norm2 is None else norm2 + term
+    return proj.select(
+        "vec_id", "label", "projected", F.round(norm2, ROUND_DP).alias("proj_norm2")
+    )

@@ -79,6 +79,8 @@ AUDITED = [
     "bpe_train_merges",
     "timeseries_burst_windows",
     "events_transition_dwell",
+    "timeseries_cusum_shift",
+    "embeddings_jl_project",
 ]
 
 CHECKS = {
@@ -360,6 +362,14 @@ CHECKS_R6 = {
     "events_transition_dwell": [
         ("Window", True, "dwell deltas ride the same ONE user-keyed lag sort as the matrix"),
         ("Exchange SinglePartition", False, "per-transition stats, never a global sort"),
+    ],
+    "timeseries_cusum_shift": [
+        ("Window", True, "CUSUM linearizes to prefix-sum + running-min frames over ONE keyed sort"),
+        ("BatchEvalPython", False, "the recursion identity keeps everything JVM-side"),
+    ],
+    "embeddings_jl_project": [
+        ("Exchange", False, "the projection is a PURE MAP — 16 literal dot products, no shuffle"),
+        ("BatchEvalPython", False, "unrolled HOF dots stay JVM-side"),
     ],
 }
 CHECKS.update(CHECKS_R6)

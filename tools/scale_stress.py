@@ -93,6 +93,8 @@ STRESSED = [
     "bpe_train_merges",
     "timeseries_burst_windows",
     "events_transition_dwell",
+    "timeseries_cusum_shift",
+    "embeddings_jl_project",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -148,6 +150,8 @@ MAIN_TABLE = {
     "bpe_train_merges": "documents",
     "timeseries_burst_windows": "events",
     "events_transition_dwell": "events",
+    "timeseries_cusum_shift": "events",
+    "embeddings_jl_project": "embeddings",
 }
 ID_COLS = {
     "events": "event_id",
