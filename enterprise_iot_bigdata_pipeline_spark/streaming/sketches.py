@@ -1,0 +1,123 @@
+"""Streaming heavy hitters: Misra–Gries summary maintenance across
+micro-batches.
+
+The batch operator (operators/sketches.py::approx_heavy_hitters) builds
+per-partition MG summaries and merges them; MERGEABILITY is the whole
+point of the sketch (Agarwal et al., "Mergeable Summaries", PODS'12) —
+so the streaming form is the same algebra with one more merge level:
+each micro-batch's partition summaries merge with the persisted summary,
+the result is re-trimmed to the counter budget (accumulating decrement
+mass), and the state is rewritten. State size is bounded by ``width + 1``
+rows forever, independent of stream length — the driver-side trim
+touches only that bounded frame (control plane, like the IVF centroid
+collect), never batch data, which stays in the executor-side
+mapInPandas summarize pass.
+
+Error contract (identical to batch): with D = total decrement mass,
+``approx ≤ true ≤ approx + D`` for every reported value; width ≥ the
+number of distinct values ⇒ D = 0 and counts are EXACT — the regime the
+parity test pins against the batch operator.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.operators.sketches import _mg_trim
+
+_STATE_SCHEMA = "value string, cnt long, dec long"
+
+
+def _merge_state(
+    spark: SparkSession, batch_summary: DataFrame, state_path: str, width: int
+) -> None:
+    try:
+        prior = spark.read.schema(_STATE_SCHEMA).parquet(state_path).collect()
+    except Exception:  # first batch: no state yet
+        prior = []
+    state: Counter = Counter()
+    dec_total = 0
+    for r in prior:
+        if r["value"] is None:
+            dec_total += int(r["dec"])
+        else:
+            state[r["value"]] += int(r["cnt"])
+    for r in batch_summary.collect():
+        if r["value"] is None:
+            dec_total += int(r["dec"])
+        else:
+            state[r["value"]] += int(r["cnt"])
+    dec_total += _mg_trim(state, width)
+    rows = [(v, int(c), 0) for v, c in state.items()]
+    rows.append((None, 0, int(dec_total)))
+    spark.createDataFrame(rows, _STATE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(state_path)
+
+
+def stream_heavy_hitters(
+    stream: DataFrame,
+    col: str,
+    state_path: str,
+    checkpoint: str,
+    k: int = 20,
+    width: int | None = None,
+):
+    """Maintain an MG summary of ``stream[col]`` across micro-batches.
+
+    Each batch runs the executor-side summarize pass (the batch
+    operator's partition-summary stage — batch rows never reach the
+    driver), merges with the persisted summary, trims, and rewrites the
+    ≤ width+1-row state. Returns the started availableNow query handle.
+    """
+    width = 8 * k if width is None else width
+
+    # the batch operator's executor-side summarize stage, inlined: here
+    # the merge level happens against the persisted state rather than a
+    # same-frame groupBy
+    def update(batch: DataFrame, epoch_id: int) -> None:
+        import pandas as pd
+
+        def summarize(batches):
+            state: Counter = Counter()
+            dec_total = 0
+            for pdf in batches:
+                state.update(pdf[col].fillna("∅").astype(str))
+                dec_total += _mg_trim(state, width)
+            rows = [(v, int(c), 0) for v, c in state.items()]
+            rows.append((None, 0, int(dec_total)))
+            yield pd.DataFrame(rows, columns=["value", "cnt", "dec"])
+
+        summaries = batch.select(
+            F.col(col).cast("string").alias(col)
+        ).mapInPandas(summarize, _STATE_SCHEMA)
+        _merge_state(batch.sparkSession, summaries, state_path, width)
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_heavy_hitters(spark: SparkSession, state_path: str, k: int = 20) -> DataFrame:
+    """Project the persisted summary to the top-k report (same shape as
+    the batch operator: value, approx_count, max_undercount, rank)."""
+    from pyspark.sql import Window as W
+
+    st = spark.read.schema(_STATE_SCHEMA).parquet(state_path)
+    wall = W.partitionBy(F.lit(0))
+    w = W.orderBy(F.desc("approx_count"), F.asc("value"))
+    return (
+        st.groupBy("value")
+        .agg(F.sum("cnt").alias("approx_count"), F.sum("dec").alias("dec"))
+        .withColumn("max_undercount", F.coalesce(F.sum("dec").over(wall), F.lit(0)))
+        .filter(F.col("value").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("value", "approx_count", "max_undercount", "rank")
+    )

@@ -66,3 +66,60 @@ def test_heavy_hitters_exact_when_width_covers_vocab(spark):
 
     with pytest.raises(ValueError, match="width"):
         approx_heavy_hitters(df, "token", k=8, width=4)
+
+
+def test_stream_heavy_hitters_matches_batch_exact_regime(spark, tmp_path):
+    """Mergeability across micro-batches: with width ≥ |distinct| the MG
+    summary never decrements, so the streamed state must report EXACT
+    counts equal to a plain batch groupBy over all batches' rows — and
+    in a narrow-width run the bound contract (approx ≤ true ≤ approx+D)
+    must still hold for every reported value."""
+    from pyspark.sql import functions as F
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.sketches import (
+        read_heavy_hitters,
+        stream_heavy_hitters,
+    )
+
+    src = str(tmp_path / "src")
+    vals = [f"v{i % 7}" for i in range(200)] + ["hot"] * 90
+    spark.createDataFrame([(v,) for v in vals], "value string").repartition(
+        4
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("value string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_heavy_hitters(
+        stream, "value", str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        k=10, width=64,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["value"]: (r["approx_count"], r["max_undercount"])
+        for r in read_heavy_hitters(spark, str(tmp_path / "state"), k=10).collect()
+    }
+    true = {
+        r["value"]: r["n"]
+        for r in spark.read.parquet(src).groupBy("value").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # exact regime: 8 distinct values ≪ width=64 → zero decrement mass
+    assert all(d == 0 for _, d in got.values())
+    assert {v: c for v, (c, _) in got.items()} == true
+    assert max(got, key=lambda v: got[v][0]) == "hot"
+
+    # narrow regime: bound contract survives the multi-level merge
+    q2 = stream_heavy_hitters(
+        spark.readStream.schema("value string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src),
+        "value", str(tmp_path / "state2"), str(tmp_path / "ckpt2"),
+        k=3, width=4,
+    )
+    q2.awaitTermination(120)
+    for r in read_heavy_hitters(spark, str(tmp_path / "state2"), k=3).collect():
+        t = true[r["value"]]
+        assert r["approx_count"] <= t <= r["approx_count"] + r["max_undercount"], r
