@@ -117,6 +117,8 @@ HEADLINE = [
     "events_transition_dwell",
     "timeseries_cusum_shift",
     "embeddings_jl_project",
+    "timeseries_histogram",
+    "text_bigram_lift",
 ]
 
 

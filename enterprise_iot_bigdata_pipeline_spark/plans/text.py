@@ -1475,3 +1475,107 @@ def text_bigram_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_freq"
         ),
     )
+
+
+# --- Collocation mining by lift: which bigrams occur far more often than
+#     their unigrams predict — PMI's ratio core WITHOUT the logarithm
+#     (ln is libm-divergent cross-engine; lift orders identically and
+#     stays a chain of single correctly-rounded divisions). lift =
+#     (n_ab / N_pairs) / ((n_a / N_uni) · (n_b / N_uni)), reported for
+#     bigrams with support ≥ 5, top-20 by (lift, bigram) — fully
+#     tie-broken. Shape: the bigram/unigram frequency tables are two
+#     explode+groupBy passes; the scalar totals ride broadcast; final
+#     top-k is a TakeOrdered over the (small) qualifying-bigram set. -------
+
+
+@register(
+    "text_bigram_lift",
+    f"""
+    WITH {_BIGRAM_CTE},
+    uni AS (
+        SELECT w AS tok, count(*) AS n_tok
+        FROM (SELECT unnest(ws) AS w FROM words WHERE len(ws) >= 1) u
+        WHERE len(w) > 0 GROUP BY w
+    ),
+    tot AS (
+        SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cnt) AS n_pairs,
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM uni) AS n_uni
+    )
+    SELECT g, n_ab, n_a, n_b,
+           round((CAST(n_ab AS DOUBLE) / t.n_pairs)
+                 / ((CAST(n_a AS DOUBLE) / t.n_uni)
+                    * (CAST(n_b AS DOUBLE) / t.n_uni)), 9) AS lift,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT c.g, c.c AS n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+               row_number() OVER (
+                   ORDER BY (CAST(c.c AS DOUBLE) / t0.n_pairs)
+                            / ((CAST(ua.n_tok AS DOUBLE) / t0.n_uni)
+                               * (CAST(ub.n_tok AS DOUBLE) / t0.n_uni)) DESC,
+                            c.g) AS rk
+        FROM cnt c
+        JOIN uni ua ON ua.tok = split_part(c.g, ' ', 1)
+        JOIN uni ub ON ub.tok = split_part(c.g, ' ', 2)
+        CROSS JOIN tot t0
+        WHERE c.c >= 5
+    ) ranked CROSS JOIN tot t
+    WHERE rk <= 20
+    """,
+)
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    w = X.words(F.col("text"))
+    sz = F.size(w)
+    tail = F.slice(w, 2, F.greatest(sz - 1, F.lit(0)))
+    grams = F.slice(
+        F.zip_with(w, tail, lambda a, b: F.concat(a, F.lit(" "), b)),
+        1,
+        F.greatest(sz - 1, F.lit(0)),
+    )
+    bg = docs.filter(sz >= 2).select(F.explode(grams).alias("g"))
+    cnt = bg.groupBy("g").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        docs.select(F.explode(w).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    tot = cnt.agg(F.sum("n_ab").cast("long").alias("n_pairs")).crossJoin(
+        uni.agg(F.sum("n_tok").cast("long").alias("n_uni"))
+    )
+    qualified = (
+        cnt.filter(F.col("n_ab") >= 5)
+        .join(
+            uni.select(F.col("tok"), F.col("n_tok").alias("n_a")),
+            F.split(F.col("g"), " ")[0] == F.col("tok"),
+        )
+        .drop("tok")
+        .join(
+            uni.select(F.col("tok"), F.col("n_tok").alias("n_b")),
+            F.split(F.col("g"), " ")[1] == F.col("tok"),
+        )
+        .drop("tok")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (F.col("n_ab").cast("double") / F.col("n_pairs")) / (
+        (F.col("n_a").cast("double") / F.col("n_uni"))
+        * (F.col("n_b").cast("double") / F.col("n_uni"))
+    )
+    # top-k FIRST (TakeOrderedAndProject — never a global single-partition
+    # window over the full qualifying set), then rank the 20 survivors
+    top = (
+        qualified.select(
+            "g", "n_ab", "n_a", "n_b", lift.alias("_lift")
+        )
+        .orderBy(F.desc("_lift"), F.asc("g"))
+        .limit(20)
+    )
+    wr = W.orderBy(F.desc("_lift"), F.asc("g"))
+    return (
+        top.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .select(
+            "g", "n_ab", "n_a", "n_b", F.round(F.col("_lift"), 9).alias("lift"), "rk"
+        )
+    )

@@ -980,3 +980,52 @@ def timeseries_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum_dec.cast("double").alias("cusum"),
         (cusum_dec > F.lit(100.0).cast("decimal(25,6)")).alias("is_shifted"),
     )
+
+
+# --- Equi-width histogram per series (the dashboard distribution panel):
+#     10 bins spanning each series' exact [min, max], exact integer
+#     counts. Bin arithmetic is floor((v−lo)/w) with lo/hi/w all derived
+#     from identical doubles by single correctly-rounded ops in the same
+#     order both engines — no rounding guard needed because no SUM enters
+#     the binning — with the hi edge clamped into the last bin. Shape:
+#     one tiny min/max aggregate broadcast back + one |series|·10-group
+#     hash agg; the scan never shuffles. -----------------------------------
+
+_HIST_BINS = 10
+
+
+@register(
+    "timeseries_histogram",
+    f"""
+    WITH b AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM events GROUP BY event_type
+    ),
+    binned AS (
+        SELECT e.event_type, b.lo, b.hi,
+               least(CAST(floor((e.value - b.lo)
+                                / ((b.hi - b.lo) / {_HIST_BINS})) AS BIGINT),
+                     {_HIST_BINS - 1}) AS bin
+        FROM events e JOIN b USING (event_type)
+        WHERE b.hi > b.lo
+    )
+    SELECT event_type, bin, lo, hi, count(*) AS n
+    FROM binned GROUP BY event_type, bin, lo, hi
+    """,
+)
+def timeseries_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    j = ev.join(F.broadcast(b), "event_type").filter(F.col("hi") > F.col("lo"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(_HIST_BINS)
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        j.select("event_type", "lo", "hi", bin_.alias("bin"))
+        .groupBy("event_type", "bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

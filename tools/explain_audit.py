@@ -81,6 +81,8 @@ AUDITED = [
     "events_transition_dwell",
     "timeseries_cusum_shift",
     "embeddings_jl_project",
+    "timeseries_histogram",
+    "text_bigram_lift",
 ]
 
 CHECKS = {
@@ -370,6 +372,14 @@ CHECKS_R6 = {
     "embeddings_jl_project": [
         ("Exchange", False, "the projection is a PURE MAP — 16 literal dot products, no shuffle"),
         ("BatchEvalPython", False, "unrolled HOF dots stay JVM-side"),
+    ],
+    "timeseries_histogram": [
+        ("BroadcastHashJoin", True, "bin bounds broadcast back — the scan never reshuffles"),
+        ("Window", False, "binning is arithmetic, not a window"),
+    ],
+    "text_bigram_lift": [
+        ("TakeOrderedAndProject", True, "top-20 is a TakeOrdered, never a global window sort"),
+        ("CartesianProduct", False, "the 1-row totals ride broadcast; frequency joins are keyed"),
     ],
 }
 CHECKS.update(CHECKS_R6)

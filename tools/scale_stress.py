@@ -95,6 +95,8 @@ STRESSED = [
     "events_transition_dwell",
     "timeseries_cusum_shift",
     "embeddings_jl_project",
+    "timeseries_histogram",
+    "text_bigram_lift",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -152,6 +154,8 @@ MAIN_TABLE = {
     "events_transition_dwell": "events",
     "timeseries_cusum_shift": "events",
     "embeddings_jl_project": "embeddings",
+    "timeseries_histogram": "events",
+    "text_bigram_lift": "documents",
 }
 ID_COLS = {
     "events": "event_id",
