@@ -1259,6 +1259,11 @@ def parse_tiff(payload: bytes) -> dict:
             continue
         if typ not in _TYPE_SIZE:
             raise NotImplementedError(f"tiff: field type {typ}")
+        if count == 0:
+            # a recognized tag declaring zero values would leave an empty
+            # list behind and every tags[...][0] access below would
+            # IndexError — outside decode_media's containment contract
+            raise ValueError(f"tiff: tag {tag} declares zero values")
         size = _TYPE_SIZE[typ] * count
         if size > 4:
             (off,) = struct.unpack_from(e + "I", payload, voff)

@@ -606,8 +606,7 @@ def events_quartile_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
         SELECT prev_type AS type_from, event_type AS type_to,
-               CAST(floor(epoch(ts) * 1000000) - floor(epoch(prev_ts) * 1000000)
-                    AS BIGINT) AS dwell_us
+               epoch_us(ts) - epoch_us(prev_ts) AS dwell_us
         FROM seq WHERE prev_type IS NOT NULL
     )
     SELECT type_from, type_to,

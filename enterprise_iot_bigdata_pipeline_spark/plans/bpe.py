@@ -37,10 +37,13 @@ from enterprise_iot_bigdata_pipeline_spark.functions import text as X
 from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
+# the one tokenizer constant (plans/text.py carries the RE2-vs-Java \s
+# rationale) — re-declaring it here would let the BPE oracle silently
+# diverge from the X.words Spark side if the class is ever adjusted
+from enterprise_iot_bigdata_pipeline_spark.plans.text import _WORDS as _WORDS_SQL
+
 _ROUNDS = 6
 _EOW = "</w>"
-
-_WORDS_SQL = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
 
 def merge_pair_udf(a: str, b: str):

@@ -28,16 +28,38 @@ from pyspark.sql import functions as F
 
 from enterprise_iot_bigdata_pipeline_spark.operators.sketches import _mg_trim
 
-_STATE_SCHEMA = "value string, cnt long, dec long"
+_STATE_SCHEMA = "value string, cnt long, dec long, epoch long"
+
+
+def _read_state(spark: SparkSession, state_path: str):
+    """Prior summary rows, or [] ONLY when no state exists yet — a real
+    read failure (corrupt footer, FS error) must propagate, not silently
+    reset accumulated counts to zero."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(_STATE_SCHEMA).parquet(state_path).collect()
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return []
+        raise
 
 
 def _merge_state(
-    spark: SparkSession, batch_summary: DataFrame, state_path: str, width: int
+    spark: SparkSession,
+    batch_summary: DataFrame,
+    state_path: str,
+    width: int,
+    epoch_id: int,
 ) -> None:
-    try:
-        prior = spark.read.schema(_STATE_SCHEMA).parquet(state_path).collect()
-    except Exception:  # first batch: no state yet
-        prior = []
+    prior = _read_state(spark, state_path)
+    # foreachBatch is at-least-once: a crash after the state rewrite but
+    # before the checkpoint commit replays the epoch — re-merging it
+    # would double-count and break approx ≤ true. The applied epoch ids
+    # ride the state rows; an already-applied epoch is a no-op.
+    applied = max((int(r["epoch"]) for r in prior), default=-1)
+    if epoch_id <= applied:
+        return
     state: Counter = Counter()
     dec_total = 0
     for r in prior:
@@ -51,8 +73,8 @@ def _merge_state(
         else:
             state[r["value"]] += int(r["cnt"])
     dec_total += _mg_trim(state, width)
-    rows = [(v, int(c), 0) for v, c in state.items()]
-    rows.append((None, 0, int(dec_total)))
+    rows = [(v, int(c), 0, int(epoch_id)) for v, c in state.items()]
+    rows.append((None, 0, int(dec_total), int(epoch_id)))
     spark.createDataFrame(rows, _STATE_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(state_path)
@@ -93,8 +115,8 @@ def stream_heavy_hitters(
 
         summaries = batch.select(
             F.col(col).cast("string").alias(col)
-        ).mapInPandas(summarize, _STATE_SCHEMA)
-        _merge_state(batch.sparkSession, summaries, state_path, width)
+        ).mapInPandas(summarize, "value string, cnt long, dec long")
+        _merge_state(batch.sparkSession, summaries, state_path, width, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(update)

@@ -915,3 +915,21 @@ def test_tiff_roundtrip_packbits_and_dispatch(spark):
     assert got[1].media_type == "image/tiff"
     assert got[1].checksum == int(np.frombuffer(rgb, np.uint8).sum())
     assert got[2].media_type is None and got[3].media_type is None
+
+
+def test_tiff_zero_count_tag_contained():
+    """A recognized tag declaring count=0 must raise ValueError (the
+    decode_media containment contract), never IndexError."""
+    import struct
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_tiff,
+        parse_tiff,
+    )
+
+    good = encode_tiff(2, 2, bytes(12))
+    bad = good.replace(
+        struct.pack("<HHII", 256, 4, 1, 2), struct.pack("<HHII", 256, 4, 0, 2), 1
+    )
+    with pytest.raises(ValueError):
+        parse_tiff(bad)

@@ -123,3 +123,27 @@ def test_stream_heavy_hitters_matches_batch_exact_regime(spark, tmp_path):
     for r in read_heavy_hitters(spark, str(tmp_path / "state2"), k=3).collect():
         t = true[r["value"]]
         assert r["approx_count"] <= t <= r["approx_count"] + r["max_undercount"], r
+
+
+def test_stream_heavy_hitters_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an epoch already in
+    the state must be a no-op (no double counting), while the next epoch
+    still merges."""
+    from enterprise_iot_bigdata_pipeline_spark.streaming.sketches import (
+        _merge_state,
+        read_heavy_hitters,
+    )
+
+    state = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [("a", 5, 0), (None, 0, 0)], "value string, cnt long, dec long"
+    )
+    _merge_state(spark, batch, state, width=8, epoch_id=0)
+    _merge_state(spark, batch, state, width=8, epoch_id=0)  # replay → no-op
+    got = {r["value"]: r["approx_count"]
+           for r in read_heavy_hitters(spark, state, k=5).collect()}
+    assert got == {"a": 5}
+    _merge_state(spark, batch, state, width=8, epoch_id=1)  # new epoch merges
+    got = {r["value"]: r["approx_count"]
+           for r in read_heavy_hitters(spark, state, k=5).collect()}
+    assert got == {"a": 10}
