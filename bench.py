@@ -119,6 +119,12 @@ HEADLINE = [
     "embeddings_jl_project",
     "timeseries_histogram",
     "text_bigram_lift",
+    # round-6 session 3: ACF, SCD2 intervals, degree-ordered triangles,
+    # vocabulary OOV coverage
+    "timeseries_autocorr",
+    "scd2_status_history",
+    "graph_triangle_count",
+    "text_oov_rate",
 ]
 
 

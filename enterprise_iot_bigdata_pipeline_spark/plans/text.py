@@ -1579,3 +1579,71 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g", "n_ab", "n_a", "n_b", F.round(F.col("_lift"), 9).alias("lift"), "rk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate — the tokenizer-fit diagnostic run before
+# committing a vocab to a training corpus: build the top-V corpus
+# vocabulary (by raw occurrence count, token-asc tiebreak) and score every
+# document by the fraction of its token occurrences that fall outside it.
+# High OOV-rate docs are either foreign-language, noise, or domain drift —
+# all curation triggers.
+#
+# Scale shape: one explode + one hash-agg builds the corpus counts; the
+# vocabulary is a TakeOrdered over that aggregate, bounded at V rows by
+# construction — so the coverage join is a PRINCIPLED broadcast (fixed-V
+# side, unlike the user/domain-cardinality frames this repo deliberately
+# does not broadcast-hint). Per-doc rollup is a second hash agg. The only
+# float op is the final per-doc division, one correctly-rounded double op
+# rounded to 9 dp in both engines.
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_V = 500
+
+
+@register(
+    "text_oov_rate",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+')) AS token
+        FROM documents
+    ),
+    occ AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    cnt AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
+    vocab AS (
+        SELECT token FROM cnt ORDER BY c DESC, token ASC LIMIT {_OOV_VOCAB_V}
+    )
+    SELECT o.doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+           round(CAST(count(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+                 / count(*), 9) AS oov_rate
+    FROM occ o LEFT JOIN vocab v ON o.token = v.token
+    GROUP BY o.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    occ = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9]+")).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(_OOV_VOCAB_V)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    j = occ.join(F.broadcast(vocab), "token", "left")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.round(n_oov.cast("double") / F.count(F.lit(1)), 9).alias("oov_rate"),
+    )

@@ -1029,3 +1029,122 @@ def timeseries_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin", "lo", "hi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- Autocorrelation function (ACF) at lags 1..3 per series, over the
+#     minute-mean sequence (the classic seasonality / persistence probe
+#     next to the OLS trend and the seasonal profile). Reference analog:
+#     the dashboard's per-type diagnostics (app/dashboard.py) stop at
+#     means — ACF is part of the extension surface.
+#
+#     Exactness: the minute mean is davg (exact decimal sum / count, one
+#     correctly-rounded double divide) rounded to 6 dp, so every series
+#     value is identical in both engines; all ACF moments accumulate
+#     through DECIMAL(25,6) (order-insensitive), and the final ratio is
+#     computed on the multiplied-through form
+#         r_l = (n²·Σxy_l − n·S·(Sh_l+St_l) + n_l·S²) / (n·(n·Σx² − S²))
+#     (mean μ = S/n eliminated — no intermediate double division), one
+#     identical double expression tree in both engines with a round-9
+#     FMA guard on the result (README parity rule 2).
+#
+#     Shape at 100 TB: one minute-bucket hash aggregate with map-side
+#     partials reduces the corpus to |types|×|minutes| rows; the lag
+#     window and the final aggregate run on that reduced series. The
+#     window serializes per event_type, but its INPUT is the bucketed
+#     series (minutes, not events) — the corpus-scaled work is all in
+#     the first hash agg. -------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def _acf_oracle() -> str:
+    over = "OVER (PARTITION BY event_type ORDER BY bucket_s)"
+    lag_cols = ",\n               ".join(
+        f"lag(xm, {k}) {over} AS x{k}" for k in _ACF_LAGS
+    )
+    mom_cols = []
+    for k in _ACF_LAGS:
+        mom_cols.append(
+            f"count(x{k}) AS n{k},\n"
+            f"           CAST(sum(CAST(xm * x{k} AS DECIMAL(25,6))) AS DOUBLE) AS sxy{k},\n"
+            f"           CAST(sum(CASE WHEN x{k} IS NOT NULL THEN CAST(xm AS DECIMAL(25,6)) END) AS DOUBLE) AS sh{k},\n"
+            f"           CAST(sum(CAST(x{k} AS DECIMAL(25,6))) AS DOUBLE) AS st{k}"
+        )
+    acf_cols = ",\n        ".join(
+        f"CASE WHEN n{k} > 0 AND n * sxx - s * s <> 0 THEN "
+        f"round((n * n * sxy{k} - n * s * (sh{k} + st{k}) + n{k} * s * s)"
+        f" / (n * (n * sxx - s * s)), 9) END AS acf_lag{k}"
+        for k in _ACF_LAGS
+    )
+    return f"""
+    WITH series AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)/60) AS BIGINT)*60 AS bucket_s,
+               round({DAVG_SQL('value')}, 6) AS xm
+        FROM events
+        GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, xm,
+               {lag_cols}
+        FROM series
+    ), mom AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(xm AS DECIMAL(25,6))) AS DOUBLE) AS s,
+               CAST(sum(CAST(xm * xm AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+           {",".join(mom_cols)}
+        FROM lagged
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+        {acf_cols}
+    FROM mom
+    """
+
+
+@register("timeseries_autocorr", _acf_oracle())
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    bucket = (sec - F.pmod(sec, F.lit(60))).alias("bucket_s")
+    series = (
+        ev.groupBy("event_type", bucket)
+        .agg(F.round(davg(F.col("value")), 6).alias("xm"))
+    )
+    w = W.partitionBy("event_type").orderBy("bucket_s")
+    lagged = series.select(
+        "event_type", "xm",
+        *[F.lag("xm", k).over(w).alias(f"x{k}") for k in _ACF_LAGS],
+    )
+    d25 = "decimal(25,6)"
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xm").cast(d25)).cast("double").alias("s"),
+        F.sum((F.col("xm") * F.col("xm")).cast(d25)).cast("double").alias("sxx"),
+    ]
+    for k in _ACF_LAGS:
+        xk = F.col(f"x{k}")
+        aggs += [
+            F.count(xk).alias(f"n{k}"),
+            F.sum((F.col("xm") * xk).cast(d25)).cast("double").alias(f"sxy{k}"),
+            F.sum(F.when(xk.isNotNull(), F.col("xm").cast(d25))).cast("double").alias(f"sh{k}"),
+            F.sum(xk.cast(d25)).cast("double").alias(f"st{k}"),
+        ]
+    mom = lagged.groupBy("event_type").agg(*aggs)
+    n, s, sxx = F.col("n"), F.col("s"), F.col("sxx")
+    den = n * (n * sxx - s * s)
+    out = ["event_type", "n"]
+    for k in _ACF_LAGS:
+        nk = F.col(f"n{k}")
+        num = (
+            n * n * F.col(f"sxy{k}")
+            - n * s * (F.col(f"sh{k}") + F.col(f"st{k}"))
+            + nk * s * s
+        )
+        # round-9 FMA guard: a−b·c / a+b·c shapes in num (README rule 2)
+        out.append(
+            F.when((nk > 0) & (n * sxx - s * s != 0), F.round(num / den, 9)).alias(
+                f"acf_lag{k}"
+            )
+        )
+    return mom.select(*out)

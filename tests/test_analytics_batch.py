@@ -1,0 +1,142 @@
+"""Known-value semantics for the round-6 analytics batch: SCD Type 2
+interval stitching, degree-ordered triangle counting, vocabulary OOV
+rate, and the ACF moments identity — beyond the sf0.001 oracle-parity
+rows (tests/test_parity.py), these pin the intended semantics on inputs
+built to hit the edges (run collapse, support filter, vocab boundary,
+constant series)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _corpus_dir(tmp_path, overrides):
+    """Corpus-shaped dir: sf0.001 tables, with `overrides` name→DataFrame."""
+    out = tmp_path / "sf"
+    out.mkdir(exist_ok=True)
+    for tbl in _TABLES:
+        if tbl not in overrides:
+            shutil.copy(f"/root/testdata/sf0.001/{tbl}.parquet", out / f"{tbl}.parquet")
+    for name, df in overrides.items():
+        df.toPandas().to_parquet(out / f"{name}.parquet", index=False)
+    return str(out)
+
+
+def test_scd2_collapses_runs_and_chains_intervals(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans.analytic import scd2_status_history
+
+    d = lambda day: dt.datetime(2024, 1, day)
+    rows = [
+        # cust 1: O,O (run 1) → F (run 2) → O (run 3, current)
+        (1, 1, "O", 10.0, d(1), "1-URGENT"),
+        (2, 1, "O", 10.0, d(2), "1-URGENT"),
+        (3, 1, "F", 10.0, d(3), "1-URGENT"),
+        (4, 1, "O", 10.0, d(4), "1-URGENT"),
+        # cust 2: single order → one current run
+        (5, 2, "P", 10.0, d(9), "1-URGENT"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    sf = _corpus_dir(tmp_path, {"orders": orders})
+    got = {
+        (r.o_custkey, r.version): r
+        for r in scd2_status_history(spark, sf).collect()
+    }
+    assert len(got) == 4
+    r1, r2, r3 = got[(1, 1)], got[(1, 2)], got[(1, 3)]
+    assert (r1.status, r1.n_orders, r1.is_current) == ("O", 2, False)
+    assert r1.valid_from == d(1) and r1.valid_to == d(3)
+    assert (r2.status, r2.valid_from, r2.valid_to) == ("F", d(3), d(4))
+    assert r3.is_current and r3.valid_to is None and r3.status == "O"
+    assert got[(2, 1)].is_current and got[(2, 1)].n_orders == 1
+
+
+def test_triangle_count_support_filter_and_exact_once(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans.graph import graph_triangle_count
+
+    def li(orderkey, parts):
+        return [
+            (orderkey, p, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1))
+            for i, p in enumerate(parts)
+        ]
+
+    # orders 1+2 each buy {1,2,3}: every pair has support 2 → triangle.
+    # order 3 buys {1,4}: pair (1,4) support 1 → filtered, no edge to 4.
+    rows = li(1, [1, 2, 3]) + li(2, [1, 2, 3]) + li(3, [1, 4])
+    lineitem = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp_ntz",
+    )
+    sf = _corpus_dir(tmp_path, {"lineitem": lineitem})
+    got = {r.node: r.tri_cnt for r in graph_triangle_count(spark, sf).collect()}
+    # one triangle, counted exactly once at each of its three corners
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_oov_rate_vocab_boundary(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans.text import (
+        _OOV_VOCAB_V,
+        text_oov_rate,
+    )
+
+    tail = [f"t{i:03d}" for i in range(600)]
+    docs = spark.createDataFrame(
+        [
+            (1, "common common", "en", "web", 13),
+            (2, " ".join(tail), "en", "web", 1),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = _corpus_dir(tmp_path, {"documents": docs})
+    got = {r.doc_id: r for r in text_oov_rate(spark, sf).collect()}
+    # vocab = 'common' (count 2) + lexicographically-first 499 singletons
+    assert got[1].n_oov == 0 and got[1].oov_rate == 0.0
+    n_oov = 600 - (_OOV_VOCAB_V - 1)
+    assert got[2].n_tokens == 600 and got[2].n_oov == n_oov
+    assert abs(got[2].oov_rate - n_oov / 600) < 1e-9
+
+
+def test_acf_alternating_and_constant_series(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans.timeseries import (
+        timeseries_autocorr,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        # alternating ±1, one event per minute: mean 0 →
+        # acf_l = Σ x_i·x_{i−l} / Σx² = (n−l)·(−1)^l / n
+        (i, t0 + dt.timedelta(minutes=i), 1, "click", float((-1) ** i), None)
+        for i in range(10)
+    ]
+    rows += [
+        # constant series: zero variance → NULL acf, not a div error
+        (100 + i, t0 + dt.timedelta(minutes=i), 1, "view", 5.0, None)
+        for i in range(6)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    sf = _corpus_dir(tmp_path, {"events": events})
+    got = {r.event_type: r for r in timeseries_autocorr(spark, sf).collect()}
+    alt = got["click"]
+    assert alt.n == 10
+    assert abs(alt.acf_lag1 - (-0.9)) < 1e-9
+    assert abs(alt.acf_lag2 - 0.8) < 1e-9
+    assert abs(alt.acf_lag3 - (-0.7)) < 1e-9
+    const = got["view"]
+    assert const.acf_lag1 is None and const.acf_lag3 is None

@@ -83,6 +83,10 @@ AUDITED = [
     "embeddings_jl_project",
     "timeseries_histogram",
     "text_bigram_lift",
+    "timeseries_autocorr",
+    "scd2_status_history",
+    "graph_triangle_count",
+    "text_oov_rate",
 ]
 
 CHECKS = {
@@ -383,6 +387,27 @@ CHECKS_R6 = {
     ],
 }
 CHECKS.update(CHECKS_R6)
+
+# round-6 session-3 batch
+CHECKS_R6C = {
+    "timeseries_autocorr": [
+        ("Window", True, "lag reads ride ONE keyed sort over the minute-bucketed series"),
+        ("BatchEvalPython", False, "all ACF moments are JVM-side decimal aggregates"),
+    ],
+    "scd2_status_history": [
+        ("Window", True, "change-flag + interval stitch are window reads"),
+        ("SortAggregate", False, "run-group rollup stays a hash aggregate"),
+    ],
+    "graph_triangle_count": [
+        ("CartesianProduct", False, "wedge join is keyed on the pivot vertex"),
+        ("BroadcastNestedLoopJoin", False, "degree-orientation keeps every join keyed"),
+    ],
+    "text_oov_rate": [
+        ("BroadcastHashJoin", True, "the top-V vocab is bounded → principled broadcast"),
+        ("BatchEvalPython", False, "tokenize/coverage stays JVM-side"),
+    ],
+}
+CHECKS.update(CHECKS_R6C)
 
 CONF_OVERRIDES = {
     "join_large_orders": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
