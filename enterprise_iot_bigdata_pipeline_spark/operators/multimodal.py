@@ -1161,7 +1161,138 @@ def audio_spectrogram(
 
 _TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression",
               262: "photometric", 273: "strip_offsets", 277: "spp",
-              278: "rows_per_strip", 279: "strip_counts"}
+              278: "rows_per_strip", 279: "strip_counts", 317: "predictor"}
+
+# --- TIFF LZW (compression 5, TIFF 6.0 §13): unlike GIF's LSB-first
+# variable-width LZW (operators/gif.py), TIFF packs codes MSB-first and
+# uses the "early change" width schedule — the code width bumps when the
+# NEXT table index reaches 2^w − 1 (511/1023/2047), one entry earlier
+# than GIF. Fixed alphabet: ClearCode=256, EOI=257, first entry 258,
+# max width 12. Encoder and decoder are written as mirrors (the GIF
+# LZW end-code desync taught that lesson): every width change happens at
+# the same stream position in both by construction. -----------------------
+
+_TIFF_CLEAR, _TIFF_EOI = 256, 257
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    nxt = 258
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    old: bytes | None = None
+
+    def read() -> int:
+        nonlocal bitbuf, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return _TIFF_EOI  # spec allows streams ending without EOI
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (bitbuf >> nbits) & ((1 << width) - 1)
+        return code
+
+    while len(out) < expected:
+        code = read()
+        if code == _TIFF_EOI:
+            break
+        if code == _TIFF_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nxt, width = 258, 9
+            old = None
+            continue
+        if old is None:
+            if code > 255:
+                raise ValueError("tiff: lzw first code not a literal")
+            entry = table[code]
+        elif code < nxt:
+            entry = table[code]
+        elif code == nxt:
+            entry = old + old[:1]  # KwKwK case
+        else:
+            raise ValueError("tiff: lzw code out of range")
+        out += entry
+        if old is not None:
+            table.append(old + entry[:1])
+            nxt += 1
+            # early change: bump when the next index to assign hits 2^w−1
+            if nxt == (1 << width) - 1 and width < 12:
+                width += 1
+        old = entry
+    if len(out) < expected:
+        raise ValueError("tiff: lzw output short")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    outbits = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def write(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            outbits.append((bitbuf >> nbits) & 0xFF)
+
+    def reset() -> tuple[dict, int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, nxt, width = reset()
+    write(_TIFF_CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        write(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        # mirror the decoder: its table lags the encoder's by one entry
+        # (it appends AFTER consuming the code we just wrote), so its
+        # early-change fires when OUR next index passes 2^w−1 + 1
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+        if nxt == 4094:  # table nearly full → flush current prefix + clear
+            write(table[w], width)
+            write(_TIFF_CLEAR, width)
+            table, nxt, width = reset()
+            w = b""
+    if w:
+        write(table[w], width)
+        if nxt + 1 == (1 << width) and width < 12:
+            width += 1
+    write(_TIFF_EOI, width)
+    if nbits:
+        outbits.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(outbits)
+
+
+def _tiff_undo_predictor(rows: bytes, width: int, spp: int) -> bytes:
+    """Predictor 2 (horizontal differencing, TIFF 6.0 §14): each sample
+    stores the delta to the previous pixel's same component; integrate
+    left-to-right per row. Vectorized with numpy cumsum mod 256."""
+    import numpy as np
+
+    a = np.frombuffer(rows, dtype=np.uint8).reshape(-1, width, spp)
+    return a.cumsum(axis=1, dtype=np.uint64).astype(np.uint8).tobytes()
+
+
+def _tiff_apply_predictor(rows: bytes, width: int, spp: int) -> bytes:
+    import numpy as np
+
+    a = np.frombuffer(rows, dtype=np.uint8).reshape(-1, width, spp).astype(np.int16)
+    d = np.diff(a, axis=1, prepend=np.zeros((a.shape[0], 1, spp), dtype=np.int16))
+    return (d % 256).astype(np.uint8).tobytes()
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:
@@ -1191,15 +1322,31 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def encode_tiff(width: int, height: int, pixels: bytes, gray: bool = False) -> bytes:
-    """Minimal little-endian baseline TIFF: one uncompressed strip, 8-bit
-    grayscale or RGB. ``pixels`` is row-major samples (w·h or 3·w·h)."""
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    gray: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
+) -> bytes:
+    """Minimal little-endian TIFF: one strip, 8-bit grayscale or RGB.
+    ``pixels`` is row-major samples (w·h or 3·w·h). ``lzw`` compresses the
+    strip (compression 5); ``predictor`` applies horizontal differencing
+    (tag 317 = 2, requires lzw)."""
     import struct
 
     spp = 1 if gray else 3
     if len(pixels) != spp * width * height:
         raise ValueError(f"TIFF needs {spp * width * height} bytes, got {len(pixels)}")
-    n_entries = 8
+    strip = pixels
+    if predictor:
+        if not lzw:
+            raise ValueError("tiff: predictor only written with lzw")
+        strip = _tiff_apply_predictor(strip, width, spp)
+    if lzw:
+        strip = _tiff_lzw_encode(strip)
+    n_entries = 8 + (1 if predictor else 0)
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_entries + 4
     bits_off = data_off
@@ -1219,21 +1366,24 @@ def encode_tiff(width: int, height: int, pixels: bytes, gray: bool = False) -> b
     ifd += entry(256, 4, 1, width)
     ifd += entry(257, 4, 1, height)
     ifd += entry(258, 3, bits_count, bits_val if not gray else 8)
-    ifd += entry(259, 3, 1, 1)                      # no compression
+    ifd += entry(259, 3, 1, 5 if lzw else 1)        # LZW / no compression
     ifd += entry(262, 3, 1, 1 if gray else 2)       # BlackIsZero / RGB
     ifd += entry(273, 4, 1, pix_off)
     ifd += entry(277, 3, 1, spp)
-    ifd += entry(279, 4, 1, len(pixels))
+    ifd += entry(279, 4, 1, len(strip))
+    if predictor:
+        ifd += entry(317, 3, 1, 2)                  # horizontal differencing
     ifd += struct.pack("<I", 0)                     # no next IFD
-    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + extra + pixels
+    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + extra + strip
 
 
 def parse_tiff(payload: bytes) -> dict:
     """Baseline TIFF: II/MM byte orders, 8-bit gray and RGB, strip layout,
-    compression 1 (none) and 32773 (PackBits). Returns {width, height,
-    pixels} row-major (gray stays 1 byte/px). Other bit depths, tiles and
-    LZW/JPEG-in-TIFF raise NotImplementedError (named gates, null-row-
-    contained by decode_media); structural lies raise ValueError."""
+    compression 1 (none), 5 (LZW, with horizontal-predictor support) and
+    32773 (PackBits). Returns {width, height, pixels} row-major (gray
+    stays 1 byte/px). Other bit depths, tiles and JPEG-in-TIFF raise
+    NotImplementedError (named gates, null-row-contained by
+    decode_media); structural lies raise ValueError."""
     import struct
 
     if payload[:4] == b"II*\x00":
@@ -1286,8 +1436,11 @@ def parse_tiff(payload: bytes) -> dict:
     comp = tags.get("compression", [1])[0]
     if any(b != 8 for b in bits) or spp not in (1, 3):
         raise NotImplementedError(f"tiff: {bits}-bit spp={spp} not supported")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(f"tiff: compression {comp} not supported")
+    predictor = tags.get("predictor", [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"tiff: predictor {predictor} not supported")
     rows_per_strip = tags.get("rows_per_strip", [height])[0] or height
     out = bytearray()
     row = 0
@@ -1299,9 +1452,15 @@ def parse_tiff(payload: bytes) -> dict:
         want = n_rows * width * spp
         if comp == 32773:
             strip = _packbits_decode(strip, want)
+        elif comp == 5:
+            strip = _tiff_lzw_decode(strip, want)
         if len(strip) < want:
             raise ValueError("tiff: strip data short")
-        out += strip[:want]
+        strip = strip[:want]
+        if predictor == 2:
+            # differencing is per-row, so per-strip application is exact
+            strip = _tiff_undo_predictor(strip, width, spp)
+        out += strip
         row += n_rows
     if row < height:
         raise ValueError("tiff: strips cover fewer rows than height")

@@ -901,14 +901,15 @@ def test_tiff_roundtrip_packbits_and_dispatch(spark):
     img2 = parse_tiff(mm)
     assert img2["pixels"] == data and img2["width"] == 13
 
-    # named gates + dispatch containment
-    lzw = encode_tiff(2, 2, bytes(12)).replace(
-        struct.pack("<HHII", 259, 3, 1, 1), struct.pack("<HHII", 259, 3, 1, 5), 1
+    # named gates + dispatch containment (compression 7 = JPEG-in-TIFF
+    # stays gated; LZW is decoded natively since round 6 session 3)
+    jpg_in_tiff = encode_tiff(2, 2, bytes(12)).replace(
+        struct.pack("<HHII", 259, 3, 1, 1), struct.pack("<HHII", 259, 3, 1, 7), 1
     )
     with pytest.raises(NotImplementedError):
-        parse_tiff(lzw)
+        parse_tiff(jpg_in_tiff)
     df = spark.createDataFrame(
-        [(1, encode_tiff(w, h, rgb)), (2, lzw), (3, b"II*\x00" + b"\x00" * 3)],
+        [(1, encode_tiff(w, h, rgb)), (2, jpg_in_tiff), (3, b"II*\x00" + b"\x00" * 3)],
         "doc_id long, content binary",
     )
     got = {r.doc_id: r for r in decode_media(df).collect()}
@@ -933,3 +934,58 @@ def test_tiff_zero_count_tag_contained():
     )
     with pytest.raises(ValueError):
         parse_tiff(bad)
+
+
+def test_tiff_lzw_code_sequence_pin_and_roundtrips():
+    """TIFF 6.0 §13 LZW: pin the exact MSB-first bitstream for a tiny
+    input derived by hand (codes Clear,7,258,8,EOI at 9 bits), then fuzz
+    round-trips sized to cross the 511/1023 early-change boundaries, and
+    the horizontal-predictor integration."""
+    import random
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        _tiff_apply_predictor,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        _tiff_undo_predictor,
+        encode_tiff,
+        parse_tiff,
+    )
+
+    # hand-derived: [7,7,7,8] → Clear(256),7,258(=77),8,EOI(257), 9 bits
+    codes = [256, 7, 258, 8, 257]
+    bits = "".join(format(c, "09b") for c in codes)
+    bits += "0" * (-len(bits) % 8)
+    expected = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert _tiff_lzw_encode(bytes([7, 7, 7, 8])) == expected
+    assert _tiff_lzw_decode(expected, 4) == bytes([7, 7, 7, 8])
+
+    rng = random.Random(7)
+    for n in (1, 2, 255, 2000, 6000):
+        # low-alphabet data builds table entries fast → crosses the
+        # 9→10→11 bit early-change boundaries by n=6000
+        data = bytes(rng.choice((0, 1, 2, 3)) for _ in range(n))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), n) == data
+        hi = bytes(rng.randrange(256) for _ in range(n))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(hi), n) == hi
+
+    # predictor kernel round-trip (w=5, spp=3, 4 rows)
+    px = bytes(rng.randrange(256) for _ in range(5 * 3 * 4))
+    assert _tiff_undo_predictor(_tiff_apply_predictor(px, 5, 3), 5, 3) == px
+
+    # full-file round-trips: LZW alone and LZW+predictor, gray and RGB
+    w, h = 9, 6
+    rgb = bytes((17 * i + 3) % 256 for i in range(3 * w * h))
+    gray = bytes((5 * i) % 256 for i in range(w * h))
+    assert parse_tiff(encode_tiff(w, h, rgb, lzw=True))["pixels"] == rgb
+    assert (
+        parse_tiff(encode_tiff(w, h, rgb, lzw=True, predictor=True))["pixels"] == rgb
+    )
+    got = parse_tiff(encode_tiff(w, h, gray, gray=True, lzw=True, predictor=True))
+    assert got["pixels"] == gray and (got["width"], got["height"]) == (w, h)
+    # smooth gradients are where the predictor pays: deltas compress
+    smooth = bytes((i // 3) % 256 for i in range(3 * w * h))
+    plain = encode_tiff(w, h, smooth, lzw=True)
+    pred = encode_tiff(w, h, smooth, lzw=True, predictor=True)
+    assert len(pred) < len(plain)
+    assert parse_tiff(pred)["pixels"] == smooth

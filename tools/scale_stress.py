@@ -97,6 +97,10 @@ STRESSED = [
     "embeddings_jl_project",
     "timeseries_histogram",
     "text_bigram_lift",
+    "timeseries_autocorr",
+    "scd2_status_history",
+    "graph_triangle_count",
+    "text_oov_rate",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -156,6 +160,10 @@ MAIN_TABLE = {
     "embeddings_jl_project": "embeddings",
     "timeseries_histogram": "events",
     "text_bigram_lift": "documents",
+    "timeseries_autocorr": "events",
+    "scd2_status_history": "orders",
+    "graph_triangle_count": "lineitem",
+    "text_oov_rate": "documents",
 }
 ID_COLS = {
     "events": "event_id",
