@@ -125,6 +125,11 @@ HEADLINE = [
     "scd2_status_history",
     "graph_triangle_count",
     "text_oov_rate",
+    # round-6 session 3 batch 4: grid-bucketed interval overlap, skew
+    # diagnostics, order-independent table fingerprints
+    "join_interval_overlap",
+    "events_key_skew_profile",
+    "table_checksum_audit",
 ]
 
 

@@ -54,3 +54,61 @@ def time_range_join(
         .drop("jb", "rb", "rk")
         .withColumnRenamed("k", key)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: int,
+) -> DataFrame:
+    """Interval × interval overlap join (closed intervals), grid-bucketed.
+
+    Pairs (l, r) sharing ``key`` whose integer intervals overlap:
+    ``l_start <= r_end AND r_start <= l_end``. A naive theta join is a
+    nested loop (the 100 TB killer); here each interval is replicated to
+    every width-``bucket`` grid cell it touches (``sequence(s div W,
+    e div W)`` — cost ∝ interval length / W per row, a knob the caller
+    sizes so typical intervals touch O(1) cells), the join is a keyed
+    equi-join on (key, cell), and each overlapping pair is emitted
+    EXACTLY ONCE by the ownership rule: only the cell containing
+    ``max(l_start, r_start)`` emits. That cell is covered by both
+    intervals whenever they overlap (the later start lies inside both),
+    so no pair is lost and none duplicates — no distinct pass needed.
+
+    Start/end columns must be integers (e.g. epoch micros) — the cell
+    arithmetic and the overlap predicate stay exact in any engine.
+    Output: ``key``, ``l_*``/``r_*`` prefixed columns.
+    """
+    if bucket <= 0:
+        raise ValueError("interval_overlap_join: bucket must be positive")
+
+    def cells(s: str, e: str) -> Column:
+        return F.sequence(
+            F.floor(F.col(s).cast("long") / F.lit(bucket)).cast("long"),
+            F.floor(F.col(e).cast("long") / F.lit(bucket)).cast("long"),
+        )
+
+    l = left.select(
+        F.col(key).alias("k"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key],
+    )
+    r = right.select(
+        F.col(key).alias("rk"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    lc = l.withColumn("jc", F.explode(cells(f"l_{l_start}", f"l_{l_end}")))
+    rc = r.withColumn("rc", F.explode(cells(f"r_{r_start}", f"r_{r_end}")))
+    ls, le = F.col(f"l_{l_start}"), F.col(f"l_{l_end}")
+    rs, re_ = F.col(f"r_{r_start}"), F.col(f"r_{r_end}")
+    owner = F.floor(F.greatest(ls, rs) / F.lit(bucket))
+    return (
+        lc.join(rc, (F.col("k") == F.col("rk")) & (F.col("jc") == F.col("rc")))
+        .filter((ls <= re_) & (rs <= le) & (F.col("jc") == owner))
+        .drop("jc", "rc", "rk")
+        .withColumnRenamed("k", key)
+    )

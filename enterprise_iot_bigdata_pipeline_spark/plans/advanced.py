@@ -476,3 +476,64 @@ def csv_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.absent").alias("absent_col"),
         F.col("c.absent").isNull().alias("absent_is_null"),
     )
+
+
+# --- Order-independent table fingerprints: the replication / migration
+#     audit (did the copy land bit-identical?) without sorting anything.
+#     Per table: canonical per-row string over the STABLE columns
+#     (integers, strings, timestamps as epoch micros — doubles are
+#     excluded: float→string formatting is engine-specific), md5 →
+#     60-bit int, summed in DECIMAL(38,0). Addition commutes, so the
+#     checksum is partition-order-invariant — one map-side-combined
+#     aggregate per table, no shuffle of data rows, and two replicas
+#     compare with a 5-row diff. concat_ws NULL-skipping is identical
+#     in both engines; the audited columns are non-null by schema. -------
+
+_CHECKSUM_COLS: dict[str, list[str]] = {
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+               "epoch_us(o_orderdate)"],
+    "lineitem": ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+                 "epoch_us(l_shipdate)"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    "events": ["event_id", "user_id", "event_type", "epoch_us(ts)"],
+    "documents": ["doc_id", "lang", "source", "n_chars"],
+}
+
+
+def _checksum_oracle() -> str:
+    parts = []
+    for name, cols in _CHECKSUM_COLS.items():
+        canon = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        parts.append(f"""
+        SELECT '{name}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(CAST(concat('0x', substr(md5(concat_ws('|', {canon})), 1, 15))
+                                  AS BIGINT) AS DECIMAL(38,0)))
+                    % 1152921504606846976 AS BIGINT) AS checksum
+        FROM {name}""")
+    return " UNION ALL ".join(parts)
+
+
+@register("table_checksum_audit", _checksum_oracle())
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.functions.text import shingle_to_int
+
+    out = None
+    for name, cols in _CHECKSUM_COLS.items():
+        df = t(spark, sf_dir, name)
+        canon = F.concat_ws(
+            "|",
+            *[
+                F.expr(f"unix_micros(cast({c[9:-1]} as timestamp))").cast("string")
+                if c.startswith("epoch_us(")
+                else F.col(c).cast("string")
+                for c in cols
+            ],
+        )
+        agg = df.select(shingle_to_int(canon).alias("h")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(1152921504606846976))
+            .cast("long")
+            .alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+        out = agg if out is None else out.unionByName(agg)
+    return out

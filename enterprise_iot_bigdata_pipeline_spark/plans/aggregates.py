@@ -363,3 +363,90 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = fan_out(t(spark, sf_dir, "events"))
     return approx_heavy_hitters(ev, "user_id", k=_HH_K, width=4096)
+
+
+# --- Key-skew diagnostics profile: the pre-flight check for any keyed
+#     shuffle (who's about to straggle?). One corpus-scale hash agg
+#     (user_id → count, map-side combined), then a count-OF-counts
+#     histogram — the ordered scan that derives exact Gini / top-k
+#     shares runs over DISTINCT COUNT VALUES (|{c}| ≪ |keys|: 36 values
+#     for 150 keys at sf0.01; growth is ~O(max_count), not corpus), so
+#     no corpus-scaled global sort exists in the plan. The oracle ranks
+#     the per-key counts directly (row_number over keys) — hash-green
+#     proves the block algebra (rank sums per tie-block are permutation
+#     invariant) equals the direct form. Rank sums accumulate in
+#     DECIMAL(38,0): Σ i·cᵢ ≤ n_keys·n_events overflows BIGINT at
+#     extreme scale. One correctly-rounded double division per output
+#     ratio (no FMA-contractable tree). ---------------------------------
+
+
+@register(
+    "events_key_skew_profile",
+    """
+    WITH counts AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c) AS rn,
+               row_number() OVER (ORDER BY c DESC) AS rd
+        FROM counts
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(max(c) AS BIGINT) AS max_count,
+               sum(CAST(rn AS DECIMAL(38,0)) * c) AS s,
+               CAST(sum(CASE WHEN rd <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10
+        FROM ranked
+    )
+    SELECT n_keys, n_events, max_count,
+           round(CAST(max_count AS DOUBLE) / CAST(n_events AS DOUBLE), 9) AS max_share,
+           round(CAST(top10 AS DOUBLE) / CAST(n_events AS DOUBLE), 9) AS top10_share,
+           round(CAST(2 * s - CAST(n_keys + 1 AS DECIMAL(38,0)) * n_events AS DOUBLE)
+                 / CAST(CAST(n_keys AS DECIMAL(38,0)) * n_events AS DOUBLE), 9) AS gini
+    FROM agg
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    w_asc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_desc = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scan = hist.select(
+        "c",
+        "m",
+        (F.sum("m").over(w_asc) - F.col("m")).alias("kp"),    # keys with smaller count
+        (F.sum("m").over(w_desc) - F.col("m")).alias("kd"),   # keys with larger count
+    )
+    # rank sum of a tie-block of m keys at count c, after kp smaller keys:
+    # ranks kp+1 .. kp+m → Σ ranks = m·kp + m(m+1)/2 (always integral)
+    block = F.col("c").cast("decimal(38,0)") * (
+        F.col("m") * F.col("kp") + F.expr("(m * (m + 1)) div 2")
+    )
+    take10 = F.greatest(F.least(F.lit(10) - F.col("kd"), F.col("m")), F.lit(0))
+    agg = scan.agg(
+        F.sum("m").cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("n_events"),
+        F.max("c").cast("long").alias("max_count"),
+        F.sum(block).alias("s"),
+        F.sum(F.col("c") * take10).cast("long").alias("top10"),
+    )
+    nk, ne = F.col("n_keys"), F.col("n_events")
+    return agg.select(
+        "n_keys",
+        "n_events",
+        "max_count",
+        F.round(F.col("max_count").cast("double") / ne.cast("double"), 9).alias("max_share"),
+        F.round(F.col("top10").cast("double") / ne.cast("double"), 9).alias("top10_share"),
+        F.round(
+            (F.lit(2) * F.col("s") - (nk + 1).cast("decimal(38,0)") * ne).cast("double")
+            / (nk.cast("decimal(38,0)") * ne).cast("double"),
+            9,
+        ).alias("gini"),
+    )

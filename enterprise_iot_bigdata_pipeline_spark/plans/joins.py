@@ -387,3 +387,60 @@ def join_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_new",
         )
     )
+
+
+# --- Interval × interval overlap join (grid-bucketed, emit-once): which
+#     30-minute view-activity windows overlap a purchase-activity window
+#     of the same user — concurrent-behavior detection. The reference's
+#     engines would express this as a theta join (quadratic at scale);
+#     the operator replicates intervals onto a time grid and equi-joins
+#     on (user, cell) with an ownership rule so each pair is emitted
+#     exactly once (operators/range_join.interval_overlap_join). All
+#     bounds are integer epoch MICROS — the overlap predicate and the
+#     overlap_us output are exact in both engines. ----------------------
+
+_OVL_LEN_US = 1_800_000_000  # 30-minute activity windows
+
+
+@register(
+    "join_interval_overlap",
+    f"""
+    WITH a AS (
+        SELECT event_id, user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {_OVL_LEN_US} AS e
+        FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+        SELECT event_id, user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {_OVL_LEN_US} AS e
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM a JOIN b ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.range_join import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+
+    def side(kind: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == kind).select(
+            "event_id",
+            "user_id",
+            us.alias("s"),
+            (us + F.lit(_OVL_LEN_US)).alias("e"),
+        )
+
+    pairs = interval_overlap_join(
+        side("view"), side("purchase"), "user_id", "s", "e", "s", "e",
+        bucket=_OVL_LEN_US,
+    )
+    return pairs.select(
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "user_id",
+        (F.least("l_e", "r_e") - F.greatest("l_s", "r_s")).alias("overlap_us"),
+    )

@@ -45,11 +45,18 @@ def _ns_timestamp_cols(path: str) -> list[str]:
                 _NS_COLS[path] = []
                 return _NS_COLS[path]
             probe = parts[0]
-        schema = pq.read_schema(probe)
+        pf = pq.ParquetFile(probe)
+        # Require INT64 physical type: pyarrow also reports legacy INT96
+        # timestamps (Spark's default writer output) as timestamp[ns], but
+        # Spark reads INT96 natively — rewriting those would break.
+        phys = {
+            pf.schema.column(i).name: pf.schema.column(i).physical_type
+            for i in range(len(pf.schema))
+        }
         _NS_COLS[path] = [
             f.name
-            for f in schema
-            if str(f.type).startswith("timestamp[ns")
+            for f in pf.schema_arrow
+            if str(f.type).startswith("timestamp[ns") and phys.get(f.name) == "INT64"
         ]
     return _NS_COLS[path]
 

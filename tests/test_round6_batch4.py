@@ -1,0 +1,129 @@
+"""Round-6 session-3 batch: interval-overlap join, key-skew profile,
+table checksums."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _overlap(spark, rows_a, rows_b, bucket):
+    from enterprise_iot_bigdata_pipeline_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(rows_a, "id int, k int, s long, e long")
+    b = spark.createDataFrame(rows_b, "id int, k int, s long, e long")
+    out = interval_overlap_join(a, b, "k", "s", "e", "s", "e", bucket=bucket)
+    return sorted((r.l_id, r.r_id) for r in out.collect())
+
+
+class TestIntervalOverlapJoin:
+    def test_basic_pairs_and_exclusions(self, spark):
+        pairs = _overlap(
+            spark,
+            [(1, 7, 100, 200), (2, 7, 500, 600), (3, 8, 100, 200)],
+            [(10, 7, 150, 250), (11, 7, 650, 700), (12, 8, 90, 110)],
+            bucket=100,
+        )
+        # (1,10) overlap; (2,11) gap of 50; (3,12) crosses keys 8 only
+        assert pairs == [(1, 10), (3, 12)]
+
+    def test_emit_once_when_pair_shares_two_cells(self, spark):
+        # both intervals span cells 0 and 1 → equi-join matches twice,
+        # ownership must emit exactly once
+        pairs = _overlap(spark, [(1, 1, 50, 150)], [(2, 1, 60, 160)], bucket=100)
+        assert pairs == [(1, 2)]
+
+    def test_closed_boundary_touch_counts(self, spark):
+        # r starts exactly where l ends → closed-interval overlap of 0
+        pairs = _overlap(spark, [(1, 1, 0, 100)], [(2, 1, 100, 180)], bucket=100)
+        assert pairs == [(1, 2)]
+
+    def test_long_interval_spans_many_cells(self, spark):
+        # l covers 10 cells; r sits in the middle cell — sequence
+        # replication must reach it, and still emit once
+        pairs = _overlap(spark, [(1, 1, 0, 1000)], [(2, 1, 450, 460)], bucket=100)
+        assert pairs == [(1, 2)]
+
+    def test_matches_naive_theta_join(self, spark):
+        import random
+
+        rng = random.Random(7)
+
+        def mk(n):
+            rows = []
+            for i in range(n):
+                s = rng.randrange(1000)
+                rows.append((i, rng.randrange(3), s, s + rng.randrange(1, 300)))
+            return rows
+
+        rows_a, rows_b = mk(40), mk(40)
+        got = _overlap(spark, rows_a, rows_b, bucket=128)
+        want = sorted(
+            (ia, ib)
+            for ia, ka, sa, ea in rows_a
+            for ib, kb, sb, eb in rows_b
+            if ka == kb and sa <= eb and sb <= ea
+        )
+        assert got == want
+
+    def test_bad_bucket_raises(self, spark):
+        with pytest.raises(ValueError, match="bucket"):
+            _overlap(spark, [(1, 1, 0, 1)], [(2, 1, 0, 1)], bucket=0)
+
+
+class TestKeySkewProfile:
+    def test_uniform_counts_gini_zero(self, spark, tmp_path):
+        self._check(spark, tmp_path, [5, 5, 5, 5], expect_gini=0.0)
+
+    def test_known_skew(self, spark, tmp_path):
+        # counts 1,1,1,7: G = (2*(1+2+3+28) - 5*10) / (4*10) = 18/40
+        self._check(spark, tmp_path, [1, 1, 1, 7], expect_gini=0.45)
+
+    def _check(self, spark, tmp_path, counts, expect_gini):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        QUERIES = all_queries()
+
+        rows = []
+        eid = 0
+        for k, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, "2024-01-01 00:00:00", k, "view", 1.0, "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        d = str(tmp_path / "events.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        out = QUERIES["events_key_skew_profile"](spark, str(tmp_path)).collect()[0]
+        assert out.n_keys == len(counts)
+        assert out.n_events == sum(counts)
+        assert out.max_count == max(counts)
+        assert out.gini == pytest.approx(expect_gini, abs=1e-9)
+        top = sum(sorted(counts, reverse=True)[:10])
+        assert out.top10_share == pytest.approx(round(top / sum(counts), 9), abs=1e-12)
+
+
+class TestTableChecksum:
+    def test_order_invariant_and_change_sensitive(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.functions.text import shingle_to_int
+
+        rows = [(i, f"name-{i}", i % 5, "SEG") for i in range(100)]
+        df = spark.createDataFrame(rows, "k long, name string, g long, seg string")
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+        mod = 1152921504606846976
+
+        def csum(frame):
+            return (
+                frame.select(shingle_to_int(canon).alias("h"))
+                .agg((F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(mod)).cast("long"))
+                .collect()[0][0]
+            )
+
+        base = csum(df)
+        shuffled = csum(df.orderBy(F.rand(seed=1)).repartition(7))
+        assert shuffled == base  # partition/order independent
+        mutated = csum(df.withColumn("g", F.when(F.col("k") == 42, 99).otherwise(F.col("g"))))
+        assert mutated != base  # one-cell change flips the fingerprint

@@ -87,6 +87,9 @@ AUDITED = [
     "scd2_status_history",
     "graph_triangle_count",
     "text_oov_rate",
+    "join_interval_overlap",
+    "events_key_skew_profile",
+    "table_checksum_audit",
 ]
 
 CHECKS = {
@@ -409,11 +412,32 @@ CHECKS_R6C = {
 }
 CHECKS.update(CHECKS_R6C)
 
+# round-6 session-3 batch 4
+CHECKS_R6D = {
+    "join_interval_overlap": [
+        ("SortMergeJoin", True, "the (user, cell) equi-join shuffles — the shape a theta join lacks"),
+        ("BroadcastNestedLoopJoin", False, "a naive interval theta join degenerates to BNLJ"),
+        ("CartesianProduct", False, "never all-pairs"),
+        ("Generate", True, "interval → covered-cell replication is a partition-local explode"),
+    ],
+    "events_key_skew_profile": [
+        ("partial_count", True, "key counts combine map-side before the one corpus shuffle"),
+        ("BatchEvalPython", False, "gini/top-k algebra is all JVM-side"),
+    ],
+    "table_checksum_audit": [
+        ("partial_sum", True, "checksums accumulate map-side; only 1-row partials move"),
+        ("BatchEvalPython", False, "md5 canonicalization is JVM-native"),
+        ("Exchange hashpartitioning", False, "no keyed shuffle anywhere — pure scan+reduce per table"),
+    ],
+}
+CHECKS.update(CHECKS_R6D)
+
 CONF_OVERRIDES = {
     "join_large_orders": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "cohort_weekly_retention": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "web_domain_filter": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "events_spatial_pairs": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "join_interval_overlap": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 

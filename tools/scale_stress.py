@@ -101,6 +101,9 @@ STRESSED = [
     "scd2_status_history",
     "graph_triangle_count",
     "text_oov_rate",
+    "join_interval_overlap",
+    "events_key_skew_profile",
+    "table_checksum_audit",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -164,6 +167,9 @@ MAIN_TABLE = {
     "scd2_status_history": "orders",
     "graph_triangle_count": "lineitem",
     "text_oov_rate": "documents",
+    "join_interval_overlap": "events",
+    "events_key_skew_profile": "events",
+    "table_checksum_audit": "lineitem",
 }
 ID_COLS = {
     "events": "event_id",
