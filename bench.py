@@ -130,6 +130,8 @@ HEADLINE = [
     "join_interval_overlap",
     "events_key_skew_profile",
     "table_checksum_audit",
+    "image_dhash_neardup",
+    "bpe_encode_apply",
 ]
 
 

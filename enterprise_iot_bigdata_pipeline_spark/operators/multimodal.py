@@ -1465,3 +1465,90 @@ def parse_tiff(payload: bytes) -> dict:
     if row < height:
         raise ValueError("tiff: strips cover fewer rows than height")
     return {"width": width, "height": height, "pixels": bytes(out)}
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash): the multimodal near-duplicate primitive.
+# 8×8 nearest-neighbor luminance grid → 7 horizontal-gradient bits per row
+# → 56-bit hash (56 < 63 keeps every shift inside a signed BIGINT, so the
+# hash survives any engine's integer type). Nearest-neighbor sampling (not
+# bilinear) keeps the hash integer-exact and therefore oracle-recomputable.
+# ---------------------------------------------------------------------------
+
+DHASH_GRID = 8
+DHASH_SCHEMA = "doc_id bigint, width int, height int, dhash bigint"
+
+
+def _dhash_of_pixels(px, width: int, height: int) -> int:
+    """56-bit dHash of a decoded pixel buffer (1/3/4 channels inferred
+    from the buffer length). Luminance = integer mean of the first
+    min(3, channels) samples; grid x_j = j·w div 8, y_i = i·h div 8;
+    bit (i,j) set iff g[i][j+1] > g[i][j], packed at index i·7 + j."""
+    import numpy as np
+
+    n = DHASH_GRID
+    spp = len(px) // (width * height)
+    if spp not in (1, 3, 4):
+        raise ValueError(f"dhash: unsupported sample count {spp}")
+    a = np.frombuffer(px, dtype=np.uint8).reshape(height, width, spp)
+    use = min(spp, 3)
+    gray = a[:, :, :use].sum(axis=2, dtype=np.int64) // use
+    xs = (np.arange(n) * width) // n
+    ys = (np.arange(n) * height) // n
+    g = gray[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+    return int((bits << np.arange(n * (n - 1), dtype=np.int64)).sum())
+
+
+def image_dhash(media: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """(id, payload) → (id, width, height, dhash) for decodable still
+    images (netpbm/PNG/BMP/GIF/TIFF/JPEG by magic bytes). Non-image and
+    undecodable payloads yield null rows (the decode_media contract) so
+    one bad file never kills the batch. Arrow-batched; bytes never reach
+    the driver."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content)
+                img = None
+                try:
+                    if b[:2] in (b"P6", b"P5") or b[:8] == _PNG_SIG or b[:2] == b"\xff\xd8":
+                        img = decode_image(b)
+                    elif b[:2] == b"BM":
+                        img = parse_bmp(b)
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        from enterprise_iot_bigdata_pipeline_spark.operators.gif import parse_gif
+
+                        img = parse_gif(b)
+                    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                        img = parse_tiff(b)
+                except (NotImplementedError, ValueError):
+                    img = None
+                if img is None:
+                    rows.append((int(doc_id), None, None, None))
+                else:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            img["width"],
+                            img["height"],
+                            _dhash_of_pixels(img["pixels"], img["width"], img["height"]),
+                        )
+                    )
+            # Nullable Int64, NOT a plain DataFrame: None rows would coerce
+            # the hash column to float64, which corrupts values > 2^53
+            # (a 56-bit dhash rounds to 2^56 — the bloom-probe lesson).
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "width": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "dhash": pd.array([r[3] for r in rows], dtype="Int64"),
+                }
+            )
+
+    return media.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        per_batch, schema=DHASH_SCHEMA
+    )

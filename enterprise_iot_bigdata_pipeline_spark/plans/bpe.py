@@ -75,6 +75,18 @@ def train_bpe(
     docs: DataFrame, n_rounds: int = _ROUNDS, text_col: str = "text"
 ) -> list[tuple[int, str, str, int]]:
     """Run the merge-training loop; returns [(round, sym_a, sym_b, count)]."""
+    merges, _state = train_bpe_state(docs, n_rounds, text_col)
+    return merges
+
+
+def train_bpe_state(
+    docs: DataFrame, n_rounds: int = _ROUNDS, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Training loop returning BOTH the merge list and the final vocabulary
+    state ``(w, cnt, syms)`` — the per-word segmentation after all merges.
+    Encoding a corpus with the trained tokenizer is then a word join
+    against this frame (every corpus word is in the vocabulary by
+    construction), never a per-document re-run of the merge loop."""
     words = docs.select(F.explode(X.words(F.col(text_col))).alias("w")).filter(
         F.length("w") > 0
     )
@@ -107,10 +119,14 @@ def train_bpe(
         state = state.select(
             "w", "cnt", merge_pair_udf(a, b)(F.col("syms")).alias("syms")
         ).localCheckpoint()
-    return merges
+    return merges, state
 
 
 def _bpe_oracle() -> str:
+    # st{r}/best{r} carry MATERIALIZED: DuckDB inlines CTEs referenced more
+    # than once, and each round references the previous state twice — the
+    # un-hinted chain re-evaluates st0..st{r-1} exponentially (79 s at
+    # sf0.001, unbounded at sf0.01; 0.2 s materialized).
     steps = []
     bests = []
     for r in range(1, _ROUNDS + 1):
@@ -121,7 +137,7 @@ def _bpe_oracle() -> str:
         FROM {prev} s, unnest(range(1, len(s.syms))) AS t(i)
         GROUP BY 1, 2
     ),
-    best{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    best{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
     pos{r} AS (
         SELECT s.w, s.cnt, i, s.syms[i] AS sym,
                (i < len(s.syms)
@@ -144,7 +160,7 @@ def _bpe_oracle() -> str:
                   lag(m) OVER (PARTITION BY w ORDER BY i) AS pm
         FROM keep{r}
     ),
-    st{r} AS (
+    st{r} AS MATERIALIZED (
         SELECT w, cnt,
                list(CASE WHEN m THEN sym || nxt ELSE sym END ORDER BY i) AS syms
         FROM wm{r}
@@ -160,7 +176,7 @@ def _bpe_oracle() -> str:
     return f"""
     WITH words AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents),
     vocab AS (SELECT w, count(*) AS cnt FROM words WHERE len(w) > 0 GROUP BY w),
-    st0 AS (SELECT w, cnt, list_append(string_split(w, ''), '{_EOW}') AS syms
+    st0 AS MATERIALIZED (SELECT w, cnt, list_append(string_split(w, ''), '{_EOW}') AS syms
             FROM vocab),
     {chain}
     {union}
@@ -172,4 +188,76 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(t(spark, sf_dir, "documents"), n_rounds=_ROUNDS)
     return spark.createDataFrame(
         merges, "round int, sym_a string, sym_b string, pair_count long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Applying the trained tokenizer: encode every document with the merges
+# learned above. The corpus-scale path is a WORD JOIN against the trained
+# vocabulary state (w → final syms) — every corpus word is in the
+# vocabulary by construction, so encoding never re-runs the merge loop
+# per document. Per-doc outputs are order-independent exacts: word and
+# subword counts plus a modular md5-sum over the subword multiset (the
+# segmentation CONTENT, not just its size). The oracle re-derives the
+# vocabulary through the independent relational merge chain (the training
+# oracle's st6) and joins it the same way.
+# ---------------------------------------------------------------------------
+
+_ENC_MOD = 1152921504606846976  # 2^60
+
+
+def _bpe_encode_oracle() -> str:
+    train = _bpe_oracle()
+    # reuse the training oracle's WITH body through st{_ROUNDS} verbatim
+    # (everything before the per-round best-pair UNION tail)
+    body = train[: train.rindex("SELECT 1 AS round")].rstrip().rstrip(",")
+    return f"""{body},
+    vsub AS (
+        SELECT w, len(syms) AS n_sub,
+               CAST(list_sum(list_transform(syms, s ->
+                   CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                        AS DECIMAL(38,0)))) AS DECIMAL(38,0)) AS hsum
+        FROM st{_ROUNDS}
+    ),
+    dwords AS (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(v.n_sub) AS BIGINT) AS n_subwords,
+           CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+           CAST(sum(v.hsum) % {_ENC_MOD} AS BIGINT) AS subtok_checksum
+    FROM dwords d JOIN vsub v ON d.w = v.w
+    WHERE len(d.w) > 0
+    GROUP BY d.doc_id
+    """
+
+
+@register("bpe_encode_apply", _bpe_encode_oracle())
+def bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.functions.text import shingle_to_int
+
+    docs = t(spark, sf_dir, "documents")
+    _merges, state = train_bpe_state(docs, n_rounds=_ROUNDS)
+    # vocab-scale: per-word subword count + multiset hash of the syms
+    vsub = (
+        state.select("w", F.explode("syms").alias("s"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_sub"),
+            F.sum(shingle_to_int(F.col("s")).cast("decimal(38,0)")).alias("hsum"),
+        )
+    )
+    dwords = docs.select(
+        "doc_id", F.explode(X.words(F.col("text"))).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        dwords.join(vsub, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            (F.sum("hsum") % F.lit(_ENC_MOD)).cast("long").alias("subtok_checksum"),
+        )
     )

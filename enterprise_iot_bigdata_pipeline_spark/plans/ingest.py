@@ -313,3 +313,110 @@ def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out_df
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-duplicate images: decode the REAL media payloads, dHash
+# each (8×8 NN luminance grid → 56 gradient bits), LSH-band the hashes
+# (4 × 14-bit bands) and keep same-dimension pairs within hamming ≤ 3.
+# The banding is LOSSLESS at this threshold — 3 flipped bits can dirty at
+# most 3 of the 4 bands, so every qualifying pair shares a clean band
+# (pigeonhole) — which is what lets the oracle be the plain dims join +
+# hamming filter with NO banding model. The oracle recomputes each
+# document's hash from the ramp formulas (the multimodal oracle trick):
+# a hash-green row proves the codec decode, the luminance/NN-grid/packing
+# kernel, and the banded pair mining agree end-to-end.
+# ---------------------------------------------------------------------------
+
+_DHASH_BANDS = 4
+_DHASH_BAND_BITS = 14
+_DHASH_HAM_MAX = 3  # must stay < _DHASH_BANDS for the banding to be lossless
+
+_DHASH_ORACLE = """
+WITH m AS (
+    SELECT doc_id, CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+    FROM documents
+),
+imgs AS (
+    SELECT doc_id, h,
+           CAST(h % 16 + 1 AS INTEGER) AS width,
+           CAST(h % 8 + 1 AS INTEGER) AS height,
+           (h % 8 = 6) AS is_gif
+    FROM m WHERE h % 2 = 0
+),
+grids AS (
+    SELECT doc_id, width, height,
+           list_transform(generate_series(0, 63), p ->
+               CASE WHEN is_gif
+                    THEN (h + ((((p // 8) * height) // 8) * width + (((p % 8) * width) // 8))) % 256
+                    ELSE ((h + 3 * ((((p // 8) * height) // 8) * width + (((p % 8) * width) // 8))) % 256
+                          + (h + 3 * ((((p // 8) * height) // 8) * width + (((p % 8) * width) // 8)) + 1) % 256
+                          + (h + 3 * ((((p // 8) * height) // 8) * width + (((p % 8) * width) // 8)) + 2) % 256) // 3
+               END) AS g
+    FROM imgs
+),
+hashes AS (
+    SELECT doc_id, width, height,
+           list_sum(list_transform(generate_series(0, 55), idx ->
+               CASE WHEN g[(idx // 7) * 8 + (idx % 7) + 2] > g[(idx // 7) * 8 + (idx % 7) + 1]
+                    THEN 1::BIGINT << idx ELSE 0 END)) AS dhash
+    FROM grids
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.width, a.height,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b
+  ON a.width = b.width AND a.height = b.height AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
+@register("image_dhash_neardup", _DHASH_ORACLE)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        attach_real_media,
+        image_dhash,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    hashes = image_dhash(attach_real_media(docs)).filter(F.col("dhash").isNotNull())
+    bands = hashes.select(
+        "doc_id",
+        "width",
+        "height",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("dhash", i * _DHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _DHASH_BAND_BITS) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(_DHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "width", "height", "dhash", "bb.band", "bb.bv")
+    a = bands.select(*[F.col(c).alias(f"a_{c}") for c in bands.columns])
+    b = bands.select(*[F.col(c).alias(f"b_{c}") for c in bands.columns])
+    ham = F.bit_count(F.col("a_dhash").bitwiseXOR(F.col("b_dhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_bv") == F.col("b_bv"))
+            & (F.col("a_width") == F.col("b_width"))
+            & (F.col("a_height") == F.col("b_height"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .filter(ham <= _DHASH_HAM_MAX)
+        .select(
+            F.col("a_doc_id").alias("doc_a"),
+            F.col("b_doc_id").alias("doc_b"),
+            F.col("a_width").alias("width"),
+            F.col("a_height").alias("height"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -237,3 +237,52 @@ def test_bpe_train_matches_pure_python_reference(spark):
     # the run must exercise a chain merge: some round's pair references a
     # multi-char symbol produced earlier (otherwise this test is weak)
     assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in got)
+
+
+def test_bpe_state_and_encode_match_reference(spark):
+    """train_bpe_state's final vocabulary segmentation must equal the
+    textbook trainer's end state, and the encode rollup must count
+    subwords per document accordingly."""
+    from collections import Counter
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.bpe import train_bpe_state
+
+    texts = ["low low lower newest", "newest widest low banana"]
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, state = train_bpe_state(docs, n_rounds=6)
+
+    # re-run the textbook algorithm to its final state
+    wc = Counter(w for s in texts for w in s.split())
+    ref = {w: list(w) + ["</w>"] for w in wc}
+    for _r, a, b, _c in merges:
+        for w, syms in ref.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            ref[w] = res
+    got = {r.w: list(r.syms) for r in state.collect()}
+    assert got == ref
+
+    # encode rollup: doc 0 = low low lower newest
+    n_sub = {w: len(s) for w, s in ref.items()}
+    expect0 = n_sub["low"] * 2 + n_sub["lower"] + n_sub["newest"]
+    from enterprise_iot_bigdata_pipeline_spark.functions.text import shingle_to_int  # noqa: F401
+
+    # run the registered plan against a temp dir
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+    out = {r.doc_id: r for r in all_queries()["bpe_encode_apply"](spark, d).collect()}
+    assert out[0].n_subwords == expect0
+    assert out[0].n_words == 4
+    assert out[0].n_chars == len("lowlowlowernewest")

@@ -127,3 +127,43 @@ class TestTableChecksum:
         assert shuffled == base  # partition/order independent
         mutated = csum(df.withColumn("g", F.when(F.col("k") == 42, 99).otherwise(F.col("g"))))
         assert mutated != base  # one-cell change flips the fingerprint
+
+
+class TestImageDhash:
+    def test_known_hashes_and_null_contract(self, spark):
+        import numpy as np
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            _dhash_of_pixels,
+            encode_ppm,
+            encode_wav,
+            image_dhash,
+        )
+
+        # constant image → no gradients → hash 0
+        assert _dhash_of_pixels(bytes(3 * 8 * 8), 8, 8) == 0
+        # strictly increasing row ramp → every gradient bit set
+        ramp = bytes([min(x * 30, 255) for _ in range(8) for x in range(8) for _ in range(3)])
+        assert _dhash_of_pixels(ramp, 8, 8) == (1 << 56) - 1
+
+        rows = [
+            (1, bytearray(encode_ppm(8, 8, ramp))),
+            (2, bytearray(encode_wav(8000, [0, 1, 2]))),      # audio → null
+            (3, bytearray(b"\x89PNG\r\n\x1a\nbroken")),       # corrupt → null
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+        assert got[1] == (1 << 56) - 1  # > 2^53: float64 coercion would corrupt
+        assert got[2] is None and got[3] is None
+
+    def test_gray_and_rgba_channels(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            _dhash_of_pixels,
+        )
+
+        # 1-channel buffer uses the sample directly; RGBA ignores alpha
+        gray = bytes([min(x * 40, 255) for _ in range(8) for x in range(8)])
+        rgba = bytes(
+            [v for _ in range(8) for x in range(8) for v in (min(x * 40, 255),) * 3 + (7,)]
+        )
+        assert _dhash_of_pixels(gray, 8, 8) == _dhash_of_pixels(rgba, 8, 8)

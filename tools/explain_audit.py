@@ -90,6 +90,8 @@ AUDITED = [
     "join_interval_overlap",
     "events_key_skew_profile",
     "table_checksum_audit",
+    "image_dhash_neardup",
+    "bpe_encode_apply",
 ]
 
 CHECKS = {
@@ -430,6 +432,15 @@ CHECKS_R6D = {
         ("Exchange hashpartitioning", False, "no keyed shuffle anywhere — pure scan+reduce per table"),
     ],
 }
+CHECKS_R6D["image_dhash_neardup"] = [
+    ("ArrowEvalPython", False, "decode+hash ride ONE mapInPandas stage, not row-at-a-time"),
+    ("BatchEvalPython", False, "no row-at-a-time Python anywhere"),
+    ("CartesianProduct", False, "pair mining is the banded equi-join, never all-pairs"),
+]
+CHECKS_R6D["bpe_encode_apply"] = [
+    ("SortAggregate", False, "doc rollup and the vocab sub-count stay hash aggregates"),
+    ("BatchEvalPython", False, "merge application is Arrow-batched during training only"),
+]
 CHECKS.update(CHECKS_R6D)
 
 CONF_OVERRIDES = {

@@ -104,6 +104,8 @@ STRESSED = [
     "join_interval_overlap",
     "events_key_skew_profile",
     "table_checksum_audit",
+    "image_dhash_neardup",
+    "bpe_encode_apply",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -170,6 +172,8 @@ MAIN_TABLE = {
     "join_interval_overlap": "events",
     "events_key_skew_profile": "events",
     "table_checksum_audit": "lineitem",
+    "image_dhash_neardup": "documents",
+    "bpe_encode_apply": "documents",
 }
 ID_COLS = {
     "events": "event_id",
