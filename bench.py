@@ -132,6 +132,7 @@ HEADLINE = [
     "table_checksum_audit",
     "image_dhash_neardup",
     "bpe_encode_apply",
+    "text_setsim_prefix_join",
 ]
 
 

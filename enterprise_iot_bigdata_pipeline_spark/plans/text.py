@@ -1647,3 +1647,101 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.alias("n_oov"),
         F.round(n_oov.cast("double") / F.count(F.lit(1)), 9).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-similarity self-join by PREFIX FILTERING (SSJoin/PPJoin family) —
+# the algorithmically distinct, EXACT alternative to MinHash banding for
+# near-duplicate mining: with set elements globally ordered by (document
+# frequency ASC, element), any pair with Jaccard ≥ τ shares its
+# globally-smallest overlap element inside BOTH prefixes of length
+# |set| − ⌈τ·|set|⌉ + 1 (if all overlap elements sat outside a prefix
+# they would have to fit in its ⌈τ·n⌉ − 1 suffix slots < overlap —
+# contradiction), so the candidate equi-join on prefix elements loses
+# nothing. Elements are the 3-word shingles (the dedup unit): raw word
+# sets are too low-entropy on a template corpus (90k of 125k doc pairs
+# exceed τ=0.5 — measured), while shingle prefixes are rare by
+# construction (the df-ASC order puts each doc's most discriminative
+# shingles in its prefix). τ = 1/2 keeps every threshold integer-exact:
+# prefix_len = n − (n+1)/2 + 1 and the verify predicate 2·|A∩B| ≥ |A∪B|
+# never touch a float; the output jaccard is one correctly-rounded
+# division.
+# ---------------------------------------------------------------------------
+
+_SETSIM_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+ranked AS (
+    SELECT s.doc, s.shingle,
+           row_number() OVER (PARTITION BY s.doc ORDER BY d.df, s.shingle) AS pos,
+           count(*) OVER (PARTITION BY s.doc) AS n
+    FROM sh s JOIN dfq d USING (shingle)
+),
+prefix AS (SELECT * FROM ranked WHERE pos <= n - ((n + 1) // 2) + 1),
+cand AS (
+    SELECT DISTINCT a.doc AS da, b.doc AS db
+    FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc < b.doc
+),
+sets AS (SELECT doc, list_sort(list(shingle)) AS toks FROM sh GROUP BY doc),
+v AS (
+    SELECT c.da, c.db,
+           len(list_intersect(sa.toks, sb.toks)) AS ni,
+           len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks)) AS nu
+    FROM cand c
+    JOIN sets sa ON sa.doc = c.da
+    JOIN sets sb ON sb.doc = c.db
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(ni AS BIGINT) AS n_inter, CAST(nu AS BIGINT) AS n_union,
+       round(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE), 9) AS jaccard
+FROM v WHERE 2 * ni >= nu
+"""
+
+
+@register("text_setsim_prefix_join", _SETSIM_ORACLE)
+def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(X.word_shingles(F.col("text"))).alias("shingle"),
+    )
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc").orderBy("df", "shingle")
+    wn = Window.partitionBy("doc")
+    ranked = sh.join(dfq, "shingle").select(
+        "doc",
+        "shingle",
+        F.row_number().over(wd).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc").agg(F.collect_set("shingle").alias("toks"))
+    ni = F.size(F.array_intersect("ta", "tb"))
+    verified = (
+        cand.join(sets.select(F.col("doc").alias("da"), F.col("toks").alias("ta")), "da")
+        .join(sets.select(F.col("doc").alias("db"), F.col("toks").alias("tb")), "db")
+        .select("da", "db", ni.alias("ni"), (F.size("ta") + F.size("tb") - ni).alias("nu"))
+        .filter(F.lit(2) * F.col("ni") >= F.col("nu"))
+    )
+    return verified.select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.col("ni").cast("long").alias("n_inter"),
+        F.col("nu").cast("long").alias("n_union"),
+        F.round(F.col("ni").cast("double") / F.col("nu").cast("double"), 9).alias("jaccard"),
+    )

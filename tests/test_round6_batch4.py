@@ -167,3 +167,46 @@ class TestImageDhash:
             [v for _ in range(8) for x in range(8) for v in (min(x * 40, 255),) * 3 + (7,)]
         )
         assert _dhash_of_pixels(gray, 8, 8) == _dhash_of_pixels(rgba, 8, 8)
+
+
+class TestSetsimPrefixJoin:
+    def test_matches_naive_pairwise(self, spark, tmp_path):
+        """The prefix filter is exact: output must equal the full
+        pairwise Jaccard >= 0.5 join on shingle sets."""
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        texts = [
+            base,
+            base,                                   # exact dup
+            base.replace("lazy", "sleepy"),         # near dup
+            "completely different words entirely here nothing shared at all",
+            "another unrelated document with its own distinct vocabulary set",
+            base.replace("quick", "fast").replace("dog", "cat"),
+        ]
+        docs = spark.createDataFrame(
+            [(i, s, "en", "s", len(s)) for i, s in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = all_queries()["text_setsim_prefix_join"](spark, str(tmp_path)).collect()
+        got = {(r.doc_a, r.doc_b): (r.n_inter, r.n_union) for r in out}
+
+        # naive reference on the same shingle definition
+        def shingles(s):
+            ws = s.lower().strip().split()
+            if len(ws) >= 3:
+                return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            return {" ".join(ws)}
+
+        sets = [shingles(s) for s in texts]
+        want = {}
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                ni = len(sets[a] & sets[b])
+                nu = len(sets[a] | sets[b])
+                if 2 * ni >= nu:
+                    want[(a, b)] = (ni, nu)
+        assert got == want
+        assert (0, 1) in got            # the exact dup survives
+        assert got[(0, 1)][0] == got[(0, 1)][1]  # J = 1

@@ -92,6 +92,7 @@ AUDITED = [
     "table_checksum_audit",
     "image_dhash_neardup",
     "bpe_encode_apply",
+    "text_setsim_prefix_join",
 ]
 
 CHECKS = {
@@ -440,6 +441,11 @@ CHECKS_R6D["image_dhash_neardup"] = [
 CHECKS_R6D["bpe_encode_apply"] = [
     ("SortAggregate", False, "doc rollup and the vocab sub-count stay hash aggregates"),
     ("BatchEvalPython", False, "merge application is Arrow-batched during training only"),
+]
+CHECKS_R6D["text_setsim_prefix_join"] = [
+    ("CartesianProduct", False, "candidates come from the prefix equi-join, never all-pairs"),
+    ("BroadcastNestedLoopJoin", False, "no theta join anywhere"),
+    ("BatchEvalPython", False, "shingling/ranking/verify all JVM-side"),
 ]
 CHECKS.update(CHECKS_R6D)
 

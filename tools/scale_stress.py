@@ -106,6 +106,7 @@ STRESSED = [
     "table_checksum_audit",
     "image_dhash_neardup",
     "bpe_encode_apply",
+    "text_setsim_prefix_join",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -174,6 +175,7 @@ MAIN_TABLE = {
     "table_checksum_audit": "lineitem",
     "image_dhash_neardup": "documents",
     "bpe_encode_apply": "documents",
+    "text_setsim_prefix_join": "documents",
 }
 ID_COLS = {
     "events": "event_id",
