@@ -420,3 +420,56 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom connector through the Spark 4 Python DataSource API
+# (sources/pysource.py): the reader plans input partitions and generates
+# its slice executor-side; the oracle regenerates the identical rows with
+# generate_series, so a hash-green row proves the partition planning and
+# the executor-side read reproduce the table exactly — the connector
+# analog of the multimodal codec oracle.
+# ---------------------------------------------------------------------------
+
+_RAMP_N = 20_000
+
+_RAMP_ORACLE = f"""
+WITH src AS (
+    SELECT i AS event_id,
+           1704067200 + 7 * i AS epoch_s,
+           (i * 2654435761) % 1000 AS user_id,
+           CASE (i * 7919) % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup' ELSE 'error' END AS event_type,
+           CAST((i * 104729) % 1000000 AS DOUBLE) / 1000.0::DOUBLE AS value
+    FROM (SELECT unnest(generate_series(0, {_RAMP_N - 1})) AS i)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(event_id) AS BIGINT) AS first_id,
+       CAST(max(event_id) AS BIGINT) AS last_id,
+       CAST(min(epoch_s) AS BIGINT) AS first_s,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM src GROUP BY event_type
+"""
+
+
+@register("pysource_ramp_scan", _RAMP_ORACLE)
+def pysource_ramp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.sources.pysource import register_ramp_source
+
+    register_ramp_source(spark)
+    src = (
+        spark.read.format("ramp_events")
+        .option("n_rows", _RAMP_N)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return src.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        F.min("event_id").cast("long").alias("first_id"),
+        F.max("event_id").cast("long").alias("last_id"),
+        F.min("epoch_s").cast("long").alias("first_s"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )

@@ -1,0 +1,80 @@
+"""Custom connector via the Spark 4 Python DataSource API.
+
+The reference ingests from bespoke sources its engy wraps in ad-hoc
+reader glue (s3 listing walkers, paged JDBC); Spark's native answer to
+"a source format the built-ins don't cover" is the Python DataSource
+API (SPARK-44076): a `DataSource` subclass declares schema + options, a
+`DataSourceReader` plans INPUT PARTITIONS (the unit of parallel read —
+each partition is read by one task, so a 1000-executor cluster pulls
+1000 slices concurrently), and `read(partition)` yields that slice's
+rows executor-side. Nothing touches the driver but the partition plan.
+
+`RampEventsDataSource` is the registry's instance: a deterministic
+synthetic event stream (integer-mixed ids → user/type/value/epoch)
+whose content is pure arithmetic — so a DuckDB oracle can regenerate
+the EXACT rows with generate_series and the driver's hash gate proves
+the partition planning + executor-side generation reproduce the whole
+table bit-for-bit (the multimodal-oracle trick applied to a connector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# deterministic row formulas (mirrored in the query's DuckDB oracle) —
+# all integer arithmetic below 2^63, one exact /1000.0 at the end
+N_USERS = 1000
+TYPE_NAMES = ("view", "click", "purchase", "signup", "error")
+EPOCH0 = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+
+def ramp_row(i: int) -> tuple:
+    user = (i * 2654435761) % N_USERS
+    etype = TYPE_NAMES[(i * 7919) % 5]
+    value = ((i * 104729) % 1_000_000) / 1000.0
+    return (i, EPOCH0 + 7 * i, user, etype, value)
+
+
+class RampPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class RampEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        if self.n_rows < 0 or self.n_partitions <= 0:
+            raise ValueError("ramp_events: n_rows >= 0 and n_partitions > 0 required")
+
+    def partitions(self):
+        n, p = self.n_rows, self.n_partitions
+        step = -(-n // p) if n else 1
+        return [RampPartition(s, min(s + step, n)) for s in range(0, n, step)] or [
+            RampPartition(0, 0)
+        ]
+
+    def read(self, partition: RampPartition):
+        for i in range(partition.start, partition.end):
+            yield ramp_row(i)
+
+
+class RampEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "ramp_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, epoch_s bigint, user_id bigint, "
+            "event_type string, value double"
+        )
+
+    def reader(self, schema):
+        return RampEventsReader(self.options)
+
+
+def register_ramp_source(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(RampEventsDataSource)

@@ -210,3 +210,46 @@ class TestSetsimPrefixJoin:
         assert got == want
         assert (0, 1) in got            # the exact dup survives
         assert got[(0, 1)][0] == got[(0, 1)][1]  # J = 1
+
+
+class TestPythonDataSource:
+    def test_partition_planning_and_content(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.sources.pysource import (
+            RampEventsReader,
+            ramp_row,
+            register_ramp_source,
+        )
+
+        register_ramp_source(spark)
+        df = (
+            spark.read.format("ramp_events")
+            .option("n_rows", 103)
+            .option("n_partitions", 4)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 4
+        rows = sorted((r.event_id, r.epoch_s, r.user_id, r.event_type, r.value)
+                      for r in df.collect())
+        assert rows == [ramp_row(i) for i in range(103)]
+
+    def test_empty_and_invalid_options(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.sources.pysource import (
+            RampEventsReader,
+            register_ramp_source,
+        )
+
+        register_ramp_source(spark)
+        empty = spark.read.format("ramp_events").option("n_rows", 0).load()
+        assert empty.count() == 0
+        with pytest.raises(ValueError, match="n_partitions"):
+            RampEventsReader({"n_rows": "10", "n_partitions": "0"})
+
+    def test_slices_cover_exactly_once(self):
+        from enterprise_iot_bigdata_pipeline_spark.sources.pysource import (
+            RampEventsReader,
+        )
+
+        for n, p in [(1, 8), (7, 3), (100, 8), (8, 8)]:
+            parts = RampEventsReader({"n_rows": str(n), "n_partitions": str(p)}).partitions()
+            seen = [i for pt in parts for i in range(pt.start, pt.end)]
+            assert sorted(seen) == list(range(n))
