@@ -133,6 +133,10 @@ HEADLINE = [
     "image_dhash_neardup",
     "bpe_encode_apply",
     "text_setsim_prefix_join",
+    "pysource_ramp_scan",
+    "orders_backlog_profile",
+    "text_lang_confusion",
+    "ann_recall_eval",
 ]
 
 

@@ -87,11 +87,15 @@ def interval_overlap_join(
     if bucket <= 0:
         raise ValueError("interval_overlap_join: bucket must be positive")
 
+    def fdiv_sql(col: str) -> str:
+        # exact int64 floor division — `floor(x / W)` routes through a
+        # double and misrounds once |x| approaches 2^53; subtracting
+        # pmod makes the numerator an exact multiple, so integer `div`
+        # returns the true floor for negatives too
+        return f"(cast(`{col}` as bigint) - pmod(cast(`{col}` as bigint), {bucket})) div {bucket}"
+
     def cells(s: str, e: str) -> Column:
-        return F.sequence(
-            F.floor(F.col(s).cast("long") / F.lit(bucket)).cast("long"),
-            F.floor(F.col(e).cast("long") / F.lit(bucket)).cast("long"),
-        )
+        return F.expr(f"sequence({fdiv_sql(s)}, {fdiv_sql(e)})")
 
     l = left.select(
         F.col(key).alias("k"),
@@ -105,7 +109,8 @@ def interval_overlap_join(
     rc = r.withColumn("rc", F.explode(cells(f"r_{r_start}", f"r_{r_end}")))
     ls, le = F.col(f"l_{l_start}"), F.col(f"l_{l_end}")
     rs, re_ = F.col(f"r_{r_start}"), F.col(f"r_{r_end}")
-    owner = F.floor(F.greatest(ls, rs) / F.lit(bucket))
+    gmax = f"greatest(cast(`l_{l_start}` as bigint), cast(`r_{r_start}` as bigint))"
+    owner = F.expr(f"({gmax} - pmod({gmax}, {bucket})) div {bucket}")
     return (
         lc.join(rc, (F.col("k") == F.col("rk")) & (F.col("jc") == F.col("rc")))
         .filter((ls <= re_) & (rs <= le) & (F.col("jc") == owner))

@@ -722,3 +722,60 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         "n_orders",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval sweep-line: the order-backlog profile (how many orders are
+# OPEN each day). Each order holds [orderdate, orderdate + (key%30 + 1)
+# days) half-open; the sweep reduces to ±1 deltas at interval
+# boundaries, one corpus-scale hash agg per day, then a running sum
+# over the CHANGE-DAY frame — which is calendar-bounded (≤ 2·span
+# days, 1.1k rows here), not corpus-scaled, so the single-partition
+# window is a constant-size tail like the skew profile's. Emits only
+# days where the backlog changes; all arithmetic integer-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_backlog_profile",
+    """
+    WITH iv AS (
+        SELECT epoch(o_orderdate) // 86400 AS d0,
+               epoch(o_orderdate) // 86400 + o_orderkey % 30 + 1 AS de
+        FROM orders
+    ),
+    deltas AS (
+        SELECT d0 AS d, 1 AS s, 0 AS e FROM iv
+        UNION ALL
+        SELECT de AS d, 0 AS s, 1 AS e FROM iv
+    ),
+    byday AS (
+        SELECT d, CAST(sum(s) AS BIGINT) AS n_start, CAST(sum(e) AS BIGINT) AS n_end
+        FROM deltas GROUP BY d
+    )
+    SELECT CAST(CAST(DATE '1970-01-01' + to_days(CAST(d AS INTEGER)) AS DATE) AS VARCHAR) AS day,
+           n_start, n_end,
+           CAST(sum(n_start - n_end) OVER (ORDER BY d) AS BIGINT) AS open_orders
+    FROM byday
+    """,
+)
+def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    d0 = F.expr("unix_timestamp(o_orderdate) div 86400")
+    de = d0 + F.col("o_orderkey") % 30 + 1
+    iv = orders.select(d0.alias("d0"), de.alias("de"))
+    deltas = iv.select(F.col("d0").alias("d"), F.lit(1).alias("s"), F.lit(0).alias("e")).unionByName(
+        iv.select(F.col("de").alias("d"), F.lit(0).alias("s"), F.lit(1).alias("e"))
+    )
+    byday = deltas.groupBy("d").agg(
+        F.sum("s").cast("long").alias("n_start"), F.sum("e").cast("long").alias("n_end")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return byday.select(
+        F.expr("cast(date_add(DATE '1970-01-01', cast(d as int)) as string)").alias("day"),
+        "n_start",
+        "n_end",
+        F.sum(F.col("n_start") - F.col("n_end")).over(w).cast("long").alias("open_orders"),
+    )

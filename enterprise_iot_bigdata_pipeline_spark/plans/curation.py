@@ -259,3 +259,89 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TFIDF_K)
         .select("doc", "term", "score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation-harness queries: pipelines that GRADE other operators are
+# first-class registry members, with the same oracle discipline.
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from enterprise_iot_bigdata_pipeline_spark.plans.text import _LANG_CASE
+
+    return f"""
+    WITH pred AS (
+        SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM documents
+    ),
+    cm AS (
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, lang_pred
+    ),
+    tot AS (SELECT lang, sum(n) AS label_total FROM cm GROUP BY lang)
+    SELECT c.lang, c.lang_pred, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.label_total AS DOUBLE), 9) AS share_of_label
+    FROM cm c JOIN tot t ON c.lang = t.lang
+    """
+
+
+@register("text_lang_confusion", _lang_confusion_oracle())
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the labeled `lang` column against the
+    heuristic detector's prediction — the eval every curation pipeline
+    runs before trusting a classifier gate. One corpus aggregate into a
+    |langs|² frame; per-label shares via a broadcast-sized total join."""
+    from enterprise_iot_bigdata_pipeline_spark.plans.text import staged_metrics
+
+    docs = t(spark, sf_dir, "documents")
+    pred = staged_metrics(docs).select("lang", "lang_pred")
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("label_total"))
+    return cm.join(tot, "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("label_total").cast("double"), 9).alias(
+            "share_of_label"
+        ),
+    )
+
+
+def _ann_recall_oracle() -> str:
+    from enterprise_iot_bigdata_pipeline_spark.plans import ORACLES, load_all
+
+    load_all()
+    return f"""
+    WITH lsh AS ({ORACLES["ann_lsh_topk"]}),
+    brute AS ({ORACLES["ann_cosine_topk"]})
+    SELECT b.q_id,
+           CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+           CAST(count(*) AS BIGINT) AS n_true,
+           round(CAST(count(l.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS recall
+    FROM brute b
+    LEFT JOIN lsh l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+    GROUP BY b.q_id
+    """
+
+
+@register("ann_recall_eval", _ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN path against the brute-force ground truth —
+    composed from the two REGISTERED queries (and their oracles), so the
+    eval measures exactly what the registry ships. Per query point:
+    |LSH hits ∩ true top-k| / k."""
+    from enterprise_iot_bigdata_pipeline_spark.plans import QUERIES
+
+    lsh = QUERIES["ann_lsh_topk"](spark, sf_dir).select("q_id", "vec_id")
+    brute = QUERIES["ann_cosine_topk"](spark, sf_dir).select("q_id", "vec_id")
+    hit = F.count(F.col("l_vec"))
+    joined = brute.join(
+        lsh.select(F.col("q_id").alias("lq"), F.col("vec_id").alias("l_vec")),
+        (F.col("q_id") == F.col("lq")) & (F.col("vec_id") == F.col("l_vec")),
+        "left",
+    )
+    return joined.groupBy("q_id").agg(
+        hit.cast("long").alias("n_hit"),
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.round(hit.cast("double") / F.count(F.lit(1)).cast("double"), 9).alias("recall"),
+    )

@@ -378,7 +378,15 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
-    hashes = image_dhash(attach_real_media(docs)).filter(F.col("dhash").isNotNull())
+    # localCheckpoint: the band self-join would otherwise re-run the
+    # decode+hash mapInPandas stage once per branch (bucket self-joins
+    # recompute upstream lineage); the checkpointed frame is one small
+    # row per image
+    hashes = (
+        image_dhash(attach_real_media(docs))
+        .filter(F.col("dhash").isNotNull())
+        .localCheckpoint()
+    )
     bands = hashes.select(
         "doc_id",
         "width",

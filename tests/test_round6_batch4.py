@@ -253,3 +253,46 @@ class TestPythonDataSource:
             parts = RampEventsReader({"n_rows": str(n), "n_partitions": str(p)}).partitions()
             seen = [i for pt in parts for i in range(pt.start, pt.end)]
             assert sorted(seen) == list(range(n))
+
+
+def test_interval_overlap_exact_past_2p53(spark):
+    """Bucket arithmetic must stay exact for int64 bounds beyond 2^53,
+    where a double-division floor misrounds."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    base = (1 << 60) + 12345  # far past double-exact integers
+    a = spark.createDataFrame([(1, 1, base, base + 50)], "id int, k int, s long, e long")
+    b = spark.createDataFrame(
+        [(2, 1, base + 40, base + 90), (3, 1, base + 51, base + 60)],
+        "id int, k int, s long, e long",
+    )
+    out = interval_overlap_join(a, b, "k", "s", "e", "s", "e", bucket=100)
+    pairs = sorted((r.l_id, r.r_id) for r in out.collect())
+    assert pairs == [(1, 2)]  # (1,3) starts 1 past l's end
+
+
+def test_backlog_profile_known_values(spark, tmp_path):
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+    # keys chosen so durations are key%30+1 days: 1 -> 2d, 2 -> 3d, 31 -> 2d
+    rows = [
+        (1, 10, "O", 1.0, "2024-01-01 00:00:00", "1-URGENT"),
+        (2, 11, "O", 1.0, "2024-01-02 00:00:00", "1-URGENT"),
+        (31, 12, "F", 1.0, "2024-01-10 00:00:00", "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.day: (r.n_start, r.n_end, r.open_orders)
+           for r in all_queries()["orders_backlog_profile"](spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"] == (1, 0, 1)   # order 1 opens
+    assert out["2024-01-02"] == (1, 0, 2)   # order 2 opens, 1 still open
+    assert out["2024-01-03"] == (0, 1, 1)   # order 1 closes (2-day hold)
+    assert out["2024-01-05"] == (0, 1, 0)   # order 2 closes (3-day hold)
+    assert out["2024-01-10"] == (1, 0, 1)
+    assert out["2024-01-12"] == (0, 1, 0)

@@ -93,6 +93,9 @@ AUDITED = [
     "image_dhash_neardup",
     "bpe_encode_apply",
     "text_setsim_prefix_join",
+    "orders_backlog_profile",
+    "text_lang_confusion",
+    "ann_recall_eval",
 ]
 
 CHECKS = {
@@ -446,6 +449,17 @@ CHECKS_R6D["text_setsim_prefix_join"] = [
     ("CartesianProduct", False, "candidates come from the prefix equi-join, never all-pairs"),
     ("BroadcastNestedLoopJoin", False, "no theta join anywhere"),
     ("BatchEvalPython", False, "shingling/ranking/verify all JVM-side"),
+]
+CHECKS_R6D["orders_backlog_profile"] = [
+    ("partial_sum", True, "boundary deltas combine map-side before the day shuffle"),
+    ("BatchEvalPython", False, "sweep-line is pure JVM arithmetic"),
+]
+CHECKS_R6D["text_lang_confusion"] = [
+    ("partial_count", True, "the confusion cells combine map-side"),
+    ("BatchEvalPython", False, "lang detection is the JVM marker CASE"),
+]
+CHECKS_R6D["ann_recall_eval"] = [
+    ("CartesianProduct", False, "hit matching is a keyed join of two top-k frames"),
 ]
 CHECKS.update(CHECKS_R6D)
 

@@ -107,6 +107,8 @@ STRESSED = [
     "image_dhash_neardup",
     "bpe_encode_apply",
     "text_setsim_prefix_join",
+    "orders_backlog_profile",
+    "text_lang_confusion",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -176,6 +178,8 @@ MAIN_TABLE = {
     "image_dhash_neardup": "documents",
     "bpe_encode_apply": "documents",
     "text_setsim_prefix_join": "documents",
+    "orders_backlog_profile": "orders",
+    "text_lang_confusion": "documents",
 }
 ID_COLS = {
     "events": "event_id",
