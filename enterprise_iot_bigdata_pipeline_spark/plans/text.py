@@ -1702,6 +1702,7 @@ FROM v WHERE 2 * ni >= nu
 def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _pairs_of_sorted
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
     docs = fan_out(t(spark, sf_dir, "documents"))
@@ -1721,20 +1722,25 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
     )
+    # candidate pairs via ONE groupBy-bucket expansion (no self-join — a
+    # self-join would re-run the shingle/df/window pipeline per branch);
+    # full enumeration, not the LSH star cap: the oracle enumerates every
+    # candidate, and prefix buckets are rare-token sized by construction
     cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        prefix.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .select(F.explode(_pairs_of_sorted(F.col("ms"))).alias("p"))
+        .select(F.col("p.a").alias("da"), F.col("p.b").alias("db"))
         .distinct()
     )
-    sets = sh.groupBy("doc").agg(F.collect_set("shingle").alias("toks"))
+    # verify sets come straight off the scan (pure map — no shuffle work
+    # duplicated from the candidate branch)
+    sets = docs.select("doc_id", X.word_shingles(F.col("text")).alias("toks"))
     ni = F.size(F.array_intersect("ta", "tb"))
     verified = (
-        cand.join(sets.select(F.col("doc").alias("da"), F.col("toks").alias("ta")), "da")
-        .join(sets.select(F.col("doc").alias("db"), F.col("toks").alias("tb")), "db")
+        cand.join(sets.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta")), "da")
+        .join(sets.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb")), "db")
         .select("da", "db", ni.alias("ni"), (F.size("ta") + F.size("tb") - ni).alias("nu"))
         .filter(F.lit(2) * F.col("ni") >= F.col("nu"))
     )
