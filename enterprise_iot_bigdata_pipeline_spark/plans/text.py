@@ -1706,16 +1706,36 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
     docs = fan_out(t(spark, sf_dir, "documents"))
-    sh = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.explode(X.word_shingles(F.col("text"))).alias("shingle"),
-    )
-    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    wd = Window.partitionBy("doc").orderBy("df", "shingle")
-    wn = Window.partitionBy("doc")
-    ranked = sh.join(dfq, "shingle").select(
+    # Materialize the per-doc shingle arrays ONCE (word_shingles is a
+    # wide repeated-split expression tree the DAG would otherwise
+    # re-evaluate per branch), then run the WHOLE pipeline on xxhash64
+    # shingle hashes. Prefix filtering only needs a globally CONSISTENT
+    # total order — not the oracle's (df, string) order — so ordering by
+    # (df, hash) yields a different candidate superset but the identical
+    # verified output (exact up to a 2^-64 in-pair hash collision, the
+    # same trust level as the md5 exact-dedup key). Longs instead of
+    # ~30-byte shingle strings cut the window sort, the bucket groupBys,
+    # and — dominant at sf0.1 — the verify join's per-pair array copies
+    # (measured ~4× less data movement).
+    base = docs.select(
+        F.col("doc_id").alias("doc"), X.word_shingles(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    sets = base.select(
         "doc",
-        "shingle",
+        F.size("toks").alias("n"),
+        F.array_sort(
+            F.array_distinct(F.transform("toks", lambda s: F.xxhash64(s)))
+        ).alias("hs"),
+    )
+    sh = base.select("doc", F.explode("toks").alias("shingle")).select(
+        "doc", F.xxhash64("shingle").alias("h")
+    )
+    dfq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc").orderBy("df", "h")
+    wn = Window.partitionBy("doc")
+    ranked = sh.join(dfq, "h").select(
+        "doc",
+        "h",
         F.row_number().over(wd).alias("pos"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
@@ -1725,23 +1745,48 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs via ONE groupBy-bucket expansion (no self-join — a
     # self-join would re-run the shingle/df/window pipeline per branch);
     # full enumeration, not the LSH star cap: the oracle enumerates every
-    # candidate, and prefix buckets are rare-token sized by construction
+    # candidate. Each member carries its multiset size so the PPJoin
+    # LENGTH FILTER prunes in-bucket: J ≥ τ needs 3·i ≥ na+nb with
+    # i ≤ min(na,nb), hence 2·min(na,nb) ≥ max(na,nb) at τ = 1/2 — a
+    # lossless integer bound, so the verified output is unchanged and the
+    # oracle (which enumerates unpruned) still agrees. Struct sort key is
+    # (doc, n): doc is unique per bucket, so pair order stays doc-asc.
     cand = (
-        prefix.groupBy("shingle")
-        .agg(F.array_sort(F.collect_set("doc")).alias("ms"))
+        prefix.groupBy("h")
+        .agg(
+            F.array_sort(F.collect_set(F.struct("doc", "n"))).alias("ms")
+        )
         .filter(F.size("ms") >= 2)
         .select(F.explode(_pairs_of_sorted(F.col("ms"))).alias("p"))
-        .select(F.col("p.a").alias("da"), F.col("p.b").alias("db"))
+        .filter(
+            F.lit(2) * F.least("p.a.n", "p.b.n") >= F.greatest("p.a.n", "p.b.n")
+        )
+        .select(F.col("p.a.doc").alias("da"), F.col("p.b.doc").alias("db"))
         .distinct()
     )
-    # verify sets come straight off the scan (pure map — no shuffle work
-    # duplicated from the candidate branch)
-    sets = docs.select("doc_id", X.word_shingles(F.col("text")).alias("toks"))
-    ni = F.size(F.array_intersect("ta", "tb"))
+    # verify reuses the checkpointed frame's hash arrays (no recompute).
+    # The explicit repartition is load-bearing: after the distinct, AQE
+    # coalesces the skinny pair rows into a handful of partitions, and
+    # the per-pair array_intersect verify would run nearly serially
+    # (measured 3 tasks at sf0.1). Re-spreading the pairs costs one
+    # shuffle of narrow rows and restores full-width parallelism.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ni = F.size(F.array_intersect("ha", "hb"))
     verified = (
-        cand.join(sets.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta")), "da")
-        .join(sets.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb")), "db")
-        .select("da", "db", ni.alias("ni"), (F.size("ta") + F.size("tb") - ni).alias("nu"))
+        cand.repartition(n_shuffle, "da", "db")
+        .join(
+            sets.select(
+                F.col("doc").alias("da"), F.col("n").alias("na"), F.col("hs").alias("ha")
+            ),
+            "da",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("db"), F.col("n").alias("nb"), F.col("hs").alias("hb")
+            ),
+            "db",
+        )
+        .select("da", "db", ni.alias("ni"), (F.col("na") + F.col("nb") - ni).alias("nu"))
         .filter(F.lit(2) * F.col("ni") >= F.col("nu"))
     )
     return verified.select(
