@@ -137,6 +137,10 @@ HEADLINE = [
     "orders_backlog_profile",
     "text_lang_confusion",
     "ann_recall_eval",
+    "events_attribution_touch",
+    "funnel_time_to_convert",
+    "text_bigram_perplexity",
+    "text_normalize_unicode",
 ]
 
 

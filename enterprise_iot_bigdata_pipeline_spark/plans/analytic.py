@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from enterprise_iot_bigdata_pipeline_spark.functions.parity import DAVG_SQL, davg
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import (
+    DAVG_SQL,
+    DSUM_SQL,
+    davg,
+    dsum,
+)
 from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
@@ -778,4 +783,197 @@ def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_start",
         "n_end",
         F.sum(F.col("n_start") - F.col("n_end")).over(w).cast("long").alias("open_orders"),
+    )
+
+
+# --- Marketing attribution (first-touch / last-touch): every purchase is
+#     credited to the user's earliest and most-recent PRECEDING
+#     non-purchase event (strictly before the purchase in (ts, event_id)
+#     order; purchases with no prior touch credit the 'none' channel).
+#     Shape: ONE keyed window sort — first/last over the
+#     (unbounded-preceding, 1-preceding) frame with IGNORE NULLS — then a
+#     2-way unpivot and one hash aggregate. Revenue is decimal-accumulated
+#     (functions/parity.py) for cross-engine determinism. Users partition
+#     independently; no corpus-cardinality broadcast anywhere. -------------
+
+
+@register(
+    "events_attribution_touch",
+    f"""
+    WITH tagged AS (
+        SELECT event_type, value,
+               first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch_first,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch_last
+        FROM events
+    ),
+    buys AS (SELECT * FROM tagged WHERE event_type = 'purchase'),
+    unp AS (
+        SELECT 'first_touch' AS model, coalesce(ch_first, 'none') AS channel, value FROM buys
+        UNION ALL
+        SELECT 'last_touch', coalesce(ch_last, 'none'), value FROM buys
+    )
+    SELECT model, channel,
+           count(*) AS n_purchases,
+           {DSUM_SQL("value")} AS revenue
+    FROM unp GROUP BY model, channel
+    """,
+)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("ch_first"),
+        F.last(touch, ignorenulls=True).over(w).alias("ch_last"),
+    )
+    buys = tagged.filter(F.col("event_type") == "purchase")
+    unp = buys.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce("ch_first", F.lit("none")).alias("channel"),
+        "value",
+    ).unionByName(
+        buys.select(
+            F.lit("last_touch").alias("model"),
+            F.coalesce("ch_last", F.lit("none")).alias("channel"),
+            "value",
+        )
+    )
+    return unp.groupBy("model", "channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum(F.col("value")).alias("revenue"),
+    )
+
+
+# --- Funnel conversion-latency quantiles: for users who complete each
+#     funnel leg (view→click, click→purchase, view→purchase under the
+#     ordered semantics of funnel_view_click_purchase), the distribution
+#     of time-to-convert in epoch MICROSECONDS — exact integers end to
+#     end. Quantiles are discrete (value at the floor(p·(n−1)) sorted
+#     position, lower type) selected with pure integer index arithmetic —
+#     no interpolation, so no cross-engine float hazard. Shape: the
+#     funnel's one user-keyed window pass, a |users| aggregate, a 3-way
+#     unpivot, then ONE per-leg window sort over the converting-user set
+#     and a 3-row conditional aggregate. ------------------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH s1 AS (
+        SELECT user_id, event_type, ts,
+            min(CASE WHEN event_type = 'view' THEN ts END)
+                OVER (PARTITION BY user_id) AS t_view
+        FROM events
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_buy
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+               min(t_buy) AS t_buy
+        FROM s3 GROUP BY user_id
+    ), legs AS (
+        SELECT 'view_to_click' AS leg, user_id,
+               epoch_us(t_click) - epoch_us(t_view) AS lat_us
+        FROM per_user WHERE t_click IS NOT NULL
+        UNION ALL
+        SELECT 'click_to_purchase', user_id, epoch_us(t_buy) - epoch_us(t_click)
+        FROM per_user WHERE t_buy IS NOT NULL
+        UNION ALL
+        SELECT 'view_to_purchase', user_id, epoch_us(t_buy) - epoch_us(t_view)
+        FROM per_user WHERE t_buy IS NOT NULL
+    ), ranked AS (
+        SELECT leg, lat_us,
+               row_number() OVER (PARTITION BY leg ORDER BY lat_us, user_id) AS rn,
+               count(*) OVER (PARTITION BY leg) AS n
+        FROM legs
+    )
+    SELECT leg,
+           CAST(max(n) AS BIGINT) AS n_converted,
+           min(lat_us) AS min_us,
+           max(CASE WHEN rn = (n - 1) // 4 + 1 THEN lat_us END) AS p25_us,
+           max(CASE WHEN rn = (n - 1) // 2 + 1 THEN lat_us END) AS p50_us,
+           max(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN lat_us END) AS p75_us,
+           max(CASE WHEN rn = (9 * (n - 1)) // 10 + 1 THEN lat_us END) AS p90_us,
+           max(lat_us) AS max_us
+    FROM ranked GROUP BY leg
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id")
+    et, ts = F.col("event_type"), F.col("ts")
+    s3 = (
+        ev.select(
+            "user_id", "event_type", "ts",
+            F.min(F.when(et == "view", ts)).over(wu).alias("t_view"),
+        )
+        .withColumn(
+            "t_click",
+            F.min(F.when((et == "click") & (ts >= F.col("t_view")), ts)).over(wu),
+        )
+        .withColumn(
+            "t_buy",
+            F.min(F.when((et == "purchase") & (ts >= F.col("t_click")), ts)).over(wu),
+        )
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_buy").alias("t_buy"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    legs = (
+        per_user.filter(F.col("t_click").isNotNull()).select(
+            F.lit("view_to_click").alias("leg"),
+            "user_id",
+            (us("t_click") - us("t_view")).alias("lat_us"),
+        )
+        .unionByName(
+            per_user.filter(F.col("t_buy").isNotNull()).select(
+                F.lit("click_to_purchase").alias("leg"),
+                "user_id",
+                (us("t_buy") - us("t_click")).alias("lat_us"),
+            )
+        )
+        .unionByName(
+            per_user.filter(F.col("t_buy").isNotNull()).select(
+                F.lit("view_to_purchase").alias("leg"),
+                "user_id",
+                (us("t_buy") - us("t_view")).alias("lat_us"),
+            )
+        )
+    )
+    wl = W.partitionBy("leg").orderBy("lat_us", "user_id")
+    wn = W.partitionBy("leg")
+    ranked = legs.select(
+        "leg",
+        "lat_us",
+        F.row_number().over(wl).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    rn, n = F.col("rn"), F.col("n")
+    pick = lambda idx: F.max(F.when(rn == idx + 1, F.col("lat_us")))  # noqa: E731
+    return ranked.groupBy("leg").agg(
+        F.max(n).cast("long").alias("n_converted"),
+        F.min("lat_us").alias("min_us"),
+        pick(F.floor((n - 1) / 4)).alias("p25_us"),
+        pick(F.floor((n - 1) / 2)).alias("p50_us"),
+        pick(F.floor((3 * (n - 1)) / 4)).alias("p75_us"),
+        pick(F.floor((9 * (n - 1)) / 10)).alias("p90_us"),
+        F.max("lat_us").alias("max_us"),
     )

@@ -1796,3 +1796,153 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nu").cast("long").alias("n_union"),
         F.round(F.col("ni").cast("double") / F.col("nu").cast("double"), 9).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (the CCNet/KenLM-style quality filter,
+# with the corpus itself as the model): every document is scored by its
+# average negative log-probability under an add-1-smoothed bigram model
+# trained on the full corpus — p(b|a) = (c(a,b)+1)/(c(a)+V). High-NLL
+# docs are noise/foreign/OCR junk; low-NLL docs are boilerplate — both
+# tails are curation triggers.
+#
+# Cross-engine float discipline: ln is libm-divergent between the JVM
+# and DuckDB in the last ulp, so raw Σ ln(·) would break the oracle
+# hash. Instead each term is FIXED-POINT — round(ln(k)·1e6) as BIGINT
+# ("micro-nats") — rounded BEFORE summation, so the per-doc total is an
+# exact integer sum in both engines. A term differs only if the two
+# engines' ln(k) straddle a 5e-7 rounding boundary (~1e-8 per distinct
+# integer argument; verified identical over k = 1..2·10⁶ on this
+# toolchain). The final avg is two correctly-rounded double divisions.
+#
+# Scale shape: two linear explode+groupBy passes build the model; doc
+# bigram occurrences equi-join the model on the bigram key (corpus-
+# vocabulary-scaled — deliberately NOT broadcast; AQE skew-split covers
+# hot function-word bigrams), unigram counts join on the first token;
+# the vocab size V is a one-row scalar and rides a principled broadcast.
+# One per-doc hash re-aggregate ends the plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_perplexity",
+    f"""
+    WITH {_BIGRAM_CTE},
+    uni AS (
+        SELECT w AS tok, count(*) AS n_tok
+        FROM (SELECT unnest(ws) AS w FROM words) u GROUP BY w
+    ),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln(CAST(u.n_tok + vocab.v AS DOUBLE)) * 1e6, 0) AS BIGINT)
+               - CAST(round(ln(CAST(cnt.c + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS nll
+        FROM bg b
+        JOIN cnt ON b.g = cnt.g
+        JOIN uni u ON split_part(b.g, ' ', 1) = u.tok
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(nll) AS BIGINT) AS nll_micro_total,
+           round(CAST(sum(nll) AS DOUBLE) / 1e6 / count(*), 9) AS avg_nll_nats
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = X.words(F.col("text"))
+    sz = F.size(w)
+    tail = F.slice(w, 2, F.greatest(sz - 1, F.lit(0)))
+    grams = F.slice(
+        F.zip_with(w, tail, lambda a, b: F.concat(a, F.lit(" "), b)),
+        1,
+        F.greatest(sz - 1, F.lit(0)),
+    )
+    bg = docs.filter(sz >= 2).select("doc_id", F.explode(grams).alias("g"))
+    cnt = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    uni = (
+        docs.select(F.explode(w).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    fixed_ln = lambda c: F.round(F.log(c.cast("double")) * 1e6, 0).cast("long")  # noqa: E731
+    scored = (
+        bg.join(cnt, "g")
+        .join(uni, F.split(F.col("g"), " ")[0] == F.col("tok"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                fixed_ln(F.col("n_tok") + F.col("v")) - fixed_ln(F.col("c") + 1)
+            ).alias("nll"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll").cast("long").alias("nll_micro_total"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_micro_total",
+        F.round(
+            F.col("nll_micro_total").cast("double") / 1e6 / F.col("n_bigrams"), 9
+        ).alias("avg_nll_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene normalization — the pre-tokenization cleanup pass every
+# web-scraped corpus needs: drop zero-width characters (ZWSP/ZWNJ/ZWJ/
+# BOM), replace C0/C1-adjacent control characters with spaces (keeping
+# \t \n \r, which the tokenizer's whitespace class already handles),
+# collapse whitespace runs, and trim. Pure JVM-regex map — no shuffle, no
+# UDF. Every pattern is written in the Java∩RE2-safe dialect (\x{hhhh}
+# hex classes; the explicit ASCII whitespace class from functions/text.py)
+# so the DuckDB oracle executes the byte-identical pipeline.
+# ---------------------------------------------------------------------------
+
+_ZW_CLASS = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_WS_RUN = "[ \\t\\n\\f\\r]+"
+
+
+@register(
+    "text_normalize_unicode",
+    f"""
+    WITH cleaned AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_ZW_CLASS}', '', 'g'),
+                       '{_CTRL_CLASS}', ' ', 'g'),
+                   '{_WS_RUN}', ' ', 'g')) AS text_norm
+        FROM documents
+    )
+    SELECT doc_id, text_norm,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+    FROM cleaned
+    """,
+)
+def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _ZW_CLASS, ""),
+                _CTRL_CLASS,
+                " ",
+            ),
+            _WS_RUN,
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )

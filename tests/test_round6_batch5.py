@@ -1,0 +1,178 @@
+"""Round-6 session-4 batch: touch attribution, funnel time-to-convert,
+bigram-LM perplexity, unicode normalization."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def _write_docs(spark, tmp_path, texts):
+    docs = spark.createDataFrame(
+        [(i, s, "en", "s", len(s)) for i, s in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+
+class TestAttributionTouch:
+    def test_first_last_and_direct(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                # user 1: view -> click -> purchase(10)
+                (0, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+                (1, "2024-01-01 00:01:00", 1, "click", 0.0, "{}"),
+                (2, "2024-01-01 00:02:00", 1, "purchase", 10.0, "{}"),
+                # user 2: purchase with no prior touch -> 'none'
+                (3, "2024-01-01 00:00:00", 2, "purchase", 5.0, "{}"),
+                # user 3: click AFTER the purchase must not attribute
+                (4, "2024-01-01 00:00:00", 3, "purchase", 7.0, "{}"),
+                (5, "2024-01-01 00:01:00", 3, "click", 0.0, "{}"),
+            ],
+        )
+        out = all_queries()["events_attribution_touch"](spark, str(tmp_path))
+        got = {(r.model, r.channel): (r.n_purchases, r.revenue) for r in out.collect()}
+        assert got[("first_touch", "view")] == (1, 10.0)
+        assert got[("last_touch", "click")] == (1, 10.0)
+        assert got[("first_touch", "none")] == (2, 12.0)
+        assert got[("last_touch", "none")] == (2, 12.0)
+        assert len(got) == 4
+
+    def test_last_touch_picks_most_recent(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (0, "2024-01-01 00:00:00", 1, "signup", 0.0, "{}"),
+                (1, "2024-01-01 00:01:00", 1, "view", 0.0, "{}"),
+                (2, "2024-01-01 00:02:00", 1, "purchase", 3.0, "{}"),
+            ],
+        )
+        out = all_queries()["events_attribution_touch"](spark, str(tmp_path))
+        got = {(r.model, r.channel): r.n_purchases for r in out.collect()}
+        assert got == {("first_touch", "signup"): 1, ("last_touch", "view"): 1}
+
+
+class TestFunnelTimeToConvert:
+    def test_known_latencies(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                # user 1 completes: view@0 click@60s purchase@180s
+                (0, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+                (1, "2024-01-01 00:01:00", 1, "click", 0.0, "{}"),
+                (2, "2024-01-01 00:03:00", 1, "purchase", 1.0, "{}"),
+                # user 2: view@0 click@120s, never purchases
+                (3, "2024-01-01 00:00:00", 2, "view", 0.0, "{}"),
+                (4, "2024-01-01 00:02:00", 2, "click", 0.0, "{}"),
+            ],
+        )
+        out = all_queries()["funnel_time_to_convert"](spark, str(tmp_path))
+        got = {r.leg: r for r in out.collect()}
+        v2c = got["view_to_click"]
+        assert (v2c.n_converted, v2c.min_us, v2c.max_us) == (2, 60_000_000, 120_000_000)
+        # n=2: all discrete lower-quantile indices floor(p*1) = 0 -> 60 s
+        assert (v2c.p25_us, v2c.p50_us, v2c.p75_us, v2c.p90_us) == (
+            60_000_000,
+        ) * 4
+        c2p = got["click_to_purchase"]
+        assert (c2p.n_converted, c2p.p50_us) == (1, 120_000_000)
+        v2p = got["view_to_purchase"]
+        assert (v2p.n_converted, v2p.p50_us) == (1, 180_000_000)
+
+    def test_ordered_semantics_click_before_view_ignored(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                # click precedes the first view: leg must use the later click
+                (0, "2024-01-01 00:00:00", 1, "click", 0.0, "{}"),
+                (1, "2024-01-01 00:01:00", 1, "view", 0.0, "{}"),
+                (2, "2024-01-01 00:02:00", 1, "click", 0.0, "{}"),
+            ],
+        )
+        out = all_queries()["funnel_time_to_convert"](spark, str(tmp_path))
+        got = {r.leg: r for r in out.collect()}
+        assert got["view_to_click"].min_us == 60_000_000
+        assert "click_to_purchase" not in got
+
+
+class TestBigramPerplexity:
+    def test_hand_computed_model(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # corpus: doc0 = "a b", doc1 = "a b a"
+        # bigram counts: (a,b)=2, (b,a)=1; unigrams: a=3, b=2; V=2
+        _write_docs(spark, tmp_path, ["a b", "a b a"])
+        out = all_queries()["text_bigram_perplexity"](spark, str(tmp_path))
+        got = {r.doc_id: r for r in out.collect()}
+
+        def nll(c_ab, c_a, v):
+            return round(math.log(c_a + v) * 1e6) - round(math.log(c_ab + 1) * 1e6)
+
+        ab = nll(2, 3, 2)  # p(b|a) = 3/5
+        ba = nll(1, 2, 2)  # p(a|b) = 2/4
+        assert got[0].n_bigrams == 1 and got[0].nll_micro_total == ab
+        assert got[1].n_bigrams == 2 and got[1].nll_micro_total == ab + ba
+        assert abs(got[1].avg_nll_nats - (ab + ba) / 2e6) < 1e-8
+
+    def test_boilerplate_scores_lower_than_rare(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        common = "the cat sat on the mat"
+        texts = [common] * 5 + ["zebra quark nebula fjord glyph vortex"]
+        _write_docs(spark, tmp_path, texts)
+        out = all_queries()["text_bigram_perplexity"](spark, str(tmp_path))
+        got = {r.doc_id: r.avg_nll_nats for r in out.collect()}
+        assert got[5] > got[0]  # rare-bigram doc is higher-NLL
+
+    def test_single_token_docs_absent(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_docs(spark, tmp_path, ["solo", "two words"])
+        out = all_queries()["text_bigram_perplexity"](spark, str(tmp_path))
+        assert [r.doc_id for r in out.collect()] == [1]
+
+
+class TestNormalizeUnicode:
+    def test_zero_width_control_and_runs(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        raw = "a\u200bb\x01c   d\te\n f\u200d \ufeffg  "
+        _write_docs(spark, tmp_path, [raw])
+        out = all_queries()["text_normalize_unicode"](spark, str(tmp_path))
+        r = out.collect()[0]
+        assert r.text_norm == "ab c d e f g"
+        assert r.n_chars_raw == len(raw)
+        assert r.n_chars_norm == len("ab c d e f g")
+
+    def test_clean_text_unchanged(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_docs(spark, tmp_path, ["already clean text"])
+        r = all_queries()["text_normalize_unicode"](spark, str(tmp_path)).collect()[0]
+        assert r.text_norm == "already clean text"
+        assert r.n_chars_raw == r.n_chars_norm

@@ -96,6 +96,10 @@ AUDITED = [
     "orders_backlog_profile",
     "text_lang_confusion",
     "ann_recall_eval",
+    "events_attribution_touch",
+    "funnel_time_to_convert",
+    "text_bigram_perplexity",
+    "text_normalize_unicode",
 ]
 
 CHECKS = {
@@ -460,6 +464,24 @@ CHECKS_R6D["text_lang_confusion"] = [
 ]
 CHECKS_R6D["ann_recall_eval"] = [
     ("CartesianProduct", False, "hit matching is a keyed join of two top-k frames"),
+]
+CHECKS_R6D["events_attribution_touch"] = [
+    ("Window", True, "both touch models share ONE window node over one user sort"),
+    ("partial_count", True, "the model x channel rollup combines map-side"),
+    ("BatchEvalPython", False, "attribution is pure JVM window algebra"),
+]
+CHECKS_R6D["funnel_time_to_convert"] = [
+    ("CartesianProduct", False, "quantile selection is a window + conditional agg, no joins"),
+    ("BatchEvalPython", False, "latency math is exact integer JVM arithmetic"),
+]
+CHECKS_R6D["text_bigram_perplexity"] = [
+    ("SortAggregate", False, "model-building and the per-doc rollup stay hash aggregates"),
+    ("BatchEvalPython", False, "fixed-point ln terms are JVM expressions"),
+    ("CartesianProduct", False, "only the one-row vocab scalar cross-joins (broadcast)"),
+]
+CHECKS_R6D["text_normalize_unicode"] = [
+    ("Exchange", False, "normalization is a pure map - zero shuffles"),
+    ("BatchEvalPython", False, "regex pipeline is JVM-native"),
 ]
 CHECKS.update(CHECKS_R6D)
 
