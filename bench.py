@@ -141,6 +141,8 @@ HEADLINE = [
     "funnel_time_to_convert",
     "text_bigram_perplexity",
     "text_normalize_unicode",
+    "text_containment_join",
+    "embeddings_standardize",
 ]
 
 

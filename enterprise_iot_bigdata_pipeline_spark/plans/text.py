@@ -1946,3 +1946,122 @@ def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_raw"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric set-CONTAINMENT join (JOSIE/ProbeCount family) — the
+# excerpt/quotation detector exact Jaccard cannot express: emit (a, b)
+# when |Sa∩Sb| / |Sa| ≥ τ, i.e. doc a's shingle set is τ-contained in
+# doc b, with NO constraint on b's size. The prefix argument is
+# one-sided: containment ≥ τ forces overlap ≥ ⌈τ·n⌉, and if every
+# overlap element sat outside a's (df-ASC-ordered) prefix of length
+# n − ⌈τn⌉ + 1 they would have to fit in ⌈τn⌉ − 1 suffix slots —
+# contradiction. So candidates = a-prefix elements equi-joined against
+# b's FULL posting list (any consistent global element order is
+# lossless, which is what lets the Spark side run on xxhash64 keys while
+# the oracle orders by strings — different candidate supersets, same
+# exact verified output). τ = 4/5 keeps every threshold integer:
+# prefix_len = n − (4n+4)//5 + 1, verify 5·|A∩B| ≥ 4·|A|.
+#
+# Scale shape: identical skeleton to text_setsim_prefix_join (one
+# hash-keyed window sort, bucket equi-join, re-spread verify map on
+# sorted long arrays); the full-posting probe side makes hot shingles
+# hotter than the symmetric join's prefix×prefix buckets — AQE
+# skew-split covers the join, and the df-ASC prefix keeps the probe
+# elements rare by construction.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+ranked AS (
+    SELECT s.doc, s.shingle,
+           row_number() OVER (PARTITION BY s.doc ORDER BY d.df, s.shingle) AS pos,
+           count(*) OVER (PARTITION BY s.doc) AS n
+    FROM sh s JOIN dfq d USING (shingle)
+),
+prefix AS (SELECT * FROM ranked WHERE pos <= n - (4 * n + 4) // 5 + 1),
+cand AS (
+    SELECT DISTINCT a.doc AS da, b.doc AS db
+    FROM prefix a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+),
+sets AS (SELECT doc, list_sort(list(shingle)) AS toks FROM sh GROUP BY doc),
+v AS (
+    SELECT c.da, c.db,
+           len(list_intersect(sa.toks, sb.toks)) AS ni,
+           len(sa.toks) AS na
+    FROM cand c
+    JOIN sets sa ON sa.doc = c.da
+    JOIN sets sb ON sb.doc = c.db
+)
+SELECT da AS doc_small, db AS doc_big,
+       CAST(ni AS BIGINT) AS n_inter, CAST(na AS BIGINT) AS n_small,
+       round(CAST(ni AS DOUBLE) / CAST(na AS DOUBLE), 9) AS containment
+FROM v WHERE 5 * ni >= 4 * na
+"""
+
+
+@register("text_containment_join", _CONTAIN_ORACLE)
+def text_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    base = docs.select(
+        F.col("doc_id").alias("doc"), X.word_shingles(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    sets = base.select(
+        "doc",
+        F.size("toks").alias("n"),
+        F.array_sort(
+            F.array_distinct(F.transform("toks", lambda s: F.xxhash64(s)))
+        ).alias("hs"),
+    )
+    sh = base.select("doc", F.explode("toks").alias("shingle")).select(
+        "doc", F.xxhash64("shingle").alias("h")
+    )
+    dfq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc").orderBy("df", "h")
+    wn = Window.partitionBy("doc")
+    ranked = sh.join(dfq, "h").select(
+        "doc",
+        "h",
+        F.row_number().over(wd).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.floor((4 * F.col("n") + 4) / 5) + 1
+    )
+    cand = (
+        prefix.select(F.col("doc").alias("da"), "h")
+        .join(sh.select(F.col("doc").alias("db"), "h"), "h")
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ni = F.size(F.array_intersect("ha", "hb"))
+    verified = (
+        cand.repartition(n_shuffle, "da", "db")
+        .join(
+            sets.select(
+                F.col("doc").alias("da"), F.col("n").alias("na"), F.col("hs").alias("ha")
+            ),
+            "da",
+        )
+        .join(
+            sets.select(F.col("doc").alias("db"), F.col("hs").alias("hb")), "db"
+        )
+        .select("da", "db", ni.alias("ni"), "na")
+        .filter(F.lit(5) * F.col("ni") >= 4 * F.col("na"))
+    )
+    return verified.select(
+        F.col("da").alias("doc_small"),
+        F.col("db").alias("doc_big"),
+        F.col("ni").cast("long").alias("n_inter"),
+        F.col("na").cast("long").alias("n_small"),
+        F.round(F.col("ni").cast("double") / F.col("na").cast("double"), 9).alias(
+            "containment"
+        ),
+    )

@@ -562,3 +562,89 @@ def embeddings_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", "label", "projected", F.round(norm2, ROUND_DP).alias("proj_norm2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension corpus standardization (feature z-scaling — the
+# preprocessing step before PQ codebook training or any distance metric
+# that assumes isotropic dimensions). Each dimension's (μ, σ) comes from
+# ONE decimal-exact aggregate over the exploded corpus; every vector is
+# then z-scored against the broadcast 64-row stats table.
+#
+# Float discipline: sums accumulate in DECIMAL (squares at (38,12) —
+# x² ~ 1e-2 needs the extra scale); variance is the m2 − μ·μ a−b·c
+# shape → rounded to 9 dp before sqrt (README parity rule 2; sqrt
+# itself is IEEE-correctly-rounded in both engines, so identical
+# var_r ⟹ identical σ). The z values surface as FIXED-POINT micro-z
+# BIGINTs — round(z·1e6) — summed exactly per vector, so the oracle
+# hash sees only integers derived from identical double trees.
+#
+# Scale shape: one explode + one 64-group hash aggregate; the stats
+# join is a DIM-bounded principled broadcast (fixed 64 rows, unlike
+# corpus-cardinality frames); one per-vector re-aggregate. At 100 TB
+# the explode is the only corpus-scaled stage and it is a pure map into
+# a partial-aggregated groupBy.
+# ---------------------------------------------------------------------------
+
+
+_STD_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id,
+           unnest(range(1, {DIM} + 1)) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+stats AS (
+    SELECT dim,
+           CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mu,
+           CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m2
+    FROM ex GROUP BY dim
+),
+sd AS (
+    SELECT dim, mu, sqrt(round(m2 - mu * mu, 9)) AS sigma FROM stats
+),
+z AS (
+    SELECT e.vec_id, e.dim,
+           CASE WHEN s.sigma > 0
+                THEN CAST(round((e.x - s.mu) / s.sigma * 1e6, 0) AS BIGINT)
+                ELSE 0 END AS z_micro
+    FROM ex e JOIN sd s USING (dim)
+)
+SELECT vec_id,
+       max(CASE WHEN dim = 1 THEN z_micro END) AS z_first_micro,
+       max(CASE WHEN dim = {DIM} THEN z_micro END) AS z_last_micro,
+       CAST(sum(z_micro) AS BIGINT) AS z_sum_micro,
+       CAST(sum(abs(z_micro)) AS BIGINT) AS z_l1_micro
+FROM z GROUP BY vec_id
+"""
+
+
+@register("embeddings_standardize", _STD_ORACLE)
+def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    emb = fan_out(t(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+    x = F.col("x")
+    stats = ex.groupBy("dim").agg(
+        (F.sum(x.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum((x * x).cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))).alias(
+            "m2"
+        ),
+    )
+    sd = stats.select(
+        "dim", "mu", F.sqrt(F.round(F.col("m2") - F.col("mu") * F.col("mu"), 9)).alias("sigma")
+    )
+    z_micro = F.when(
+        F.col("sigma") > 0,
+        F.round((x - F.col("mu")) / F.col("sigma") * 1e6, 0).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    z = ex.join(F.broadcast(sd), "dim").select("vec_id", "dim", z_micro.alias("z_micro"))
+    return z.groupBy("vec_id").agg(
+        F.max(F.when(F.col("dim") == 1, F.col("z_micro"))).alias("z_first_micro"),
+        F.max(F.when(F.col("dim") == DIM, F.col("z_micro"))).alias("z_last_micro"),
+        F.sum("z_micro").cast("long").alias("z_sum_micro"),
+        F.sum(F.abs("z_micro")).cast("long").alias("z_l1_micro"),
+    )

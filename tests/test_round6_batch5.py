@@ -176,3 +176,85 @@ class TestNormalizeUnicode:
         r = all_queries()["text_normalize_unicode"](spark, str(tmp_path)).collect()[0]
         assert r.text_norm == "already clean text"
         assert r.n_chars_raw == r.n_chars_norm
+
+
+class TestContainmentJoin:
+    def test_matches_naive_directional(self, spark, tmp_path):
+        """The one-sided prefix filter is exact: output must equal the
+        full pairwise containment >= 0.8 enumeration (both directions)."""
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        words = big.split()
+        texts = [
+            big,
+            " ".join(words[:12]),          # strict prefix excerpt
+            " ".join(words[5:]),           # suffix excerpt
+            big,                           # exact duplicate
+            "totally unrelated content with no shared trigram at all here",
+        ]
+        _write_docs(spark, tmp_path, texts)
+        out = all_queries()["text_containment_join"](spark, str(tmp_path)).collect()
+        got = {(r.doc_small, r.doc_big): (r.n_inter, r.n_small) for r in out}
+
+        def shingles(s):
+            ws = s.lower().strip().split()
+            if len(ws) >= 3:
+                return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            return {" ".join(ws)}
+
+        sets = [shingles(s) for s in texts]
+        want = {}
+        for a in range(len(texts)):
+            for b in range(len(texts)):
+                if a == b:
+                    continue
+                ni, na = len(sets[a] & sets[b]), len(sets[a])
+                if 5 * ni >= 4 * na:
+                    want[(a, b)] = (ni, na)
+        assert got == want
+        assert (1, 0) in got and (0, 1) not in got   # excerpt is directional
+        assert (0, 3) in got and (3, 0) in got       # exact dup: both ways
+
+    def test_small_doc_never_contains_big(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        big = "one two three four five six seven eight nine ten eleven twelve"
+        _write_docs(spark, tmp_path, [big, " ".join(big.split()[:6])])
+        out = all_queries()["text_containment_join"](spark, str(tmp_path)).collect()
+        pairs = {(r.doc_small, r.doc_big) for r in out}
+        assert pairs == {(1, 0)}
+
+
+class TestEmbeddingsStandardize:
+    def _write_emb(self, spark, tmp_path, vecs):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "embeddings.parquet")
+        )
+
+    def test_symmetric_pair_z_is_unit(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # x in {0.5, -0.5} per dim: mu = 0, sigma = 0.5 -> z = +/-1.0
+        self._write_emb(spark, tmp_path, [[0.5] * 64, [-0.5] * 64])
+        out = all_queries()["embeddings_standardize"](spark, str(tmp_path))
+        got = {r.vec_id: r for r in out.collect()}
+        assert got[0].z_first_micro == 1_000_000 and got[0].z_last_micro == 1_000_000
+        assert got[1].z_sum_micro == -64_000_000
+        assert got[0].z_l1_micro == got[1].z_l1_micro == 64_000_000
+
+    def test_constant_dim_zeroes_not_nan(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # every vector identical -> sigma = 0 on all dims -> z = 0, no NaN
+        self._write_emb(spark, tmp_path, [[0.25] * 64] * 3)
+        out = all_queries()["embeddings_standardize"](spark, str(tmp_path))
+        for r in out.collect():
+            assert (r.z_first_micro, r.z_last_micro, r.z_sum_micro, r.z_l1_micro) == (
+                0, 0, 0, 0,
+            )

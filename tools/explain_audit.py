@@ -100,6 +100,8 @@ AUDITED = [
     "funnel_time_to_convert",
     "text_bigram_perplexity",
     "text_normalize_unicode",
+    "text_containment_join",
+    "embeddings_standardize",
 ]
 
 CHECKS = {
@@ -482,6 +484,15 @@ CHECKS_R6D["text_bigram_perplexity"] = [
 CHECKS_R6D["text_normalize_unicode"] = [
     ("Exchange", False, "normalization is a pure map - zero shuffles"),
     ("BatchEvalPython", False, "regex pipeline is JVM-native"),
+]
+CHECKS_R6D["text_containment_join"] = [
+    ("CartesianProduct", False, "candidates come from the one-sided prefix equi-join"),
+    ("BroadcastNestedLoopJoin", False, "no theta join anywhere"),
+    ("BatchEvalPython", False, "hash-keyed pipeline is JVM-side end to end"),
+]
+CHECKS_R6D["embeddings_standardize"] = [
+    ("SortAggregate", False, "dim stats and the per-vector rollup stay hash aggregates"),
+    ("BatchEvalPython", False, "z-scaling is JVM expression arithmetic"),
 ]
 CHECKS.update(CHECKS_R6D)
 
