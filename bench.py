@@ -143,6 +143,8 @@ HEADLINE = [
     "text_normalize_unicode",
     "text_containment_join",
     "embeddings_standardize",
+    "join_point_in_time",
+    "join_supplier_diversity",
 ]
 
 

@@ -977,3 +977,115 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(F.floor((9 * (n - 1)) / 10)).alias("p90_us"),
         F.max("lat_us").alias("max_us"),
     )
+
+
+# --- Point-in-time (as-of dimension) join — the feature-store
+#     correctness pattern: each fact row must see the dimension VERSION
+#     that was valid at the fact's own timestamp, never a later one (no
+#     training-data leakage). Probes are lineitem ships (a deterministic
+#     1-in-20 keyslice keeps the surfaced result row-bounded; the
+#     operator itself is full-corpus); the dimension is the SCD2 status
+#     history derived by scd2_status_history. Spark-first shape: NO
+#     interval/theta join — dimension-change rows and probe rows union
+#     into ONE stream, sorted once per customer with dims-before-probes
+#     tie order (a probe AT a version's start sees that version), and
+#     last(IGNORE NULLS) replays history — the as-of pattern of
+#     asof_purchase_click generalized to a versioned dimension. Probes
+#     predating the first version keep NULL (LEFT semantics; the
+#     generator ships ~half of lineitems before their order date). The
+#     oracle is the direct LEFT theta join against the validity
+#     intervals — same answer through a completely different plan. ---------
+
+
+@register(
+    "join_point_in_time",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        FROM seq
+    ),
+    grp AS (
+        SELECT o_custkey, run AS version, min(o_orderstatus) AS status,
+               min(o_orderdate) AS valid_from
+        FROM runs GROUP BY o_custkey, run
+    ),
+    hist AS (
+        SELECT o_custkey, version, status, valid_from,
+               lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+                   AS valid_to
+        FROM grp
+    ),
+    probes AS (
+        SELECT o.o_custkey, l.l_orderkey, l.l_linenumber, l.l_shipdate AS ship_ts
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey % 20 = 0
+    )
+    SELECT p.o_custkey, p.l_orderkey, p.l_linenumber, p.ship_ts,
+           h.version, h.status
+    FROM probes p LEFT JOIN hist h
+      ON p.o_custkey = h.o_custkey
+     AND p.ship_ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ship_ts < h.valid_to)
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = scd2_status_history(spark, sf_dir).select(
+        "o_custkey",
+        F.col("valid_from").alias("ts"),
+        "version",
+        "status",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probes = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey",
+        F.col("l_shipdate").alias("ts"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(1).alias("tag"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    merged = hist.unionByName(probes)
+    # dims (tag 0) sort before probes (tag 1) at equal ts: a probe AT a
+    # version's valid_from sees the new version; two versions opening on
+    # the same ts resolve to the higher version (its predecessor's
+    # interval is empty) via the version sort key
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("ts", "tag", "version")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    replayed = merged.select(
+        "o_custkey",
+        "ts",
+        "tag",
+        "l_orderkey",
+        "l_linenumber",
+        F.last(F.when(F.col("tag") == 0, F.col("version")), ignorenulls=True)
+        .over(w)
+        .alias("version"),
+        F.last(F.when(F.col("tag") == 0, F.col("status")), ignorenulls=True)
+        .over(w)
+        .alias("status"),
+    )
+    return replayed.filter(F.col("tag") == 1).select(
+        "o_custkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("ts").alias("ship_ts"),
+        "version",
+        "status",
+    )

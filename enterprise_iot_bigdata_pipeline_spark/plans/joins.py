@@ -444,3 +444,47 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.least("l_e", "r_e") - F.greatest("l_s", "r_s")).alias("overlap_us"),
     )
+
+
+# --- TPC-H Q16 shape (supplier diversity per part group, minus
+#     disqualified suppliers): DISTINCT-aggregate AFTER an anti-join —
+#     the one relational shape the registry's semi/anti and
+#     distinct-agg slots exercised separately but never composed.
+#     lineitem stands in for partsupp (l_partkey, l_suppkey is the
+#     association); suppliers in arrears (s_acctbal < 0) are
+#     disqualified. Plan shape: the disqualified-key list is a
+#     dimension-bounded LEFT ANTI (broadcast — supplier is the classic
+#     broadcastable dim and the negative subset is smaller still), the
+#     part attributes arrive by a broadcast dim join, and the
+#     count(DISTINCT supplier) rides Spark's two-phase distinct-agg
+#     expansion — partial-aggregated map-side, no row explosion. ------------
+
+
+@register(
+    "join_supplier_diversity",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def join_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    kept = li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+    joined = kept.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.groupBy("p_brand", "p_size").agg(
+        F.count_distinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

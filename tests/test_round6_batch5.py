@@ -258,3 +258,67 @@ class TestEmbeddingsStandardize:
             assert (r.z_first_micro, r.z_last_micro, r.z_sum_micro, r.z_l1_micro) == (
                 0, 0, 0, 0,
             )
+
+
+class TestPointInTimeJoin:
+    def test_versions_resolve_as_of_ship_ts(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        orders = spark.createDataFrame(
+            [
+                # customer 1: status F from day 1, O from day 5
+                (20, 1, "F", "2024-01-01 00:00:00"),
+                (40, 1, "O", "2024-01-05 00:00:00"),
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, o_orderdate string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        li = spark.createDataFrame(
+            [
+                # probes (orderkey % 20 == 0): before any version, inside v0,
+                # exactly at v1's start, after v1's start
+                (20, 1, "2023-12-25 00:00:00"),
+                (20, 2, "2024-01-03 00:00:00"),
+                (40, 1, "2024-01-05 00:00:00"),
+                (40, 2, "2024-01-09 00:00:00"),
+                # non-slice orderkey: excluded from probes
+                (41, 1, "2024-01-03 00:00:00"),
+            ],
+            "l_orderkey long, l_linenumber int, l_shipdate string",
+        ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        orders.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        li.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        out = all_queries()["join_point_in_time"](spark, str(tmp_path)).collect()
+        got = {(r.l_orderkey, r.l_linenumber): (r.version, r.status) for r in out}
+        assert got[(20, 1)] == (None, None)      # predates every version
+        assert got[(20, 2)] == (1, "F")
+        assert got[(40, 1)] == (2, "O")          # boundary: new version wins
+        assert got[(40, 2)] == (2, "O")
+        assert len(got) == 4                     # the %20 slice excluded key 41
+
+
+class TestSupplierDiversity:
+    def test_disqualified_supplier_excluded(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        part = spark.createDataFrame(
+            [(1, "n", "B1", "t", 5, 1.0), (2, "n", "B1", "t", 5, 1.0)],
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        )
+        supplier = spark.createDataFrame(
+            [(10, "s", 0, 100.0), (11, "s", 0, -5.0), (12, "s", 0, 50.0)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        )
+        li = spark.createDataFrame(
+            [
+                (1, 1, 10, 1), (2, 1, 11, 1),     # supplier 11 disqualified
+                (3, 2, 10, 1), (4, 2, 12, 1), (5, 2, 10, 2),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int",
+        )
+        for name, df in [("part", part), ("supplier", supplier), ("lineitem", li)]:
+            df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"{name}.parquet"))
+        out = all_queries()["join_supplier_diversity"](spark, str(tmp_path)).collect()
+        got = {(r.p_brand, r.p_size): (r.n_suppliers, r.n_lineitems) for r in out}
+        # part 1 keeps only supplier 10 (one lineitem); part 2 keeps 10,10,12
+        assert got == {("B1", 5): (2, 4)}

@@ -102,6 +102,8 @@ AUDITED = [
     "text_normalize_unicode",
     "text_containment_join",
     "embeddings_standardize",
+    "join_point_in_time",
+    "join_supplier_diversity",
 ]
 
 CHECKS = {
@@ -493,6 +495,16 @@ CHECKS_R6D["text_containment_join"] = [
 CHECKS_R6D["embeddings_standardize"] = [
     ("SortAggregate", False, "dim stats and the per-vector rollup stay hash aggregates"),
     ("BatchEvalPython", False, "z-scaling is JVM expression arithmetic"),
+]
+CHECKS_R6D["join_point_in_time"] = [
+    ("CartesianProduct", False, "history replay is the union-tag window, never a theta join"),
+    ("BroadcastNestedLoopJoin", False, "no interval explosion"),
+    ("BatchEvalPython", False, "pure JVM window algebra"),
+]
+CHECKS_R6D["join_supplier_diversity"] = [
+    ("BroadcastHashJoin", True, "part dim and the disqualified-key anti ride broadcasts"),
+    ("SortMergeJoin", False, "no fact-side shuffle for dimension-bounded sides"),
+    ("HashAggregate", True, "single-distinct plans as two-level hash agg (no Expand needed)"),
 ]
 CHECKS.update(CHECKS_R6D)
 
