@@ -145,6 +145,8 @@ HEADLINE = [
     "embeddings_standardize",
     "join_point_in_time",
     "join_supplier_diversity",
+    "events_top_paths",
+    "text_compression_ratio",
 ]
 
 

@@ -1089,3 +1089,84 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "status",
     )
+
+
+# --- Session path analysis: the top 3-step event-type sequences users
+#     take INSIDE a session (30-min gap sessionization, the registry's
+#     standard) — the "common navigation paths" product-analytics query.
+#     Shape: ONE user-keyed window sort carries both the session
+#     numbering (running sum of gap flags) and the two lead() steps —
+#     Spark plans a single Window node; the path 3-gram forms only when
+#     both leads stay in the SAME session; then one hash count and a
+#     TakeOrdered top-15 (never a global sort). All integer/string
+#     exact. ---------------------------------------------------------------
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    ),
+    steps AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w2 AS e2,
+               lead(event_type, 2) OVER w2 AS e3,
+               session_id,
+               lead(session_id, 1) OVER w2 AS s2,
+               lead(session_id, 2) OVER w2 AS s3
+        FROM sess
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path
+        FROM steps
+        WHERE s2 = session_id AND s3 = session_id
+    )
+    SELECT path, count(*) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path ASC LIMIT 15
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "session_id"
+        ),
+    )
+    steps = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        "session_id",
+        F.lead("session_id", 1).over(w).alias("s2"),
+        F.lead("session_id", 2).over(w).alias("s3"),
+    )
+    paths = steps.filter(
+        (F.col("s2") == F.col("session_id")) & (F.col("s3") == F.col("session_id"))
+    ).select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(15)
+    )

@@ -322,3 +322,60 @@ class TestSupplierDiversity:
         got = {(r.p_brand, r.p_size): (r.n_suppliers, r.n_lineitems) for r in out}
         # part 1 keeps only supplier 10 (one lineitem); part 2 keeps 10,10,12
         assert got == {("B1", 5): (2, 4)}
+
+
+class TestTopPaths:
+    def test_known_paths_and_session_boundary(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                # user 1, one session: view>click>purchase + click>purchase>view
+                (0, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+                (1, "2024-01-01 00:01:00", 1, "click", 0.0, "{}"),
+                (2, "2024-01-01 00:02:00", 1, "purchase", 0.0, "{}"),
+                (3, "2024-01-01 00:03:00", 1, "view", 0.0, "{}"),
+                # >30 min gap: new session — no path may cross it
+                (4, "2024-01-01 01:00:00", 1, "view", 0.0, "{}"),
+                (5, "2024-01-01 01:01:00", 1, "click", 0.0, "{}"),
+                (6, "2024-01-01 01:02:00", 1, "purchase", 0.0, "{}"),
+            ],
+        )
+        out = all_queries()["events_top_paths"](spark, str(tmp_path)).collect()
+        got = {r.path: r.n for r in out}
+        assert got["view>click>purchase"] == 2
+        assert got["click>purchase>view"] == 1
+        # the 2-event tail of session 1 + head of session 2 forms no path
+        assert "purchase>view>view" not in got
+        assert "view>view>click" not in got
+
+
+class TestCompressionRatio:
+    def test_sizes_ordering_and_nulls(self, spark, tmp_path):
+        import zlib
+
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        rep = "spam " * 200
+        prose = ("the quick brown fox jumps over the lazy dog and then "
+                 "wanders along the river bank looking for something new ") * 5
+        import random
+
+        rng = random.Random(42)
+        rnd = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ") for _ in range(640))
+        docs = spark.createDataFrame(
+            [(0, rep, "en", "s", len(rep)), (1, prose, "en", "s", len(prose)),
+             (2, rnd, "en", "s", len(rnd)), (3, None, "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = all_queries()["text_compression_ratio"](spark, str(tmp_path))
+        got = {r.doc_id: r for r in out.collect()}
+        assert got[0].n_bytes_raw == len(rep.encode())
+        assert got[0].n_bytes_deflate == len(zlib.compress(rep.encode(), 6))
+        assert got[0].deflate_ratio < got[1].deflate_ratio < got[2].deflate_ratio
+        assert got[3].n_bytes_raw is None and got[3].deflate_ratio is None

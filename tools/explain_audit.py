@@ -104,6 +104,8 @@ AUDITED = [
     "embeddings_standardize",
     "join_point_in_time",
     "join_supplier_diversity",
+    "events_top_paths",
+    "text_compression_ratio",
 ]
 
 CHECKS = {
@@ -505,6 +507,15 @@ CHECKS_R6D["join_supplier_diversity"] = [
     ("BroadcastHashJoin", True, "part dim and the disqualified-key anti ride broadcasts"),
     ("SortMergeJoin", False, "no fact-side shuffle for dimension-bounded sides"),
     ("HashAggregate", True, "single-distinct plans as two-level hash agg (no Expand needed)"),
+]
+CHECKS_R6D["events_top_paths"] = [
+    ("Window", True, "session numbering and both leads share the user-keyed sort"),
+    ("TakeOrderedAndProject", True, "top-15 never globally sorts the path counts"),
+    ("BatchEvalPython", False, "path building is JVM window algebra"),
+]
+CHECKS_R6D["text_compression_ratio"] = [
+    ("MapInPandas", True, "the DEFLATE codec is the one principled Arrow-batched stage"),
+    ("Exchange", False, "pure map over the scan - zero shuffles"),
 ]
 CHECKS.update(CHECKS_R6D)
 
