@@ -147,6 +147,8 @@ HEADLINE = [
     "join_supplier_diversity",
     "events_top_paths",
     "text_compression_ratio",
+    "events_benford_audit",
+    "events_rolling_wau",
 ]
 
 

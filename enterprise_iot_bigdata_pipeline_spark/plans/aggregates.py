@@ -6,7 +6,7 @@ moment statistics) — all decimal-accumulated for cross-engine determinism
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from enterprise_iot_bigdata_pipeline_spark.functions.parity import DAVG_SQL, DSUM_SQL, davg, dsum
@@ -449,4 +449,105 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (nk.cast("decimal(38,0)") * ne).cast("double"),
             9,
         ).alias("gini"),
+    )
+
+
+# --- Benford first-digit audit — the fraud/data-quality screen: the
+#     distribution of first significant digits of event values vs
+#     Benford's expectation. Float discipline: NO log10 (libm-divergent
+#     and wrong at power-of-ten boundaries) — values scale to exact
+#     integer cents (round(v·100), the decimal-exact contract the
+#     corpus values satisfy), and the first digit is the first char of
+#     the INTEGER's string form (int→string is engine-identical, unlike
+#     float formatting). One hash aggregate; the 9-row result computes
+#     shares with single correctly-rounded divisions. --------------------
+
+
+@register(
+    "events_benford_audit",
+    """
+    WITH cents AS (
+        SELECT CAST(round(abs(value) * 100, 0) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL AND value <> 0
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents WHERE c > 0
+    )
+    SELECT digit,
+           count(*) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER () AS DOUBLE), 9) AS share
+    FROM digits GROUP BY digit
+    """,
+)
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") != 0)
+    )
+    cents = ev.select(
+        F.round(F.abs(F.col("value")) * 100, 0).cast("long").alias("c")
+    ).filter(F.col("c") > 0)
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return counts.select(
+        "digit",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 9
+        ).alias("share"),
+    )
+
+
+# --- Rolling 7-day active users (trailing WAU per observed day) — the
+#     engagement dashboard query. Sliding DISTINCT counts can't ride an
+#     ordinary window aggregate, so the scalable shape is CONTRIBUTION
+#     REPLICATION: reduce to distinct (user, day) first (the corpus-
+#     scale shuffle), then each active day contributes to its 7 trailing
+#     windows via a bounded sequence-explode (×7, calendar arithmetic,
+#     no theta join), re-deduped per (window, user) by the count
+#     DISTINCT. Output restricted to days observed in the data. ----------
+
+
+@register(
+    "events_rolling_wau",
+    """
+    WITH days AS (
+        -- floor(), not //: DuckDB's // on DOUBLE operands is plain
+        -- division, and epoch() returns DOUBLE seconds. floor matches
+        -- Spark's integral unix_timestamp at any sign (the repo-wide
+        -- floor-division rule for time bucketing).
+        SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        FROM events
+    ),
+    obs AS (SELECT DISTINCT d FROM days),
+    contrib AS (
+        SELECT user_id, d + off AS wd
+        FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+    )
+    SELECT CAST(CAST(DATE '1970-01-01' + to_days(CAST(c.wd AS INTEGER)) AS DATE) AS VARCHAR) AS day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN obs ON obs.d = c.wd
+    GROUP BY c.wd
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    days = ev.select("user_id", day.alias("d")).distinct()
+    obs = days.select("d").distinct()
+    contrib = days.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd")
+    )
+    j = contrib.join(obs.withColumnRenamed("d", "wd"), "wd")
+    return j.groupBy("wd").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    ).select(
+        F.expr("cast(date_add(DATE '1970-01-01', cast(wd as int)) as string)").alias(
+            "day"
+        ),
+        "wau",
     )

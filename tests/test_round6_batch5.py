@@ -379,3 +379,69 @@ class TestCompressionRatio:
         assert got[0].n_bytes_deflate == len(zlib.compress(rep.encode(), 6))
         assert got[0].deflate_ratio < got[1].deflate_ratio < got[2].deflate_ratio
         assert got[3].n_bytes_raw is None and got[3].deflate_ratio is None
+
+
+class TestBenfordAudit:
+    def test_known_digit_counts(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        vals = [1.23, 19.99, 0.95, 2.50, 250.0, 9.0, 0.0, None]
+        rows = [
+            (i, "2024-01-01 00:00:00", 1, "view", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        _write_events(spark, tmp_path, rows)
+        out = all_queries()["events_benford_audit"](spark, str(tmp_path)).collect()
+        got = {r.digit: r.n for r in out}
+        # cents: 123, 1999, 95, 250, 25000, 900 -> digits 1,1,9,2,2,9
+        assert got == {1: 2, 2: 2, 9: 2}
+        shares = {r.digit: r.share for r in out}
+        assert abs(shares[1] - 2 / 6) < 1e-9
+
+    def test_sub_cent_and_negative(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # -3.00 counts via abs; 0.001 rounds to 0 cents and drops
+        _write_events(
+            spark, tmp_path,
+            [(0, "2024-01-01 00:00:00", 1, "view", -3.0, "{}"),
+             (1, "2024-01-01 00:00:00", 1, "view", 0.001, "{}")],
+        )
+        out = all_queries()["events_benford_audit"](spark, str(tmp_path)).collect()
+        assert {r.digit: r.n for r in out} == {3: 1}
+
+
+class TestRollingWau:
+    def test_trailing_window_counts(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_events(
+            spark, tmp_path,
+            [
+                # user 1 active day 0; user 2 active day 0 and day 8
+                (0, "2024-01-01 12:00:00", 1, "view", 1.0, "{}"),
+                (1, "2024-01-01 13:00:00", 2, "view", 1.0, "{}"),
+                (2, "2024-01-09 12:00:00", 2, "view", 1.0, "{}"),
+            ],
+        )
+        out = all_queries()["events_rolling_wau"](spark, str(tmp_path)).collect()
+        got = {r.day: r.wau for r in out}
+        # observed days only: Jan 1 (both users) and Jan 9 (user 2 only —
+        # Jan 1 activity fell out of the trailing 7-day window on Jan 8)
+        assert got == {"2024-01-01": 2, "2024-01-09": 1}
+
+    def test_user_counted_once_within_window(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_events(
+            spark, tmp_path,
+            [
+                (0, "2024-01-01 12:00:00", 1, "view", 1.0, "{}"),
+                (1, "2024-01-03 12:00:00", 1, "view", 1.0, "{}"),
+                (2, "2024-01-05 12:00:00", 1, "view", 1.0, "{}"),
+            ],
+        )
+        out = all_queries()["events_rolling_wau"](spark, str(tmp_path)).collect()
+        assert {r.day: r.wau for r in out} == {
+            "2024-01-01": 1, "2024-01-03": 1, "2024-01-05": 1,
+        }

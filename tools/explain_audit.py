@@ -106,6 +106,8 @@ AUDITED = [
     "join_supplier_diversity",
     "events_top_paths",
     "text_compression_ratio",
+    "events_benford_audit",
+    "events_rolling_wau",
 ]
 
 CHECKS = {
@@ -516,6 +518,14 @@ CHECKS_R6D["events_top_paths"] = [
 CHECKS_R6D["text_compression_ratio"] = [
     ("MapInPandas", True, "the DEFLATE codec is the one principled Arrow-batched stage"),
     ("Exchange", False, "pure map over the scan - zero shuffles"),
+]
+CHECKS_R6D["events_benford_audit"] = [
+    ("partial_count", True, "digit counts combine map-side"),
+    ("BatchEvalPython", False, "digit extraction is JVM int-to-string, no log10 anywhere"),
+]
+CHECKS_R6D["events_rolling_wau"] = [
+    ("CartesianProduct", False, "window membership is the bounded sequence-explode, no theta join"),
+    ("BatchEvalPython", False, "calendar arithmetic is JVM-native"),
 ]
 CHECKS.update(CHECKS_R6D)
 
