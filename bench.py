@@ -149,6 +149,8 @@ HEADLINE = [
     "text_compression_ratio",
     "events_benford_audit",
     "events_rolling_wau",
+    "events_kmv_distinct",
+    "graph_bfs_recursive",
 ]
 
 

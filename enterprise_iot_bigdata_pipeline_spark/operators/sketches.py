@@ -119,3 +119,65 @@ def approx_heavy_hitters(
         .filter(F.col("rank") <= k)
         .select("value", "approx_count", "max_undercount", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_minima(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-``key_col`` k smallest 60-bit md5 hashes of ``value_col`` — the
+    KMV (k-minimum-values / bottom-k) distinct-count sketch [Bar-Yossef
+    et al. 2002], the DETERMINISTIC counterpart to the HLL++ behind
+    ``approx_count_distinct``: both engines md5 the same strings, so the
+    sketch — and therefore the estimate — is bit-identical cross-engine
+    (the md5-prefix→BIGINT parity contract from ``operators.sampling``).
+
+    Estimator (computed by the caller from this frame): with ``h_k`` the
+    k-th smallest of n distinct hash values scaled to [0, 2^60), the
+    minima are uniform order statistics, so ``(k-1)·2^60 / h_k``
+    estimates n with relative error ~1/√(k−2); when fewer than k
+    distinct values exist the sketch holds ALL of them and the exact
+    count is recoverable.
+
+    Scale shape — two-phase k-minima, never a global per-key sort of the
+    distinct set:
+      1. one ``distinct`` shuffle on (key, hash) — set semantics, and the
+         ONLY corpus-scaled exchange;
+      2. local k minima per (key, pmod(hash, n_buckets)) — the window
+         sorts 1/n_buckets of each key's distinct hashes, in parallel;
+      3. global k minima per key over the surviving ≤ n_buckets·k rows.
+    The global k minima are a subset of the union of bucket-local k
+    minima (any value displaced from a bucket's top-k is dominated by k
+    smaller hashes in that same bucket), so phase 3 is exact.
+
+    Returns (key_col, h, rk) with rk ∈ [1, k] ascending by hash.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = (
+        df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(key_col), h.alias("h"))
+        .distinct()
+    )
+    w_local = W.partitionBy(key_col, F.pmod(F.col("h"), F.lit(n_buckets))).orderBy(
+        "h"
+    )
+    local = (
+        d.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= k)
+        .drop("lrk")
+    )
+    w_global = W.partitionBy(key_col).orderBy("h")
+    return (
+        local.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= k)
+    )

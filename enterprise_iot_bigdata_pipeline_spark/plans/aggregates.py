@@ -551,3 +551,103 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "wau",
     )
+
+
+# --- KMV distinct-count sketch, estimate vs exact in one frame — the
+#     DETERMINISTIC cardinality sketch beside agg_approx_distinct's
+#     HLL++ (whose oracle can only assert an accuracy contract): both
+#     engines md5 the same strings, so the k minima, the estimate, and
+#     the error are bit-identical and the hash gate verifies them
+#     directly. Estimator (k−1)·2^60 / h_k computed in DECIMAL(38,0)
+#     integral division (the 63·2^60 product overflows BIGINT); when a
+#     key holds fewer than k distinct values the sketch IS the exact
+#     set and the estimate snaps to it. Scale shape: one distinct
+#     shuffle + two-phase bucketed k-minima (operators/sketches.py) —
+#     no global per-key sort of the distinct set. The exact-count column
+#     rides the SAME deduped frame (an eval-style query, like
+#     ann_recall_eval: the sketch's error is part of the result). --------
+
+_KMV_K = 64
+_KMV_SCALE = 1 << 60  # hash domain: md5-prefix 60-bit ints
+
+
+@register(
+    "events_kmv_distinct",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM h
+    ),
+    mins AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS k_used,
+               max(h) AS kth_min_h
+        FROM r WHERE rk <= {_KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+        FROM h GROUP BY event_type
+    ),
+    est AS (
+        SELECT m.event_type, m.k_used, m.kth_min_h, e.exact_distinct,
+               CASE WHEN m.k_used < {_KMV_K} THEN e.exact_distinct
+                    ELSE CAST(CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_SCALE}
+                              // m.kth_min_h AS BIGINT)
+               END AS est_distinct
+        FROM mins m JOIN ex e USING (event_type)
+    )
+    SELECT event_type, k_used, kth_min_h, est_distinct, exact_distinct,
+           CAST(abs(est_distinct - exact_distinct) * 1000000
+                // exact_distinct AS BIGINT) AS err_ppm
+    FROM est
+    """,
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.sketches import kmv_minima
+
+    ev = t(spark, sf_dir, "events")
+    minima = kmv_minima(ev, "event_type", "user_id", _KMV_K)
+    mins = minima.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_min_h"),
+    )
+    # exact distinct rides the same deduped (event_type, h) frame the
+    # sketch reduces — one extra |keys|-row aggregate, zero extra scans
+    # of the corpus (ReuseExchange keeps the distinct shuffle shared).
+    exact = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            ).cast("long").alias("h"),
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    j = mins.join(exact, "event_type")
+    est = F.when(F.col("k_used") < _KMV_K, F.col("exact_distinct")).otherwise(
+        F.expr(
+            f"CAST((CAST({_KMV_K - 1} AS DECIMAL(38,0)) * CAST({_KMV_SCALE} AS DECIMAL(38,0)))"
+            " div kth_min_h AS BIGINT)"
+        )
+    )
+    return j.select(
+        "event_type",
+        "k_used",
+        "kth_min_h",
+        est.alias("est_distinct"),
+        "exact_distinct",
+        F.expr(
+            "(abs(est_distinct - exact_distinct) * CAST(1000000 AS BIGINT))"
+            " div exact_distinct"
+        ).alias("err_ppm"),
+    )

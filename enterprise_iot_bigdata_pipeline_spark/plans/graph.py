@@ -241,3 +241,63 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri_cnt"))
+
+
+# --- Hop-bounded BFS through Spark 4's NATIVE recursive CTE
+#     (SPARK-24497, `WITH RECURSIVE`): min-hop distance and trade-path
+#     counts from nation 0 over each nation's top-3 trade partners.
+#     The engine surface is the point — the UnionLoop execution of a
+#     self-referencing CTE, verified against DuckDB's recursive CTE
+#     running the IDENTICAL SQL text (both engines: UNION ALL recursion,
+#     anchor + step). The pagerank/components loops above are
+#     driver-driven iteration; this is the declarative form.
+#
+#     Scale + termination design: Spark (like every UNION ALL recursive
+#     engine) enumerates WALKS, not visited sets — a distinct-frontier
+#     `UNION` recursion is unsupported (UNION_NOT_SUPPORTED_IN_
+#     RECURSIVE_CTE, checked on 4.1.2) — so an unbounded recursion on a
+#     cyclic graph diverges. Two bounds keep the walk set finite and
+#     tiny: out-degree ≤ 3 (top-3 partners by weight, ties by dst) and
+#     hop < 6 ⇒ ≤ Σ 3^h ≈ 1.1k walk rows from one source. For
+#     corpus-scaled graphs the iterative frontier loop with per-round
+#     dedup (operators/dedup.py::connected_components' pattern) stays
+#     the right tool; this query documents exactly where the declarative
+#     form's applicability ends. The fact-scale work — the 4-way edge
+#     build — runs ONCE (it feeds only the CTE; Spark's UnionLoop
+#     re-reads the CTE output, not its lineage, per step). ----------------
+
+_BFS_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rk
+            FROM edges
+        ) WHERE rk <= 3
+    ),
+    walks AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+        UNION ALL
+        SELECT e.dst, w.hop + CAST(1 AS BIGINT)
+        FROM walks w JOIN e ON e.src = w.node
+        WHERE w.hop < 6
+    )
+    SELECT node, min(hop) AS hops, CAST(count(*) AS BIGINT) AS n_walks
+    FROM walks GROUP BY node
+"""
+
+
+@register("graph_bfs_recursive", _BFS_SQL)
+def graph_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("orders", "customer", "lineitem", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_BFS_SQL)

@@ -1,0 +1,137 @@
+"""Round-6 session-5 batch: KMV distinct sketch, recursive-CTE BFS."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def _h60(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+class TestKmvMinima:
+    def test_matches_brute_force_minima(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.sketches import kmv_minima
+
+        vals = list(range(200))
+        df = spark.createDataFrame(
+            [("k", v) for v in vals] * 2,  # duplicates must not change the sketch
+            "grp string, v long",
+        )
+        got = (
+            kmv_minima(df, "grp", "v", k=16, n_buckets=8)
+            .orderBy("rk")
+            .collect()
+        )
+        want = sorted(_h60(v) for v in vals)[:16]
+        assert [r.h for r in got] == want
+        assert [r.rk for r in got] == list(range(1, 17))
+
+    def test_fewer_than_k_keeps_all(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.sketches import kmv_minima
+
+        df = spark.createDataFrame([("k", v) for v in (7, 8, 9)], "grp string, v long")
+        got = kmv_minima(df, "grp", "v", k=64).collect()
+        assert len(got) == 3
+        assert sorted(r.h for r in got) == sorted(_h60(v) for v in (7, 8, 9))
+
+
+class TestKmvDistinctQuery:
+    def test_exact_branch_when_under_k(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        rows = [
+            (i, "2024-01-01 00:00:00", uid, "view", 1.0, "{}")
+            for i, uid in enumerate([1, 2, 3, 1, 2])
+        ]
+        _write_events(spark, tmp_path, rows)
+        out = all_queries()["events_kmv_distinct"](spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.k_used, r.est_distinct, r.exact_distinct, r.err_ppm) == (3, 3, 3, 0)
+
+    def test_estimator_within_sketch_error(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        n = 500
+        rows = [
+            (i, "2024-01-01 00:00:00", i, "view", 1.0, "{}") for i in range(n)
+        ]
+        _write_events(spark, tmp_path, rows)
+        r = all_queries()["events_kmv_distinct"](spark, str(tmp_path)).collect()[0]
+        assert r.k_used == 64 and r.exact_distinct == n
+        # rsd ~ 1/sqrt(k-2) = 12.7%; 60% is a deterministic-fixture bound,
+        # not a statistical one (the hash set is fixed, so this pins the
+        # actual estimate's ballpark forever)
+        assert abs(r.est_distinct - n) / n < 0.6
+        assert r.err_ppm == abs(r.est_distinct - n) * 1_000_000 // n
+
+
+def _write_trade(spark, tmp_path, edges):
+    """Write minimal orders/customer/lineitem/supplier building exactly
+    the given (src_nation, dst_nation, weight) multi-edge set."""
+    customers, suppliers, orders, lines = [], [], [], []
+    next_id = 1
+    for src, dst, w in edges:
+        for _ in range(w):
+            i = next_id
+            next_id += 1
+            customers.append((i, src))
+            suppliers.append((i, dst))
+            orders.append((i, i))
+            lines.append((i, i))
+    spark.createDataFrame(
+        customers, "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        suppliers, "s_suppkey long, s_nationkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+class TestBfsRecursive:
+    def test_chain_hops_and_walks(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_trade(spark, tmp_path, [(0, 1, 1), (1, 2, 1)])
+        out = all_queries()["graph_bfs_recursive"](spark, str(tmp_path)).collect()
+        got = {r.node: (r.hops, r.n_walks) for r in out}
+        assert got == {0: (0, 1), 1: (1, 1), 2: (2, 1)}
+
+    def test_cycle_terminates_at_hop_bound(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_trade(spark, tmp_path, [(0, 1, 1), (1, 0, 1)])
+        out = all_queries()["graph_bfs_recursive"](spark, str(tmp_path)).collect()
+        got = {r.node: (r.hops, r.n_walks) for r in out}
+        # walks alternate 0->1->0->...; hop<6 bound => node0 at hops
+        # {0,2,4,6} and node1 at {1,3,5}
+        assert got == {0: (0, 4), 1: (1, 3)}
+
+    def test_top3_out_degree_cap(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # node 0 trades with 5 partners at weights 5,4,3,2,1 -> only the
+        # top-3 (nations 1,2,3) are BFS-reachable
+        _write_trade(
+            spark, tmp_path,
+            [(0, 1, 5), (0, 2, 4), (0, 3, 3), (0, 4, 2), (0, 5, 1)],
+        )
+        out = all_queries()["graph_bfs_recursive"](spark, str(tmp_path)).collect()
+        assert {r.node for r in out} == {0, 1, 2, 3}

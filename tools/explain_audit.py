@@ -108,6 +108,8 @@ AUDITED = [
     "text_compression_ratio",
     "events_benford_audit",
     "events_rolling_wau",
+    "events_kmv_distinct",
+    "graph_bfs_recursive",
 ]
 
 CHECKS = {
@@ -526,6 +528,14 @@ CHECKS_R6D["events_benford_audit"] = [
 CHECKS_R6D["events_rolling_wau"] = [
     ("CartesianProduct", False, "window membership is the bounded sequence-explode, no theta join"),
     ("BatchEvalPython", False, "calendar arithmetic is JVM-native"),
+]
+CHECKS_R6D["events_kmv_distinct"] = [
+    ("WindowGroupLimit", True, "rank-limit pushes below the shuffle: k minima select map-side"),
+    ("BatchEvalPython", False, "md5-prefix hashing is JVM-native"),
+]
+CHECKS_R6D["graph_bfs_recursive"] = [
+    ("UnionLoop", True, "Spark 4 native recursive-CTE execution node"),
+    ("BatchEvalPython", False, "pure SQL recursion, no Python"),
 ]
 CHECKS.update(CHECKS_R6D)
 
