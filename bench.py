@@ -151,6 +151,8 @@ HEADLINE = [
     "events_rolling_wau",
     "events_kmv_distinct",
     "graph_bfs_recursive",
+    "fifo_return_allocation",
+    "users_rfm_segments",
 ]
 
 

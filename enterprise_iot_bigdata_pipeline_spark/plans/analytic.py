@@ -1170,3 +1170,241 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(15)
     )
+
+
+# --- FIFO return-to-shipment allocation: each part's returned quantity
+#     pool consumes its shipped lines OLDEST-FIRST — the inventory /
+#     order-book matching primitive (same algebra as FIFO cost basis or
+#     supply-demand netting). The sequential "walk the shipments until
+#     the pool runs out" becomes pure window algebra: a running quantity
+#     sum per part turns every shipped line into the half-open interval
+#     [cum_before, cum_after), and its matched quantity is the overlap
+#     of that interval with [0, pool) — no iteration, no theta join.
+#     ONE part-keyed window sort (the only corpus exchange besides the
+#     part-level returns aggregate) + one hash agg. The returns pool
+#     joins by part key UN-hinted (part cardinality scales with the
+#     corpus; AQE broadcasts when it fits — the cohort de-hint rule).
+#     Quantities are integral by the corpus contract: round() -> BIGINT
+#     on both engines so every cumulative bound is exact. The FIFO
+#     frontier line (the one the pool runs dry inside) is unique per
+#     part, so max(CASE ...) recovers it without an extra sort. ------------
+
+
+@register(
+    "fifo_return_allocation",
+    """
+    WITH ships AS (
+        SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+               CAST(round(l_quantity, 0) AS BIGINT) AS qty
+        FROM lineitem WHERE l_returnflag <> 'R'
+    ),
+    pool AS (
+        SELECT l_partkey, CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS r_total
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+    ),
+    cums AS (
+        SELECT s.l_partkey, s.l_orderkey, s.qty, p.r_total,
+               sum(s.qty) OVER (
+                   PARTITION BY s.l_partkey
+                   ORDER BY s.l_shipdate, s.l_orderkey, s.l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_after
+        FROM ships s JOIN pool p ON s.l_partkey = p.l_partkey
+    ),
+    m AS (
+        SELECT l_partkey, l_orderkey, qty, r_total, cum_after,
+               cum_after - qty AS cum_before,
+               greatest(CAST(0 AS BIGINT),
+                        least(cum_after, r_total) - (cum_after - qty)) AS matched
+        FROM cums
+    )
+    SELECT l_partkey,
+           CAST(sum(qty) AS BIGINT) AS total_shipped,
+           min(r_total) AS total_returned,
+           CAST(sum(matched) AS BIGINT) AS matched_qty,
+           CAST(count(*) AS BIGINT) AS n_ship_lines,
+           CAST(sum(CASE WHEN matched = qty THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+           CAST(sum(CASE WHEN matched > 0 AND matched < qty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_partial,
+           max(CASE WHEN cum_before < r_total AND r_total <= cum_after
+                    THEN l_orderkey END) AS frontier_orderkey
+    FROM m GROUP BY l_partkey
+    """,
+)
+def fifo_return_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    ships = li.filter(F.col("l_returnflag") != "R").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate", qty.alias("qty")
+    )
+    pool = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_partkey")
+        .agg(F.sum(qty).cast("long").alias("r_total"))
+    )
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cums = ships.join(pool, "l_partkey").select(
+        "l_partkey",
+        "l_orderkey",
+        "qty",
+        "r_total",
+        F.sum("qty").over(w).alias("cum_after"),
+    )
+    m = cums.select(
+        "l_partkey",
+        "l_orderkey",
+        "qty",
+        "r_total",
+        "cum_after",
+        (F.col("cum_after") - F.col("qty")).alias("cum_before"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("cum_after"), F.col("r_total"))
+            - (F.col("cum_after") - F.col("qty")),
+        ).alias("matched"),
+    )
+    return m.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("total_shipped"),
+        F.min("r_total").alias("total_returned"),
+        F.sum("matched").cast("long").alias("matched_qty"),
+        F.count(F.lit(1)).alias("n_ship_lines"),
+        F.sum((F.col("matched") == F.col("qty")).cast("long")).alias("n_full"),
+        F.sum(
+            ((F.col("matched") > 0) & (F.col("matched") < F.col("qty"))).cast("long")
+        ).alias("n_partial"),
+        F.max(
+            F.when(
+                (F.col("cum_before") < F.col("r_total"))
+                & (F.col("r_total") <= F.col("cum_after")),
+                F.col("l_orderkey"),
+            )
+        ).alias("frontier_orderkey"),
+    )
+
+
+# --- RFM user segmentation (recency × frequency quartile bands, monetary
+#     rolled up per segment) — the marketing/engagement classification
+#     query. Quartile thresholds are ORDER STATISTICS over a
+#     user-cardinality frame, which would naively be a global sort of
+#     every user; instead both metrics go through the COUNT-OF-COUNTS
+#     histogram (the skew-profile pattern): recency's distinct values are
+#     calendar-bounded and frequency's are bounded by the max events per
+#     user, so the cumulative scan runs over a histogram that grows
+#     ~O(max value), not with the corpus. Discrete lower-type quantiles
+#     (idx = floor(q·(n−1)), exact BIGINT arithmetic — the
+#     funnel_time_to_convert convention) picked as min value whose
+#     cumulative count covers the index; ties share a band (the
+#     quartile_banded rule). Thresholds are one-row frames → principled
+#     broadcast. Monetary stays DECIMAL(25,6)-exact per user and per
+#     segment; each double is produced by ONE final cast/division. ---------
+
+_RFM_THR_SQL = """
+    SELECT min(CASE WHEN cum >= (n - 1) // 4 + 1 THEN v END) AS t1,
+           min(CASE WHEN cum >= (n - 1) // 2 + 1 THEN v END) AS t2,
+           min(CASE WHEN cum >= (3 * (n - 1)) // 4 + 1 THEN v END) AS t3
+"""
+
+
+@register(
+    "users_rfm_segments",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS last_day,
+               CAST(count(*) AS BIGINT) AS f,
+               sum(CAST(value AS DECIMAL(25,6))) AS m
+        FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT max(last_day) AS corp_day FROM u),
+    u2 AS (SELECT user_id, mx.corp_day - u.last_day AS r, u.f, u.m FROM u, mx),
+    hr AS (SELECT r AS v, CAST(count(*) AS BIGINT) AS c FROM u2 GROUP BY r),
+    cr AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM hr),
+    tr AS ({_RFM_THR_SQL} FROM cr),
+    hf AS (SELECT f AS v, CAST(count(*) AS BIGINT) AS c FROM u2 GROUP BY f),
+    cf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM hf),
+    tf AS ({_RFM_THR_SQL} FROM cf),
+    b AS (
+        SELECT u2.r, u2.f, u2.m,
+               1 + CAST(u2.r > tr.t1 AS INT) + CAST(u2.r > tr.t2 AS INT)
+                 + CAST(u2.r > tr.t3 AS INT) AS r_band,
+               1 + CAST(u2.f > tf.t1 AS INT) + CAST(u2.f > tf.t2 AS INT)
+                 + CAST(u2.f > tf.t3 AS INT) AS f_band
+        FROM u2, tr, tf
+    )
+    SELECT CAST(r_band AS BIGINT) AS r_band,
+           CAST(f_band AS BIGINT) AS f_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(m) AS DOUBLE) AS total_monetary,
+           CAST(sum(m) AS DOUBLE) / count(m) AS avg_monetary,
+           CAST(sum(f) AS DOUBLE) / count(*) AS avg_frequency
+    FROM b GROUP BY r_band, f_band
+    """,
+)
+def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("m"),
+    )
+    mx = u.agg(F.max("last_day").alias("corp_day"))
+    u2 = u.crossJoin(F.broadcast(mx)).select(
+        "user_id", (F.col("corp_day") - F.col("last_day")).alias("r"), "f", "m"
+    )
+
+    def thresholds(col: str) -> DataFrame:
+        hist = u2.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        w_all = W.orderBy("v").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        cr = hist.select(
+            "v",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        pick = lambda idx: F.min(  # noqa: E731
+            F.when(F.col("cum") >= F.expr(idx) + 1, F.col("v"))
+        )
+        return cr.agg(
+            pick("(n - 1) div 4").alias("t1"),
+            pick("(n - 1) div 2").alias("t2"),
+            pick("(3 * (n - 1)) div 4").alias("t3"),
+        )
+
+    tr = thresholds("r").select(
+        F.col("t1").alias("r1"), F.col("t2").alias("r2"), F.col("t3").alias("r3")
+    )
+    tf = thresholds("f").select(
+        F.col("t1").alias("f1"), F.col("t2").alias("f2"), F.col("t3").alias("f3")
+    )
+    band = lambda v, a, b_, c: (  # noqa: E731
+        F.lit(1)
+        + (F.col(v) > F.col(a)).cast("int")
+        + (F.col(v) > F.col(b_)).cast("int")
+        + (F.col(v) > F.col(c)).cast("int")
+    ).cast("long")
+    b = (
+        u2.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tf))
+        .select(
+            "r",
+            "f",
+            "m",
+            band("r", "r1", "r2", "r3").alias("r_band"),
+            band("f", "f1", "f2", "f3").alias("f_band"),
+        )
+    )
+    return b.groupBy("r_band", "f_band").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("m").cast("double").alias("total_monetary"),
+        (F.sum("m").cast("double") / F.count("m")).alias("avg_monetary"),
+        (F.sum("f").cast("double") / F.count(F.lit(1))).alias("avg_frequency"),
+    )

@@ -135,3 +135,110 @@ class TestBfsRecursive:
         )
         out = all_queries()["graph_bfs_recursive"](spark, str(tmp_path)).collect()
         assert {r.node for r in out} == {0, 1, 2, 3}
+
+
+def _write_lineitem_fifo(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "l_partkey long, l_orderkey long, l_linenumber int, l_shipdate string, "
+        "l_quantity double, l_returnflag string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+class TestFifoAllocation:
+    def test_known_allocation(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_lineitem_fifo(
+            spark, tmp_path,
+            [
+                (1, 100, 1, "2024-01-01 00:00:00", 5.0, "N"),
+                (1, 200, 1, "2024-01-02 00:00:00", 5.0, "N"),
+                (1, 300, 1, "2024-01-03 00:00:00", 5.0, "N"),
+                (1, 900, 1, "2024-01-09 00:00:00", 7.0, "R"),
+            ],
+        )
+        r = all_queries()["fifo_return_allocation"](spark, str(tmp_path)).collect()[0]
+        assert (r.total_shipped, r.total_returned, r.matched_qty) == (15, 7, 7)
+        assert (r.n_full, r.n_partial) == (1, 1)
+        assert r.frontier_orderkey == 200  # pool runs dry inside the 2nd line
+
+    def test_over_returned_pool_has_no_frontier(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_lineitem_fifo(
+            spark, tmp_path,
+            [
+                (1, 100, 1, "2024-01-01 00:00:00", 4.0, "N"),
+                (1, 200, 1, "2024-01-02 00:00:00", 6.0, "A"),
+                (1, 900, 1, "2024-01-09 00:00:00", 20.0, "R"),
+            ],
+        )
+        r = all_queries()["fifo_return_allocation"](spark, str(tmp_path)).collect()[0]
+        assert (r.matched_qty, r.n_full, r.n_partial) == (10, 2, 0)
+        assert r.frontier_orderkey is None  # pool never runs dry
+
+    def test_oldest_shipdate_consumed_first(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # larger orderkey ships EARLIER -> it is the one fully consumed
+        _write_lineitem_fifo(
+            spark, tmp_path,
+            [
+                (1, 999, 1, "2024-01-01 00:00:00", 3.0, "N"),
+                (1, 100, 1, "2024-01-05 00:00:00", 3.0, "N"),
+                (1, 900, 1, "2024-01-09 00:00:00", 3.0, "R"),
+            ],
+        )
+        r = all_queries()["fifo_return_allocation"](spark, str(tmp_path)).collect()[0]
+        assert (r.n_full, r.n_partial) == (1, 0)
+        assert r.frontier_orderkey == 999
+
+
+class TestRfmSegments:
+    def test_frequency_quartile_bands(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # users 1..4 with f = 1,2,3,4 on the same day: n=4 so the
+        # discrete-quantile indices are 0,1,2 -> thresholds 1,2,3 and
+        # every user lands in their own f band; r = 0 for all -> r_band 1
+        rows, eid = [], 0
+        for uid, f_n in [(1, 1), (2, 2), (3, 3), (4, 4)]:
+            for _ in range(f_n):
+                rows.append((eid, "2024-01-01 10:00:00", uid, "view", 10.0, "{}"))
+                eid += 1
+        _write_events(spark, tmp_path, rows)
+        out = all_queries()["users_rfm_segments"](spark, str(tmp_path)).collect()
+        got = {(r.r_band, r.f_band): r for r in out}
+        assert set(got) == {(1, 1), (1, 2), (1, 3), (1, 4)}
+        assert all(r.n_users == 1 for r in out)
+        assert got[(1, 4)].avg_frequency == 4.0
+        assert got[(1, 4)].total_monetary == 40.0
+
+    def test_ties_share_a_band(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        rows = [
+            (i, "2024-01-01 10:00:00", i, "view", 1.0, "{}") for i in range(6)
+        ]
+        _write_events(spark, tmp_path, rows)
+        out = all_queries()["users_rfm_segments"](spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        assert (out[0].r_band, out[0].f_band, out[0].n_users) == (1, 1, 6)
+
+    def test_recency_banding(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # last-seen days 0,1,2,3 back from the corpus max -> four r bands
+        rows = [
+            (0, "2024-01-04 10:00:00", 1, "view", 1.0, "{}"),
+            (1, "2024-01-03 10:00:00", 2, "view", 1.0, "{}"),
+            (2, "2024-01-02 10:00:00", 3, "view", 1.0, "{}"),
+            (3, "2024-01-01 10:00:00", 4, "view", 1.0, "{}"),
+        ]
+        _write_events(spark, tmp_path, rows)
+        out = all_queries()["users_rfm_segments"](spark, str(tmp_path)).collect()
+        assert sorted((r.r_band, r.n_users) for r in out) == [
+            (1, 1), (2, 1), (3, 1), (4, 1),
+        ]

@@ -110,6 +110,8 @@ AUDITED = [
     "events_rolling_wau",
     "events_kmv_distinct",
     "graph_bfs_recursive",
+    "fifo_return_allocation",
+    "users_rfm_segments",
 ]
 
 CHECKS = {
@@ -536,6 +538,17 @@ CHECKS_R6D["events_kmv_distinct"] = [
 CHECKS_R6D["graph_bfs_recursive"] = [
     ("UnionLoop", True, "Spark 4 native recursive-CTE execution node"),
     ("BatchEvalPython", False, "pure SQL recursion, no Python"),
+]
+CHECKS_R6D["fifo_return_allocation"] = [
+    ("RunningWindowFunction", False, "plain running sum, not the slow generic path"),
+    ("BatchEvalPython", False, "interval-overlap allocation is JVM arithmetic"),
+    ("CartesianProduct", False, "pool joins by part key, no theta join"),
+]
+CHECKS_R6D["users_rfm_segments"] = [
+    ("BatchEvalPython", False, "banding is CASE arithmetic, JVM-side"),
+    ("BroadcastNestedLoopJoin BuildRight, Cross", True,
+     "threshold frames are 1-row broadcast cross joins, never a shuffled cartesian"),
+    ("CartesianProduct", False, "a shuffled cartesian would mean a threshold frame lost its broadcast"),
 ]
 CHECKS.update(CHECKS_R6D)
 
