@@ -153,6 +153,9 @@ HEADLINE = [
     "graph_bfs_recursive",
     "fifo_return_allocation",
     "users_rfm_segments",
+    "corpus_source_overlap",
+    "graph_kcore_parts",
+    "events_countmin_freq",
 ]
 
 

@@ -651,3 +651,125 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div exact_distinct"
         ).alias("err_ppm"),
     )
+
+
+# --- Count-min sketch, estimates vs truth in one frame — the third
+#     mergeable frequency/cardinality sketch beside Misra-Gries
+#     (events_heavy_hitters) and KMV (events_kmv_distinct): d=4
+#     independent md5-salted hash rows × w=512 counters, point queries
+#     answered by the row-wise MIN. CMS never undercounts; the
+#     `overcount` column (est − exact ≥ 0, expected ≤ 2n/w per row pair)
+#     is emitted so the error is part of the verified result. Counters
+#     are plain additive integers — the sketch merges across partitions,
+#     batches, or days by cell-wise sum (the same mergeability contract
+#     as the MG summary). Both engines hash identical strings, so every
+#     cell and every estimate hash-verifies exactly.
+#     Scale shape: the 4× map-side cell expansion feeds ONE hash
+#     aggregate bounded at d·w = 2048 rows; the probe side is the exact
+#     top-10 (WindowGroupLimit pushes the rank limit map-side) joined
+#     against the tiny counter table. -------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+
+
+def _cms_idx_sql(key: str, r: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), ':cms:', "
+        f"CAST({r} AS VARCHAR))), 1, 15)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "events_countmin_freq",
+    f"""
+    WITH cnt AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    top AS (
+        SELECT user_id, exact_n FROM (
+            SELECT user_id, exact_n,
+                   row_number() OVER (ORDER BY exact_n DESC, user_id) AS rk
+            FROM cnt
+        ) WHERE rk <= 10
+    ),
+    rws AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+    cells AS (
+        SELECT rws.r, {_cms_idx_sql("e.user_id", "rws.r")} AS idx,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events e CROSS JOIN rws
+        WHERE e.user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT t.user_id, t.exact_n, rws.r,
+               {_cms_idx_sql("t.user_id", "rws.r")} AS idx
+        FROM top t CROSS JOIN rws
+    )
+    SELECT p.user_id, p.exact_n,
+           min(c.c) AS cms_est,
+           min(c.c) - p.exact_n AS overcount
+    FROM probe p JOIN cells c ON c.r = p.r AND c.idx = p.idx
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def events_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def idx(col: F.Column, r: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(f":cms:{r}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("r"),
+                idx(F.col("user_id"), r).alias("idx"),
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+    cells = (
+        ev.select(F.explode(cell_structs).alias("s"))
+        .groupBy(F.col("s.r").alias("r"), F.col("s.idx").alias("idx"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    w_top = W.orderBy(F.desc("exact_n"), F.asc("user_id"))
+    top = (
+        cnt.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+    probe = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        idx(F.col("user_id"), r).alias("idx"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("user_id", "exact_n", F.col("s.r").alias("r"), F.col("s.idx").alias("idx"))
+    return (
+        probe.join(cells, ["r", "idx"])
+        .groupBy("user_id", "exact_n")
+        .agg(
+            F.min("c").alias("cms_est"),
+            (F.min("c") - F.col("exact_n")).alias("overcount"),
+        )
+    )

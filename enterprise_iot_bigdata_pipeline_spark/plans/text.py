@@ -2123,3 +2123,79 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio,
         "doc_id long, n_bytes_raw long, n_bytes_deflate long, deflate_ratio double",
     )
+
+
+# --- Cross-source corpus overlap: pairwise shingle-set Jaccard +
+#     per-side containment between every pair of ingest sources — the
+#     curation dashboard that answers "which channels are feeding me the
+#     same content" BEFORE any doc-level dedup runs. Exact set algebra
+#     (not a minhash estimate): the distinct (source, shingle) reduction
+#     is the one corpus-scaled shuffle; the pair expansion then runs
+#     per-shingle over collect_set(source) — bounded by the CHANNEL
+#     count, which is an ingest-config constant, not a corpus dimension
+#     (20 here; a corpus with thousands of sources would minhash per
+#     source instead, `operators/dedup.py::minhash_signatures`). One
+#     pass: no shingle self-join, so the shingle pipeline is never
+#     re-evaluated per branch (the setsim rework lesson). All ratios are
+#     ppm integers (single integral division; numerators ≤ n·10^6 —
+#     BIGINT-safe until 9·10^12 shingles per source). Only pairs sharing
+#     at least one shingle appear (Jaccard-0 pairs carry no signal). -----
+
+
+@register(
+    "corpus_source_overlap",
+    f"""
+    WITH {_SHINGLES_CTE},
+    ss AS (
+        SELECT DISTINCT d.source, s.shingle
+        FROM sh s JOIN documents d ON d.doc_id = s.doc
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_inter,
+           sa.n AS n_a, sb.n AS n_b,
+           i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter) AS jaccard_ppm,
+           i.n_inter * 1000000 // sa.n AS contain_a_ppm,
+           i.n_inter * 1000000 // sb.n AS contain_b_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _pairs_of_sorted
+
+    docs = t(spark, sf_dir, "documents")
+    ss = docs.select(
+        "source", F.explode(X.word_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    buckets = ss.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    inter = (
+        buckets.select(F.explode(_pairs_of_sorted(F.col("srcs"))).alias("p"))
+        .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    j = inter.join(sa, "src_a").join(sb, "src_b")
+    ppm = lambda num, den: F.expr(f"({num} * CAST(1000000 AS BIGINT)) div ({den})")  # noqa: E731
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        ppm("n_inter", "n_a + n_b - n_inter").alias("jaccard_ppm"),
+        ppm("n_inter", "n_a").alias("contain_a_ppm"),
+        ppm("n_inter", "n_b").alias("contain_b_ppm"),
+    )

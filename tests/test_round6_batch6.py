@@ -242,3 +242,93 @@ class TestRfmSegments:
         assert sorted((r.r_band, r.n_users) for r in out) == [
             (1, 1), (2, 1), (3, 1), (4, 1),
         ]
+
+
+class TestCorpusSourceOverlap:
+    def test_known_jaccard(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d", "en", "srcA", 7),
+                (2, "a b c e", "en", "srcB", 7),
+                (3, "x y z", "en", "srcC", 5),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = all_queries()["corpus_source_overlap"](spark, str(tmp_path)).collect()
+        # srcA = {a b c, b c d}, srcB = {a b c, b c e}: inter 1, union 3;
+        # srcC shares nothing -> absent
+        assert len(out) == 1
+        r = out[0]
+        assert (r.src_a, r.src_b, r.n_inter, r.n_a, r.n_b) == ("srcA", "srcB", 1, 2, 2)
+        assert r.jaccard_ppm == 333333
+        assert r.contain_a_ppm == 500000
+
+
+class TestKcoreParts:
+    def test_pendant_chain_peels_in_rounds(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # co-purchase w>=2 edges: triangle A-B-C plus chain A-D-E.
+        # round 1 peels E (deg 1), round 2 peels D -> 2-core = triangle.
+        def order(okey, parts):
+            return [(okey, p, ln + 1, "2024-01-01 00:00:00", 1.0, "N")
+                    for ln, p in enumerate(parts)]
+
+        rows = []
+        for okey, parts in [
+            (1, [10, 20, 30]), (2, [10, 20, 30]),   # triangle, w=2 each
+            (3, [10, 40]), (4, [10, 40]),           # A-D
+            (5, [40, 50]), (6, [40, 50]),           # D-E
+        ]:
+            rows.extend(order(okey, parts))
+        _write_lineitem_fifo(
+            spark, tmp_path,
+            [(p, o, ln, d, q, f) for (o, p, ln, d, q, f) in rows],
+        )
+        out = all_queries()["graph_kcore_parts"](spark, str(tmp_path)).collect()
+        got = {r.node: r.core_degree for r in out}
+        assert got == {10: 2, 20: 2, 30: 2}
+
+    def test_empty_core(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # a single edge has no 2-core
+        rows = []
+        for okey in (1, 2):
+            rows.append((10, okey, 1, "2024-01-01 00:00:00", 1.0, "N"))
+            rows.append((20, okey, 2, "2024-01-01 00:00:00", 1.0, "N"))
+        _write_lineitem_fifo(spark, tmp_path, rows)
+        out = all_queries()["graph_kcore_parts"](spark, str(tmp_path)).collect()
+        assert out == []
+
+
+class TestCountMinFreq:
+    def test_no_collisions_exact(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        rows, eid = [], 0
+        for uid, n in [(1, 5), (2, 4), (3, 3), (4, 2), (5, 1)]:
+            for _ in range(n):
+                rows.append((eid, "2024-01-01 00:00:00", uid, "view", 1.0, "{}"))
+                eid += 1
+        _write_events(spark, tmp_path, rows)
+        out = all_queries()["events_countmin_freq"](spark, str(tmp_path)).collect()
+        got = {r.user_id: (r.exact_n, r.cms_est, r.overcount) for r in out}
+        assert got == {1: (5, 5, 0), 2: (4, 4, 0), 3: (3, 3, 0), 4: (2, 2, 0), 5: (1, 1, 0)}
+
+    def test_never_undercounts(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        rows = [
+            (i, "2024-01-01 00:00:00", i % 200, "view", 1.0, "{}")
+            for i in range(1000)
+        ]
+        _write_events(spark, tmp_path, rows)
+        out = all_queries()["events_countmin_freq"](spark, str(tmp_path)).collect()
+        assert len(out) == 10
+        assert all(r.cms_est >= r.exact_n and r.overcount >= 0 for r in out)

@@ -112,6 +112,9 @@ AUDITED = [
     "graph_bfs_recursive",
     "fifo_return_allocation",
     "users_rfm_segments",
+    "corpus_source_overlap",
+    "graph_kcore_parts",
+    "events_countmin_freq",
 ]
 
 CHECKS = {
@@ -549,6 +552,15 @@ CHECKS_R6D["users_rfm_segments"] = [
     ("BroadcastNestedLoopJoin BuildRight, Cross", True,
      "threshold frames are 1-row broadcast cross joins, never a shuffled cartesian"),
     ("CartesianProduct", False, "a shuffled cartesian would mean a threshold frame lost its broadcast"),
+]
+CHECKS_R6D["corpus_source_overlap"] = [
+    ("BatchEvalPython", False, "shingling and pair expansion are JVM HOFs"),
+    ("CartesianProduct", False, "pairs come from per-shingle buckets, no source x source theta join"),
+]
+CHECKS_R6D["events_countmin_freq"] = [
+    ("TakeOrderedAndProject", True,
+     "the global top-10 probe plans as TakeOrdered (per-partition heaps + 10-row merge), not a full sort"),
+    ("BatchEvalPython", False, "salted md5 cell hashing is JVM-native"),
 ]
 CHECKS.update(CHECKS_R6D)
 
