@@ -156,6 +156,8 @@ HEADLINE = [
     "corpus_source_overlap",
     "graph_kcore_parts",
     "events_countmin_freq",
+    "events_interval_islands",
+    "events_column_entropy",
 ]
 
 

@@ -773,3 +773,83 @@ def events_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+# --- Column entropy profile: Shannon entropy of three categorical
+#     distributions (event_type, user bucket, activity day) in one
+#     frame — the data-profiling signal behind encoding choices
+#     (dictionary vs raw), partition-key selection, and drift alarms.
+#     ln is libm-divergent cross-engine, so every ln(count) is
+#     FIXED-POINT micro-nats rounded BEFORE arithmetic (the perplexity
+#     contract, verified for k ≤ 2·10⁶ on this toolchain):
+#     H·n = n·lnµ(n) − Σ c·lnµ(c) is then exact integer algebra; the
+#     products ride DECIMAL(38,0) (BIGINT would overflow past ~3·10¹¹
+#     rows) and ONE integral division yields entropy_micro_nats.
+#     Scale shape: each distribution is a map-side-combined hash agg to
+#     its value histogram; the entropy reduction runs over histogram
+#     rows, never the corpus. ----------------------------------------------
+
+
+def _ENT_SQL(col_name: str, vexpr: str) -> str:
+    return f"""
+    SELECT '{col_name}' AS col_name,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST((CAST(sum(c) AS HUGEINT)
+                 * CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                 - sum(CAST(c AS HUGEINT)
+                       * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT)))
+                // sum(c) AS BIGINT) AS entropy_micro_nats
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT {vexpr} AS v FROM events WHERE {vexpr} IS NOT NULL)
+        GROUP BY v
+    )"""
+
+
+@register(
+    "events_column_entropy",
+    f"""
+    {_ENT_SQL("event_type", "event_type")}
+    UNION ALL
+    {_ENT_SQL("user_bucket", "user_id % 256")}
+    UNION ALL
+    {_ENT_SQL("day", "CAST(floor(epoch(ts) / 86400) AS BIGINT)")}
+    """,
+)
+def events_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def lnmu(c: F.Column) -> F.Column:
+        return F.round(F.log(c.cast("double")) * 1e6, 0).cast("long")
+
+    def ent(col_name: str, vexpr: F.Column) -> DataFrame:
+        hist = (
+            ev.select(vexpr.alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        agg = hist.agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("c").cast("decimal(38,0)") * lnmu(F.col("c"))).alias(
+                "sum_clnc"
+            ),
+        )
+        return agg.select(
+            F.lit(col_name).alias("col_name"),
+            "n",
+            "n_distinct",
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT)"
+                " - sum_clnc) div n AS BIGINT)"
+            ).alias("entropy_micro_nats"),
+        )
+
+    day = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    return (
+        ent("event_type", F.col("event_type"))
+        .unionByName(ent("user_bucket", F.col("user_id") % 256))
+        .unionByName(ent("day", day))
+    )

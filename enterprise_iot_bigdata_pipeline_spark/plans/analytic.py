@@ -1408,3 +1408,97 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("m").cast("double") / F.count("m")).alias("avg_monetary"),
         (F.sum("f").cast("double") / F.count(F.lit(1))).alias("avg_frequency"),
     )
+
+
+# --- Gaps-and-islands interval merge: each event claims the interval
+#     [ts, ts + value seconds); per user, overlapping-or-touching
+#     claims merge into ISLANDS (maximal covered stretches) — the
+#     classic coverage/uptime/occupancy reduction. The sequential
+#     "extend the current island or open a new one" walk is two frames
+#     over ONE user-keyed sort: a strictly-preceding running max(end)
+#     marks island breaks (s > pmax), and a running sum of breaks
+#     numbers the islands; a bounded hash agg per island then per user
+#     finishes. Exact integer µs end to end (duration = round(value·1e6)
+#     clamped ≥ 1 µs, so zero/negative values never create a
+#     degenerate backwards interval). Touching intervals (s = pmax)
+#     MERGE — the break test is strict. ------------------------------------
+
+
+@register(
+    "events_interval_islands",
+    """
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts)
+               + greatest(CAST(round(value * 1000000, 0) AS BIGINT),
+                          CAST(1 AS BIGINT)) AS e
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT user_id, event_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pmax
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island_id
+        FROM m
+    ),
+    g AS (
+        SELECT user_id, island_id,
+               min(s) AS island_s, max(e) AS island_e,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM isl GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(island_e - island_s) AS BIGINT) AS covered_us,
+           CAST(max(island_e - island_s) AS BIGINT) AS longest_us
+    FROM g GROUP BY user_id
+    """,
+)
+def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur = F.greatest(
+        F.round(F.col("value") * 1000000, 0).cast("long"), F.lit(1).cast("long")
+    )
+    iv = ev.select("user_id", "event_id", s.alias("s"), (s + dur).alias("e"))
+    order = [F.col("s"), F.col("e"), F.col("event_id")]
+    w_prev = (
+        W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    brk = (
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+    )
+    isl = iv.select(
+        "user_id", "s", "e", F.sum(brk).over(w_run).alias("island_id")
+    )
+    g = isl.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_s"),
+        F.max("e").alias("island_e"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    span = F.col("island_e") - F.col("island_s")
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum(span).cast("long").alias("covered_us"),
+        F.max(span).cast("long").alias("longest_us"),
+    )

@@ -332,3 +332,67 @@ class TestCountMinFreq:
         out = all_queries()["events_countmin_freq"](spark, str(tmp_path)).collect()
         assert len(out) == 10
         assert all(r.cms_est >= r.exact_n and r.overcount >= 0 for r in out)
+
+
+class TestIntervalIslands:
+    def test_merge_and_split(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # user 1: [0,10s) and [5s,15s) overlap -> one island 15s;
+        # [100s,101s) is separate. value = duration seconds.
+        _write_events(
+            spark, tmp_path,
+            [
+                (0, "2024-01-01 00:00:00", 1, "view", 10.0, "{}"),
+                (1, "2024-01-01 00:00:05", 1, "view", 10.0, "{}"),
+                (2, "2024-01-01 00:01:40", 1, "view", 1.0, "{}"),
+            ],
+        )
+        r = all_queries()["events_interval_islands"](spark, str(tmp_path)).collect()[0]
+        assert (r.n_islands, r.n_events) == (2, 3)
+        assert r.covered_us == 15_000_000 + 1_000_000
+        assert r.longest_us == 15_000_000
+
+    def test_touching_intervals_merge(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # [0,5s) then [5s,10s): touching -> ONE island (strict break test)
+        _write_events(
+            spark, tmp_path,
+            [
+                (0, "2024-01-01 00:00:00", 1, "view", 5.0, "{}"),
+                (1, "2024-01-01 00:00:05", 1, "view", 5.0, "{}"),
+            ],
+        )
+        r = all_queries()["events_interval_islands"](spark, str(tmp_path)).collect()[0]
+        assert (r.n_islands, r.covered_us) == (1, 10_000_000)
+
+    def test_nonpositive_duration_clamps_to_1us(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_events(
+            spark, tmp_path,
+            [(0, "2024-01-01 00:00:00", 1, "view", -3.0, "{}")],
+        )
+        r = all_queries()["events_interval_islands"](spark, str(tmp_path)).collect()[0]
+        assert (r.n_islands, r.covered_us, r.longest_us) == (1, 1, 1)
+
+
+class TestColumnEntropy:
+    def test_uniform_and_constant(self, spark, tmp_path):
+        import math
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # 4 event types x 2 each (uniform -> ln 4); single day; users 1..8
+        rows = []
+        for i, et in enumerate(["a", "b", "c", "d"] * 2):
+            rows.append((i, "2024-01-01 00:00:00", i + 1, et, 1.0, "{}"))
+        _write_events(spark, tmp_path, rows)
+        out = all_queries()["events_column_entropy"](spark, str(tmp_path)).collect()
+        got = {r.col_name: r for r in out}
+        assert got["event_type"].n_distinct == 4
+        assert abs(got["event_type"].entropy_micro_nats - round(math.log(4) * 1e6)) <= 2
+        assert got["day"].n_distinct == 1
+        assert got["day"].entropy_micro_nats == 0  # constant column
+        assert got["user_bucket"].n_distinct == 8
+        assert abs(got["user_bucket"].entropy_micro_nats - round(math.log(8) * 1e6)) <= 2

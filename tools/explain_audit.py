@@ -115,6 +115,8 @@ AUDITED = [
     "corpus_source_overlap",
     "graph_kcore_parts",
     "events_countmin_freq",
+    "events_interval_islands",
+    "events_column_entropy",
 ]
 
 CHECKS = {
@@ -561,6 +563,14 @@ CHECKS_R6D["events_countmin_freq"] = [
     ("TakeOrderedAndProject", True,
      "the global top-10 probe plans as TakeOrdered (per-partition heaps + 10-row merge), not a full sort"),
     ("BatchEvalPython", False, "salted md5 cell hashing is JVM-native"),
+]
+CHECKS_R6D["events_interval_islands"] = [
+    ("Window", True, "break detection + island numbering share one user-keyed sort"),
+    ("BatchEvalPython", False, "interval algebra is JVM-native"),
+]
+CHECKS_R6D["events_column_entropy"] = [
+    ("partial_count", True, "value histograms combine map-side"),
+    ("BatchEvalPython", False, "micro-nat entropy is JVM decimal algebra"),
 ]
 CHECKS.update(CHECKS_R6D)
 

@@ -109,6 +109,28 @@ STRESSED = [
     "text_setsim_prefix_join",
     "orders_backlog_profile",
     "text_lang_confusion",
+    # round-6 sessions 4-5 registry additions
+    "events_attribution_touch",
+    "funnel_time_to_convert",
+    "text_bigram_perplexity",
+    "text_normalize_unicode",
+    "text_containment_join",
+    "embeddings_standardize",
+    "join_point_in_time",
+    "join_supplier_diversity",
+    "events_top_paths",
+    "text_compression_ratio",
+    "events_benford_audit",
+    "events_rolling_wau",
+    "events_kmv_distinct",
+    "graph_bfs_recursive",
+    "fifo_return_allocation",
+    "users_rfm_segments",
+    "corpus_source_overlap",
+    "graph_kcore_parts",
+    "events_countmin_freq",
+    "events_interval_islands",
+    "events_column_entropy",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -180,6 +202,27 @@ MAIN_TABLE = {
     "text_setsim_prefix_join": "documents",
     "orders_backlog_profile": "orders",
     "text_lang_confusion": "documents",
+    "events_attribution_touch": "events",
+    "funnel_time_to_convert": "events",
+    "text_bigram_perplexity": "documents",
+    "text_normalize_unicode": "documents",
+    "text_containment_join": "documents",
+    "embeddings_standardize": "embeddings",
+    "join_point_in_time": "lineitem",
+    "join_supplier_diversity": "lineitem",
+    "events_top_paths": "events",
+    "text_compression_ratio": "documents",
+    "events_benford_audit": "events",
+    "events_rolling_wau": "events",
+    "events_kmv_distinct": "events",
+    "graph_bfs_recursive": "lineitem",
+    "fifo_return_allocation": "lineitem",
+    "users_rfm_segments": "events",
+    "corpus_source_overlap": "documents",
+    "graph_kcore_parts": "lineitem",
+    "events_countmin_freq": "events",
+    "events_interval_islands": "events",
+    "events_column_entropy": "events",
 }
 ID_COLS = {
     "events": "event_id",
