@@ -158,6 +158,7 @@ HEADLINE = [
     "events_countmin_freq",
     "events_interval_islands",
     "events_column_entropy",
+    "events_kmv_type_overlap",
 ]
 
 

@@ -853,3 +853,184 @@ def events_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ent("user_bucket", F.col("user_id") % 256))
         .unionByName(ent("day", day))
     )
+
+
+# --- KMV sketch COMPOSITION: distinct-user union + intersection
+#     estimates for every event-type pair, from the per-type bottom-k
+#     sketches alone — the set algebra that makes KMV worth carrying
+#     next to HLL (HLL unions but cannot intersect; KMV does both:
+#     merge two sketches = k smallest of the union of their minima;
+#     Jaccard ≈ |A_k ∩ B_k ∩ U_k| / |U_k| on the merged sketch, and
+#     intersection ≈ Jaccard · union_est). Exact per-pair counts ride
+#     along (the eval-query pattern) so the estimate error is part of
+#     the verified result. When both sides are unsaturated the merged
+#     sketch IS the exact union (a saturated side forces |U_k| = k), so
+#     the estimate snaps exact — both branches verify across SFs.
+#     Scale shape: the sketches come from the two-phase kmv_minima (one
+#     distinct shuffle); everything pairwise runs on |types|·k rows.
+#     The exact columns reuse the same deduped (type, hash) frame: a
+#     per-hash type-set expansion (the source-overlap trick), never a
+#     corpus self-join. ----------------------------------------------------
+
+
+@register(
+    "events_kmv_type_overlap",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM h
+    ),
+    mins AS (SELECT event_type, h FROM r WHERE rk <= {_KMV_K}),
+    tp AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM (SELECT DISTINCT event_type FROM h) a
+        JOIN (SELECT DISTINCT event_type FROM h) b ON a.event_type < b.event_type
+    ),
+    memb AS (
+        SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT tp.ta, tp.tb, m.h, 1 AS in_a, 0 AS in_b
+            FROM tp JOIN mins m ON m.event_type = tp.ta
+            UNION ALL
+            SELECT tp.ta, tp.tb, m.h, 0, 1
+            FROM tp JOIN mins m ON m.event_type = tp.tb
+        ) GROUP BY ta, tb, h
+    ),
+    u AS (
+        SELECT ta, tb, h, in_a, in_b,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+        FROM memb
+    ),
+    sk AS (
+        SELECT ta, tb,
+               CAST(count(*) AS BIGINT) AS k_used_u,
+               max(h) AS d_k,
+               CAST(sum(in_a * in_b) AS BIGINT) AS k_inter
+        FROM u WHERE rk <= {_KMV_K} GROUP BY ta, tb
+    ),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY event_type),
+    xinter AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, CAST(count(*) AS BIGINT) AS n_inter
+        FROM h a JOIN h b ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT sk.ta, sk.tb, sk.k_used_u, sk.k_inter,
+               CASE WHEN sk.k_used_u < {_KMV_K} THEN sk.k_used_u
+                    ELSE CAST(CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_SCALE}
+                              // sk.d_k AS BIGINT)
+               END AS union_est,
+               sa.n + sb.n - coalesce(x.n_inter, 0) AS union_exact,
+               coalesce(x.n_inter, 0) AS inter_exact
+        FROM sk
+        JOIN sizes sa ON sa.event_type = sk.ta
+        JOIN sizes sb ON sb.event_type = sk.tb
+        LEFT JOIN xinter x ON x.ta = sk.ta AND x.tb = sk.tb
+    )
+    SELECT ta AS type_a, tb AS type_b, k_used_u, k_inter,
+           union_est, union_exact,
+           CAST(k_inter * union_est // k_used_u AS BIGINT) AS inter_est,
+           inter_exact,
+           CAST(k_inter * 1000000 // k_used_u AS BIGINT) AS jaccard_est_ppm,
+           CAST(inter_exact * 1000000 // union_exact AS BIGINT) AS jaccard_exact_ppm
+    FROM est
+    """,
+)
+def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.sketches import kmv_minima
+
+    ev = t(spark, sf_dir, "events")
+    base = ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    hh = base.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long").alias("h"),
+    ).distinct()
+    mins = kmv_minima(ev, "event_type", "user_id", _KMV_K).select("event_type", "h")
+    types = hh.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(
+            types.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    ua = tp.join(mins, mins.event_type == tp.ta).select(
+        "ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    ub = tp.join(mins, mins.event_type == tp.tb).select(
+        "ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    memb = (
+        ua.unionByName(ub)
+        .groupBy("ta", "tb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_u = W.partitionBy("ta", "tb").orderBy("h")
+    sk = (
+        memb.withColumn("rk", F.row_number().over(w_u))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used_u"),
+            F.max("h").alias("d_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("k_inter"),
+        )
+    )
+    sizes = hh.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # exact intersection via per-hash type-set buckets (never a corpus
+    # self-join): type lists per hash are bounded by |types|
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _pairs_of_sorted
+
+    buckets = hh.groupBy("h").agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+    xinter = (
+        buckets.select(F.explode(_pairs_of_sorted(F.col("ts"))).alias("p"))
+        .groupBy(F.col("p.a").alias("ta"), F.col("p.b").alias("tb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    est = (
+        sk.join(sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("na")), "ta")
+        .join(sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("nb")), "tb")
+        .join(xinter, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            "k_used_u",
+            "k_inter",
+            F.when(F.col("k_used_u") < _KMV_K, F.col("k_used_u"))
+            .otherwise(
+                F.expr(
+                    f"CAST((CAST({_KMV_K - 1} AS DECIMAL(38,0)) * CAST({_KMV_SCALE} AS DECIMAL(38,0)))"
+                    " div d_k AS BIGINT)"
+                )
+            )
+            .alias("union_est"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))).alias(
+                "union_exact"
+            ),
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("inter_exact"),
+        )
+    )
+    return est.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "k_used_u",
+        "k_inter",
+        "union_est",
+        "union_exact",
+        F.expr("(k_inter * union_est) div k_used_u").cast("long").alias("inter_est"),
+        "inter_exact",
+        F.expr("(k_inter * CAST(1000000 AS BIGINT)) div k_used_u")
+        .cast("long")
+        .alias("jaccard_est_ppm"),
+        F.expr("(inter_exact * CAST(1000000 AS BIGINT)) div union_exact")
+        .cast("long")
+        .alias("jaccard_exact_ppm"),
+    )

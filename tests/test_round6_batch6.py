@@ -396,3 +396,25 @@ class TestColumnEntropy:
         assert got["day"].entropy_micro_nats == 0  # constant column
         assert got["user_bucket"].n_distinct == 8
         assert abs(got["user_bucket"].entropy_micro_nats - round(math.log(8) * 1e6)) <= 2
+
+
+class TestKmvTypeOverlap:
+    def test_unsaturated_sketch_is_exact(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        rows, eid = [], 0
+        for uid in range(1, 11):        # type a: users 1..10
+            rows.append((eid, "2024-01-01 00:00:00", uid, "a", 1.0, "{}")); eid += 1
+        for uid in range(6, 16):        # type b: users 6..15
+            rows.append((eid, "2024-01-01 00:00:00", uid, "b", 1.0, "{}")); eid += 1
+        _write_events(spark, tmp_path, rows)
+        r = all_queries()["events_kmv_type_overlap"](spark, str(tmp_path)).collect()
+        assert len(r) == 1
+        row = r[0]
+        assert (row.type_a, row.type_b) == ("a", "b")
+        # both sketches unsaturated (10 < 64) -> the merged sketch IS the
+        # exact union and every estimate snaps to truth
+        assert (row.k_used_u, row.k_inter) == (15, 5)
+        assert (row.union_est, row.union_exact) == (15, 15)
+        assert (row.inter_est, row.inter_exact) == (5, 5)
+        assert row.jaccard_est_ppm == row.jaccard_exact_ppm == 333333

@@ -117,6 +117,7 @@ AUDITED = [
     "events_countmin_freq",
     "events_interval_islands",
     "events_column_entropy",
+    "events_kmv_type_overlap",
 ]
 
 CHECKS = {
@@ -571,6 +572,10 @@ CHECKS_R6D["events_interval_islands"] = [
 CHECKS_R6D["events_column_entropy"] = [
     ("partial_count", True, "value histograms combine map-side"),
     ("BatchEvalPython", False, "micro-nat entropy is JVM decimal algebra"),
+]
+CHECKS_R6D["events_kmv_type_overlap"] = [
+    ("WindowGroupLimit", True, "sketch minima select map-side before every exchange"),
+    ("BatchEvalPython", False, "sketch merge and estimates are JVM integer algebra"),
 ]
 CHECKS.update(CHECKS_R6D)
 

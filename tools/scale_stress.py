@@ -131,6 +131,7 @@ STRESSED = [
     "events_countmin_freq",
     "events_interval_islands",
     "events_column_entropy",
+    "events_kmv_type_overlap",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -223,6 +224,7 @@ MAIN_TABLE = {
     "events_countmin_freq": "events",
     "events_interval_islands": "events",
     "events_column_entropy": "events",
+    "events_kmv_type_overlap": "events",
 }
 ID_COLS = {
     "events": "event_id",
