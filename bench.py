@@ -159,6 +159,9 @@ HEADLINE = [
     "events_interval_islands",
     "events_column_entropy",
     "events_kmv_type_overlap",
+    "mixture_water_fill",
+    "join_blame_suppliers",
+    "text_zipf_fit",
 ]
 
 

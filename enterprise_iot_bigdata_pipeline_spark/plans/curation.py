@@ -345,3 +345,114 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_true"),
         F.round(hit.cast("double") / F.count(F.lit(1)).cast("double"), 9).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Water-filling budget allocation: split a global token budget across
+# sources, never exceeding any source's capacity, leveling everyone else
+# at a common fill line λ — the fair-allocation primitive behind
+# training-mixture construction when upweighting can't exceed what a
+# source actually has (the counterpart to mixture_sample's fractional
+# DOWN-sampling). Exact integer algebra end to end: sources sort by
+# (capacity, name); the first index where cum_before + cap·remaining
+# covers the budget fixes the fill line; λ = floor((B − cum_before) /
+# remaining) with the division remainder handed out as +1 tokens to the
+# first `rem` sources at the line (a deterministic tie rule, so the
+# allocations sum EXACTLY to min(B, total) — no float, no drift).
+# Scale shape: one hash agg to per-source capacities, one window over
+# the |sources|-bounded histogram, scalars ride a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mixture_water_fill",
+    """
+    WITH caps AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap
+        FROM documents GROUP BY source
+    ),
+    o AS (
+        SELECT source, cap,
+               CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS rn,
+               sum(cap) OVER (ORDER BY cap, source
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS cb,
+               CAST(count(*) OVER () AS BIGINT) AS m,
+               CAST(sum(cap) OVER () AS BIGINT) AS total
+        FROM caps
+    ),
+    o2 AS (
+        SELECT source, cap, rn, coalesce(cb, 0) AS cb, m, total,
+               total // 2 AS b
+        FROM o
+    ),
+    pick AS (
+        SELECT min(rn) AS i0 FROM o2
+        WHERE cb + cap * (m - rn + 1) >= b
+    ),
+    lam AS (
+        SELECT o2.b, o2.m, pick.i0,
+               (o2.b - o2.cb) // (o2.m - o2.rn + 1) AS lam_floor,
+               (o2.b - o2.cb) % (o2.m - o2.rn + 1) AS lam_rem
+        FROM o2 JOIN pick ON o2.rn = pick.i0
+    )
+    SELECT o2.source, o2.cap, o2.b AS budget,
+           CAST(CASE
+               WHEN lam.i0 IS NULL OR o2.rn < lam.i0 THEN o2.cap
+               ELSE lam.lam_floor
+                    + CASE WHEN o2.rn - lam.i0 < lam.lam_rem THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc,
+           CAST(CASE WHEN lam.i0 IS NULL OR o2.rn < lam.i0 THEN 1 ELSE 0 END
+                AS BIGINT) AS capped
+    FROM o2 LEFT JOIN lam ON TRUE
+    """,
+)
+def mixture_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    caps = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("cap"))
+    w = W.orderBy("cap", "source")
+    o = caps.select(
+        "source",
+        "cap",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("cb"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("long")
+        .alias("m"),
+        F.sum("cap")
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("long")
+        .alias("total"),
+    ).withColumn("b", F.expr("total div 2"))
+    feasible = F.col("cb") + F.col("cap") * (F.col("m") - F.col("rn") + 1) >= F.col("b")
+    lam = (
+        o.filter(feasible)
+        .agg(F.min("rn").alias("i0"))
+        .join(o.withColumnRenamed("rn", "i0"), "i0")
+        .select(
+            "i0",
+            F.expr("(b - cb) div (m - i0 + 1)").alias("lam_floor"),
+            F.expr("pmod(b - cb, m - i0 + 1)").alias("lam_rem"),
+        )
+    )
+    j = o.crossJoin(F.broadcast(lam))
+    alloc = (
+        F.when(F.col("i0").isNull() | (F.col("rn") < F.col("i0")), F.col("cap"))
+        .otherwise(
+            F.col("lam_floor")
+            + F.when(F.col("rn") - F.col("i0") < F.col("lam_rem"), 1).otherwise(0)
+        )
+        .cast("long")
+    )
+    return j.select(
+        "source",
+        "cap",
+        F.col("b").alias("budget"),
+        alloc.alias("alloc"),
+        (F.col("i0").isNull() | (F.col("rn") < F.col("i0")))
+        .cast("long")
+        .alias("capped"),
+    )

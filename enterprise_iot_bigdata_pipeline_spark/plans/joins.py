@@ -488,3 +488,53 @@ def join_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_suppkey").cast("long").alias("n_suppliers"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+# --- TPC-H Q21 shape (the sole-blame correlation): suppliers with a
+#     returned line in a MULTI-supplier order where NO other supplier's
+#     lines were returned — the classic EXISTS + NOT-EXISTS double
+#     correlation. The oracle runs the textbook correlated-subquery form;
+#     the Spark plan runs the DECORRELATED aggregate rewrite (per
+#     (order, supplier) return flags → per-order supplier/blame counts →
+#     one key join), so the hash gate proves the rewrite — which is also
+#     the shape that scales: two map-side-combined hash aggregates and
+#     one equi-join, versus two correlated semi/anti probes of the fact
+#     table. ---------------------------------------------------------------
+
+
+@register(
+    "join_blame_suppliers",
+    """
+    SELECT l.l_suppkey AS suppkey,
+           CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    WHERE l.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem o
+          WHERE o.l_orderkey = l.l_orderkey AND o.l_suppkey <> l.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem o2
+          WHERE o2.l_orderkey = l.l_orderkey
+            AND o2.l_suppkey <> l.l_suppkey
+            AND o2.l_returnflag = 'R'
+      )
+    GROUP BY 1
+    """,
+)
+def join_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
+    )
+    blamed = per_os.filter(F.col("has_r") == 1).join(
+        per_o.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)),
+        "l_orderkey",
+    )
+    return blamed.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )

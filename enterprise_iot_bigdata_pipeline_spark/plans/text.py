@@ -2199,3 +2199,109 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm("n_inter", "n_a").alias("contain_a_ppm"),
         ppm("n_inter", "n_b").alias("contain_b_ppm"),
     )
+
+
+# --- Zipf rank-frequency fit: the corpus-health diagnostic — natural
+#     text follows freq ∝ rank^s with s ≈ −1; a slope far from −1 flags
+#     template/boilerplate floods (flat head) or OCR noise (steep tail).
+#     OLS of lnµ(count) on lnµ(rank) over the top-V word frequencies,
+#     every logarithm FIXED-POINT micro-nats (the perplexity ln-parity
+#     contract) so all four OLS moments are exact DECIMAL(38,0) integer
+#     sums; slope and intercept are then the only float steps, an
+#     identical correctly-rounded sequence in both engines (the
+#     slope is ROUNDED before the intercept uses it, so the intercept's
+#     input is bit-pinned too).
+#     Scale shape: one explode + map-side-combined hash agg to the word
+#     histogram; top-V rank-limits map-side (WindowGroupLimit); the OLS
+#     reduction runs over V=200 rows. ---------------------------------------
+
+_ZIPF_V = 200
+
+
+@register(
+    "text_zipf_fit",
+    f"""
+    WITH freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_WORDS}) AS w FROM documents) u
+        WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+        FROM freq
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+        FROM ranked WHERE rnk <= {_ZIPF_V}
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx
+        FROM pts
+    ),
+    s AS (
+        SELECT n, sx, sy,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope
+        FROM mom
+    )
+    SELECT n AS n_points, slope,
+           round((CAST(sy AS DOUBLE) / 1e6 - slope * CAST(sx AS DOUBLE) / 1e6)
+                 / n, 9) AS intercept_nats
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(X.words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = (
+        freq.withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("w")))
+        )
+        .filter(F.col("rnk") <= _ZIPF_V)
+    )
+    lnmu = lambda col: F.round(F.log(col.cast("double")) * 1e6, 0).cast("long")  # noqa: E731
+    pts = ranked.select(
+        lnmu(F.col("rnk")).alias("x"), lnmu(F.col("c")).alias("y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    s = mom.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            9,
+        ).alias("slope"),
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        "slope",
+        F.round(
+            (
+                F.col("sy").cast("double") / 1e6
+                - F.col("slope") * F.col("sx").cast("double") / 1e6
+            )
+            / F.col("n"),
+            9,
+        ).alias("intercept_nats"),
+    )

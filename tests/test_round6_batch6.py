@@ -418,3 +418,87 @@ class TestKmvTypeOverlap:
         assert (row.union_est, row.union_exact) == (15, 15)
         assert (row.inter_est, row.inter_exact) == (5, 5)
         assert row.jaccard_est_ppm == row.jaccard_exact_ppm == 333333
+
+
+def _write_docs_sources(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+class TestWaterFill:
+    def test_clip_and_level(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # caps 10/20/100 -> total 130, budget 65: the two small sources
+        # cap out, the big one levels at 35
+        _write_docs_sources(
+            spark, tmp_path,
+            [(1, "t", "en", "s1", 10), (2, "t", "en", "s2", 20),
+             (3, "t", "en", "s3", 100)],
+        )
+        out = all_queries()["mixture_water_fill"](spark, str(tmp_path)).collect()
+        got = {r.source: (r.alloc, r.capped) for r in out}
+        assert got == {"s1": (10, 1), "s2": (20, 1), "s3": (35, 0)}
+        assert sum(r.alloc for r in out) == out[0].budget == 65
+
+    def test_remainder_distribution_sums_exactly(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # 4 equal caps of 5, budget 10: lam = 2 rem 2 -> allocs 3,3,2,2
+        _write_docs_sources(
+            spark, tmp_path,
+            [(i, "t", "en", f"s{i}", 5) for i in range(1, 5)],
+        )
+        out = all_queries()["mixture_water_fill"](spark, str(tmp_path)).collect()
+        allocs = sorted(r.alloc for r in out)
+        assert allocs == [2, 2, 3, 3]
+        assert sum(allocs) == 10
+
+
+def _write_lineitem_blame(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_linenumber int, l_returnflag string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+class TestBlameSuppliers:
+    def test_sole_blame_semantics(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_lineitem_blame(
+            spark, tmp_path,
+            [
+                (1, 100, 1, "R"), (1, 200, 2, "N"),   # A sole-blamed
+                (2, 100, 1, "R"), (2, 200, 2, "R"),   # shared blame: nobody
+                (3, 100, 1, "R"),                     # single-supplier: nobody
+                (4, 200, 1, "R"), (4, 200, 2, "N"), (4, 300, 3, "N"),  # B blamed
+            ],
+        )
+        out = all_queries()["join_blame_suppliers"](spark, str(tmp_path)).collect()
+        assert {r.suppkey: r.n_orders for r in out} == {100: 1, 200: 1}
+
+
+class TestZipfFit:
+    def test_known_three_point_fit(self, spark, tmp_path):
+        import math
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_docs_sources(
+            spark, tmp_path,
+            [(1, "aa aa aa aa bb bb cc", "en", "s", 20)],
+        )
+        r = all_queries()["text_zipf_fit"](spark, str(tmp_path)).collect()[0]
+        assert r.n_points == 3
+        # recompute with the same fixed-point pipeline
+        pts = [(1, 4), (2, 2), (3, 1)]
+        xs = [round(math.log(rk) * 1e6) for rk, _ in pts]
+        ys = [round(math.log(c) * 1e6) for _, c in pts]
+        n = 3
+        num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = n * sum(x * x for x in xs) - sum(xs) ** 2
+        slope = round(num / den, 9)
+        assert r.slope == slope
+        # freq (4,2,1) vs rank (1,2,3) is steeper than ideal Zipf
+        # (4,2,4/3): exact OLS gives -1.2337
+        assert abs(r.slope + 1.233661944) < 1e-9

@@ -118,6 +118,9 @@ AUDITED = [
     "events_interval_islands",
     "events_column_entropy",
     "events_kmv_type_overlap",
+    "mixture_water_fill",
+    "join_blame_suppliers",
+    "text_zipf_fit",
 ]
 
 CHECKS = {
@@ -576,6 +579,18 @@ CHECKS_R6D["events_column_entropy"] = [
 CHECKS_R6D["events_kmv_type_overlap"] = [
     ("WindowGroupLimit", True, "sketch minima select map-side before every exchange"),
     ("BatchEvalPython", False, "sketch merge and estimates are JVM integer algebra"),
+]
+CHECKS_R6D["mixture_water_fill"] = [
+    ("BatchEvalPython", False, "fill-line search is window algebra over the source histogram"),
+]
+CHECKS_R6D["join_blame_suppliers"] = [
+    ("partial_max", True, "per-(order,supplier) return flags combine map-side"),
+    ("BroadcastNestedLoopJoin", False, "the decorrelated rewrite joins by order key only"),
+]
+CHECKS_R6D["text_zipf_fit"] = [
+    ("TakeOrderedAndProject", True,
+     "top-V selection plans as TakeOrdered (per-partition heaps), not a full vocab sort"),
+    ("BatchEvalPython", False, "fixed-point OLS is JVM decimal algebra"),
 ]
 CHECKS.update(CHECKS_R6D)
 

@@ -132,6 +132,9 @@ STRESSED = [
     "events_interval_islands",
     "events_column_entropy",
     "events_kmv_type_overlap",
+    "mixture_water_fill",
+    "join_blame_suppliers",
+    "text_zipf_fit",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -225,6 +228,9 @@ MAIN_TABLE = {
     "events_interval_islands": "events",
     "events_column_entropy": "events",
     "events_kmv_type_overlap": "events",
+    "mixture_water_fill": "documents",
+    "join_blame_suppliers": "lineitem",
+    "text_zipf_fit": "documents",
 }
 ID_COLS = {
     "events": "event_id",
