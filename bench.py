@@ -162,6 +162,9 @@ HEADLINE = [
     "mixture_water_fill",
     "join_blame_suppliers",
     "text_zipf_fit",
+    "parts_pareto_abc",
+    "join_small_quantity_revenue",
+    "events_ab_test_summary",
 ]
 
 

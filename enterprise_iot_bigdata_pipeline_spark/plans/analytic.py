@@ -1502,3 +1502,223 @@ def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(span).cast("long").alias("covered_us"),
         F.max(span).cast("long").alias("longest_us"),
     )
+
+
+# --- Pareto / ABC revenue classification: rank every part by revenue,
+#     compute each part's CUMULATIVE share of total revenue, and band
+#     A (first 80%), B (to 95%), C (tail) — the inventory-analytics
+#     classic. The naive form is a single-task window (global cumsum
+#     over part-cardinality rows); here the prefix sum is TWO-PHASE over
+#     ORDERED LOG₂ BANDS: revenue cents bucket by bit-length (≤ 63
+#     bands, a constant), the within-band window partitions by band (the
+#     corpus-scaled sort, parallel across bands), and each band's offset
+#     is the sum of all HIGHER bands — a ≤63-row broadcast. Exact BIGINT
+#     cents throughout; the ABC comparison cross-multiplies
+#     (cum·100 vs total·pct) so no share is ever a float. Ordering
+#     inside a band is (cents DESC, partkey) and bands are disjoint
+#     cent ranges, so the two-phase concatenation IS the global revenue
+#     order (ties across bands impossible; ties within a band broken by
+#     key). Output: per-band part counts + revenue share — the
+#     dimension-bounded summary, not the per-part list. --------------------
+
+
+@register(
+    "parts_pareto_abc",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    o AS (
+        SELECT l_partkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(cents) OVER () AS total
+        FROM rev
+    ),
+    banded AS (
+        SELECT l_partkey, cents,
+               CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM o
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM banded GROUP BY abc
+    """,
+)
+def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cents_line = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents_line).cast("long").alias("cents"))
+    # log2 band: higher band = strictly higher cent range, so global
+    # revenue order = (band DESC, cents DESC, partkey). bit_length is
+    # JVM-side; cents >= 0 by corpus contract (prices positive).
+    # exact integer bit-length (base-2 string length), NOT floor(log2):
+    # a float log2 of 2^k can round below k and misband the one value
+    # that sits exactly on a boundary. Any monotone step function of
+    # cents works as a band; this one is integer-exact.
+    band = F.length(F.conv(F.col("cents"), 10, 2)).cast("int")
+    b = rev.withColumn("band", band)
+    w_in = (
+        W.partitionBy("band")
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = b.withColumn("cum_in", F.sum("cents").over(w_in))
+    band_tot = b.groupBy("band").agg(F.sum("cents").cast("long").alias("bt"))
+    w_off = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, -1)
+    offs = band_tot.select(
+        "band",
+        F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("bt")
+        .over(W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("long")
+        .alias("total"),
+    )
+    j = within.join(F.broadcast(offs), "band").select(
+        "l_partkey",
+        "cents",
+        (F.col("cum_in") + F.col("off")).alias("cum"),
+        "total",
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        j.select("cents", abc.alias("abc"))
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# --- A/B experiment summary: deterministic 50/50 user split (salted
+#     md5, INTEGER threshold — the assignment is a pure map and
+#     reproducible across engines and reruns), per-event-type arm
+#     means, population variances, and the Welch t statistic. Float
+#     discipline: moments accumulate decimal-exact (values at
+#     DECIMAL(25,6), squares at (38,12) — the embeddings_standardize
+#     contract); mean and m2 take ONE division each; the variance tree
+#     rounds at 9 dp (the repo's FMA guard for a−b·c shapes); the Welch
+#     chain is the identical correctly-rounded op sequence in both
+#     engines with a 12-dp round on se² and a 6-dp round on t.
+#     Scale shape: one hash aggregate over (event_type, arm); everything
+#     downstream is |types|-bounded. ---------------------------------------
+
+_AB_THRESH = 1 << 59  # md5-60bit < 2^59 → arm A (exact 50/50 in expectation)
+
+
+@register(
+    "events_ab_test_summary",
+    f"""
+    WITH assigned AS (
+        SELECT event_type, value,
+               CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                         ':abtest')), 1, 15)) AS BIGINT) < {_AB_THRESH}
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mu,
+               CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m2
+        FROM assigned GROUP BY event_type, arm
+    ),
+    v AS (
+        SELECT event_type, arm, n, mu, round(m2 - mu * mu, 9) AS var_pop FROM m
+    ),
+    w AS (
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               round(a.mu, 9) AS mean_a, round(b.mu, 9) AS mean_b,
+               round(a.var_pop, 9) AS var_a, round(b.var_pop, 9) AS var_b,
+               round(a.var_pop / a.n + b.var_pop / b.n, 12) AS se2
+        FROM v a JOIN v b ON a.event_type = b.event_type
+        WHERE a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b,
+           CASE WHEN se2 > 0
+                THEN round((mean_a - mean_b) / sqrt(se2), 6)
+                ELSE 0.0 END AS welch_t
+    FROM w
+    """,
+)
+def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":abtest"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    assigned = ev.select(
+        "event_type",
+        "value",
+        F.when(h < _AB_THRESH, "A").otherwise("B").alias("arm"),
+    )
+    val = F.col("value")
+    m = assigned.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(val.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mu"
+        ),
+        (
+            F.sum((val * val).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    v = m.select(
+        "event_type",
+        "arm",
+        "n",
+        "mu",
+        F.round(F.col("m2") - F.col("mu") * F.col("mu"), 9).alias("var_pop"),
+    )
+    a = v.filter(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mu").alias("mu_a"),
+        F.col("var_pop").alias("vp_a"),
+    )
+    b = v.filter(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mu").alias("mu_b"),
+        F.col("var_pop").alias("vp_b"),
+    )
+    w = a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("mu_a"), 9).alias("mean_a"),
+        F.round(F.col("mu_b"), 9).alias("mean_b"),
+        F.round(F.col("vp_a"), 9).alias("var_a"),
+        F.round(F.col("vp_b"), 9).alias("var_b"),
+        F.round(F.col("vp_a") / F.col("n_a") + F.col("vp_b") / F.col("n_b"), 12).alias(
+            "se2"
+        ),
+    )
+    t_stat = F.when(
+        F.col("se2") > 0,
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(F.col("se2")), 6),
+    ).otherwise(F.lit(0.0))
+    return w.select(
+        "event_type", "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        t_stat.alias("welch_t"),
+    )

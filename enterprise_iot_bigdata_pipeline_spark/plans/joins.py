@@ -538,3 +538,51 @@ def join_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blamed.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
+
+
+# --- TPC-H Q17 shape (per-group correlated scalar threshold): lines
+#     whose quantity is below 20% of their part's average — the
+#     "small-quantity order" revenue probe. The oracle runs the textbook
+#     correlated scalar subqueries; Spark runs the decorrelated rewrite
+#     (one per-part aggregate joined back — a part-keyed equi-join, NOT
+#     a per-row probe). Float discipline: `q < 0.2·avg(q)` is
+#     cross-multiplied to `5·q·count < sum` so the threshold is exact
+#     integer arithmetic in both engines — no average is ever
+#     materialized as a double. Revenue reported per brand in exact
+#     cents (dimension-bounded output). -------------------------------------
+
+
+@register(
+    "join_small_quantity_revenue",
+    """
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(round(l.l_quantity, 0) AS BIGINT) * 5
+          * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT sum(CAST(round(l2.l_quantity, 0) AS BIGINT))
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY 1
+    """,
+)
+def join_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_l"), F.sum(qty).cast("long").alias("sum_q")
+    )
+    j = li.join(stats, "l_partkey").filter(
+        qty * 5 * F.col("n_l") < F.col("sum_q")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        j.join(F.broadcast(part), j.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+    )

@@ -502,3 +502,110 @@ class TestZipfFit:
         # freq (4,2,1) vs rank (1,2,3) is steeper than ideal Zipf
         # (4,2,4/3): exact OLS gives -1.2337
         assert abs(r.slope + 1.233661944) < 1e-9
+
+
+class TestParetoAbc:
+    def test_known_banding(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # revenues 80, 15, 5 (one line each, discount 0): cumulative
+        # shares 80%, 95%, 100% -> bands A, B, C (boundaries inclusive)
+        rows = [
+            (1, 100, 1, "2024-01-01 00:00:00", 1.0, "N"),
+            (2, 200, 1, "2024-01-01 00:00:00", 1.0, "N"),
+            (3, 300, 1, "2024-01-01 00:00:00", 1.0, "N"),
+        ]
+        df = spark.createDataFrame(
+            [(pk, ok, ln, d, q, f, price, 0.0)
+             for (pk, ok, ln, d, q, f), price in zip(rows, [80.0, 15.0, 5.0])],
+            "l_partkey long, l_orderkey long, l_linenumber int, l_shipdate string, "
+            "l_quantity double, l_returnflag string, l_extendedprice double, "
+            "l_discount double",
+        ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        out = all_queries()["parts_pareto_abc"](spark, str(tmp_path)).collect()
+        got = {r.abc: (r.n_parts, r.revenue_cents) for r in out}
+        assert got == {"A": (1, 8000), "B": (1, 1500), "C": (1, 500)}
+
+    def test_two_phase_matches_direct_cumsum(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # 40 parts with revenues spanning several log2 bands, incl. exact
+        # powers of two sitting on band boundaries
+        vals = [2.0 ** k for k in range(1, 11)] * 4
+        rows = [
+            (i + 1, i + 1, 1, "2024-01-01 00:00:00", 1.0, "N", v, 0.0)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "l_partkey long, l_orderkey long, l_linenumber int, l_shipdate string, "
+            "l_quantity double, l_returnflag string, l_extendedprice double, "
+            "l_discount double",
+        ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        out = all_queries()["parts_pareto_abc"](spark, str(tmp_path)).collect()
+        # direct python cumsum reference
+        cents = sorted((round(v * 100) for v in vals), reverse=True)
+        total = sum(cents)
+        cum, bands = 0, {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+        for c in cents:
+            cum += c
+            k = "A" if cum * 100 <= total * 80 else ("B" if cum * 100 <= total * 95 else "C")
+            bands[k][0] += 1
+            bands[k][1] += c
+        assert {r.abc: [r.n_parts, r.revenue_cents] for r in out} == {
+            k: v for k, v in bands.items() if v[0] > 0
+        }
+
+
+class TestSmallQuantityRevenue:
+    def test_threshold_is_exact_fifth_of_mean(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # part 1: quantities 1, 10, 39 -> mean 50/3; 0.2*mean = 10/3;
+        # only q=1 qualifies (5*1*3=15 < 50; 5*10*3=150 >= 50)
+        li = spark.createDataFrame(
+            [
+                (1, 1, 1, 1.0, 10.0),
+                (1, 2, 1, 10.0, 20.0),
+                (1, 3, 1, 39.0, 30.0),
+            ],
+            "l_partkey long, l_orderkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double",
+        )
+        li.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        part = spark.createDataFrame(
+            [(1, "n", "Brand#1", "t", 5, 1.0)],
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+        out = all_queries()["join_small_quantity_revenue"](spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        assert (out[0].brand, out[0].n_lines, out[0].revenue_cents) == ("Brand#1", 1, 1000)
+
+
+class TestAbTestSummary:
+    def test_split_is_deterministic_and_moments_exact(self, spark, tmp_path):
+        import hashlib
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        def arm(uid):
+            h = int(hashlib.md5(f"{uid}:abtest".encode()).hexdigest()[:15], 16)
+            return "A" if h < (1 << 59) else "B"
+
+        rows = [
+            (i, "2024-01-01 00:00:00", uid, "view", float(uid), "{}")
+            for i, uid in enumerate(range(1, 41))
+        ]
+        _write_events(spark, tmp_path, rows)
+        r = all_queries()["events_ab_test_summary"](spark, str(tmp_path)).collect()[0]
+        a_vals = [u for u in range(1, 41) if arm(u) == "A"]
+        b_vals = [u for u in range(1, 41) if arm(u) == "B"]
+        assert (r.n_a, r.n_b) == (len(a_vals), len(b_vals))
+        assert r.mean_a == round(sum(a_vals) / len(a_vals), 9)
+        assert r.mean_b == round(sum(b_vals) / len(b_vals), 9)
+        # population variance through the same float sequence
+        ma, m2a = sum(a_vals) / len(a_vals), sum(v * v for v in a_vals) / len(a_vals)
+        assert r.var_a == round(round(m2a - ma * ma, 9), 9)

@@ -121,6 +121,9 @@ AUDITED = [
     "mixture_water_fill",
     "join_blame_suppliers",
     "text_zipf_fit",
+    "parts_pareto_abc",
+    "join_small_quantity_revenue",
+    "events_ab_test_summary",
 ]
 
 CHECKS = {
@@ -591,6 +594,22 @@ CHECKS_R6D["text_zipf_fit"] = [
     ("TakeOrderedAndProject", True,
      "top-V selection plans as TakeOrdered (per-partition heaps), not a full vocab sort"),
     ("BatchEvalPython", False, "fixed-point OLS is JVM decimal algebra"),
+]
+CHECKS_R6D["parts_pareto_abc"] = [
+    # the ONE single-partition exchange in this plan is the <=63-row
+    # band-totals offset window - bounded by construction; the
+    # corpus-scaled within-band cumsum must partition by band:
+    ("Exchange hashpartitioning(band", True,
+     "the part-scaled cumsum window is keyed by log2 band, never one task"),
+    ("BatchEvalPython", False, "banding and shares are exact JVM integer algebra"),
+]
+CHECKS_R6D["join_small_quantity_revenue"] = [
+    ("BroadcastHashJoin", True, "the part dim broadcasts; per-part stats join by key"),
+    ("BatchEvalPython", False, "the cross-multiplied threshold is JVM integer math"),
+]
+CHECKS_R6D["events_ab_test_summary"] = [
+    ("partial_", True, "arm moments combine map-side"),
+    ("BatchEvalPython", False, "assignment hash + Welch chain are JVM-side"),
 ]
 CHECKS.update(CHECKS_R6D)
 

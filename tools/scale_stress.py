@@ -135,6 +135,9 @@ STRESSED = [
     "mixture_water_fill",
     "join_blame_suppliers",
     "text_zipf_fit",
+    "parts_pareto_abc",
+    "join_small_quantity_revenue",
+    "events_ab_test_summary",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -231,6 +234,9 @@ MAIN_TABLE = {
     "mixture_water_fill": "documents",
     "join_blame_suppliers": "lineitem",
     "text_zipf_fit": "documents",
+    "parts_pareto_abc": "lineitem",
+    "join_small_quantity_revenue": "lineitem",
+    "events_ab_test_summary": "events",
 }
 ID_COLS = {
     "events": "event_id",
