@@ -72,7 +72,7 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
         "hiveperiod string, dstrct_code string, v double",
     )
     target = str(tmp_path / "orclake")
-    write_orc(df, target, partition_by=("hiveperiod", "dstrct_code"))
+    write_orc(df, target, partition_cols=("hiveperiod", "dstrct_code"))
 
     back = read_orc(spark, target)
     assert back.count() == 3
