@@ -165,6 +165,9 @@ HEADLINE = [
     "parts_pareto_abc",
     "join_small_quantity_revenue",
     "events_ab_test_summary",
+    "orders_fulfillment_latency",
+    "events_dau_mau",
+    "text_novelty_rate",
 ]
 
 

@@ -1034,3 +1034,65 @@ def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("jaccard_exact_ppm"),
     )
+
+
+# --- DAU / trailing-28-day MAU stickiness — THE engagement ratio.
+#     Extends the rolling-WAU contribution-replication shape: the
+#     distinct (user, day) reduction is the one corpus shuffle; each
+#     active day contributes to its 28 trailing month-windows via a
+#     bounded sequence-explode (×28, calendar arithmetic, no theta
+#     join); DAU rides the same deduped frame. Output restricted to
+#     observed days; stickiness is an exact ppm integral division. ------
+
+
+@register(
+    "events_dau_mau",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    obs AS (SELECT DISTINCT d FROM days),
+    dau AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS dau FROM days GROUP BY d
+    ),
+    contrib AS (
+        SELECT user_id, d + off AS wd
+        FROM days CROSS JOIN (SELECT unnest(range(0, 28)) AS off) o
+    ),
+    mau AS (
+        SELECT c.wd AS d, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+        FROM contrib c JOIN obs ON obs.d = c.wd
+        GROUP BY c.wd
+    )
+    SELECT CAST(CAST(DATE '1970-01-01' + to_days(CAST(dau.d AS INTEGER)) AS DATE)
+                AS VARCHAR) AS day,
+           dau.dau, mau.mau,
+           dau.dau * 1000000 // mau.mau AS stickiness_ppm
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    days = ev.select("user_id", day.alias("d")).distinct()
+    obs = days.select("d").distinct()
+    dau = days.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = days.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 27)).alias("wd")
+    )
+    mau = (
+        contrib.join(obs.withColumnRenamed("d", "wd"), "wd")
+        .groupBy("wd")
+        .agg(F.count_distinct("user_id").cast("long").alias("mau"))
+        .withColumnRenamed("wd", "d")
+    )
+    j = dau.join(mau, "d")
+    return j.select(
+        F.expr("cast(date_add(DATE '1970-01-01', cast(d as int)) as string)").alias(
+            "day"
+        ),
+        "dau",
+        "mau",
+        F.expr("(dau * CAST(1000000 AS BIGINT)) div mau").alias("stickiness_ppm"),
+    )

@@ -2305,3 +2305,60 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("intercept_nats"),
     )
+
+
+# --- N-gram novelty rate: per document, the fraction of its shingles
+#     appearing in NO earlier document (by doc_id order) — the
+#     curation signal that separates fresh content from recombinations
+#     of what the corpus already holds (near-dup detectors need a pair;
+#     novelty is unary and catches gradual template drift). First-seen
+#     owner = min(doc_id) per shingle: one shingle-keyed hash agg, one
+#     equi-join back, one per-doc rollup — no self-join, no window.
+#     Integer ppm output. -----------------------------------------------
+
+
+@register(
+    "text_novelty_rate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    first_seen AS (
+        SELECT shingle, min(doc) AS first_doc FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+        SELECT s.doc,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = s.doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+        GROUP BY s.doc
+    )
+    SELECT doc AS doc_id, n_shingles, n_novel,
+           n_novel * 1000000 // n_shingles AS novelty_ppm
+    FROM per_doc
+    """,
+)
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(X.word_shingles(F.col("text"))).alias("shingle"),
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc").alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        F.expr("(n_novel * CAST(1000000 AS BIGINT)) div n_shingles").alias(
+            "novelty_ppm"
+        ),
+    )

@@ -609,3 +609,73 @@ class TestAbTestSummary:
         # population variance through the same float sequence
         ma, m2a = sum(a_vals) / len(a_vals), sum(v * v for v in a_vals) / len(a_vals)
         assert r.var_a == round(round(m2a - ma * ma, 9), 9)
+
+
+class TestFulfillmentLatency:
+    def test_first_last_and_quantiles(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        orders = spark.createDataFrame(
+            [(1, 1, "O", "2024-01-01 00:00:00", "1-URGENT"),
+             (2, 1, "O", "2024-01-01 00:00:00", "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        li = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-02 00:00:00"),   # +1d
+                (1, 2, "2024-01-05 00:00:00"),   # spread 3d
+                (2, 1, "2023-12-31 00:00:00"),   # NEGATIVE latency (-1d)
+            ],
+            "l_orderkey long, l_linenumber int, l_shipdate string",
+        ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        orders.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        li.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        r = all_queries()["orders_fulfillment_latency"](spark, str(tmp_path)).collect()[0]
+        day = 86_400_000_000
+        assert (r.n_orders, r.min_us, r.max_us) == (2, -day, day)
+        # n=2: p25 idx 0 -> -1d; p50 idx 0 -> -1d; p75/p90 idx 0 -> -1d
+        assert r.p25_us == -day and r.p50_us == -day
+        # order 1 spread 3d, order 2 spread 0 -> mean 1.5d
+        assert r.mean_spread_us == 1.5 * day
+
+
+class TestDauMau:
+    def test_trailing_month_and_stickiness(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_events(
+            spark, tmp_path,
+            [
+                (0, "2024-01-01 12:00:00", 1, "view", 1.0, "{}"),
+                (1, "2024-01-01 13:00:00", 2, "view", 1.0, "{}"),
+                (2, "2024-01-20 12:00:00", 2, "view", 1.0, "{}"),
+                # Feb 20: Jan 20 (user 2) is 31 days back -> expired;
+                # only user 1's own activity counts
+                (3, "2024-02-20 12:00:00", 1, "view", 1.0, "{}"),
+            ],
+        )
+        out = all_queries()["events_dau_mau"](spark, str(tmp_path)).collect()
+        got = {r.day: (r.dau, r.mau, r.stickiness_ppm) for r in out}
+        assert got["2024-01-01"] == (2, 2, 1_000_000)
+        assert got["2024-01-20"] == (1, 2, 500_000)   # both users active in window
+        assert got["2024-02-20"] == (1, 1, 1_000_000)
+
+
+class TestNoveltyRate:
+    def test_first_seen_owns_shingle(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        _write_docs_sources(
+            spark, tmp_path,
+            [
+                (1, "a b c d", "en", "s", 7),     # shingles {a b c, b c d}: all novel
+                (2, "a b c e", "en", "s", 7),     # {a b c (seen), b c e (novel)}
+                (3, "a b c d", "en", "s", 7),     # exact repeat: nothing novel
+            ],
+        )
+        out = all_queries()["text_novelty_rate"](spark, str(tmp_path)).collect()
+        got = {r.doc_id: (r.n_shingles, r.n_novel, r.novelty_ppm) for r in out}
+        assert got[1] == (2, 2, 1_000_000)
+        assert got[2] == (2, 1, 500_000)
+        assert got[3] == (2, 0, 0)

@@ -124,6 +124,9 @@ AUDITED = [
     "parts_pareto_abc",
     "join_small_quantity_revenue",
     "events_ab_test_summary",
+    "orders_fulfillment_latency",
+    "events_dau_mau",
+    "text_novelty_rate",
 ]
 
 CHECKS = {
@@ -611,6 +614,18 @@ CHECKS_R6D["events_ab_test_summary"] = [
     ("partial_", True, "arm moments combine map-side"),
     ("BatchEvalPython", False, "assignment hash + Welch chain are JVM-side"),
 ]
+CHECKS_R6D["orders_fulfillment_latency"] = [
+    ("SortMergeJoin", True, "the fact-fact orders-lineitem path is a shuffle SMJ"),
+    ("BatchEvalPython", False, "latency algebra is JVM integer microseconds"),
+]
+CHECKS_R6D["events_dau_mau"] = [
+    ("CartesianProduct", False, "window membership is the bounded x28 explode, no theta join"),
+    ("BatchEvalPython", False, "calendar arithmetic is JVM-native"),
+]
+CHECKS_R6D["text_novelty_rate"] = [
+    ("SortMergeJoin", True, "first-seen owners join back by shingle key (vocabulary-scaled - correctly NOT broadcast)"),
+    ("BatchEvalPython", False, "shingling is the JVM zip_with pipeline"),
+]
 CHECKS.update(CHECKS_R6D)
 
 CONF_OVERRIDES = {
@@ -619,6 +634,10 @@ CONF_OVERRIDES = {
     "web_domain_filter": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "events_spatial_pairs": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "join_interval_overlap": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    # fact-fact / vocabulary-scaled joins: disable autobroadcast so the
+    # audit sees the 100 TB degradation shape, not the sf0.01 BHJ
+    "orders_fulfillment_latency": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "text_novelty_rate": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 

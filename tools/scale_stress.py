@@ -138,6 +138,9 @@ STRESSED = [
     "parts_pareto_abc",
     "join_small_quantity_revenue",
     "events_ab_test_summary",
+    "orders_fulfillment_latency",
+    "events_dau_mau",
+    "text_novelty_rate",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -237,6 +240,9 @@ MAIN_TABLE = {
     "parts_pareto_abc": "lineitem",
     "join_small_quantity_revenue": "lineitem",
     "events_ab_test_summary": "events",
+    "orders_fulfillment_latency": "lineitem",
+    "events_dau_mau": "events",
+    "text_novelty_rate": "documents",
 }
 ID_COLS = {
     "events": "event_id",
