@@ -1762,7 +1762,10 @@ def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN first_us END) AS p75_us,
            max(CASE WHEN rn = (9 * (n - 1)) // 10 + 1 THEN first_us END) AS p90_us,
            max(first_us) AS max_us,
-           CAST(CAST(sum(last_us - first_us) AS BIGINT) AS DOUBLE) / count(*)
+           -- spread sum accumulates in HUGEINT/DECIMAL(38,0): at 10^12
+           -- orders a BIGINT microsecond sum genuinely overflows (and
+           -- ANSI mode makes that a job-kill, not a wrap)
+           CAST(sum(CAST(last_us - first_us AS HUGEINT)) AS DOUBLE) / count(*)
                AS mean_spread_us
     FROM ranked GROUP BY priority
     """,
@@ -1803,7 +1806,8 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(F.floor((9 * (n - 1)) / 10)).alias("p90_us"),
         F.max("first_us").alias("max_us"),
         (
-            F.sum(F.col("last_us") - F.col("first_us")).cast("long").cast("double")
+            F.sum((F.col("last_us") - F.col("first_us")).cast("decimal(38,0)"))
+            .cast("double")
             / F.count(F.lit(1))
         ).alias("mean_spread_us"),
     )
