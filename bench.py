@@ -168,6 +168,8 @@ HEADLINE = [
     "orders_fulfillment_latency",
     "events_dau_mau",
     "text_novelty_rate",
+    "graph_markov_stationary",
+    "orders_cohort_ltv",
 ]
 
 

@@ -1811,3 +1811,87 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_spread_us"),
     )
+
+
+# --- Cohort LTV triangle: customers grouped by FIRST-ORDER month,
+#     revenue accumulated by cohort age in months — the
+#     lifetime-value complement to cohort_weekly_retention (that one
+#     counts users, this one sums money). Month arithmetic is exact
+#     integers (year·12 + month), revenue is exact cents, and the
+#     cumulative LTV runs over a calendar²-bounded frame (cohorts ×
+#     ages), so the only corpus-scaled work is one customer aggregate
+#     and one customer-keyed join back (NOT broadcast — customer
+#     cardinality scales with the corpus; the cohort de-hint rule). -------
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH o2 AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    firsts AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o2 GROUP BY o_custkey),
+    facts AS (
+        SELECT f.cohort_ym, o2.ym - f.cohort_ym AS age_months,
+               o2.o_custkey, o2.cents
+        FROM o2 JOIN firsts f ON o2.o_custkey = f.o_custkey
+    ),
+    cells AS (
+        SELECT cohort_ym, age_months,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM facts GROUP BY cohort_ym, age_months
+    )
+    SELECT concat(CAST((cohort_ym - 1) // 12 AS VARCHAR), '-',
+                  CASE WHEN (cohort_ym - 1) % 12 + 1 < 10
+                       THEN concat('0', CAST((cohort_ym - 1) % 12 + 1 AS VARCHAR))
+                       ELSE CAST((cohort_ym - 1) % 12 + 1 AS VARCHAR) END)
+               AS cohort_month,
+           age_months, n_active, revenue_cents,
+           CAST(sum(revenue_cents) OVER (
+               PARTITION BY cohort_ym ORDER BY age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_revenue_cents
+    FROM cells
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("timestamp")
+    ym = (F.year(d) * 12 + F.month(d)).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    o2 = orders.select("o_custkey", ym.alias("ym"), cents.alias("cents"))
+    firsts = o2.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    # customer-keyed join back, deliberately un-hinted (AQE broadcasts
+    # when it fits; at 100 TB customers scale with the corpus)
+    facts = o2.join(firsts, "o_custkey").select(
+        "cohort_ym",
+        (F.col("ym") - F.col("cohort_ym")).alias("age_months"),
+        "o_custkey",
+        "cents",
+    )
+    cells = facts.groupBy("cohort_ym", "age_months").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    w = (
+        W.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    yr = (F.col("cohort_ym") - 1).cast("long")
+    month_num = yr % 12 + 1
+    return cells.select(
+        F.concat(
+            F.expr("(cohort_ym - 1) div 12").cast("string"),
+            F.lit("-"),
+            F.lpad(month_num.cast("string"), 2, "0"),
+        ).alias("cohort_month"),
+        "age_months",
+        "n_active",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )

@@ -449,3 +449,103 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+# --- Markov stationary distribution of the event-type transition
+#     chain: where does a user's session settle in the long run? The
+#     third fixed-point kernel expressed declaratively: the transition
+#     matrix comes from events_transition_matrix's lag algebra (ONE
+#     user-keyed window sort + one |types|² aggregate — the only
+#     corpus-scaled work), and the power iteration runs 12 unrolled
+#     steps over the |types|²-bounded matrix (pagerank's generated-CTE
+#     oracle trick; no damping — the observed chain is irreducible at
+#     every SF, probed before registering). Cross-engine float
+#     discipline = pagerank's: per-step contributions round to 18 dp
+#     BEFORE the DECIMAL(38,18) sum; the new vector rounds to 12 dp.
+#     Start vector is uniform over the states observed as transition
+#     SOURCES. ---------------------------------------------------------
+
+_MKV_ITER = 12
+
+
+def _markov_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for k in range(1, _MKV_ITER + 1):
+        steps.append(
+            f"""r{k} AS (
+        SELECT p.t_to AS state,
+               round(CAST(sum(CAST(round(r.pr * p.p, 18) AS DECIMAL(38,18)))
+                          AS DOUBLE), 12) AS pr
+        FROM p JOIN {prev} r ON p.t_from = r.state
+        GROUP BY p.t_to
+    )"""
+        )
+        prev = f"r{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type AS t_from, event_type AS t_to, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT t_from, sum(n) AS tn FROM c GROUP BY t_from),
+    p AS (
+        SELECT c.t_from, c.t_to,
+               round(CAST(c.n AS DOUBLE) / CAST(tot.tn AS DOUBLE), 12) AS p
+        FROM c JOIN tot ON c.t_from = tot.t_from
+    ),
+    states AS (SELECT DISTINCT t_from AS state FROM c),
+    ns AS (SELECT count(*) AS m FROM states),
+    r0 AS (
+        SELECT state, round(1.0 / ns.m, 12) AS pr FROM states CROSS JOIN ns
+    ),
+    {chain}
+    SELECT state, pr AS stationary_p FROM {prev}
+    """
+
+
+@register("graph_markov_stationary", _markov_oracle())
+def graph_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("t_from")
+    ).filter(F.col("t_from").isNotNull())
+    c = seq.groupBy("t_from", F.col("event_type").alias("t_to")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("t_from").agg(F.sum("n").alias("tn"))
+    p = (
+        c.join(tot, "t_from")
+        .select(
+            "t_from",
+            "t_to",
+            F.round(F.col("n").cast("double") / F.col("tn").cast("double"), 12).alias(
+                "p"
+            ),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    states = p.select(F.col("t_from").alias("state")).distinct()
+    m = states.count()  # |types|-bounded control-plane scalar
+    r = states.select("state", F.round(F.lit(1.0) / m, 12).alias("pr"))
+    for it in range(_MKV_ITER):
+        contrib = p.join(r, p.t_from == r.state).select(
+            F.col("t_to").alias("state"),
+            F.round(F.col("pr") * F.col("p"), 18).cast("decimal(38,18)").alias("cc"),
+        )
+        r = contrib.groupBy("state").agg(
+            F.round(F.sum("cc").cast("double"), 12).alias("pr")
+        )
+        if it % 3 == 2:
+            r = r.localCheckpoint()
+    return r.select("state", F.col("pr").alias("stationary_p"))

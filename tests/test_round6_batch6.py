@@ -679,3 +679,59 @@ class TestNoveltyRate:
         assert got[1] == (2, 2, 1_000_000)
         assert got[2] == (2, 1, 500_000)
         assert got[3] == (2, 0, 0)
+
+
+class TestMarkovStationary:
+    def test_two_state_chain(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # user transitions a->b, b->a, a->b, ... P = [[0,1],[1,0]] has
+        # uniform stationary distribution from a uniform start
+        rows = []
+        for i, et in enumerate(["a", "b"] * 8):
+            rows.append((i, f"2024-01-01 00:00:{i:02d}", 1, et, 1.0, "{}"))
+        _write_events(spark, tmp_path, rows)
+        out = all_queries()["graph_markov_stationary"](spark, str(tmp_path)).collect()
+        got = {r.state: r.stationary_p for r in out}
+        assert abs(got["a"] - 0.5) < 1e-9 and abs(got["b"] - 0.5) < 1e-9
+
+    def test_absorbing_state_drains_mass(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        # a->b twice, b->b many times: b absorbs; after 12 steps mass on
+        # a is (1/2)*0^... -> a gets ~0, b ~1 (from uniform start, a's
+        # mass moves to b in one step and never returns)
+        seq = ["a", "b", "a", "b"] + ["b"] * 10
+        rows = [
+            (i, f"2024-01-01 00:00:{i:02d}", 1, et, 1.0, "{}")
+            for i, et in enumerate(seq)
+        ]
+        _write_events(spark, tmp_path, rows)
+        out = all_queries()["graph_markov_stationary"](spark, str(tmp_path)).collect()
+        got = {r.state: r.stationary_p for r in out}
+        # a only transitions to b; b mostly self-loops: stationary mass
+        # concentrates on b
+        assert got["b"] > 0.8 and got["a"] < 0.2
+
+
+class TestCohortLtv:
+    def test_triangle_and_cumulative(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        orders = spark.createDataFrame(
+            [
+                (1, 10, "O", 100.0, "2024-01-15 00:00:00", "1-URGENT"),
+                (2, 10, "O", 50.0, "2024-03-10 00:00:00", "1-URGENT"),
+                (3, 20, "O", 70.0, "2024-03-05 00:00:00", "1-URGENT"),
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        orders.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        out = all_queries()["orders_cohort_ltv"](spark, str(tmp_path)).collect()
+        got = {(r.cohort_month, r.age_months): (r.n_active, r.revenue_cents, r.cum_revenue_cents)
+               for r in out}
+        assert got[("2024-01", 0)] == (1, 10000, 10000)
+        assert got[("2024-01", 2)] == (1, 5000, 15000)   # cumulative LTV
+        assert got[("2024-03", 0)] == (1, 7000, 7000)
+        assert len(got) == 3

@@ -127,6 +127,8 @@ AUDITED = [
     "orders_fulfillment_latency",
     "events_dau_mau",
     "text_novelty_rate",
+    "graph_markov_stationary",
+    "orders_cohort_ltv",
 ]
 
 CHECKS = {
@@ -625,6 +627,14 @@ CHECKS_R6D["events_dau_mau"] = [
 CHECKS_R6D["text_novelty_rate"] = [
     ("SortMergeJoin", True, "first-seen owners join back by shingle key (vocabulary-scaled - correctly NOT broadcast)"),
     ("BatchEvalPython", False, "shingling is the JVM zip_with pipeline"),
+]
+CHECKS_R6D["graph_markov_stationary"] = [
+    ("Scan ExistingRDD", True, "the transition matrix rides its localCheckpoint, built once"),
+    ("BatchEvalPython", False, "power iteration is JVM decimal algebra"),
+]
+CHECKS_R6D["orders_cohort_ltv"] = [
+    ("partial_", True, "order reductions combine map-side"),
+    ("BatchEvalPython", False, "month arithmetic is exact JVM integers"),
 ]
 CHECKS.update(CHECKS_R6D)
 

@@ -141,6 +141,8 @@ STRESSED = [
     "orders_fulfillment_latency",
     "events_dau_mau",
     "text_novelty_rate",
+    "graph_markov_stationary",
+    "orders_cohort_ltv",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -243,6 +245,8 @@ MAIN_TABLE = {
     "orders_fulfillment_latency": "lineitem",
     "events_dau_mau": "events",
     "text_novelty_rate": "documents",
+    "graph_markov_stationary": "events",
+    "orders_cohort_ltv": "orders",
 }
 ID_COLS = {
     "events": "event_id",
