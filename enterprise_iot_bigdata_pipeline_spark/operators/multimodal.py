@@ -1552,3 +1552,163 @@ def image_dhash(media: DataFrame, id_col: str = "doc_id", content_col: str = "co
     return media.select(F.col(id_col), F.col(content_col)).mapInPandas(
         per_batch, schema=DHASH_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG video container (RIFF): the one media family the engine had
+# no REAL decode path for (parse_mp4_meta walks ISO-BMFF metadata, but MP4
+# samples need an H.264-class codec — out of scope by design). Motion-JPEG
+# needs no inter-frame codec: every '00dc' chunk is a standalone baseline
+# JPEG, which operators.jpeg already decodes natively — so a RIFF walker
+# turns "video" from a byte-chunking stub into an actual
+# container → frames → pixels pipeline. Writer and parser are mirrors
+# (the GIF/TIFF LZW lesson: building the encoder against the decoder pins
+# both). Reference container layout: RIFF('AVI ' LIST(hdrl avih
+# LIST(strl strh strf)) LIST(movi 00dc...) idx1) per the public
+# AVI RIFF spec (msdn/OpenDML); no index is required for sequential read.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(
+    width: int, height: int, frames: list, us_per_frame: int = 40_000
+) -> bytes:
+    """Minimal valid AVI with one MJPEG video stream; ``frames`` are
+    complete JPEG payloads (e.g. from operators.jpeg.encode_jpeg)."""
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        us_per_frame,          # dwMicroSecPerFrame
+        0, 0,                  # dwMaxBytesPerSec, dwPaddingGranularity
+        0x10,                  # dwFlags: AVIF_HASINDEX off, 0x10 = was captured (benign)
+        len(frames), 0,        # dwTotalFrames, dwInitialFrames
+        1,                     # dwStreams
+        max_bytes,             # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,            # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG",
+        0, 0, 0, 0,            # flags, prio+lang, initial frames, scale(next)
+        1, 25,                 # dwScale=1, dwRate=25 (25 fps nominal)
+        0, len(frames),        # start, length (frames)
+        max_bytes, 0xFFFFFFFF, # buffer size, quality (-1)
+        0,                     # sample size (0: varies)
+        0, 0, width, height,   # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", bytes(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + __import__("struct").pack("<I", len(riff_body)) + riff_body
+
+
+def parse_avi(payload: bytes) -> dict:
+    """Walk a RIFF/AVI container: header metadata + the raw MJPEG frame
+    payloads (each a standalone JPEG for ``operators.jpeg.parse_jpeg``).
+    Unknown chunks skip by size (the RIFF contract), so files written by
+    other muxers parse as long as the stream is MJPEG."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    meta: dict = {"frames": [], "codec": None}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if tag == b"LIST":
+                walk(body_start + 4, body_end)  # skip the list-kind fourcc
+            elif tag == b"avih":
+                us, *_rest = struct.unpack_from("<I", payload, body_start)
+                (n_frames,) = struct.unpack_from("<I", payload, body_start + 16)
+                w, h = struct.unpack_from("<II", payload, body_start + 32)
+                meta.update(
+                    us_per_frame=int(us), n_frames=int(n_frames),
+                    width=int(w), height=int(h),
+                )
+            elif tag == b"strh":
+                fcc_type = payload[body_start : body_start + 4]
+                if fcc_type == b"vids":
+                    meta["codec"] = payload[body_start + 4 : body_start + 8].decode(
+                        "ascii", "replace"
+                    )
+            elif tag == b"00dc":
+                meta["frames"].append(payload[body_start:body_end])
+            pos = body_start + size + (size % 2)
+
+    walk(12, len(payload))
+    if meta.get("codec") not in (None, "MJPG"):
+        raise NotImplementedError(
+            f"AVI stream codec {meta['codec']!r}: only MJPG decodes natively "
+            "(each frame a standalone baseline JPEG)"
+        )
+    return meta
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, checksum bigint"
+)
+
+
+def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video frame sampling: parse the AVI container, keep every
+    ``stride``-th MJPEG frame, decode it with the native JPEG codec, and
+    emit per-frame dimensions + a pixel checksum (sum of decoded bytes
+    mod 2^31 — cheap, order-independent, and recomputable by any reader).
+    Arrow-batched mapInPandas; payload bytes never visit the driver.
+    Corrupt/non-AVI rows degrade to zero frame rows (the decode_media
+    null-row contract), never job kills."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import parse_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    meta = parse_avi(bytes(content))
+                except Exception:
+                    continue
+                for i in range(0, len(meta["frames"]), stride):
+                    try:
+                        img = parse_jpeg(meta["frames"][i])
+                    except Exception:
+                        continue
+                    px = img["pixels"]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            int(img["width"]),
+                            int(img["height"]),
+                            int(sum(px) % (1 << 31)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "checksum"],
+            )
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return fan_out(media.select("doc_id", "content")).mapInPandas(
+        per_batch, VIDEO_FRAMES_SCHEMA
+    )
