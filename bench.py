@@ -170,6 +170,8 @@ HEADLINE = [
     "text_novelty_rate",
     "graph_markov_stationary",
     "orders_cohort_ltv",
+    "join_top_supplier_quarter",
+    "join_disjunctive_revenue",
 ]
 
 

@@ -586,3 +586,103 @@ def join_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).cast("long").alias("revenue_cents"),
         )
     )
+
+
+# --- TPC-H Q15 shape (argmax via scalar subquery): the top-revenue
+#     supplier(s) for a shipping quarter — revenue per supplier, then
+#     every supplier achieving the MAXIMUM (ties all surface, the Q15
+#     contract). Exact integer cents make the max tie-exact across
+#     engines. Spark shape: one fact aggregate, a 1-row broadcast of
+#     the max (the principled scalar broadcast), supplier dim broadcast
+#     on the final hop. -----------------------------------------------------
+
+
+@register(
+    "join_top_supplier_quarter",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    ),
+    mx AS (SELECT max(revenue_cents) AS m FROM rev)
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.revenue_cents
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    CROSS JOIN mx
+    WHERE r.revenue_cents = mx.m
+    """,
+)
+def join_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).cast("long").alias("revenue_cents"))
+    )
+    mx = rev.agg(F.max("revenue_cents").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("revenue_cents") == F.col("m"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "revenue_cents",
+        )
+    )
+
+
+# --- TPC-H Q19 shape (disjunctive multi-attribute predicate join):
+#     revenue over an OR-of-ANDs across BOTH join sides — the planner
+#     stress-test for CNF extraction: the common conjuncts
+#     (brand-independent bounds) should push to the scans while the
+#     cross-side disjunction evaluates post-join. Exact cents sum. --------
+
+
+@register(
+    "join_disjunctive_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+def join_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#11") & sz.between(1, 15) & q.between(1, 30))
+        | ((b == "Brand#22") & sz.between(1, 25) & q.between(10, 40))
+        | ((b == "Brand#33") & sz.between(1, 35) & q.between(20, 50))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+    )

@@ -798,3 +798,58 @@ class TestAviMjpeg:
         # checksum matches a direct decode of the same frame
         want = {i: sum(parse_jpeg(frames[i])["pixels"]) % (1 << 31) for i in (0, 2, 4)}
         assert {r.frame_idx: r.checksum for r in out} == want
+
+
+class TestTopSupplierQuarter:
+    def test_ties_all_surface(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        li = spark.createDataFrame(
+            [
+                (1, 10, "1996-02-01 00:00:00", 100.0, 0.0),
+                (2, 20, "1996-02-01 00:00:00", 60.0, 0.0),
+                (3, 20, "1996-02-02 00:00:00", 40.0, 0.0),
+                (4, 30, "1996-02-01 00:00:00", 99.0, 0.0),   # below max
+                (5, 10, "1995-01-01 00:00:00", 500.0, 0.0),  # outside quarter
+            ],
+            "l_orderkey long, l_suppkey long, l_shipdate string, "
+            "l_extendedprice double, l_discount double",
+        ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        li.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        sup = spark.createDataFrame(
+            [(10, "sA", 0, 1.0), (20, "sB", 0, 1.0), (30, "sC", 0, 1.0)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        )
+        sup.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+        out = all_queries()["join_top_supplier_quarter"](spark, str(tmp_path)).collect()
+        # suppliers 10 and 20 tie at 10000 cents; both surface
+        assert sorted((r.suppkey, r.revenue_cents) for r in out) == [
+            (10, 10000), (20, 10000),
+        ]
+
+
+class TestDisjunctiveRevenue:
+    def test_or_of_ands_semantics(self, spark, tmp_path):
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        li = spark.createDataFrame(
+            [
+                (1, 1, 5.0, 10.0, 0.0),    # Brand#11, size 10, qty 5 -> branch 1
+                (2, 1, 35.0, 10.0, 0.0),   # qty 35 fails branch 1, brand fails 2/3
+                (3, 2, 15.0, 20.0, 0.5),   # Brand#22, size 20, qty 15 -> branch 2
+                (4, 3, 5.0, 10.0, 0.0),    # Brand#33 but qty 5 < 20 -> excluded
+            ],
+            "l_orderkey long, l_partkey long, l_quantity double, "
+            "l_extendedprice double, l_discount double",
+        )
+        li.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        part = spark.createDataFrame(
+            [(1, "n", "Brand#11", "t", 10, 1.0),
+             (2, "n", "Brand#22", "t", 20, 1.0),
+             (3, "n", "Brand#33", "t", 30, 1.0)],
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+        r = all_queries()["join_disjunctive_revenue"](spark, str(tmp_path)).collect()[0]
+        assert (r.n_lines, r.revenue_cents) == (2, 1000 + 1000)  # 10.00 + 20.00*0.5

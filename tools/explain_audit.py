@@ -129,6 +129,8 @@ AUDITED = [
     "text_novelty_rate",
     "graph_markov_stationary",
     "orders_cohort_ltv",
+    "join_top_supplier_quarter",
+    "join_disjunctive_revenue",
 ]
 
 CHECKS = {
@@ -635,6 +637,14 @@ CHECKS_R6D["graph_markov_stationary"] = [
 CHECKS_R6D["orders_cohort_ltv"] = [
     ("partial_", True, "order reductions combine map-side"),
     ("BatchEvalPython", False, "month arithmetic is exact JVM integers"),
+]
+CHECKS_R6D["join_top_supplier_quarter"] = [
+    ("PushedFilters", True, "the quarter bounds reach the lineitem scan"),
+    ("BroadcastExchange", True, "the scalar max and the supplier dim broadcast"),
+]
+CHECKS_R6D["join_disjunctive_revenue"] = [
+    ("PushedFilters", True, "common conjuncts extract from the OR and push to scans"),
+    ("BatchEvalPython", False, "the disjunction is JVM predicate algebra"),
 ]
 CHECKS.update(CHECKS_R6D)
 

@@ -143,6 +143,8 @@ STRESSED = [
     "text_novelty_rate",
     "graph_markov_stationary",
     "orders_cohort_ltv",
+    "join_top_supplier_quarter",
+    "join_disjunctive_revenue",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -247,6 +249,8 @@ MAIN_TABLE = {
     "text_novelty_rate": "documents",
     "graph_markov_stationary": "events",
     "orders_cohort_ltv": "orders",
+    "join_top_supplier_quarter": "lineitem",
+    "join_disjunctive_revenue": "lineitem",
 }
 ID_COLS = {
     "events": "event_id",
