@@ -1678,6 +1678,8 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
     null-row contract), never job kills."""
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import parse_jpeg
 
         for pdf in batches:
@@ -1692,14 +1694,18 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
                         img = parse_jpeg(meta["frames"][i])
                     except Exception:
                         continue
-                    px = img["pixels"]
+                    csum = int(
+                        np.frombuffer(img["pixels"], dtype=np.uint8).sum(
+                            dtype=np.int64
+                        )
+                    ) % (1 << 31)
                     rows.append(
                         (
                             int(doc_id),
                             i,
                             int(img["width"]),
                             int(img["height"]),
-                            int(sum(px) % (1 << 31)),
+                            csum,
                         )
                     )
             yield pd.DataFrame(
