@@ -236,11 +236,35 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
-    print(line)
-    # Also persist to a file: the driver's stdout tail buffer truncated the
-    # 56-query artifact in round 5 (`BENCH_r05.json` parsed: null) — the
-    # file copy guarantees the full min-of-3 result survives every round.
+    # Full artifact (per-query mins + raw samples) goes to a file: the
+    # driver's stdout tail buffer (~2000 chars) truncated the full line in
+    # rounds 5 and 6 (`BENCH_r0{5,6}.json` parsed: null).
     Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(line + "\n")
+    # Stdout gets a COMPACT summary printed LAST so the driver's tail window
+    # always captures a parseable JSON line: totals + as many per-query mins
+    # (in headline order) as fit a conservative budget; the remainder lives
+    # in BENCH_LOCAL.json.
+    budget = 1900
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "detail": "BENCH_LOCAL.json",
+        "queries": {},
+    }
+    if errors:
+        compact["n_errors"] = len(errors)
+    for name in names:
+        if name not in times:
+            continue
+        compact["queries"][name] = times[name]
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][name]
+            compact["queries_omitted"] = len(times) - len(compact["queries"])
+            break
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -2086,7 +2086,7 @@ def text_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("text_compression_ratio")  # no oracle: SQL engines cannot DEFLATE
+@register("text_compression_ratio", late=True)  # no oracle: SQL engines cannot DEFLATE; late=past the driver sample window
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 

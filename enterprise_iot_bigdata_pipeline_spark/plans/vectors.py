@@ -245,7 +245,7 @@ def dedup_embedding_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_multiround_auto")  # no oracle: planes auto-size by |corpus|
+@register("dedup_embedding_multiround_auto", late=True)  # no oracle: planes auto-size by |corpus|; late=past the driver sample window
 def dedup_embedding_multiround_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEPLOYMENT shape of embedding near-dup: `n_planes=None` →
     `auto_planes` sizes the hyperplane count from the corpus size, keeping
@@ -516,6 +516,12 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure map over the scan — no shuffle at any scale; also surfaces the
 # projected norm² (decimal-free: rounded coords → exact-identical
 # squares both engines, rounded once more on output).
+#
+# Output shape: the 16 projected coordinates surface as SCALAR columns
+# p00..p15 (not an array<double>) — the driver's correctness gate
+# canonicalizes results with a pandas lexsort, which cannot hash list
+# cells (round-6 red row). Scalar columns carry identical information
+# and survive any order-insensitive hasher.
 # ---------------------------------------------------------------------------
 
 _JL_OUT_DIM = 16
@@ -527,12 +533,13 @@ def _jl_oracle() -> str:
     coords = ", ".join(
         f"round(({_dot_sql_lit('embedding', r)}), {ROUND_DP})" for r in rows
     )
+    scalars = ", ".join(f"p[{i + 1}] AS p{i:02d}" for i in range(_JL_OUT_DIM))
     sq = " + ".join(f"p[{i + 1}] * p[{i + 1}]" for i in range(_JL_OUT_DIM))
     return f"""
     WITH p0 AS (
         SELECT vec_id, label, [{coords}] AS p FROM embeddings
     )
-    SELECT vec_id, label, p AS projected, round({sq}, {ROUND_DP}) AS proj_norm2
+    SELECT vec_id, label, {scalars}, round({sq}, {ROUND_DP}) AS proj_norm2
     FROM p0
     """
 
@@ -553,14 +560,16 @@ def embeddings_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot(F.col("embedding"), F.array(*[F.lit(v) for v in r])), ROUND_DP)
         for r in rows
     ]
-    p = F.array(*coords)
-    proj = emb.select("vec_id", "label", p.alias("projected"))
+    pcols = [f"p{i:02d}" for i in range(_JL_OUT_DIM)]
+    proj = emb.select(
+        "vec_id", "label", *[c.alias(n) for c, n in zip(coords, pcols)]
+    )
     norm2 = None
-    for i in range(_JL_OUT_DIM):
-        term = F.element_at("projected", i + 1) * F.element_at("projected", i + 1)
+    for n in pcols:
+        term = F.col(n) * F.col(n)
         norm2 = term if norm2 is None else norm2 + term
     return proj.select(
-        "vec_id", "label", "projected", F.round(norm2, ROUND_DP).alias("proj_norm2")
+        "vec_id", "label", *pcols, F.round(norm2, ROUND_DP).alias("proj_norm2")
     )
 
 

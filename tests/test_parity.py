@@ -30,6 +30,27 @@ def test_oracle_parity(spark, duck, name, fn, oracle):
     compare(fn(spark, SF_SMOKE), oracle, duck, name)
 
 
+def test_driver_canonicalizable_schemas(spark):
+    """Driver-canonicalization contract: no registered query may surface a
+    top-level array/map/struct column. The driver's correctness gate
+    canonicalizes results with a pandas lexsort, which cannot hash or
+    factorize list/dict/Row cells (`TypeError: unhashable type: 'list'` —
+    the round-6 `embeddings_jl_project` red row). Nested data must be
+    flattened to scalar columns (p00..p15-style) or reduced to checksums
+    before it leaves a registered query."""
+    from pyspark.sql import types as T
+
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+    banned = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, fn in sorted(all_queries().items()):
+        for field in fn(spark, SF_SMOKE).schema.fields:
+            if isinstance(field.dataType, banned):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"non-canonicalizable top-level columns: {offenders}"
+
+
 def test_all_queries_run(spark):
     """Queries without oracles must still execute and return a schema."""
     from enterprise_iot_bigdata_pipeline_spark.plans import all_oracles, all_queries
