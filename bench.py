@@ -172,6 +172,9 @@ HEADLINE = [
     "orders_cohort_ltv",
     "join_top_supplier_quarter",
     "join_disjunctive_revenue",
+    # round-7: stream-stream interval join executed availableNow (state-store
+    # path; batch twin range_join_click_purchase measures the batch path)
+    "streaming_click_purchase_join",
 ]
 
 

@@ -255,33 +255,13 @@ GROUP BY 1, 2
 
 @register("streaming_hour_agg", _STREAM_HOUR_ORACLE)
 def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
-    import tempfile
 
     # Load-bearing for its session-conf side effects (UTC pinning + reader
     # confs on the driver-owned session), not for the frame itself.
     t(spark, sf_dir, "events")
-    # The streaming file source needs a *directory*; stage the single-file
-    # table via symlink (no data copy).
-    stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
+    stream, stage = _stage_events_stream(spark, sf_dir)
     try:
-        stream = (
-            spark.readStream.schema(
-                spark.read.parquet(f"{sf_dir}/events.parquet").schema
-            ).parquet(stage)
-        )
-        # The stream reads the file's RAW schema (tables.t's ns→µs rewrite
-        # does not apply), so branch on the stream's own dtype: nanos-as-long
-        # corpora need the div-1000 conversion, µs corpora arrive as NTZ and
-        # only need the instant cast. Watermarks want TIMESTAMP — UTC session
-        # is pinned, so the ntz→instant cast is value-stable.
-        raw_ts = dict(stream.dtypes).get("ts")
-        if raw_ts == "bigint":
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif raw_ts == "timestamp_ntz":
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
         agg = (
             stream.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -308,6 +288,95 @@ def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dir right away (no /tmp leak per run). localCheckpoint + dropTempView
         # also release the sink's driver copy, so repeated bench runs don't
         # pin one result set per invocation.
+        out_df = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out_df
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stage_events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events table (symlink staging — the
+    streaming source needs a directory) with the ts column normalized to
+    TIMESTAMP. The stream reads the file's RAW schema (tables.t's ns→µs
+    rewrite does not apply), so the conversion branches on the STREAM's
+    dtype, never a proxy frame's (the r03 bench-kill lesson). Returns
+    (stream, stage_dir); the caller owns the directory's lifetime."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ).parquet(stage)
+    raw_ts = dict(stream.dtypes).get("ts")
+    if raw_ts == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif raw_ts == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream, stage
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join, executed for real: clicks and purchases as
+# two watermarked streams, inner-joined on user with a (0, 10 min] time
+# bound (streaming/joins.py — the watermark + bound let Spark expire join
+# state, the thing a batch range join never has to do). Inner stream-stream
+# joins emit matches as they arrive, so an availableNow replay over the
+# static corpus produces exactly the batch range join's pairs — which is
+# the DuckDB oracle (same interval algebra as range_join_click_purchase,
+# different engine path: state store vs bucketized batch join).
+# ---------------------------------------------------------------------------
+
+_STREAM_JOIN_ORACLE = """
+SELECT c.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts,
+       c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+@register("streaming_click_purchase_join", _STREAM_JOIN_ORACLE)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.joins import (
+        clicks_purchases_join,
+    )
+
+    # Session-conf side effects (UTC pin + nanosAsLong on the driver-owned
+    # session) — the staged stream needs the same reader confs.
+    t(spark, sf_dir, "events")
+    stream, stage = _stage_events_stream(spark, sf_dir)
+    try:
+        joined = clicks_purchases_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            key="user_id",
+            max_delta="10 minutes",
+            watermark="20 minutes",
+        ).select(
+            "user_id",
+            # NTZ casts mirror streaming_hour_agg: the UTC session pin makes
+            # the instant→naive cast value-stable vs DuckDB's naive TIMESTAMP.
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "click_id",
+            "purchase_id",
+        )
+        name = f"stream_join_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
         out_df = spark.table(name).localCheckpoint(eager=True)
         spark.catalog.dropTempView(name)
         return out_df
