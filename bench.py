@@ -175,6 +175,8 @@ HEADLINE = [
     # round-7: stream-stream interval join executed availableNow (state-store
     # path; batch twin range_join_click_purchase measures the batch path)
     "streaming_click_purchase_join",
+    # round-7: AVI + multi-chunk MP4 mux/demux round-trip over documents
+    "video_container_audit",
 ]
 
 

@@ -700,15 +700,254 @@ def parse_mp4_meta(payload: bytes) -> dict:
     return meta
 
 
-def decode_mp4_samples(payload: bytes):
-    """Stub contract: decoding MP4 SAMPLES needs an H.264/AAC-class codec
-    not available (and out of scope) here. The container metadata path
-    (``parse_mp4_meta``) is fully implemented; a deployment wires a codec
-    library into this hook."""
-    raise NotImplementedError(
-        "MP4 sample decode requires a video/audio codec; container metadata "
-        "is available via parse_mp4_meta"
+# ---------------------------------------------------------------------------
+# MJPEG-in-MP4: sample extraction through the real ISO-BMFF sample tables
+# (stsd/stts/stsc/stsz/stco/co64). Motion-JPEG needs no inter-frame codec —
+# every sample is a standalone baseline JPEG that operators.jpeg decodes
+# natively — so the one container family that was metadata-only now has a
+# full container → samples → pixels path, mirroring the AVI/MJPEG pipeline.
+# Writer and parser are mirrors (the GIF/TIFF LZW lesson). H.264/AAC-class
+# sample entries remain a NAMED NotImplementedError gate: the container
+# plumbing is real, the inter-frame codec is out of scope by design.
+# ---------------------------------------------------------------------------
+
+_MP4_MJPEG_FOURCC = ("jpeg", "mjpa", "MJPG")
+
+
+def encode_mp4_mjpeg(
+    width: int,
+    height: int,
+    frames: list,
+    timescale: int = 25,
+    sample_delta: int = 1,
+    samples_per_chunk: int | None = None,
+) -> bytes:
+    """Minimal valid ISO-BMFF (QuickTime-compatible) file with one
+    Motion-JPEG video track; ``frames`` are complete JPEG payloads.
+    Layout: ftyp, mdat (samples), moov (sample tables pointing back into
+    mdat by absolute offset — hence moov-last). ``samples_per_chunk``
+    splits samples across multiple chunks (default: one chunk) — real
+    muxers interleave chunks, so the parser's stsc/stco run resolution
+    needs a multi-chunk fixture path."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+    frames = [bytes(f) for f in frames]
+    n = len(frames)
+    duration = n * sample_delta
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    first_sample_off = len(ftyp) + 8  # mdat body start == chunk 1 offset
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + matrix + b"\x00" * 24 + struct.pack(">I", 2),
     )
+    tkhd = full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = full(b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b""))
+    dinf = box(b"dinf", dref)
+    # VisualSampleEntry('jpeg'): ISO 14496-12 §12.1.3 layout
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)           # reserved + data_ref_idx
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12     # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)                        # frame_count
+        + b"\x05mjpeg" + b"\x00" * 26                 # compressorname (32 B pascal)
+        + struct.pack(">Hh", 24, -1)                  # depth, pre_defined
+    )
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(b"jpeg", entry))
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta))
+    spc = n if samples_per_chunk is None else max(1, samples_per_chunk)
+    # chunk boundaries: samples are contiguous in mdat, so chunk k starts at
+    # the cumulative byte offset of its first sample
+    chunk_starts = list(range(0, n, spc)) or [0]
+    cum = [0]
+    for f in frames:
+        cum.append(cum[-1] + len(f))
+    offsets = [first_sample_off + cum[s] for s in chunk_starts]
+    runs = [(1, min(spc, n) if n else spc, 1)]
+    rem = n - (len(chunk_starts) - 1) * spc
+    if len(chunk_starts) > 1 and rem != spc:
+        runs = [(1, spc, 1), (len(chunk_starts), rem, 1)]
+    stsc = full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", *r) for r in runs),
+    )
+    stsz = full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(offsets))
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def parse_mp4_samples(payload: bytes) -> dict:
+    """Extract the video track's raw samples from an ISO-BMFF container by
+    walking the real sample tables: stsd (codec fourcc), stsc
+    (sample→chunk runs), stsz (sizes), stco/co64 (chunk offsets). Returns
+    ``{"codec", "width", "height", "timescale", "duration", "frames"}``
+    where frames are the raw sample payloads (standalone JPEGs for an
+    MJPEG track). Non-MJPEG video codecs raise NotImplementedError (named
+    gate — inter-frame codecs are out of scope); every malformed payload
+    raises ValueError (the parse_mp4_meta error contract: short bodies,
+    lying sizes, and deep nesting must never surface as struct.error/
+    IndexError and kill a decode batch)."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4/ISO-BMFF payload (missing ftyp)")
+    meta = parse_mp4_meta(payload)  # validates tree + pulls dims/timescale
+    tracks: list[dict] = []
+
+    def need(cond: bool, what: str) -> None:
+        if not cond:
+            raise ValueError(f"corrupt MP4: {what}")
+
+    def walk(start: int, end: int, trak: dict | None, depth: int) -> None:
+        if depth > 16:
+            raise ValueError("corrupt MP4: box nesting deeper than 16")
+        for tag, b0, b1 in _mp4_boxes(payload, start, end):
+            if tag == b"trak":
+                ctx: dict = {}
+                walk(b0, b1, ctx, depth + 1)
+                tracks.append(ctx)
+            elif tag in _MP4_CONTAINERS or tag == b"minf":
+                walk(b0, b1, trak, depth + 1)
+            elif trak is None:
+                continue
+            elif tag == b"hdlr":
+                need(b1 - b0 >= 12, "hdlr body too short")
+                trak["handler"] = payload[b0 + 8 : b0 + 12]
+            elif tag == b"stsd":
+                need(b1 - b0 >= 16, "stsd body too short")
+                trak["codec"] = payload[b0 + 12 : b0 + 16].decode("latin-1")
+            elif tag == b"stsz":
+                need(b1 - b0 >= 12, "stsz body too short")
+                fixed, cnt = struct.unpack(">II", payload[b0 + 4 : b0 + 12])
+                if fixed:
+                    trak["sizes"] = [fixed] * cnt
+                else:
+                    need(b1 - b0 >= 12 + 4 * cnt, "stsz entries past box end")
+                    trak["sizes"] = list(
+                        struct.unpack(f">{cnt}I", payload[b0 + 12 : b0 + 12 + 4 * cnt])
+                    )
+            elif tag == b"stsc":
+                need(b1 - b0 >= 8, "stsc body too short")
+                (cnt,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+                need(b1 - b0 >= 8 + 12 * cnt, "stsc entries past box end")
+                trak["stsc"] = [
+                    struct.unpack(">III", payload[b0 + 8 + 12 * i : b0 + 20 + 12 * i])
+                    for i in range(cnt)
+                ]
+            elif tag in (b"stco", b"co64"):
+                need(b1 - b0 >= 8, "stco body too short")
+                (cnt,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+                w = 8 if tag == b"co64" else 4
+                need(b1 - b0 >= 8 + w * cnt, "stco entries past box end")
+                fmt = ">Q" if tag == b"co64" else ">I"
+                trak["offsets"] = [
+                    struct.unpack(fmt, payload[b0 + 8 + w * i : b0 + 8 + w * i + w])[0]
+                    for i in range(cnt)
+                ]
+
+    try:
+        walk(0, len(payload), None, 0)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt MP4: {exc}") from exc
+
+    video = [t for t in tracks if t.get("handler") == b"vide" and "codec" in t]
+    if not video:
+        raise ValueError("MP4 has no video sample table (metadata-only or audio file)")
+    trk = video[0]
+    codec = trk["codec"]
+    if codec.strip() not in _MP4_MJPEG_FOURCC:
+        raise NotImplementedError(
+            f"MP4 video codec {codec!r}: only MJPEG samples decode natively "
+            "(each a standalone baseline JPEG); inter-frame codecs need an "
+            "external library wired into this hook"
+        )
+    sizes = trk.get("sizes")
+    offsets = trk.get("offsets")
+    stsc = trk.get("stsc")
+    if not (sizes and offsets and stsc):
+        raise ValueError("MP4 video track missing stsz/stco/stsc tables")
+
+    # Resolve per-sample absolute offsets: stsc runs give samples-per-chunk
+    # from first_chunk (1-based) until the next run's first_chunk.
+    frames: list[bytes] = []
+    sample = 0
+    for run_idx, (first_chunk, per_chunk, _sdi) in enumerate(stsc):
+        last_chunk = (
+            stsc[run_idx + 1][0] - 1 if run_idx + 1 < len(stsc) else len(offsets)
+        )
+        need(1 <= first_chunk <= last_chunk + 1, "stsc first_chunk out of range")
+        for chunk in range(first_chunk, last_chunk + 1):
+            pos = offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if sample >= len(sizes):
+                    break
+                size = sizes[sample]
+                need(pos + size <= len(payload), "sample extent past file end")
+                frames.append(payload[pos : pos + size])
+                pos += size
+                sample += 1
+    need(sample == len(sizes), "stsc/stco chunks cover fewer samples than stsz")
+    return {
+        "codec": codec,
+        "width": meta["width"],
+        "height": meta["height"],
+        "timescale": meta["timescale"],
+        "duration": meta["duration"],
+        "frames": frames,
+    }
+
+
+def decode_mp4_samples(payload: bytes):
+    """Decode an MP4's video samples: MJPEG tracks decode natively
+    (container walk via ``parse_mp4_samples``, each sample through
+    ``operators.jpeg.parse_jpeg``); H.264/AAC-class codecs raise the
+    NAMED NotImplementedError gate from parse_mp4_samples. Returns the
+    parse_mp4_samples dict with a ``decoded`` list of per-frame image
+    dicts alongside the raw frames."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import parse_jpeg
+
+    meta = parse_mp4_samples(payload)
+    meta["decoded"] = [parse_jpeg(f) for f in meta["frames"]]
+    return meta
 
 
 def decode_image(payload: bytes):
@@ -1669,13 +1908,14 @@ VIDEO_FRAMES_SCHEMA = (
 
 
 def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
-    """REAL video frame sampling: parse the AVI container, keep every
-    ``stride``-th MJPEG frame, decode it with the native JPEG codec, and
-    emit per-frame dimensions + a pixel checksum (sum of decoded bytes
-    mod 2^31 — cheap, order-independent, and recomputable by any reader).
-    Arrow-batched mapInPandas; payload bytes never visit the driver.
-    Corrupt/non-AVI rows degrade to zero frame rows (the decode_media
-    null-row contract), never job kills."""
+    """REAL video frame sampling: parse the container (RIFF/AVI or
+    ISO-BMFF/MP4, dispatched on magic bytes), keep every ``stride``-th
+    MJPEG frame, decode it with the native JPEG codec, and emit per-frame
+    dimensions + a pixel checksum (sum of decoded bytes mod 2^31 — cheap,
+    order-independent, and recomputable by any reader). Arrow-batched
+    mapInPandas; payload bytes never visit the driver. Corrupt or
+    non-MJPEG rows degrade to zero frame rows (the decode_media null-row
+    contract), never job kills."""
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1686,7 +1926,11 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 try:
-                    meta = parse_avi(bytes(content))
+                    b = bytes(content)
+                    if b[:4] == b"RIFF":
+                        meta = parse_avi(b)
+                    else:
+                        meta = parse_mp4_samples(b)
                 except Exception:
                     continue
                 for i in range(0, len(meta["frames"]), stride):
@@ -1717,4 +1961,110 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
 
     return fan_out(media.select("doc_id", "content")).mapInPandas(
         per_batch, VIDEO_FRAMES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable video container round-trip (the multimodal ramp trick,
+# video edition): synthesize a VALID container per document — RIFF/AVI for
+# even hashes, ISO-BMFF/MP4 (multi-chunk stsc, so the run-resolution
+# algebra is on the verified path) for odd — whose frames are DETERMINISTIC
+# raw byte ramps. Demux then emits per-frame lengths + byte checksums that
+# an external SQL oracle recomputes from the hash formulas alone: a
+# hash-green row proves the mux, the box/chunk walk, and every sample
+# offset. Pixel decode is deliberately NOT on this path (JPEG is lossy, so
+# decoded checksums aren't SQL-expressible) — sample_video_frames +
+# pytest carry the pixel parity.
+# ---------------------------------------------------------------------------
+
+VIDEO_AUDIT_SCHEMA = (
+    "doc_id bigint, container string, n_frames int, width int, height int, "
+    "frame_idx int, frame_len bigint, frame_checksum bigint"
+)
+
+
+def _video_ramp_frames(h: int) -> list[bytes]:
+    n = h % 5 + 2
+    return [
+        bytes((h + 11 * i + j) % 256 for j in range(h % 50 + 20 + i)) for i in range(n)
+    ]
+
+
+def attach_video_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize one video container per document from the text-hash ramp:
+    h%5+2 frames, frame i = bytes (h+11i+j)%256 for j < h%50+20+i (odd
+    lengths exercise RIFF's even-padding), dims (h%16+1, h%8+1); even h →
+    AVI/MJPG, odd h → MP4 with samples_per_chunk=2 (multi-run stsc)."""
+    seeded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+                h = int(h)
+                frames = _video_ramp_frames(h)
+                w, ht = h % 16 + 1, h % 8 + 1
+                if h % 2 == 0:
+                    content = encode_avi_mjpeg(w, ht, frames, us_per_frame=40_000)
+                else:
+                    content = encode_mp4_mjpeg(w, ht, frames, samples_per_chunk=2)
+                rows.append((int(doc_id), content))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return fan_out(seeded).mapInPandas(per_batch, MEDIA_SCHEMA)
+
+
+def parse_video_containers(media: DataFrame) -> DataFrame:
+    """Demux video containers (RIFF/AVI or ISO-BMFF/MP4 by magic) into one
+    row per frame: container kind, header dims, frame count, and each raw
+    sample's length + byte checksum (sum mod 2^31). Corrupt rows degrade
+    to zero frame rows (the decode_media contract)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    b = bytes(content)
+                    if b[:4] == b"RIFF":
+                        meta = parse_avi(b)
+                        kind = "avi"
+                    else:
+                        meta = parse_mp4_samples(b)
+                        kind = "mp4"
+                except Exception:
+                    continue
+                frames = meta["frames"]
+                for i, f in enumerate(frames):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            kind,
+                            len(frames),
+                            int(meta["width"]),
+                            int(meta["height"]),
+                            i,
+                            len(f),
+                            sum(f) % (1 << 31),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "n_frames", "width", "height",
+                    "frame_idx", "frame_len", "frame_checksum",
+                ],
+            )
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return fan_out(media.select("doc_id", "content")).mapInPandas(
+        per_batch, VIDEO_AUDIT_SCHEMA
     )

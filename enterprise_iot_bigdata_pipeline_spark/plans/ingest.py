@@ -385,6 +385,53 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Video container round-trip: mux a deterministic AVI (even hash) or
+# multi-chunk MP4 (odd hash) per document, demux it, and surface per-frame
+# lengths + byte checksums the oracle recomputes from the hash formulas
+# alone (the multimodal ramp trick — see operators.multimodal
+# attach_video_media). A hash-green row proves the RIFF walker, the
+# ISO-BMFF stsc/stsz/stco sample-offset algebra (two stsc runs by
+# construction), and the Spark plumbing end-to-end. Frames are raw ramps,
+# not JPEGs: pixel decode is lossy and therefore pytest territory
+# (sample_video_frames), while the container math is exact.
+# ---------------------------------------------------------------------------
+
+_VIDEO_AUDIT_ORACLE = """
+WITH m AS (
+    SELECT doc_id, CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+    FROM documents
+),
+f AS (
+    SELECT doc_id, h,
+           unnest(generate_series(0, CAST(h % 5 + 1 AS INTEGER))) AS frame_idx
+    FROM m
+)
+SELECT doc_id,
+       CASE WHEN h % 2 = 0 THEN 'avi' ELSE 'mp4' END AS container,
+       CAST(h % 5 + 2 AS INTEGER) AS n_frames,
+       CAST(h % 16 + 1 AS INTEGER) AS width,
+       CAST(h % 8 + 1 AS INTEGER) AS height,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(h % 50 + 20 + frame_idx AS BIGINT) AS frame_len,
+       CAST(list_sum(list_transform(
+                generate_series(0, CAST(h % 50 + 19 + frame_idx AS INTEGER)),
+                j -> (h + 11 * frame_idx + j) % 256)) AS BIGINT) AS frame_checksum
+FROM f
+"""
+
+
+@register("video_container_audit", _VIDEO_AUDIT_ORACLE)
+def video_container_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        attach_video_media,
+        parse_video_containers,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return parse_video_containers(attach_video_media(docs))
+
+
+# ---------------------------------------------------------------------------
 # Perceptual near-duplicate images: decode the REAL media payloads, dHash
 # each (8×8 NN luminance grid → 56 gradient bits), LSH-band the hashes
 # (4 × 14-bit bands) and keep same-dimension pairs within hamming ≤ 3.

@@ -660,7 +660,8 @@ def test_mp4_container_metadata_roundtrip(spark):
 
     with pytest.raises(ValueError, match="ftyp"):
         parse_mp4_meta(b"\x00\x00\x00\x08free")
-    with pytest.raises(NotImplementedError, match="codec"):
+    # metadata-only file (no stbl) → ValueError, not a codec gate
+    with pytest.raises(ValueError, match="no video sample table"):
         decode_mp4_samples(b)
 
     # error CONTRACT: malformed internals must be ValueError, never a

@@ -800,6 +800,118 @@ class TestAviMjpeg:
         assert {r.frame_idx: r.checksum for r in out} == want
 
 
+class TestMp4Mjpeg:
+    def _frames(self, n, w=16, h=8):
+        from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import encode_jpeg
+
+        frames = []
+        for k in range(n):
+            px = bytes(((x * 7 + y * 13 + k * 31) % 256)
+                       for y in range(h) for x in range(w) for _ in range(3))
+            frames.append(encode_jpeg(w, h, px, n_channels=3, quality=90))
+        return frames
+
+    def test_container_roundtrip_single_chunk(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg, parse_mp4_samples,
+        )
+
+        frames = self._frames(3)
+        mp4 = encode_mp4_mjpeg(16, 8, frames, timescale=25)
+        meta = parse_mp4_samples(mp4)
+        assert (meta["width"], meta["height"]) == (16, 8)
+        assert (meta["timescale"], meta["duration"]) == (25, 3)
+        assert meta["codec"] == "jpeg"
+        assert [bytes(f) for f in meta["frames"]] == [bytes(f) for f in frames]
+
+    def test_container_roundtrip_multi_chunk_stsc_runs(self):
+        """5 samples in chunks of 2 → stsc has TWO runs (full chunks of 2 +
+        a final 1-sample chunk) and stco three offsets — the resolution
+        path real interleaving muxers exercise."""
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg, parse_mp4_samples,
+        )
+
+        frames = self._frames(5)
+        mp4 = encode_mp4_mjpeg(16, 8, frames, samples_per_chunk=2)
+        meta = parse_mp4_samples(mp4)
+        assert [bytes(f) for f in meta["frames"]] == [bytes(f) for f in frames]
+
+    def test_decode_samples_pixels(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import parse_jpeg
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            decode_mp4_samples, encode_mp4_mjpeg,
+        )
+
+        frames = self._frames(2)
+        meta = decode_mp4_samples(encode_mp4_mjpeg(16, 8, frames))
+        assert len(meta["decoded"]) == 2
+        for got, f in zip(meta["decoded"], frames):
+            want = parse_jpeg(f)
+            assert (got["width"], got["height"]) == (16, 8)
+            assert got["pixels"] == want["pixels"]
+
+    def test_error_contract(self):
+        import struct
+
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg, parse_mp4_samples,
+        )
+
+        def _box(tag, payload):
+            return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+        # non-MJPEG codec fourcc → named NotImplementedError gate
+        mp4 = bytearray(encode_mp4_mjpeg(16, 8, self._frames(1)))
+        # stsd entry fourcc sits 16 bytes past the stsd tag (version/flags 4 +
+        # entry_count 4 + entry size 4); frame payloads can contain 'jpeg'
+        # bytes, so locate through the box, not a raw find
+        i = bytes(mp4).find(b"stsd") + 16
+        assert mp4[i : i + 4] == b"jpeg"
+        mp4[i : i + 4] = b"avc1"
+        with pytest.raises(NotImplementedError, match="avc1"):
+            parse_mp4_samples(bytes(mp4))
+
+        # sample extent lying past EOF → ValueError, not IndexError
+        good = encode_mp4_mjpeg(16, 8, self._frames(1))
+        with pytest.raises(ValueError, match="corrupt MP4|sample extent"):
+            parse_mp4_samples(good[: len(good) // 2] + good[len(good) // 2 + 40 :])
+
+        # stsz entry count lying past box end → ValueError
+        bad_stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 99))
+        stbl = _box(b"stbl", bad_stsz)
+        tree = (
+            _box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+            + _box(b"moov",
+                   _box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 25, 1) + b"\x00" * 80)
+                   + _box(b"trak", _box(b"mdia", _box(b"minf", stbl))))
+        )
+        with pytest.raises(ValueError, match="corrupt MP4"):
+            parse_mp4_samples(tree)
+
+    def test_spark_frame_sampling_dispatches_mp4(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import parse_jpeg
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_avi_mjpeg, encode_mp4_mjpeg, sample_video_frames,
+        )
+
+        frames = self._frames(5)
+        mp4 = encode_mp4_mjpeg(16, 8, frames, samples_per_chunk=2)
+        avi = encode_avi_mjpeg(16, 8, frames)
+        media = spark.createDataFrame(
+            [(1, bytearray(mp4)), (2, bytearray(avi)), (3, bytearray(b"junk"))],
+            "doc_id long, content binary",
+        )
+        out = sample_video_frames(media, stride=2).collect()
+        want = {i: sum(parse_jpeg(frames[i])["pixels"]) % (1 << 31) for i in (0, 2, 4)}
+        for doc in (1, 2):  # both containers resolve identical frames
+            got = {r.frame_idx: r.checksum for r in out if r.doc_id == doc}
+            assert got == want, doc
+        assert not [r for r in out if r.doc_id == 3]
+
+
 class TestTopSupplierQuarter:
     def test_ties_all_surface(self, spark, tmp_path):
         from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
