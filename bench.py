@@ -177,6 +177,17 @@ HEADLINE = [
     "streaming_click_purchase_join",
     # round-7: AVI + multi-chunk MP4 mux/demux round-trip over documents
     "video_container_audit",
+    # round-7: TPC-H Q13/Q22 shapes, single-scan expectations battery,
+    # PSI drift, embedding correlation probe + sparsification, canonical
+    # near-dup map, Efraimidis-Spirakis weighted sampling
+    "join_custdist_q13",
+    "join_dormant_balances_q22",
+    "quality_expectations",
+    "events_psi_drift",
+    "embeddings_corr_probe",
+    "embeddings_sparsify_topm",
+    "dedup_canonical_map",
+    "sample_weighted_topn",
 ]
 
 

@@ -1096,3 +1096,138 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.expr("(dau * CAST(1000000 AS BIGINT)) div mau").alias("stickiness_ppm"),
     )
+
+
+# --- Population Stability Index (PSI) — the standard ML data-drift gate:
+#     per event_type, compare the value distribution between the corpus's
+#     first and second time halves over a fixed 10-bin equi-width grid
+#     (Laplace +1 smoothing so empty bins stay finite — drifted-empty bins
+#     are PSI's whole point, so the full type×bin grid is materialized and
+#     zero-filled). Float discipline: probabilities are exact-int → double
+#     divisions (IEEE-stable); every logarithm is FIXED-POINT micro-nats
+#     rounded BEFORE the (p−q)·ln(p/q) product (the perplexity ln-parity
+#     contract — raw ln drifts in the last ulp across engines); the final
+#     product is one IEEE multiply rounded once. Scale: one corpus scan
+#     into a (type × period × bin)-bounded hash aggregate; everything
+#     after operates on ≤ |types|·20 rows. ---------------------------------
+
+_PSI_BINS = 10
+_PSI_W = 50.0  # bin width over the observed value domain [0, 500)
+
+_PSI_ORACLE = f"""
+WITH bounds AS (
+    SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+binned AS (
+    SELECT event_type,
+           CASE WHEN 2 * epoch_us(ts) <= (SELECT lo + hi FROM bounds)
+                THEN 'ref' ELSE 'cur' END AS period,
+           least({_PSI_BINS - 1}, greatest(0,
+                 CAST(floor(value / {_PSI_W}) AS INTEGER))) AS bin
+    FROM events WHERE value IS NOT NULL
+),
+counts AS (
+    SELECT event_type, bin,
+           sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+           sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+    FROM binned GROUP BY event_type, bin
+),
+grid AS (
+    SELECT t.event_type, g.bin, coalesce(c.n_ref, 0) AS n_ref,
+           coalesce(c.n_cur, 0) AS n_cur
+    FROM (SELECT DISTINCT event_type FROM binned) t
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) g
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.bin = g.bin
+),
+tot AS (
+    SELECT event_type, sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur
+    FROM grid GROUP BY event_type
+),
+terms AS (
+    SELECT g.event_type, g.bin,
+           CAST(g.n_ref AS BIGINT) AS n_ref, CAST(g.n_cur AS BIGINT) AS n_cur,
+           CAST(g.n_ref + 1 AS DOUBLE) / (t.tot_ref + {_PSI_BINS}) AS p,
+           CAST(g.n_cur + 1 AS DOUBLE) / (t.tot_cur + {_PSI_BINS}) AS q,
+           CAST(round(ln(CAST(g.n_ref + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+         - CAST(round(ln(CAST(t.tot_ref + {_PSI_BINS} AS DOUBLE)) * 1e6, 0) AS BIGINT)
+         - CAST(round(ln(CAST(g.n_cur + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+         + CAST(round(ln(CAST(t.tot_cur + {_PSI_BINS} AS DOUBLE)) * 1e6, 0) AS BIGINT)
+           AS l_micro
+    FROM grid g JOIN tot t USING (event_type)
+)
+SELECT event_type, CAST(bin AS INTEGER) AS bin, n_ref, n_cur,
+       CAST(round((p - q) * l_micro, 0) AS BIGINT) AS psi_term_micro
+FROM terms
+"""
+
+
+@register("events_psi_drift", _PSI_ORACLE)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    binned = (
+        ev.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.when(2 * us <= F.col("lo") + F.col("hi"), "ref")
+            .otherwise("cur")
+            .alias("period"),
+            F.least(
+                F.lit(_PSI_BINS - 1),
+                F.greatest(
+                    F.lit(0), F.floor(F.col("value") / _PSI_W).cast("int")
+                ),
+            ).alias("bin"),
+        )
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    types = binned.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            F.broadcast(
+                counts.sparkSession.range(_PSI_BINS).select(
+                    F.col("id").cast("int").alias("bin")
+                )
+            )
+        )
+        .join(counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    fixed_ln = lambda c: F.round(F.log(c.cast("double")) * 1e6, 0).cast("long")  # noqa: E731
+    terms = grid.join(tot, "event_type").select(
+        "event_type",
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        ((F.col("n_ref") + 1).cast("double") / (F.col("tot_ref") + _PSI_BINS)).alias("p"),
+        ((F.col("n_cur") + 1).cast("double") / (F.col("tot_cur") + _PSI_BINS)).alias("q"),
+        (
+            fixed_ln(F.col("n_ref") + 1)
+            - fixed_ln(F.col("tot_ref") + _PSI_BINS)
+            - fixed_ln(F.col("n_cur") + 1)
+            + fixed_ln(F.col("tot_cur") + _PSI_BINS)
+        ).alias("l_micro"),
+    )
+    return terms.select(
+        "event_type",
+        F.col("bin").cast("int").alias("bin"),
+        "n_ref",
+        "n_cur",
+        F.round((F.col("p") - F.col("q")) * F.col("l_micro"), 0)
+        .cast("long")
+        .alias("psi_term_micro"),
+    )

@@ -456,3 +456,63 @@ def mixture_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("capped"),
     )
+
+
+# --- Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+#     the mixture-building primitive when docs should be drawn
+#     proportionally to a weight (here: text length — longer docs carry
+#     more training signal). Each doc gets key = ln(u)/w with u a
+#     deterministic md5 U(0,1]; the global top-k by key IS an exact
+#     without-replacement weighted sample (Efraimidis & Spirakis 2006).
+#     Float discipline: u is an exact-int→double division, ln is
+#     micro-nat-rounded BEFORE the division by the integer weight (the
+#     perplexity ln-parity contract), so ranks are cross-engine exact.
+#     Scale: pure map + TakeOrdered (per-partition top-k, k-row driver
+#     merge) — no global sort, no shuffle of the corpus. ------------------
+
+_WSAMPLE_K = 50
+
+_WSAMPLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           CAST(greatest(length(text), 1) AS BIGINT) AS w,
+           CAST(round(ln(({_H.format(key="concat('es:', doc_id)")} + 1)
+                         / {_DENOM!r}) * 1e6, 0) AS BIGINT) AS l_micro
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, w,
+           round(l_micro / w, 9) AS es_key_r9,
+           row_number() OVER (ORDER BY l_micro / w DESC, doc_id) AS rnk
+    FROM keyed
+)
+SELECT CAST(rnk AS INTEGER) AS rank, doc_id, w, es_key_r9
+FROM ranked WHERE rnk <= {_WSAMPLE_K}
+"""
+
+
+@register("sample_weighted_topn", _WSAMPLE_ORACLE)
+def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    k60 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(F.length("text"), F.lit(1)).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.round(F.log((k60 + 1) / F.lit(_DENOM)) * 1e6, 0).cast("long").alias("l_micro"),
+    )
+    key = F.col("l_micro") / F.col("w")
+    top = keyed.orderBy(key.desc(), "doc_id").limit(_WSAMPLE_K)
+    win = W.orderBy(key.desc(), "doc_id")
+    return top.select(
+        F.row_number().over(win).alias("rank"),
+        "doc_id",
+        "w",
+        F.round(key, 9).alias("es_key_r9"),
+    )

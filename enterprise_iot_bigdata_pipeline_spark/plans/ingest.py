@@ -432,6 +432,73 @@ def video_container_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Declarative data-quality expectations (operators/expectations.py): a
+# dbt-tests-style spec battery compiled into ONE aggregate scan — row-level
+# checks as conditional sums, uniqueness as count − count(DISTINCT) in the
+# same pass, then a 1-row unpivot. The battery below is deliberately
+# non-vacuous: the value-range and accepted-values checks FAIL on real
+# corpus rows ('error' events; values above 400), so the hash gate sees
+# live violation counts, not a wall of zeros.
+# ---------------------------------------------------------------------------
+
+_EXPECT_ORACLE = r"""
+WITH s AS (
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v0,
+           sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v1,
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v2,
+           sum(CASE WHEN event_type IS NOT NULL
+                     AND event_type NOT IN ('view','click','purchase','signup')
+                    THEN 1 ELSE 0 END) AS v3,
+           sum(CASE WHEN value IS NOT NULL
+                     AND NOT (value BETWEEN 0.0 AND 400.0)
+                    THEN 1 ELSE 0 END) AS v4,
+           sum(CASE WHEN props IS NOT NULL
+                     AND NOT regexp_matches(props, '^\{.*\}$')
+                    THEN 1 ELSE 0 END) AS v5,
+           count(event_id) - count(DISTINCT event_id) AS v6
+    FROM events
+)
+SELECT expectation, col_name,
+       CAST(violations AS BIGINT) AS violations,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       violations = 0 AS passed
+FROM (
+    SELECT 'not_null(event_id)' AS expectation, 'event_id' AS col_name, v0 AS violations, n_rows FROM s
+    UNION ALL SELECT 'not_null(ts)', 'ts', v1, n_rows FROM s
+    UNION ALL SELECT 'not_null(user_id)', 'user_id', v2, n_rows FROM s
+    UNION ALL SELECT 'accepted_values(event_type:view,click,purchase,signup)', 'event_type', v3, n_rows FROM s
+    UNION ALL SELECT 'in_range(value:0.0..400.0)', 'value', v4, n_rows FROM s
+    UNION ALL SELECT 'matches_regex(props:^\{.*\}$)', 'props', v5, n_rows FROM s
+    UNION ALL SELECT 'unique(event_id)', 'event_id', v6, n_rows FROM s
+)
+"""
+
+
+@register("quality_expectations", _EXPECT_ORACLE)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.expectations import (
+        run_expectations,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    specs = [
+        {"type": "not_null", "col": "event_id"},
+        {"type": "not_null", "col": "ts"},
+        {"type": "not_null", "col": "user_id"},
+        {
+            "type": "accepted_values",
+            "col": "event_type",
+            "values": ["view", "click", "purchase", "signup"],
+        },
+        {"type": "in_range", "col": "value", "lo": 0.0, "hi": 400.0},
+        {"type": "matches_regex", "col": "props", "pattern": r"^\{.*\}$"},
+        {"type": "unique", "col": "event_id"},
+    ]
+    return run_expectations(ev, specs)
+
+
+# ---------------------------------------------------------------------------
 # Perceptual near-duplicate images: decode the REAL media payloads, dHash
 # each (8×8 NN luminance grid → 56 gradient bits), LSH-band the hashes
 # (4 × 14-bit bands) and keep same-dimension pairs within hamming ≤ 3.

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from enterprise_iot_bigdata_pipeline_spark.functions.parity import DSUM_SQL, dsum
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import (
+    DAVG_SQL,
+    DSUM_SQL,
+    dsum,
+)
 from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
@@ -684,5 +688,84 @@ def join_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# --- TPC-H Q13 shape: customer order-count DISTRIBUTION through a LEFT
+#     OUTER join (zero-order customers must survive to the histogram —
+#     the shape an inner join silently corrupts). The priority filter
+#     lives on the orders side BEFORE the join (≡ ON-clause predicate;
+#     a post-join WHERE would turn LEFT into INNER). Scale: the join and
+#     the per-customer count share one custkey exchange (Spark reuses the
+#     join's partitioning for the first aggregate); the second aggregate
+#     shuffles only |distinct counts| rows after map-side partials. ------
+
+
+@register(
+    "join_custdist_q13",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def join_custdist_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- TPC-H Q22 shape: dormant high-balance accounts — scalar subquery
+#     (global mean of positive balances, decimal-exact both engines) +
+#     NOT EXISTS anti join + segment rollup, composed in one plan. The
+#     1-row mean rides a principled broadcast; the anti probe shuffles
+#     on custkey. Balances surface as exact integer cents. ---------------
+
+
+@register(
+    "join_dormant_balances_q22",
+    f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT {DAVG_SQL("c_acctbal")} FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_dormant_balances_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.functions.parity import davg
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    mean_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("mean_bal")
+    )
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    return (
+        cust.join(F.broadcast(mean_bal))
+        .filter(F.col("c_acctbal") > F.col("mean_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(cents).cast("long").alias("acctbal_cents"),
         )
     )

@@ -1135,6 +1135,94 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Canonical-representative resolution: the step AFTER components that a
+# curation pipeline actually ships — every document (singletons included)
+# maps to its cluster's canonical doc, chosen as the LONGEST member (tie →
+# min doc_id): near-dup clusters usually contain truncated variants, so
+# "keep the longest" preserves the most content (the RefinedWeb/CCNet
+# policy), unlike the min-id survivor pipeline_curate_corpus uses for
+# speed. Argmax rides max_by over a packed len·10¹²−doc DECIMAL ordering
+# (min/max over a struct would demote the aggregate to SortAggregate —
+# the M4 lesson). Scale: components is the iterative piece (bounded by
+# the pair graph); the argmax is one component-keyed hash aggregate and
+# the map-back one shuffle join on doc_id.
+# ---------------------------------------------------------------------------
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip().lstrip()},
+xs AS (SELECT doc, {_SHINGLE_INT} % {D.MERSENNE_P} AS x FROM sh),
+sig AS (
+    SELECT doc,
+        {_sig_cols}
+    FROM xs GROUP BY doc
+),
+bands AS (
+    {_band_selects}
+),
+pairs AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(doc, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc
+),
+comp AS (SELECT doc, min(label) AS component FROM walk GROUP BY doc),
+members AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+           CAST(length(d.text) AS DECIMAL(38,0)) * 1000000000000
+             - d.doc_id AS packed
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+),
+reps AS (
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           arg_max(doc_id, packed) AS canonical_id
+    FROM members GROUP BY component
+)
+SELECT m.doc_id, m.component, r.canonical_id, n_members,
+       m.doc_id = r.canonical_id AS is_canonical
+FROM members m JOIN reps r USING (component)
+"""
+
+
+@register("dedup_canonical_map", _CANONICAL_ORACLE)
+def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", _K, _SEED)
+    pairs = D.lsh_candidate_pairs(sigs, _K, _BANDS)
+    comp = D.connected_components(pairs)
+    members = (
+        docs.join(comp, docs.doc_id == comp.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            (
+                F.length("text").cast("decimal(38,0)") * F.lit(10**12)
+                - F.col("doc_id")
+            ).alias("packed"),
+        )
+    )
+    reps = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by("doc_id", "packed").alias("canonical_id"),
+    )
+    return members.join(reps, "component").select(
+        "doc_id",
+        "component",
+        "canonical_id",
+        "n_members",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (training-data hygiene): flag corpus docs that
 # share ≥ 2 distinct 3-gram shingles with the "benchmark suite" (docs with
 # doc_id % 47 == 0 — a deterministic stand-in for a held-out eval set).

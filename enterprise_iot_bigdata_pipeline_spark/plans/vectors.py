@@ -657,3 +657,155 @@ def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("z_micro").cast("long").alias("z_sum_micro"),
         F.sum(F.abs("z_micro")).cast("long").alias("z_l1_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension-pair Pearson correlation probe: the embedding-geometry
+# diagnostic (redundant dimensions → candidates for JL/PQ compression;
+# a drifted correlation structure flags an encoder change upstream).
+# Pairs probed: every adjacent (i, i+1) plus the long-range (i, i+32)
+# stripe — 95 pairs, FIXED, so the whole computation is ONE unexploded
+# hash aggregate over the scan (64 sums + 64 square-sums + 95 product
+# sums + count, all DECIMAL-exact), never a ×64 explode or a ×2016
+# pair blowup. Moments → r in double with the round-9 FMA guard on
+# every a−b·c shape (covariance and both variances), one IEEE sqrt and
+# divide, final round — the embeddings_standardize float discipline.
+# At 100 TB: one map-side-combined aggregate; the unpivot runs on a
+# single row.
+# ---------------------------------------------------------------------------
+
+_CORR_PAIRS = [(i, i + 1) for i in range(1, DIM)] + [
+    (i, i + 32) for i in range(1, DIM - 32 + 1)
+]
+
+
+def _corr_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(sum(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS s{i}, "
+        f"CAST(sum(CAST(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS q{i}"
+        for i in range(1, DIM + 1)
+    )
+    prods = ", ".join(
+        f"CAST(sum(CAST(CAST(embedding[{a}] AS DOUBLE) * CAST(embedding[{b}] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS p{a}_{b}"
+        for a, b in _CORR_PAIRS
+    )
+    rows = ", ".join(
+        f"({a}, {b}, s{a}, s{b}, q{a}, q{b}, p{a}_{b})" for a, b in _CORR_PAIRS
+    )
+    return f"""
+    WITH m AS (SELECT count(*) AS n, {sums}, {prods} FROM embeddings),
+    pairs AS (
+        SELECT n, u.* FROM m,
+        UNNEST([{", ".join(
+            f"struct_pack(dim_a := {a}, dim_b := {b}, sa := s{a}, sb := s{b},"
+            f" qa := q{a}, qb := q{b}, pab := p{a}_{b})" for a, b in _CORR_PAIRS
+        )}]) AS t(u)
+    ),
+    stats AS (
+        SELECT CAST(dim_a AS INTEGER) AS dim_a, CAST(dim_b AS INTEGER) AS dim_b,
+               CAST(n AS BIGINT) AS n,
+               round(pab / n - (sa / n) * (sb / n), 9) AS cov,
+               round(qa / n - (sa / n) * (sa / n), 9) AS var_a,
+               round(qb / n - (sb / n) * (sb / n), 9) AS var_b
+        FROM pairs
+    )
+    SELECT dim_a, dim_b, n,
+           CASE WHEN var_a > 0 AND var_b > 0
+                THEN round(cov / sqrt(var_a * var_b), 9) END AS corr_r
+    FROM stats
+    """
+
+
+@register("embeddings_corr_probe", _corr_oracle())
+def embeddings_corr_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    x = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    dsum6 = lambda c: F.sum(c.cast("decimal(25,6)")).cast("double")  # noqa: E731
+    dsum12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(1, DIM + 1):
+        aggs.append(dsum6(x(i)).alias(f"s{i}"))
+        aggs.append(dsum12(x(i) * x(i)).alias(f"q{i}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(dsum12(x(a) * x(b)).alias(f"p{a}_{b}"))
+    m = emb.agg(*aggs)
+
+    stack_args = []
+    for a, b in _CORR_PAIRS:
+        stack_args += [
+            F.lit(a), F.lit(b),
+            F.col(f"s{a}"), F.col(f"s{b}"),
+            F.col(f"q{a}"), F.col(f"q{b}"),
+            F.col(f"p{a}_{b}"),
+        ]
+    long = m.select(
+        "n",
+        F.stack(F.lit(len(_CORR_PAIRS)), *stack_args).alias(
+            "dim_a", "dim_b", "sa", "sb", "qa", "qb", "pab"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.round(F.col("pab") / nd - (F.col("sa") / nd) * (F.col("sb") / nd), 9)
+    var_a = F.round(F.col("qa") / nd - (F.col("sa") / nd) * (F.col("sa") / nd), 9)
+    var_b = F.round(F.col("qb") / nd - (F.col("sb") / nd) * (F.col("sb") / nd), 9)
+    stats = long.select(
+        F.col("dim_a").cast("int").alias("dim_a"),
+        F.col("dim_b").cast("int").alias("dim_b"),
+        F.col("n").cast("long").alias("n"),
+        cov.alias("cov"), var_a.alias("var_a"), var_b.alias("var_b"),
+    )
+    return stats.select(
+        "dim_a", "dim_b", "n",
+        F.when(
+            (F.col("var_a") > 0) & (F.col("var_b") > 0),
+            F.round(F.col("cov") / F.sqrt(F.col("var_a") * F.col("var_b")), 9),
+        ).alias("corr_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-m magnitude sparsification: keep each vector's 8 largest-|x| dims as
+# (vec_id, rank, dim, value) triples — the preprocessing step for sparse
+# inverted-index ANN (dimension posting lists) and for storage-efficient
+# approximate dot products. One vec_id-keyed window over the posexploded
+# dims; vec_id cardinality scales with the corpus, so the window
+# parallelizes (no low-cardinality-key ceiling). Ties break by dim asc —
+# |x| of a passthrough float is bit-identical cross-engine, so the rank
+# is deterministic.
+# ---------------------------------------------------------------------------
+
+_SPARSIFY_M = 8
+
+_SPARSIFY_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id,
+           unnest(range(1, {DIM} + 1)) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+ranked AS (
+    SELECT vec_id, dim, x,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY abs(x) DESC, dim) AS rnk
+    FROM ex
+)
+SELECT vec_id, CAST(rnk AS INTEGER) AS rank, CAST(dim AS INTEGER) AS dim, x
+FROM ranked WHERE rnk <= {_SPARSIFY_M}
+"""
+
+
+@register("embeddings_sparsify_topm", _SPARSIFY_ORACLE)
+def embeddings_sparsify_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "x")
+    w = W.partitionBy("vec_id").orderBy(F.abs(F.col("x")).desc(), F.col("dim"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SPARSIFY_M)
+        .select("vec_id", "rank", F.col("dim").cast("int").alias("dim"), "x")
+    )

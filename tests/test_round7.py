@@ -1,0 +1,173 @@
+"""Round-7 operator tests: the expectations compiler's API semantics and
+plan shape, PSI grid completeness, canonical-map invariants, and the
+weighted-sample distribution property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestExpectations:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a", 5.0, "x@y.z"),
+                (2, "b", 50.0, "nope"),
+                (None, "c", -1.0, None),
+                (4, "zz", 5.0, "p@q.r"),
+                (4, "a", None, "u@v.w"),
+            ],
+            "id long, cat string, val double, email string",
+        )
+
+    def test_known_violation_counts(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.expectations import (
+            run_expectations,
+        )
+
+        out = {
+            r.expectation: r
+            for r in run_expectations(
+                self._df(spark),
+                [
+                    {"type": "not_null", "col": "id"},
+                    {"type": "accepted_values", "col": "cat", "values": ["a", "b", "c"]},
+                    {"type": "in_range", "col": "val", "lo": 0.0, "hi": 10.0},
+                    {
+                        "type": "matches_regex",
+                        "col": "email",
+                        "pattern": r"^[^@]+@[^@]+$",
+                    },
+                    {"type": "unique", "col": "id"},
+                ],
+            ).collect()
+        }
+        assert out["not_null(id)"].violations == 1
+        assert out["accepted_values(cat:a,b,c)"].violations == 1  # 'zz'
+        # NULL val is not a range violation (not_null owns nullness);
+        # 50.0 and -1.0 are
+        assert out["in_range(val:0.0..10.0)"].violations == 2
+        assert out["matches_regex(email:^[^@]+@[^@]+$)"].violations == 1
+        # ids: non-null [1,2,4,4] -> 4 non-null, 3 distinct -> 1 duplicate
+        assert out["unique(id)"].violations == 1
+        assert all(r.n_rows == 5 for r in out.values())
+        assert {r.expectation for r in out.values() if r.passed} == set()
+
+    def test_all_passing_battery(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.expectations import (
+            run_expectations,
+        )
+
+        out = run_expectations(
+            self._df(spark).filter("id = 1"),
+            [
+                {"type": "not_null", "col": "id"},
+                {"type": "unique", "col": "id"},
+            ],
+        ).collect()
+        assert all(r.passed and r.violations == 0 for r in out)
+
+    def test_two_uniques_raise(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.expectations import (
+            run_expectations,
+        )
+
+        with pytest.raises(ValueError, match="one unique"):
+            run_expectations(
+                self._df(spark),
+                [{"type": "unique", "col": "id"}, {"type": "unique", "col": "cat"}],
+            )
+
+    def test_unknown_type_raises(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.expectations import (
+            run_expectations,
+        )
+
+        with pytest.raises(ValueError, match="unknown expectation"):
+            run_expectations(self._df(spark), [{"type": "monotone", "col": "id"}])
+
+    def test_single_scan_plan(self, spark):
+        """The compiler's whole point: an N-expectation battery is ONE scan —
+        one aggregate pair over one relation, no Expand fallback, no union
+        of per-expectation subplans."""
+        from enterprise_iot_bigdata_pipeline_spark.operators.expectations import (
+            run_expectations,
+        )
+
+        df = self._df(spark)
+        plan = run_expectations(
+            df,
+            [
+                {"type": "not_null", "col": "id"},
+                {"type": "in_range", "col": "val", "lo": 0.0, "hi": 10.0},
+                {"type": "matches_regex", "col": "email", "pattern": "@"},
+                {"type": "unique", "col": "id"},
+            ],
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1
+        assert "Expand" not in plan  # one distinct never triggers the fallback
+
+
+class TestPsiDrift:
+    def test_full_grid_zero_filled(self, spark):
+        """Every (event_type, bin) cell must exist even when one period has
+        zero rows in it — drifted-empty bins are PSI's whole signal."""
+        from tests.conftest import SF_SMOKE
+
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        out = all_queries()["events_psi_drift"](spark, SF_SMOKE).collect()
+        types = {r.event_type for r in out}
+        per_type = {t: sorted(r.bin for r in out if r.event_type == t) for t in types}
+        assert all(bins == list(range(10)) for bins in per_type.values()), per_type
+
+
+class TestCanonicalMap:
+    def test_invariants(self, spark):
+        """Every doc maps to exactly one canonical; canonicals map to
+        themselves; member counts agree with the mapping."""
+        from tests.conftest import SF_SMOKE
+
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        rows = all_queries()["dedup_canonical_map"](spark, SF_SMOKE).collect()
+        by_doc = {r.doc_id: r for r in rows}
+        assert len(by_doc) == len(rows)  # one row per doc
+        for r in rows:
+            canon = by_doc[r.canonical_id]
+            assert canon.component == r.component
+            assert canon.is_canonical
+            assert r.is_canonical == (r.doc_id == r.canonical_id)
+        # n_members consistent with the actual component sizes
+        from collections import Counter
+
+        sizes = Counter(r.component for r in rows)
+        assert all(sizes[r.component] == r.n_members for r in rows)
+
+
+class TestWeightedSample:
+    def test_weights_shift_selection(self, spark):
+        """A-ES property (deterministic check): among docs with identical
+        hash keys, the heavier doc must win. Constructed: two docs whose
+        salted md5 u happen to give l_micro within noise is flaky — so
+        instead assert the analytic invariant on the real corpus: the
+        selected set's mean weight exceeds the corpus mean (weighting
+        must bias toward heavy docs; with 500 docs and k=50 a uniform
+        sample violating this has probability < 1e-6)."""
+        from tests.conftest import SF_SMOKE
+
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+        from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+        sel = all_queries()["sample_weighted_topn"](spark, SF_SMOKE).collect()
+        assert len(sel) == 50
+        assert len({r.doc_id for r in sel}) == 50  # without replacement
+        assert sorted(r.rank for r in sel) == list(range(1, 51))
+        corpus_mean = (
+            t(spark, SF_SMOKE, "documents")
+            .select(F.avg(F.greatest(F.length("text"), F.lit(1))))
+            .first()[0]
+        )
+        sel_mean = sum(r.w for r in sel) / len(sel)
+        assert sel_mean > corpus_mean
