@@ -54,7 +54,43 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("name", nargs="?", default=None, help="query name; omit to list all")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20, help="rows to show (0 = count only)")
+
+    sq = sub.add_parser(
+        "sql", help="run ad-hoc SQL over the corpus tables (registered as views)"
+    )
+    sq.add_argument("statement", help="a single SQL statement")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--limit", type=int, default=20, help="rows to show (0 = count only)")
     return p
+
+
+def _print_preview(df, limit: int, label: str) -> None:
+    """ONE execution for both the preview and the count: collect limit+1
+    rows, format driver-locally (no createDataFrame+show round-trip), and
+    report an exact count only when the result fits — a separate
+    df.count() would run the full pipeline a second time."""
+    if not limit:
+        print(f"{label}: {df.count()} rows")
+        return
+    head = df.limit(limit + 1).collect()
+    shown = head[:limit]
+    cols = df.columns
+    cells = [[str(row[c]) for c in cols] for row in shown]
+    widths = [
+        max(len(c), *(len(r[i]) for r in cells)) if cells else len(c)
+        for i, c in enumerate(cols)
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    print(sep)
+    print("| " + " | ".join(c.ljust(w) for c, w in zip(cols, widths)) + " |")
+    print(sep)
+    for r in cells:
+        print("| " + " | ".join(v.ljust(w) for v, w in zip(r, widths)) + " |")
+    print(sep)
+    if len(head) > limit:
+        print(f"{label}: >{limit} rows (showing {limit})")
+    else:
+        print(f"{label}: {len(head)} rows")
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
@@ -117,36 +153,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"unknown query {args.name!r}; run without a name to list", file=sys.stderr)
             return 2
         else:
-            df = queries[args.name](spark, args.sf_dir)
-            if args.limit:
-                # ONE execution for both the preview and the count: collect
-                # limit+1 rows, format them DRIVER-LOCALLY (round-tripping
-                # collected rows through createDataFrame+show would pay
-                # schema re-validation and a second Spark job just to
-                # pretty-print), and report an exact count only when the
-                # result fits — re-running df.count() would execute the
-                # full pipeline a second time.
-                head = df.limit(args.limit + 1).collect()
-                shown = head[: args.limit]
-                cols = df.columns
-                cells = [[str(row[c]) for c in cols] for row in shown]
-                widths = [
-                    max(len(c), *(len(r[i]) for r in cells)) if cells else len(c)
-                    for i, c in enumerate(cols)
-                ]
-                sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
-                print(sep)
-                print("| " + " | ".join(c.ljust(w) for c, w in zip(cols, widths)) + " |")
-                print(sep)
-                for r in cells:
-                    print("| " + " | ".join(v.ljust(w) for v, w in zip(r, widths)) + " |")
-                print(sep)
-                if len(head) > args.limit:
-                    print(f"{args.name}: >{args.limit} rows (showing {args.limit})")
-                else:
-                    print(f"{args.name}: {len(head)} rows")
-            else:
-                print(f"{args.name}: {df.count()} rows")
+            _print_preview(queries[args.name](spark, args.sf_dir), args.limit, args.name)
+    elif args.cmd == "sql":
+        # The ad-hoc surface a reference user gets from DuckDB: every corpus
+        # table registered as a view, one statement, previewed like `query`.
+        from enterprise_iot_bigdata_pipeline_spark.plans.tables import (
+            TABLES,
+            t as load_table,
+        )
+
+        for name in TABLES:
+            load_table(spark, args.sf_dir, name).createOrReplaceTempView(name)
+        _print_preview(spark.sql(args.statement), args.limit, "sql")
     return 0
 
 

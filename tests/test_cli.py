@@ -140,3 +140,33 @@ def test_cli_query_subcommand(spark, capsys):
 
     # unknown names exit 2 with guidance
     assert main(["query", "nope"], spark=spark) == 2
+
+
+def test_cli_sql_subcommand(spark, capsys):
+    from enterprise_iot_bigdata_pipeline_spark.cli import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "event_type" in out and "sql: 5 rows" in out
+
+    # joins across the registered views work too
+    rc = main(
+        [
+            "sql",
+            "SELECT n_name, count(*) AS c FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--limit", "0",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "sql: " in capsys.readouterr().out

@@ -131,6 +131,16 @@ AUDITED = [
     "orders_cohort_ltv",
     "join_top_supplier_quarter",
     "join_disjunctive_revenue",
+    # round 7
+    "quality_expectations",
+    "join_custdist_q13",
+    "join_dormant_balances_q22",
+    "events_psi_drift",
+    "embeddings_corr_probe",
+    "embeddings_sparsify_topm",
+    "dedup_canonical_map",
+    "sample_weighted_topn",
+    "video_container_audit",
 ]
 
 CHECKS = {
@@ -648,6 +658,56 @@ CHECKS_R6D["join_disjunctive_revenue"] = [
 ]
 CHECKS.update(CHECKS_R6D)
 
+CHECKS_R7: dict = {}
+CHECKS_R7["quality_expectations"] = [
+    ("Expand", False,
+     "one distinct in the battery never triggers the multi-distinct Expand fallback"),
+    ("partial_", True, "every violation sum combines map-side in the single scan"),
+    ("BatchEvalPython", False, "expectation predicates are JVM expression algebra"),
+]
+CHECKS_R7["join_custdist_q13"] = [
+    ("SortMergeJoin", True,
+     "customer-orders LEFT join is a shuffle SMJ (audited with autobroadcast "
+     "off — the 100 TB shape); the per-customer count reuses its exchange"),
+    ("partial_count", True, "the count distribution combines map-side"),
+]
+CHECKS_R7["join_dormant_balances_q22"] = [
+    ("BroadcastNestedLoopJoin", True,
+     "the 1-row scalar mean rides a broadcast cross join, never a shuffle"),
+    ("BatchEvalPython", False, "cents and the balance threshold are JVM algebra"),
+]
+CHECKS_R7["events_psi_drift"] = [
+    ("BroadcastHashJoin", True,
+     "epoch bounds and the 10-row bin spine broadcast to the corpus scan"),
+    ("partial_", True, "the type x period x bin histogram combines map-side"),
+    ("BatchEvalPython", False, "micro-nat logs are JVM expressions"),
+]
+CHECKS_R7["embeddings_corr_probe"] = [
+    ("Expand", False, "95 pairs are flat aggregate columns, not a pair explode"),
+    ("SortAggregate", False, "all 224 decimal moments stay hash-aggregable"),
+    ("BatchEvalPython", False, "moments-to-r algebra is JVM-side"),
+]
+CHECKS_R7["embeddings_sparsify_topm"] = [
+    ("Exchange hashpartitioning(vec_id", True,
+     "the rank window keys on corpus-scaled vec_id — no single-partition sort"),
+    ("BatchEvalPython", False, "posexplode + window, no Python"),
+]
+CHECKS_R7["dedup_canonical_map"] = [
+    ("SortAggregate", False,
+     "the packed-decimal max_by keeps the representative argmax hash-aggregable"),
+    ("CartesianProduct", False, "the map-back is a keyed join"),
+]
+CHECKS_R7["sample_weighted_topn"] = [
+    ("TakeOrderedAndProject", True,
+     "the weighted top-k plans as per-partition heaps + k-row merge, no global sort"),
+    ("BatchEvalPython", False, "A-ES keys are JVM md5/ln expressions"),
+]
+CHECKS_R7["video_container_audit"] = [
+    ("MapInPandas", True, "mux and demux are Arrow-batched, never per-row Python"),
+    ("BatchEvalPython", False, "no row-at-a-time UDF"),
+]
+CHECKS.update(CHECKS_R7)
+
 CONF_OVERRIDES = {
     "join_large_orders": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "cohort_weekly_retention": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
@@ -658,6 +718,7 @@ CONF_OVERRIDES = {
     # audit sees the 100 TB degradation shape, not the sf0.01 BHJ
     "orders_fulfillment_latency": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "text_novelty_rate": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "join_custdist_q13": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 

@@ -145,6 +145,16 @@ STRESSED = [
     "orders_cohort_ltv",
     "join_top_supplier_quarter",
     "join_disjunctive_revenue",
+    # round-7 additions
+    "join_custdist_q13",
+    "join_dormant_balances_q22",
+    "quality_expectations",
+    "events_psi_drift",
+    "embeddings_corr_probe",
+    "embeddings_sparsify_topm",
+    "dedup_canonical_map",
+    "sample_weighted_topn",
+    "video_container_audit",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -251,6 +261,15 @@ MAIN_TABLE = {
     "orders_cohort_ltv": "orders",
     "join_top_supplier_quarter": "lineitem",
     "join_disjunctive_revenue": "lineitem",
+    "join_custdist_q13": "orders",
+    "join_dormant_balances_q22": "orders",
+    "quality_expectations": "events",
+    "events_psi_drift": "events",
+    "embeddings_corr_probe": "embeddings",
+    "embeddings_sparsify_topm": "embeddings",
+    "dedup_canonical_map": "documents",
+    "sample_weighted_topn": "documents",
+    "video_container_audit": "documents",
 }
 ID_COLS = {
     "events": "event_id",
