@@ -188,6 +188,13 @@ HEADLINE = [
     "embeddings_sparsify_topm",
     "dedup_canonical_map",
     "sample_weighted_topn",
+    # (dedup_recall_eval deliberately NOT benched: the eval re-executes BOTH
+    # underlying pair pipelines by construction — dedup_minhash_lsh and
+    # text_setsim_prefix_join each have their own bench row; a composed
+    # double-run would double-count their cost in the headline total)
+    "text_readability",
+    "streaming_enrich_dim",
+    "entity_resolution_clusters",
 ]
 
 

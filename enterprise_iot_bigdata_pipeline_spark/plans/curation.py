@@ -347,6 +347,82 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_eval_oracle() -> str:
+    from enterprise_iot_bigdata_pipeline_spark.plans import ORACLES, load_all
+
+    load_all()
+    return f"""
+    WITH cand AS (SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_lsh"]})),
+    -- NOT "AS MATERIALIZED": hoisting materialization of these siblings
+    -- collides their inner CTE names (both wrap oracles defining `sh`) —
+    -- DuckDB binder error; the un-hinted inlining re-evaluates each oracle
+    -- ~2x, acceptable at oracle scale (the BPE 2^r chain this guards
+    -- against was a 6-DEEP reference chain, not 2 siblings).
+    truth AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["text_setsim_prefix_join"]})
+    ),
+    hit AS (
+        SELECT count(*) AS n_hit FROM truth t
+        JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE)
+                 / greatest((SELECT count(*) FROM truth), 1), 9) AS recall,
+           round(CAST(n_hit AS DOUBLE)
+                 / greatest((SELECT count(*) FROM cand), 1), 9) AS precision
+    FROM hit
+    """
+
+
+@register("dedup_recall_eval", _dedup_eval_oracle())
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality eval for the MinHash-LSH dedup path: its candidate
+    pairs against the EXACT τ=1/2 shingle-Jaccard join as ground truth —
+    composed from the two REGISTERED queries and their oracle strings (the
+    ann_recall_eval pattern), so any future change to either propagates to
+    its eval automatically. One row: candidate count, true-pair count,
+    hits, precision and recall. Both pair sets are (min, max)-ordered by
+    construction, so the hit join is a plain equi-join."""
+    from enterprise_iot_bigdata_pipeline_spark.plans import QUERIES
+
+    # Each pair frame feeds TWO consumers (its count + the hit join) inside
+    # one action; without the checkpoint the whole upstream LSH / prefix-join
+    # pipeline executes twice (persist() does not dedupe within an action —
+    # the pipeline_curate_corpus lesson). The frames are pair-sized.
+    cand = (
+        QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    truth = (
+        QUERIES["text_setsim_prefix_join"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(hit)
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(
+                F.col("n_hit").cast("double") / F.greatest(F.col("n_true"), F.lit(1)), 9
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double") / F.greatest(F.col("n_cand"), F.lit(1)), 9
+            ).alias("precision"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Water-filling budget allocation: split a global token budget across
 # sources, never exceeding any source's capacity, leveling everyone else

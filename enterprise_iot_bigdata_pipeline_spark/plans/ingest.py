@@ -15,6 +15,7 @@ from enterprise_iot_bigdata_pipeline_spark.functions.epoch import (
     normalize_epoch_auto,
     to_local,
 )
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DSUM_SQL
 from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import attach_fake_media
 from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
@@ -371,6 +372,59 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         name = f"stream_join_{uuid.uuid4().hex[:8]}"
         q = (
             joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out_df = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out_df
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment: the third streaming-join semantic (beside the
+# stream-stream interval join and the windowed agg) — an event stream
+# joined per micro-batch against a STATIC dimension (re-read each batch,
+# broadcast-sized; the canonical dimension-lookup pattern) and aggregated
+# per segment. availableNow replay over the static corpus makes the
+# result batch-expressible, so the full DuckDB oracle applies while the
+# streaming machinery (unbounded plan, state store, complete-mode sink)
+# is what executes.
+# ---------------------------------------------------------------------------
+
+_STREAM_ENRICH_ORACLE = f"""
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {DSUM_SQL("e.value")} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+@register("streaming_enrich_dim", _STREAM_ENRICH_ORACLE)
+def streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    t(spark, sf_dir, "events")  # session-conf side effects
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream, stage = _stage_events_stream(spark, sf_dir)
+    try:
+        enriched = stream.join(
+            F.broadcast(dim), stream.user_id == dim.c_custkey
+        )
+        agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
             .trigger(availableNow=True)

@@ -769,3 +769,80 @@ def join_dormant_balances_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).cast("long").alias("acctbal_cents"),
         )
     )
+
+
+# --- Entity resolution end-to-end: the fuzzy-match pairs (sorted-
+#     neighborhood Levenshtein, join_fuzzy_names) resolved into entity
+#     CLUSTERS via connected components, every customer mapped to a
+#     cluster id (= min reachable custkey; non-matching customers are
+#     their own singleton cluster). The composition dedup_canonical_map
+#     ships for documents, re-expressed over the relational dimension —
+#     record linkage's transitive-closure step. Oracle: the fuzzy-pair
+#     SQL feeding a recursive-CTE reachability walk (the dedup_components
+#     recipe). -----------------------------------------------------------
+
+
+def _er_oracle() -> str:
+    from enterprise_iot_bigdata_pipeline_spark.plans import ORACLES, load_all
+
+    load_all()
+    return f"""
+    WITH RECURSIVE fuzzy AS (
+        SELECT cust_a, cust_b FROM ({ORACLES["join_fuzzy_names"]})
+    ),
+    edges AS (
+        SELECT cust_a AS src, cust_b AS dst FROM fuzzy
+        UNION
+        SELECT cust_b, cust_a FROM fuzzy
+    ),
+    walk(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node, min(label) AS entity_id FROM walk GROUP BY node),
+    mapped AS (
+        SELECT c.c_custkey, c.c_name,
+               coalesce(p.entity_id, c.c_custkey) AS entity_id
+        FROM customer c LEFT JOIN comp p ON c.c_custkey = p.node
+    ),
+    sizes AS (
+        SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM mapped GROUP BY entity_id
+    )
+    SELECT m.c_custkey, m.c_name, m.entity_id, s.n_members,
+           m.c_custkey = m.entity_id AS is_representative
+    FROM mapped m JOIN sizes s USING (entity_id)
+    WHERE s.n_members > 1
+    """
+
+
+@register("entity_resolution_clusters", _er_oracle())
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.plans import QUERIES
+
+    pairs = QUERIES["join_fuzzy_names"](spark, sf_dir).select("cust_a", "cust_b")
+    comp = connected_components(pairs, a_col="cust_a", b_col="cust_b")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    mapped = cust.join(comp, cust.c_custkey == comp.doc, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("component", "c_custkey").alias("entity_id"),
+    )
+    sizes = mapped.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        mapped.join(sizes, "entity_id")
+        .filter(F.col("n_members") > 1)
+        .select(
+            "c_custkey",
+            "c_name",
+            "entity_id",
+            "n_members",
+            (F.col("c_custkey") == F.col("entity_id")).alias("is_representative"),
+        )
+    )

@@ -2450,3 +2450,79 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch–Kincaid grade): the classic prose-quality
+# curation feature (too-low = fragment noise, too-high = OCR garbage /
+# legalese). Counts are pure regexp over Java∩RE2-safe classes (vowel
+# GROUPS approximate syllables — the standard heuristic); the grade
+# formula's two products are round-9'd SEPARATELY before the sum (a·b+c·d
+# is an FMA-contraction site — README parity rule 2), divisions are
+# exact-int → double. Pure map over the scan; zero shuffles at any scale.
+# ---------------------------------------------------------------------------
+
+_FK_WORD_RE = "[A-Za-z0-9]+"
+_FK_SENT_RE = "[.!?]+"
+_FK_SYLL_RE = "[aeiouyAEIOUY]+"
+
+_READABILITY_ORACLE = f"""
+WITH c AS (
+    SELECT doc_id,
+           greatest(len(regexp_extract_all(text, '{_FK_WORD_RE}')), 1) AS n_words,
+           greatest(len(regexp_extract_all(text, '{_FK_SENT_RE}')), 1) AS n_sentences,
+           greatest(len(regexp_extract_all(text, '{_FK_SYLL_RE}')), 1) AS n_syllables
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences), 9)
+                 + round(11.8 * (CAST(n_syllables AS DOUBLE) / n_words), 9)
+                 - 15.59, 9) AS fk_grade
+    FROM c
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, fk_grade,
+       CASE WHEN fk_grade < 6.0 THEN 'easy'
+            WHEN fk_grade < 12.0 THEN 'standard'
+            ELSE 'hard' END AS grade_band
+FROM g
+"""
+
+
+@register("text_readability", _READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    c = docs.select(
+        "doc_id",
+        F.greatest(F.regexp_count(txt, F.lit(_FK_WORD_RE)), F.lit(1))
+        .cast("long")
+        .alias("n_words"),
+        F.greatest(F.regexp_count(txt, F.lit(_FK_SENT_RE)), F.lit(1))
+        .cast("long")
+        .alias("n_sentences"),
+        F.greatest(F.regexp_count(txt, F.lit(_FK_SYLL_RE)), F.lit(1))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    fk = F.round(
+        F.round(0.39 * (F.col("n_words").cast("double") / F.col("n_sentences")), 9)
+        + F.round(11.8 * (F.col("n_syllables").cast("double") / F.col("n_words")), 9)
+        - 15.59,
+        9,
+    )
+    g = c.withColumn("fk_grade", fk)
+    return g.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "fk_grade",
+        F.when(F.col("fk_grade") < 6.0, "easy")
+        .when(F.col("fk_grade") < 12.0, "standard")
+        .otherwise("hard")
+        .alias("grade_band"),
+    )

@@ -716,51 +716,54 @@ def _corr_oracle() -> str:
     """
 
 
+def _corr_spark_sql() -> str:
+    """The same plan as the oracle in Spark SQL dialect, built ONCE as a
+    string: constructing the ~450 aggregate/stack expressions through the
+    Column API costs ~4.7 s of py4j round trips PER CALL (measured; the
+    aggregate itself runs in ~2 s) — a single spark.sql parse is
+    milliseconds. element_at is 1-based like DuckDB's list index."""
+    x = lambda i: f"CAST(element_at(embedding, {i}) AS DOUBLE)"  # noqa: E731
+    d6 = lambda e: f"CAST(sum(CAST({e} AS DECIMAL(25,6))) AS DOUBLE)"  # noqa: E731
+    d12 = lambda e: f"CAST(sum(CAST({e} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    sums = ", ".join(
+        f"{d6(x(i))} AS s{i}, {d12(f'{x(i)} * {x(i)}')} AS q{i}"
+        for i in range(1, DIM + 1)
+    )
+    prods = ", ".join(
+        f"{d12(f'{x(a)} * {x(b)}')} AS p{a}_{b}" for a, b in _CORR_PAIRS
+    )
+    stack_args = ", ".join(
+        f"{a}, {b}, s{a}, s{b}, q{a}, q{b}, p{a}_{b}" for a, b in _CORR_PAIRS
+    )
+    return f"""
+    WITH m AS (SELECT count(*) AS n, {sums}, {prods} FROM corr_emb),
+    pairs AS (
+        SELECT n, stack({len(_CORR_PAIRS)}, {stack_args})
+               AS (dim_a, dim_b, sa, sb, qa, qb, pab)
+        FROM m
+    ),
+    stats AS (
+        SELECT CAST(dim_a AS INT) AS dim_a, CAST(dim_b AS INT) AS dim_b,
+               CAST(n AS BIGINT) AS n,
+               round(pab / n - (sa / n) * (sb / n), 9) AS cov,
+               round(qa / n - (sa / n) * (sa / n), 9) AS var_a,
+               round(qb / n - (sb / n) * (sb / n), 9) AS var_b
+        FROM pairs
+    )
+    SELECT dim_a, dim_b, n,
+           CASE WHEN var_a > 0 AND var_b > 0
+                THEN round(cov / sqrt(var_a * var_b), 9) END AS corr_r
+    FROM stats
+    """
+
+
+_CORR_SPARK_SQL = _corr_spark_sql()
+
+
 @register("embeddings_corr_probe", _corr_oracle())
 def embeddings_corr_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    x = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
-    dsum6 = lambda c: F.sum(c.cast("decimal(25,6)")).cast("double")  # noqa: E731
-    dsum12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for i in range(1, DIM + 1):
-        aggs.append(dsum6(x(i)).alias(f"s{i}"))
-        aggs.append(dsum12(x(i) * x(i)).alias(f"q{i}"))
-    for a, b in _CORR_PAIRS:
-        aggs.append(dsum12(x(a) * x(b)).alias(f"p{a}_{b}"))
-    m = emb.agg(*aggs)
-
-    stack_args = []
-    for a, b in _CORR_PAIRS:
-        stack_args += [
-            F.lit(a), F.lit(b),
-            F.col(f"s{a}"), F.col(f"s{b}"),
-            F.col(f"q{a}"), F.col(f"q{b}"),
-            F.col(f"p{a}_{b}"),
-        ]
-    long = m.select(
-        "n",
-        F.stack(F.lit(len(_CORR_PAIRS)), *stack_args).alias(
-            "dim_a", "dim_b", "sa", "sb", "qa", "qb", "pab"
-        ),
-    )
-    nd = F.col("n").cast("double")
-    cov = F.round(F.col("pab") / nd - (F.col("sa") / nd) * (F.col("sb") / nd), 9)
-    var_a = F.round(F.col("qa") / nd - (F.col("sa") / nd) * (F.col("sa") / nd), 9)
-    var_b = F.round(F.col("qb") / nd - (F.col("sb") / nd) * (F.col("sb") / nd), 9)
-    stats = long.select(
-        F.col("dim_a").cast("int").alias("dim_a"),
-        F.col("dim_b").cast("int").alias("dim_b"),
-        F.col("n").cast("long").alias("n"),
-        cov.alias("cov"), var_a.alias("var_a"), var_b.alias("var_b"),
-    )
-    return stats.select(
-        "dim_a", "dim_b", "n",
-        F.when(
-            (F.col("var_a") > 0) & (F.col("var_b") > 0),
-            F.round(F.col("cov") / F.sqrt(F.col("var_a") * F.col("var_b")), 9),
-        ).alias("corr_r"),
-    )
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("corr_emb")
+    return spark.sql(_CORR_SPARK_SQL)
 
 
 # ---------------------------------------------------------------------------

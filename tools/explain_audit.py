@@ -141,6 +141,9 @@ AUDITED = [
     "dedup_canonical_map",
     "sample_weighted_topn",
     "video_container_audit",
+    "text_readability",
+    "dedup_recall_eval",
+    "entity_resolution_clusters",
 ]
 
 CHECKS = {
@@ -705,6 +708,19 @@ CHECKS_R7["sample_weighted_topn"] = [
 CHECKS_R7["video_container_audit"] = [
     ("MapInPandas", True, "mux and demux are Arrow-batched, never per-row Python"),
     ("BatchEvalPython", False, "no row-at-a-time UDF"),
+]
+CHECKS_R7["text_readability"] = [
+    ("Exchange", False, "readability is a pure map over the scan - zero shuffles"),
+    ("BatchEvalPython", False, "counts are JVM regexp_count expressions"),
+]
+CHECKS_R7["dedup_recall_eval"] = [
+    ("CartesianProduct", False,
+     "the three 1-row stat frames cross-join via broadcast, nothing corpus-scaled"),
+]
+CHECKS_R7["entity_resolution_clusters"] = [
+    ("Scan ExistingRDD", True,
+     "components ride their checkpointed fixpoint, built once"),
+    ("CartesianProduct", False, "cluster map-back is a keyed join"),
 ]
 CHECKS.update(CHECKS_R7)
 

@@ -155,6 +155,9 @@ STRESSED = [
     "dedup_canonical_map",
     "sample_weighted_topn",
     "video_container_audit",
+    "dedup_recall_eval",
+    "text_readability",
+    "entity_resolution_clusters",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -270,6 +273,9 @@ MAIN_TABLE = {
     "dedup_canonical_map": "documents",
     "sample_weighted_topn": "documents",
     "video_container_audit": "documents",
+    "dedup_recall_eval": "documents",
+    "text_readability": "documents",
+    "entity_resolution_clusters": "customer",
 }
 ID_COLS = {
     "events": "event_id",
