@@ -195,6 +195,11 @@ HEADLINE = [
     "text_readability",
     "streaming_enrich_dim",
     "entity_resolution_clusters",
+    "events_cumulative_users",
+    "table_layout_plan",
+    "text_secrets_scan",
+    "timeseries_stl_decompose",
+    "timeseries_mase_baseline",
 ]
 
 

@@ -1231,3 +1231,111 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psi_term_micro"),
     )
+
+
+# --- Cumulative-user growth curve: per-day NEW users (first-seen day) and
+#     the running total — the classic "distinct users to date" series that
+#     a naive per-day COUNT(DISTINCT) recomputes quadratically. One
+#     user-keyed min-aggregate (corpus-scaled, map-side partials), one
+#     calendar-bounded count, and a running sum over the ≤|days| spine
+#     (the skew-profile / backlog single-partition-is-bounded pattern). ----
+
+
+@register(
+    "events_cumulative_users",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+        FROM firsts GROUP BY first_day
+    )
+    SELECT CAST(first_day AS VARCHAR) AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM daily
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    daily = firsts.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.col("first_day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+# --- Partition-layout planner: the storage-tuning audit behind every
+#     "how many files should this table write?" decision. Row-byte
+#     estimates use an explicit deterministic byte model (8 B per
+#     long/double/timestamp, octet_length for strings — NOT engine string
+#     casts, whose float formatting differs cross-engine); the
+#     recommendation targets the lake sink's 192 MB file goal. One
+#     aggregate per table, three rows out. --------------------------------
+
+_LAYOUT_TARGET_BYTES = 192 * 1024 * 1024
+
+
+def _layout_oracle() -> str:
+    parts = []
+    for tbl, expr in [
+        ("events", "8 + 8 + 8 + octet_length(encode(coalesce(event_type,''))) + 8 "
+                   "+ octet_length(encode(coalesce(props,'')))"),
+        ("lineitem", "8*7 + 8 + octet_length(encode(coalesce(l_returnflag,''))) "
+                     "+ octet_length(encode(coalesce(l_linestatus,''))) + 8"),
+        ("documents", "8 + octet_length(encode(coalesce(text,''))) "
+                      "+ octet_length(encode(coalesce(lang,''))) "
+                      "+ octet_length(encode(coalesce(source,'')))"),
+    ]:
+        parts.append(f"""
+        SELECT '{tbl}' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum({expr}) AS BIGINT) AS est_bytes
+        FROM {tbl}""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+    WITH s AS ({body})
+    SELECT table_name, n_rows, est_bytes,
+           CAST(greatest(1, ceil(CAST(est_bytes AS DOUBLE) / {_LAYOUT_TARGET_BYTES})) AS BIGINT)
+               AS files_at_target,
+           CAST(n_rows / greatest(1, ceil(CAST(est_bytes AS DOUBLE) / {_LAYOUT_TARGET_BYTES})) AS BIGINT)
+               AS rows_per_file
+    FROM s
+    """
+
+
+@register("table_layout_plan", _layout_oracle())
+def table_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def est(tbl: str, expr) -> DataFrame:
+        return t(spark, sf_dir, tbl).agg(
+            F.lit(tbl).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(expr).cast("long").alias("est_bytes"),
+        )
+
+    blen = lambda c: F.octet_length(F.coalesce(F.col(c), F.lit("")))  # noqa: E731
+    ev = est("events", F.lit(8 + 8 + 8 + 8) + blen("event_type") + blen("props"))
+    li = est(
+        "lineitem",
+        F.lit(8 * 7 + 8 + 8) + blen("l_returnflag") + blen("l_linestatus"),
+    )
+    docs = est("documents", F.lit(8) + blen("text") + blen("lang") + blen("source"))
+    s = ev.unionByName(li).unionByName(docs)
+    files = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("est_bytes").cast("double") / F.lit(_LAYOUT_TARGET_BYTES)),
+    ).cast("long")
+    return s.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        files.alias("files_at_target"),
+        (F.col("n_rows") / files).cast("long").alias("rows_per_file"),
+    )

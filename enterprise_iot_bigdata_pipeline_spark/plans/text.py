@@ -2526,3 +2526,105 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard")
         .alias("grade_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Secrets detection + redaction — the code-corpus curation gate (leaked
+# credentials must never reach a training set). The corpus carries no
+# secrets, so the query SYNTHESIZES them deterministically from doc_id
+# (the text_pii_redact trick): an AWS-style access key on ids %3==0
+# (AKIA + 16 uppercase-hex), a GitHub-style token on %4==0 (ghp_ + 36
+# hex), a bare 64-hex secret on %5==0 — the oracle rebuilds the identical
+# dirty text, so a hash-green row proves detection counts AND the fully
+# redacted output, non-vacuously (id residues vary the counts 0..3).
+# Patterns live in the Java∩RE2 common dialect; pure regexp map, zero
+# shuffles.
+# ---------------------------------------------------------------------------
+
+_SECRET_RULES = [
+    (r"AKIA[0-9A-Z]{16}", "[AWS_KEY]"),
+    (r"ghp_[0-9A-Za-z]{36}", "[GH_TOKEN]"),
+    (r"\b[0-9a-f]{64}\b", "[HEX_SECRET]"),
+]
+
+_SECRET_SYNTH_SQL = """concat(
+    text,
+    CASE WHEN doc_id % 3 = 0
+         THEN concat(' key=AKIA', upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)))
+         ELSE '' END,
+    CASE WHEN doc_id % 4 = 0
+         THEN concat(' token ghp_', substr(md5(concat(CAST(doc_id AS VARCHAR), 'g')), 1, 32),
+                     substr(md5(concat(CAST(doc_id AS VARCHAR), 'h')), 1, 4))
+         ELSE '' END,
+    CASE WHEN doc_id % 5 = 0
+         THEN concat(' sig ', md5(concat(CAST(doc_id AS VARCHAR), 'x')),
+                     md5(concat(CAST(doc_id AS VARCHAR), 'y')))
+         ELSE '' END
+)"""
+
+
+def _secrets_oracle() -> str:
+    red = "raw"
+    for pattern, token in _SECRET_RULES:
+        red = f"regexp_replace({red}, '{pattern}', '{token}', 'g')"
+    remaining = " + ".join(
+        f"len(regexp_extract_all({red}, '{p}'))" for p, _ in _SECRET_RULES
+    )
+    return f"""
+WITH dirty AS (SELECT doc_id, {_SECRET_SYNTH_SQL} AS raw FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_SECRET_RULES[0][0]}')) AS BIGINT) AS n_aws,
+       CAST(len(regexp_extract_all(raw, '{_SECRET_RULES[1][0]}')) AS BIGINT) AS n_github,
+       CAST(len(regexp_extract_all(raw, '{_SECRET_RULES[2][0]}')) AS BIGINT) AS n_hex64,
+       {red} AS redacted,
+       ({remaining}) = 0 AS clean
+FROM dirty
+"""
+
+
+@register("text_secrets_scan", _secrets_oracle())
+def text_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" key=AKIA"), F.upper(F.substring(F.md5(ds), 1, 16))),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" token ghp_"),
+                F.substring(F.md5(F.concat(ds, F.lit("g"))), 1, 32),
+                F.substring(F.md5(F.concat(ds, F.lit("h"))), 1, 4),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" sig "),
+                F.md5(F.concat(ds, F.lit("x"))),
+                F.md5(F.concat(ds, F.lit("y"))),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", dirty.alias("raw"))
+    red = F.col("raw")
+    for pattern, token in _SECRET_RULES:
+        red = F.regexp_replace(red, pattern, token)
+    remaining = None
+    for pattern, _ in _SECRET_RULES:
+        c = F.regexp_count(red, F.lit(pattern))
+        remaining = c if remaining is None else remaining + c
+    return staged.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_SECRET_RULES[0][0])).cast("long").alias("n_aws"),
+        F.regexp_count(F.col("raw"), F.lit(_SECRET_RULES[1][0])).cast("long").alias("n_github"),
+        F.regexp_count(F.col("raw"), F.lit(_SECRET_RULES[2][0])).cast("long").alias("n_hex64"),
+        red.alias("redacted"),
+        (remaining == 0).alias("clean"),
+    )

@@ -1148,3 +1148,171 @@ def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return mom.select(*out)
+
+
+# --- STL-lite decomposition: trend (centered 25-h moving average over the
+#     hourly mean series) + seasonal (hour-of-day mean of the detrended
+#     series) + residual — the classic seasonal-trend split, kept exactly
+#     cross-engine: hourly means and all window sums are DECIMAL-exact,
+#     the detrended series is rounded to 6 dp BEFORE its decimal seasonal
+#     aggregation (a raw-double sum would be order-dependent), every
+#     surfaced float rounds once more. The corpus-scaled stage is the one
+#     hourly hash aggregate; both windows run on the bucketed ~(types ×
+#     hours) series (the autocorr shape). Edge frames renormalize by the
+#     actual row count (the FIR warmup rule). ------------------------------
+
+_STL_HALF = 12  # 25-hour centered window
+
+
+@register(
+    "timeseries_stl_decompose",
+    f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS x
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    tr AS (
+        SELECT event_type, hour_start, x,
+               CAST(sum(CAST(x AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                 / count(x) OVER w AS trend
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                     ROWS BETWEEN {_STL_HALF} PRECEDING AND {_STL_HALF} FOLLOWING)
+    ),
+    de AS (
+        SELECT event_type, hour_start, x, trend,
+               round(x - trend, 6) AS detr6
+        FROM tr
+    ),
+    sea AS (
+        SELECT event_type, hour(hour_start) AS hod,
+               CAST(sum(CAST(detr6 AS DECIMAL(25,6))) AS DOUBLE) / count(detr6)
+                   AS seasonal
+        FROM de GROUP BY event_type, hour(hour_start)
+    )
+    SELECT d.event_type, d.hour_start,
+           round(d.x, 9) AS x_r9,
+           round(d.trend, 9) AS trend_r9,
+           round(s.seasonal, 9) AS seasonal_r9,
+           round(d.detr6 - s.seasonal, 9) AS resid_r9
+    FROM de d JOIN sea s ON s.event_type = d.event_type
+                        AND s.hod = hour(d.hour_start)
+    """,
+)
+def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hour_start"), "value")
+        .groupBy("event_type", "hour_start")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                / F.count("value")
+            ).alias("x")
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-_STL_HALF, _STL_HALF)
+    )
+    tr = hourly.withColumn(
+        "trend",
+        F.sum(F.col("x").cast("decimal(25,6)")).over(w).cast("double")
+        / F.count("x").over(w),
+    )
+    de = tr.withColumn("detr6", F.round(F.col("x") - F.col("trend"), 6))
+    sea = de.groupBy("event_type", F.hour("hour_start").alias("hod")).agg(
+        (
+            F.sum(F.col("detr6").cast("decimal(25,6)")).cast("double")
+            / F.count("detr6")
+        ).alias("seasonal")
+    )
+    j = de.join(
+        F.broadcast(sea),
+        (de.event_type == sea.event_type) & (F.hour(de.hour_start) == sea.hod),
+    ).drop(sea.event_type)
+    return j.select(
+        "event_type",
+        "hour_start",
+        F.round("x", 9).alias("x_r9"),
+        F.round("trend", 9).alias("trend_r9"),
+        F.round("seasonal", 9).alias("seasonal_r9"),
+        F.round(F.col("detr6") - F.col("seasonal"), 9).alias("resid_r9"),
+    )
+
+
+# --- Forecast-baseline evaluation (MASE numerator/denominator): per
+#     series, the mean absolute error of the seasonal-naive forecast
+#     (lag 24 h) scaled by the one-step naive (lag 1 h) over the hourly
+#     series — the standard "is a model better than persistence?" yard-
+#     stick computed corpus-side before anyone trains anything. Absolute
+#     errors round to 6 dp then accumulate in DECIMAL (raw double sums
+#     are order-dependent); the final ratio is one guarded division. -----
+
+
+@register(
+    "timeseries_mase_baseline",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS x
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    lagged AS (
+        SELECT event_type, x,
+               lag(x, 1) OVER (PARTITION BY event_type ORDER BY hour_start) AS x1,
+               lag(x, 24) OVER (PARTITION BY event_type ORDER BY hour_start) AS x24
+        FROM hourly
+    )
+    SELECT event_type,
+           CAST(count(x1) AS BIGINT) AS n_naive,
+           CAST(count(x24) AS BIGINT) AS n_seasonal,
+           round(CAST(sum(CAST(round(abs(x - x1), 6) AS DECIMAL(25,6))) AS DOUBLE)
+                 / count(x1), 9) AS mae_naive_r9,
+           round(CAST(sum(CAST(round(abs(x - x24), 6) AS DECIMAL(25,6))) AS DOUBLE)
+                 / count(x24), 9) AS mae_seasonal_r9,
+           CASE WHEN sum(CAST(round(abs(x - x1), 6) AS DECIMAL(25,6))) > 0
+                THEN round((CAST(sum(CAST(round(abs(x - x24), 6) AS DECIMAL(25,6))) AS DOUBLE)
+                            / count(x24))
+                           / (CAST(sum(CAST(round(abs(x - x1), 6) AS DECIMAL(25,6))) AS DOUBLE)
+                              / count(x1)), 9) END AS mase_r9
+    FROM lagged GROUP BY event_type
+    """,
+)
+def timeseries_mase_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hour_start"), "value")
+        .groupBy("event_type", "hour_start")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                / F.count("value")
+            ).alias("x")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("hour_start")
+    lagged = hourly.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 24).over(w).alias("x24"),
+    )
+    d6 = lambda c: F.sum(F.round(F.abs(c), 6).cast("decimal(25,6)"))  # noqa: E731
+    mae_n = d6(F.col("x") - F.col("x1")).cast("double") / F.count("x1")
+    mae_s = d6(F.col("x") - F.col("x24")).cast("double") / F.count("x24")
+    return lagged.groupBy("event_type").agg(
+        F.count("x1").cast("long").alias("n_naive"),
+        F.count("x24").cast("long").alias("n_seasonal"),
+        F.round(mae_n, 9).alias("mae_naive_r9"),
+        F.round(mae_s, 9).alias("mae_seasonal_r9"),
+        F.when(
+            d6(F.col("x") - F.col("x1")) > 0, F.round(mae_s / mae_n, 9)
+        ).alias("mase_r9"),
+    )

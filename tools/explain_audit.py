@@ -144,6 +144,11 @@ AUDITED = [
     "text_readability",
     "dedup_recall_eval",
     "entity_resolution_clusters",
+    "events_cumulative_users",
+    "table_layout_plan",
+    "text_secrets_scan",
+    "timeseries_stl_decompose",
+    "timeseries_mase_baseline",
 ]
 
 CHECKS = {
@@ -721,6 +726,29 @@ CHECKS_R7["entity_resolution_clusters"] = [
     ("Scan ExistingRDD", True,
      "components ride their checkpointed fixpoint, built once"),
     ("CartesianProduct", False, "cluster map-back is a keyed join"),
+]
+CHECKS_R7["events_cumulative_users"] = [
+    ("partial_min", True, "first-seen days combine map-side in the user aggregate"),
+    # the running sum's single-partition window is calendar-bounded (<=|days| rows)
+]
+CHECKS_R7["table_layout_plan"] = [
+    ("partial_", True, "byte sums combine map-side; three 1-row aggregates union"),
+    ("BatchEvalPython", False, "the byte model is JVM octet_length algebra"),
+]
+CHECKS_R7["text_secrets_scan"] = [
+    # the only Exchange is fan_out's round-robin (single-file scan
+    # parallelism) — no KEYED shuffle anywhere
+    ("Exchange hashpartitioning", False, "detect + redact never shuffles by key"),
+    ("BatchEvalPython", False, "patterns are JVM regexp expressions"),
+]
+CHECKS_R7["timeseries_stl_decompose"] = [
+    ("Exchange hashpartitioning(event_type", True,
+     "both windows key on event_type over the BUCKETED hourly series"),
+    ("BatchEvalPython", False, "decomposition is JVM decimal/window algebra"),
+]
+CHECKS_R7["timeseries_mase_baseline"] = [
+    ("partial_", True, "hourly means combine map-side before the lag window"),
+    ("BatchEvalPython", False, "error sums are JVM decimal algebra"),
 ]
 CHECKS.update(CHECKS_R7)
 

@@ -158,6 +158,11 @@ STRESSED = [
     "dedup_recall_eval",
     "text_readability",
     "entity_resolution_clusters",
+    "events_cumulative_users",
+    "table_layout_plan",
+    "text_secrets_scan",
+    "timeseries_stl_decompose",
+    "timeseries_mase_baseline",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -276,6 +281,11 @@ MAIN_TABLE = {
     "dedup_recall_eval": "documents",
     "text_readability": "documents",
     "entity_resolution_clusters": "customer",
+    "events_cumulative_users": "events",
+    "table_layout_plan": "documents",
+    "text_secrets_scan": "documents",
+    "timeseries_stl_decompose": "events",
+    "timeseries_mase_baseline": "events",
 }
 ID_COLS = {
     "events": "event_id",
