@@ -194,7 +194,10 @@ HEADLINE = [
     # double-run would double-count their cost in the headline total)
     "text_readability",
     "streaming_enrich_dim",
-    "entity_resolution_clusters",
+    # (entity_resolution_clusters likewise composition-excluded: it re-runs
+    # join_fuzzy_names + a connected-components fixpoint — both shapes carry
+    # their own bench rows via join_fuzzy_names / dedup_components; its cost
+    # is iteration job-launch latency, constant at scale — stress exp 0.15)
     "events_cumulative_users",
     "table_layout_plan",
     "text_secrets_scan",

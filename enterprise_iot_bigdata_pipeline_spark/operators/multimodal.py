@@ -859,6 +859,15 @@ def parse_mp4_samples(payload: bytes) -> dict:
                 need(b1 - b0 >= 12, "stsz body too short")
                 fixed, cnt = struct.unpack(">II", payload[b0 + 4 : b0 + 12])
                 if fixed:
+                    # fixed-size path carries no per-entry bytes to bound cnt
+                    # by box size — bound by the file itself (cnt·fixed bytes
+                    # of samples cannot exceed the payload), or a crafted
+                    # cnt=2^32-1 allocates a 4-billion-entry list and kills
+                    # the decode batch
+                    need(
+                        fixed * cnt <= len(payload),
+                        "stsz fixed-size sample extent exceeds file size",
+                    )
                     trak["sizes"] = [fixed] * cnt
                 else:
                     need(b1 - b0 >= 12 + 4 * cnt, "stsz entries past box end")
@@ -2031,6 +2040,9 @@ def parse_video_containers(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                # the WHOLE per-doc block degrades to zero rows on any
+                # malformed input — a container that parses but carries no
+                # header dims (None width) must not TypeError the batch
                 try:
                     b = bytes(content)
                     if b[:4] == b"RIFF":
@@ -2039,11 +2051,8 @@ def parse_video_containers(media: DataFrame) -> DataFrame:
                     else:
                         meta = parse_mp4_samples(b)
                         kind = "mp4"
-                except Exception:
-                    continue
-                frames = meta["frames"]
-                for i, f in enumerate(frames):
-                    rows.append(
+                    frames = meta["frames"]
+                    doc_rows = [
                         (
                             int(doc_id),
                             kind,
@@ -2054,7 +2063,11 @@ def parse_video_containers(media: DataFrame) -> DataFrame:
                             len(f),
                             sum(f) % (1 << 31),
                         )
-                    )
+                        for i, f in enumerate(frames)
+                    ]
+                except Exception:
+                    continue
+                rows.extend(doc_rows)
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -1183,11 +1183,21 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bin"),
         )
     )
-    counts = binned.groupBy("event_type", "bin").agg(
-        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
-        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    # counts feeds two consumers (the grid's left join AND the type spine);
+    # without the checkpoint the corpus scan + histogram aggregate execute
+    # twice within one action (persist() does not dedupe within an action —
+    # the pipeline_curate_corpus lesson). The frame is |types|×|bins|-sized.
+    counts = (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+        )
+        .localCheckpoint()
     )
-    types = binned.select("event_type").distinct()
+    # the type spine comes from the TINY counts frame, not a second
+    # corpus-scale distinct over binned
+    types = counts.select("event_type").distinct()
     grid = (
         types.crossJoin(
             F.broadcast(

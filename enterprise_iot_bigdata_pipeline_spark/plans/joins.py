@@ -827,10 +827,16 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = QUERIES["join_fuzzy_names"](spark, sf_dir).select("cust_a", "cust_b")
     comp = connected_components(pairs, a_col="cust_a", b_col="cust_b")
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    mapped = cust.join(comp, cust.c_custkey == comp.doc, "left").select(
-        "c_custkey",
-        "c_name",
-        F.coalesce("component", "c_custkey").alias("entity_id"),
+    mapped = (
+        cust.join(comp, cust.c_custkey == comp.doc, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("component", "c_custkey").alias("entity_id"),
+        )
+        # two consumers (sizes + the final join) — checkpoint so the scan
+        # and component join execute once per action
+        .localCheckpoint()
     )
     sizes = mapped.groupBy("entity_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")

@@ -1143,9 +1143,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy), unlike the min-id survivor pipeline_curate_corpus uses for
 # speed. Argmax rides max_by over a packed len·10¹²−doc DECIMAL ordering
 # (min/max over a struct would demote the aggregate to SortAggregate —
-# the M4 lesson). Scale: components is the iterative piece (bounded by
-# the pair graph); the argmax is one component-keyed hash aggregate and
-# the map-back one shuffle join on doc_id.
+# the M4 lesson). The 10¹² pack assumes doc_id < 10¹² — at 100 TB that is
+# ~10¹² documents (10 KB docs → 10¹⁰), two orders of magnitude of head-
+# room; beyond it the tiebreak (not the length ordering) would shift,
+# identically in both engines. Scale: components is the iterative piece
+# (bounded by the pair graph); the argmax is one component-keyed hash
+# aggregate and the map-back one shuffle join on doc_id.
 # ---------------------------------------------------------------------------
 
 _CANONICAL_ORACLE = f"""
@@ -1208,6 +1211,10 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("doc_id")
             ).alias("packed"),
         )
+        # two consumers (the reps aggregate + the map-back join) — without
+        # this the docs scan + component join run twice in one action; the
+        # frame is three narrow columns (at real scale: a table write)
+        .localCheckpoint()
     )
     reps = members.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -1174,7 +1174,7 @@ _STL_HALF = 12  # 25-hour centered window
     ),
     tr AS (
         SELECT event_type, hour_start, x,
-               CAST(sum(CAST(x AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               CAST(sum(CAST(round(x, 6) AS DECIMAL(25,6))) OVER w AS DOUBLE)
                  / count(x) OVER w AS trend
         FROM hourly
         WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
@@ -1219,9 +1219,15 @@ def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_start")
         .rowsBetween(-_STL_HALF, _STL_HALF)
     )
+    # round to the 6 dp grid BEFORE the decimal cast: Spark casts doubles
+    # via shortest-repr HALF_UP, DuckDB via the binary value — on a dense
+    # full-precision double they disagree systematically (caught by the
+    # sf0.1 sweep: 914/3360 trend cells off in the 8th decimal); a
+    # grid-aligned double casts identically in both engines (the MASE /
+    # micro-nat mechanism).
     tr = hourly.withColumn(
         "trend",
-        F.sum(F.col("x").cast("decimal(25,6)")).over(w).cast("double")
+        F.sum(F.round(F.col("x"), 6).cast("decimal(25,6)")).over(w).cast("double")
         / F.count("x").over(w),
     )
     de = tr.withColumn("detr6", F.round(F.col("x") - F.col("trend"), 6))

@@ -965,3 +965,64 @@ class TestDisjunctiveRevenue:
         part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
         r = all_queries()["join_disjunctive_revenue"](spark, str(tmp_path)).collect()[0]
         assert (r.n_lines, r.revenue_cents) == (2, 1000 + 1000)  # 10.00 + 20.00*0.5
+
+
+class TestMp4StszBomb:
+    def test_fixed_size_count_bomb_rejected(self):
+        """A crafted fixed-size stsz with cnt=2^31 must raise ValueError
+        before allocating the sizes list (batch-kill / OOM guard)."""
+        import struct
+
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            parse_mp4_samples,
+        )
+
+        def _box(tag, payload):
+            return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+        stsd = _box(b"stsd", b"\x00" * 8 + _box(b"jpeg", b"\x00" * 70))
+        bomb = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 1024, 1 << 31))
+        stco = _box(b"stco", b"\x00" * 4 + struct.pack(">II", 1, 16))
+        stsc = _box(b"stsc", b"\x00" * 4 + struct.pack(">IIII", 1, 1, 1, 1))
+        hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+        stbl = _box(b"stbl", stsd + bomb + stsc + stco)
+        tree = (
+            _box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+            + _box(b"moov",
+                   _box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 25, 1) + b"\x00" * 80)
+                   + _box(b"trak", _box(b"mdia", hdlr + _box(b"minf", stbl))))
+        )
+        with pytest.raises(ValueError, match="exceeds file size"):
+            parse_mp4_samples(tree)
+
+
+class TestVideoAuditDegrade:
+    def test_dimensionless_mp4_degrades_to_zero_rows(self, spark):
+        """An MP4 whose video track parses (sample tables intact) but whose
+        tkhd is absent (width=None) must yield ZERO rows for that doc,
+        never a batch-killing TypeError; valid docs in the same batch
+        survive."""
+        import struct
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg, parse_video_containers,
+        )
+
+        good = encode_mp4_mjpeg(4, 2, [b"\x01\x02\x03"])
+        # strip the tkhd box from a copy: rebuild trak without it
+        blob = bytearray(good)
+        i = bytes(blob).find(b"tkhd") - 4
+        (size,) = struct.unpack(">I", blob[i : i + 4])
+        # shrink every ancestor box length (moov, trak) by the tkhd size
+        for anc in (b"moov", b"trak"):
+            j = bytes(blob).find(anc) - 4
+            (asz,) = struct.unpack(">I", blob[j : j + 4])
+            blob[j : j + 4] = struct.pack(">I", asz - size)
+        del blob[i : i + size]
+        media = spark.createDataFrame(
+            [(1, bytearray(good)), (2, blob)], "doc_id long, content binary"
+        )
+        out = parse_video_containers(media).collect()
+        assert {r.doc_id for r in out} == {1}
