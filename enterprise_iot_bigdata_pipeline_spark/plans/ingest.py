@@ -353,6 +353,16 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     # session) — the staged stream needs the same reader confs.
     t(spark, sf_dir, "events")
     stream, stage = _stage_events_stream(spark, sf_dir)
+    # A stream-stream join keeps FOUR state stores per partition; the state
+    # partition count is pinned from spark.sql.shuffle.partitions at query
+    # start, and per-partition store setup/commit dominates at this volume
+    # (measured: 32 partitions 7.2 s vs 8 partitions 3.5 s warm, identical
+    # rows). Size state to the stream and RESTORE the session conf — the
+    # query owns a fresh checkpoint + memory sink, so the pinned-at-start
+    # semantics never leak past the try/finally. A 100 TB deployment sets
+    # this to its real parallelism.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         joined = clicks_purchases_join(
             stream.filter(F.col("event_type") == "click"),
@@ -382,6 +392,7 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.catalog.dropTempView(name)
         return out_df
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(stage, ignore_errors=True)
 
 
