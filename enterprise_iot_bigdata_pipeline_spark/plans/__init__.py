@@ -45,6 +45,7 @@ _MODULES = [
     "core",
     "aggregates",
     "joins",
+    "tpch_extra",
     "analytic",
     "advanced",
     "timeseries",

@@ -729,3 +729,132 @@ def pysource_ramp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("epoch_s").cast("long").alias("first_s"),
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup, executed for real: dropDuplicatesWithinWatermark
+# over the event stream's (user_id, event_type) key. Within a single
+# availableNow batch the watermark hasn't advanced, so no state is evicted
+# mid-run and the output is exactly the global distinct key set — the
+# DuckDB oracle — while the streaming dedup state store is what executes.
+# Only the KEY columns are emitted: which physical row survives a streaming
+# dedup is arrival-order-dependent, the key set is not.
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_dedup_keys", "SELECT DISTINCT user_id, event_type FROM events")
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.ingest import stream_dedup
+
+    t(spark, sf_dir, "events")  # session-conf side effects (UTC + nanosAsLong)
+    stream, stage = _stage_events_stream(spark, sf_dir)
+    # One state store; size its partition count to the stream volume (the
+    # streaming_click_purchase_join lesson) and restore the session conf.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        deduped = stream_dedup(stream, ("user_id", "event_type")).select(
+            "user_id", "event_type"
+        )
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out_df = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out_df
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stateful gap-sessionization (applyInPandasWithState), executed for real.
+# The operator emits CLOSED sessions only; in a drain-style availableNow run
+# each user's trailing session stays open in the state store — so the
+# DuckDB oracle is gap-sessionization MINUS each user's last session.
+# Single-file staging → one microbatch → per-key event-time sort inside the
+# state function makes the run deterministic. Timestamps are µs-truncated
+# on both sides (the state function stores µs; the oracle floors ns → µs).
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_GAP_S = 1800
+
+_STREAM_SESSION_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+d AS (
+    SELECT user_id, ts_us,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > {_SESSIONIZE_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+s AS (
+    SELECT user_id, ts_us,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM d
+),
+g AS (
+    SELECT user_id, sid,
+           min(ts_us) AS start_us, max(ts_us) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       make_timestamp(start_us) AS session_start,
+       make_timestamp(end_us) AS session_end,
+       n_events
+FROM g
+WHERE sid < (SELECT max(g2.sid) FROM g g2 WHERE g2.user_id = g.user_id)
+"""
+
+
+@register("streaming_sessionize_state", _STREAM_SESSION_ORACLE)
+def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.stateful import track_sessions
+
+    t(spark, sf_dir, "events")  # session-conf side effects
+    stream, stage = _stage_events_stream(spark, sf_dir)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sessions = track_sessions(
+            stream.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()),
+            gap_seconds=_SESSIONIZE_GAP_S,
+        ).select(
+            "user_id",
+            # NTZ casts mirror streaming_hour_agg: UTC session pin makes the
+            # instant→naive cast value-stable vs DuckDB's naive TIMESTAMP.
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out_df = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out_df
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(stage, ignore_errors=True)

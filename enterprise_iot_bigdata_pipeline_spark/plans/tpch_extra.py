@@ -1,0 +1,431 @@
+"""TPC-H shape completion: the eight classic decision-support shapes the
+corpus schema can express that were still missing from the registry
+(Q2/Q4/Q6/Q8/Q9/Q11/Q12/Q14/Q20 analogues).
+
+The driver corpus has no ``partsupp`` table and lineitem lacks
+``l_shipmode/l_commitdate/l_receiptdate``, so the shapes are re-keyed onto
+the columns that exist (supply cost ⇒ lineitem extended-price totals,
+ship-mode ⇒ ship-delay buckets) — the *plan shapes* (correlated per-group
+min, EXISTS probe, pushdown-only scan agg, share-of-total via a broadcast
+scalar, nested semi-join chains) are what matter for engine coverage and
+are preserved faithfully.
+
+Scale notes (100 TB): every dimension hop (region/nation/supplier/part) is
+an explicit broadcast — no fact shuffle for enrichment; fact-fact joins
+shuffle on their keys with AQE skew handling; the global scalars (Q11
+threshold, Q14/Q8 denominators) are 1-row aggregates broadcast back, never
+collected to the driver. Money math follows the DSUM decimal-accumulation
+recipe (functions/parity.py) so Spark and the DuckDB oracle agree bitwise;
+composite derived doubles are rounded to the decimal grid BEFORE the cast
+(the round-7 STL lesson, DEVNOTES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enterprise_iot_bigdata_pipeline_spark.functions.parity import DSUM_SQL, dsum
+from enterprise_iot_bigdata_pipeline_spark.plans import register
+from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
+
+# --- TPC-H Q2 shape: correlated per-group minimum. For every EUROPE-region
+#     part×supplier supply relationship (derived from lineitem, the corpus's
+#     partsupp surrogate), keep the supplier(s) achieving the MINIMUM total
+#     supply cost for that part; ties all surface, like Q15's argmax twin.
+#     Spark plan: one (part,supp) aggregate, a window min over partkey, an
+#     equality filter — no correlated re-scan, no self-join. -----------------
+
+
+@register(
+    "join_min_cost_supplier_q2",
+    f"""
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               {DSUM_SQL("l_extendedprice")} AS supply_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+        SELECT l_partkey, l_suppkey, supply_cost,
+               min(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+        FROM supply
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE supply_cost = min_cost
+      AND r_name = 'EUROPE'
+      AND p_size <= 25
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def join_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_extendedprice")).alias("supply_cost")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_partkey")
+    ranked = supply.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        ranked.join(F.broadcast(p), ranked.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ranked.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+# --- TPC-H Q4 shape: EXISTS probe + priority distribution. Orders (in a
+#     quarter window) with at least one line shipped after the order date,
+#     counted by priority. The probe is a left-semi join — the lineitem side
+#     is never materialized into the output. ------------------------------
+
+
+@register(
+    "join_exists_priority_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_exists_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    probe = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        probe.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- TPC-H Q6 shape: the pure pushdown aggregate — every predicate lands in
+#     the Parquet scan (PushedFilters), no join, no shuffle beyond the final
+#     1-row partial-agg merge. The canonical "is your scan path clean" probe.
+
+
+@register(
+    "agg_forecast_revenue_q6",
+    f"""
+    SELECT {DSUM_SQL("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def agg_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+# --- TPC-H Q8 shape: market share — a chosen supplier-nation's fraction of
+#     ASIA-region revenue by order year. Numerator and denominator come from
+#     ONE aggregated pass (conditional sum), not two scans; the share is a
+#     double division of two decimal-exact sums, deterministic cross-engine.
+
+
+@register(
+    "join_market_share_q8",
+    f"""
+    WITH sales AS (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST({DSUM_SQL("CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END")} AS DOUBLE)
+             / CAST({DSUM_SQL("volume")} AS DOUBLE) AS mkt_share
+    FROM sales
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def join_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier")
+    cn = n.alias("cn")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(F.lit(0.0))
+    return (
+        sales.groupBy("o_year")
+        .agg((dsum(nat_vol) / dsum(F.col("volume"))).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --- TPC-H Q9 shape: product-line profit by supplier nation × order year.
+#     partsupp's supply cost is proxied by part retail price (1% per unit);
+#     the composite derived double is rounded to the decimal grid before the
+#     DSUM cast (never cast an unrounded derived double to DECIMAL). --------
+
+
+@register(
+    "join_product_profit_q9",
+    f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {DSUM_SQL("round(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01, 6)")} AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year
+    """,
+)
+def join_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    profit = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01),
+        6,
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+# --- TPC-H Q11 shape: per-key value vs a GLOBAL scalar threshold. Part
+#     values (from AFRICA-nation suppliers' lines) kept when they exceed a
+#     fraction of the grand total. The scalar is a 1-row aggregate
+#     cross-joined back (Spark broadcasts it — BroadcastNestedLoopJoin on a
+#     single row), never a driver collect. --------------------------------
+
+
+@register(
+    "agg_important_values_q11",
+    f"""
+    WITH scoped AS (
+        SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AFRICA'
+    ),
+    per_part AS (
+        SELECT l_partkey, {DSUM_SQL("val")} AS part_value
+        FROM scoped GROUP BY l_partkey
+    ),
+    total AS (SELECT {DSUM_SQL("val")} AS grand_total FROM scoped)
+    SELECT l_partkey, part_value
+    FROM per_part, total
+    WHERE part_value > grand_total * 0.001
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def agg_important_values_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scoped = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", val.alias("val"))
+    )
+    scoped = scoped.localCheckpoint(eager=False)
+    per_part = scoped.groupBy("l_partkey").agg(dsum(F.col("val")).alias("part_value"))
+    total = scoped.agg(dsum(F.col("val")).alias("grand_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("grand_total") * 0.001)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# --- TPC-H Q12 shape: join + CASE-bucketed dual conditional counts.
+#     l_shipmode doesn't exist; the bucket is the ship-delay class (the same
+#     "categorize then dual conditional sum" plan shape). -------------------
+
+
+@register(
+    "agg_ship_delay_q12",
+    """
+    SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30
+                THEN 'FAST' ELSE 'SLOW' END AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY ship_class
+    """,
+)
+def agg_ship_delay_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .withColumn("ship_class", F.when(delay <= 30, "FAST").otherwise("SLOW"))
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+# --- TPC-H Q14 shape: promo revenue share for one month — conditional sum /
+#     total sum in a single aggregated pass over a broadcast part join. -----
+
+
+@register(
+    "agg_promo_share_q14",
+    f"""
+    SELECT 100.0 * CAST({DSUM_SQL("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS DOUBLE)
+             / CAST({DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def agg_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(vol)).alias("promo_revenue_pct"))
+    )
+
+
+# --- TPC-H Q20 shape: nested semi-join chain — suppliers (in a nation band)
+#     who shipped an above-threshold quantity of some widget part in 1996.
+#     part-filter → grouped lineitem HAVING → semi into supplier: two
+#     nested IN subqueries, zero right-side materialization. ---------------
+
+
+@register(
+    "join_excess_suppliers_q20",
+    f"""
+    SELECT s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING {DSUM_SQL("l_quantity")} > 60
+    )
+    ORDER BY s_name
+    """,
+)
+def join_excess_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(F.col("l_quantity")).alias("q"))
+        .filter(F.col("q") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )
