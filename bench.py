@@ -203,6 +203,31 @@ HEADLINE = [
     "text_secrets_scan",
     "timeseries_stl_decompose",
     "timeseries_mase_baseline",
+    # round-7 session 2: TPC-H shape completion (Q2/Q4/Q6/Q8/Q9/Q11/Q12/
+    # Q14/Q20 analogues on the corpus schema)
+    "join_min_cost_supplier_q2",
+    "join_exists_priority_q4",
+    "agg_forecast_revenue_q6",
+    "join_market_share_q8",
+    "join_product_profit_q9",
+    "agg_important_values_q11",
+    "agg_ship_delay_q12",
+    "agg_promo_share_q14",
+    "join_excess_suppliers_q20",
+    # round-7 session 2: streaming state-store paths (dedup +
+    # applyInPandasWithState sessions) executed availableNow
+    "streaming_dedup_keys",
+    "streaming_sessionize_state",
+    # round-7 session 2: skyline sweep, MATCH_RECOGNIZE-lite sequences,
+    # native unpivot, group-disjoint corpus split, relational division,
+    # chi-square contingency, market-basket lift
+    "skyline_parts",
+    "events_pattern_match",
+    "agg_unpivot_stats",
+    "split_group_disjoint",
+    "events_relational_division",
+    "events_chi_square",
+    "basket_part_pairs_lift",
 ]
 
 

@@ -1349,3 +1349,42 @@ def table_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         files.alias("files_at_target"),
         (F.col("n_rows") / files).cast("long").alias("rows_per_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long): per-event-type stats computed once, then melted to
+# (event_type, metric, metric_value) rows with the native UNPIVOT operator
+# (Spark df.unpivot == SQL stack; DuckDB UNPIVOT). The inverse of agg_pivot
+# — together they round-trip the wide/long layouts. Metrics are doubles
+# through the DSUM recipe so the melted values hash identically.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = f"""
+WITH w AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n_events,
+           CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+           {DSUM_SQL("value")} AS sum_value
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, metric, metric_value
+FROM w UNPIVOT (metric_value FOR metric IN (n_events, n_users, sum_value))
+ORDER BY event_type, metric
+"""
+
+
+@register("agg_unpivot_stats", _UNPIVOT_ORACLE)
+def agg_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    wide = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["n_events", "n_users", "sum_value"],
+        "metric",
+        "metric_value",
+    ).orderBy("event_type", "metric")

@@ -1895,3 +1895,303 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier): parts no other part dominates on
+# (cheaper-or-equal price, larger-or-equal size, strict somewhere). The
+# naive semantics is a quadratic NOT EXISTS self-join; the scale shape is
+# the classic reduce-then-sweep: collapse to one row per DISTINCT price
+# (max size — everything else at that price is dominated), then a single
+# running-max sweep over the price order. The swept frame is |distinct
+# price| — at 100 TB that reduce is the whole win (the grouped frame is
+# orders of magnitude smaller than the fact), and the sweep itself is
+# inherently sequential in price order, same two-phase discipline as
+# sessionize_two_phase. Both engines run the identical window formula, so
+# the oracle is exact without a quadratic probe.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH g AS (
+    SELECT p_retailprice AS price, max(p_size) AS pmax
+    FROM part GROUP BY p_retailprice
+),
+a AS (
+    SELECT price, pmax,
+           max(pmax) OVER (ORDER BY price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper
+    FROM g
+),
+k AS (SELECT price, pmax FROM a
+      WHERE best_cheaper IS NULL OR pmax > best_cheaper)
+SELECT p_partkey, p_name, p_retailprice, p_size
+FROM part JOIN k ON p_retailprice = k.price AND p_size = k.pmax
+ORDER BY p_retailprice, p_partkey
+"""
+
+
+@register("skyline_parts", _SKYLINE_ORACLE)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("pmax")
+    )
+    sweep = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    k = g.withColumn("best_cheaper", F.max("pmax").over(sweep)).filter(
+        F.col("best_cheaper").isNull() | (F.col("pmax") > F.col("best_cheaper"))
+    )
+    # The frontier is small by construction (monotone in both dims) —
+    # broadcast it back against the base table to recover full part rows.
+    return (
+        p.join(
+            F.broadcast(k),
+            (p.p_retailprice == k.price) & (p.p_size == k.pmax),
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (MATCH_RECOGNIZE-lite): render each
+# user's time-ordered event-type sequence as a character string and count
+# regex occurrences of view→click+→purchase. The per-user sequence string
+# is built with an order-embedding sort (sort_array over (ts, event_id)
+# structs — deterministic under ts ties), so the regex scan is one
+# JVM-native pass per user, no Python, no self-join explosion. At 100 TB
+# the per-user string is bounded by per-user activity, and the groupBy
+# shuffles once on user_id — the same key every other per-user analytic
+# already shuffles on.
+# ---------------------------------------------------------------------------
+
+_PATTERN_RE = "vc+p"
+
+_PATTERN_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id,
+           string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                      WHEN 'click' THEN 'c'
+                                      WHEN 'purchase' THEN 'p'
+                                      ELSE 'x' END,
+                      '' ORDER BY ts, event_id) AS s
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, '{_PATTERN_RE}')) AS BIGINT)
+           AS n_conversion_paths
+FROM seq
+WHERE len(regexp_extract_all(s, '{_PATTERN_RE}')) > 0
+"""
+
+
+@register("events_pattern_match", _PATTERN_ORACLE)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+    )
+    seq = (
+        e.select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("ev"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.sort_array(F.collect_list("ev")), lambda s: s.ch)
+            ).alias("s")
+        )
+    )
+    n_paths = F.regexp_count(F.col("s"), F.lit(_PATTERN_RE))
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").cast("long").alias("n_events"),
+            n_paths.cast("long").alias("n_conversion_paths"),
+        )
+        .filter(F.col("n_conversion_paths") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational division ("for all"): users who performed EVERY event type the
+# corpus contains. The divisor cardinality is a 1-row aggregate broadcast
+# against the per-user distinct counts — the set-containment query no plain
+# join expresses (it's division, not intersection). One shuffle on user_id.
+# ---------------------------------------------------------------------------
+
+_DIVISION_ORACLE = """
+SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING count(DISTINCT event_type) =
+       (SELECT count(DISTINCT event_type) FROM events)
+ORDER BY user_id
+"""
+
+
+@register("events_relational_division", _DIVISION_ORACLE)
+def events_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    divisor = e.agg(F.count_distinct("event_type").alias("n_all"))
+    per_user = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").cast("long").alias("n_types"))
+    )
+    return (
+        per_user.join(F.broadcast(divisor))
+        .filter(F.col("n_types") == F.col("n_all"))
+        .select("user_id", "n_types")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square contingency: event_type × market segment (events enriched with
+# the customer dimension), observed vs expected-under-independence per cell
+# plus the cell's chi² contribution. The heavy work is one broadcast-dim
+# join + one groupBy; the marginals are windows over the CELL frame
+# (|types|×|segments| rows — driver-scale math on executor-side data).
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+    SELECT e.event_type, c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS obs
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type, segment, obs,
+           sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+           sum(obs) OVER (PARTITION BY segment) AS col_tot,
+           sum(obs) OVER () AS grand
+    FROM cells
+)
+SELECT event_type, segment, obs,
+       round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+             / CAST(grand AS DOUBLE), 6) AS expected,
+       round(pow(CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                     / CAST(grand AS DOUBLE), 2)
+             / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                / CAST(grand AS DOUBLE)), 6) AS chi2_part
+FROM m
+ORDER BY event_type, segment
+"""
+
+
+@register("events_chi_square", _CHI2_ORACLE)
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer").select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    cells = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    row_w = W.partitionBy("event_type")
+    col_w = W.partitionBy("segment")
+    all_w = W.partitionBy()
+    m = (
+        cells.withColumn("row_tot", F.sum("obs").over(row_w))
+        .withColumn("col_tot", F.sum("obs").over(col_w))
+        .withColumn("grand", F.sum("obs").over(all_w))
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    return m.select(
+        "event_type",
+        "segment",
+        "obs",
+        F.round(expected, 6).alias("expected"),
+        F.round(F.pow(F.col("obs").cast("double") - expected, 2) / expected, 6).alias(
+            "chi2_part"
+        ),
+    ).orderBy("event_type", "segment")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association (pairwise co-occurrence + lift): orders are
+# baskets, distinct parts are items; item pairs from a self-join on the
+# basket key, support/lift from the pair counts against the item marginals
+# and basket total. The self-join shuffles ONCE on l_orderkey and the
+# per-basket pair blow-up is bounded by basket width (TPC-H orders hold ≤7
+# lines) — the classic a-priori first pass. Marginals join on the part key
+# un-hinted: the part dimension scales with the corpus, AQE decides.
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS c12
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT p1, p2, c12,
+       round(CAST(c12 AS DOUBLE) / CAST(n_orders AS DOUBLE), 9) AS support,
+       round(CAST(c12 * n_orders AS DOUBLE)
+             / CAST(i1.c * i2.c AS DOUBLE), 9) AS lift
+FROM pairs
+CROSS JOIN n
+JOIN ic i1 ON p1 = i1.l_partkey
+JOIN ic i2 ON p2 = i2.l_partkey
+WHERE c12 >= 3
+ORDER BY lift DESC, p1, p2
+LIMIT 100
+"""
+
+
+@register("basket_part_pairs_lift", _BASKET_ORACLE)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= 3)
+    )
+    i1 = ic.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    i2 = ic.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(n))
+        .join(i1, "p1")
+        .join(i2, "p2")
+        .select(
+            "p1",
+            "p2",
+            "c12",
+            F.round(
+                F.col("c12").cast("double") / F.col("n_orders").cast("double"), 9
+            ).alias("support"),
+            F.round(
+                (F.col("c12") * F.col("n_orders")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double"),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(100)
+    )

@@ -592,3 +592,43 @@ def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.round(key, 9).alias("es_key_r9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-disjoint train/eval split: every document from the same SOURCE
+# lands in the same split (the contamination rule for training corpora —
+# near-identical docs cluster within a source, so a row-level split leaks
+# eval data into train). The split key is the first hex digit of
+# md5(source): content-deterministic, engine-portable (identical digest +
+# binary string compare in Spark and DuckDB), and requires no shuffle
+# beyond the profile groupBy — the assignment itself is a stateless map.
+# '0'-'9'+'a'/'b' → train (12/16 ≈ 75%), 'c'-'f' → eval.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT CASE WHEN substr(md5(source), 1, 1) < 'c' THEN 'train' ELSE 'eval' END
+           AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
+@register("split_group_disjoint", _SPLIT_ORACLE)
+def split_group_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    split = F.when(F.substring(F.md5("source"), 1, 1) < "c", "train").otherwise("eval")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )

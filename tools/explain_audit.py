@@ -149,6 +149,23 @@ AUDITED = [
     "text_secrets_scan",
     "timeseries_stl_decompose",
     "timeseries_mase_baseline",
+    # round 7 session 2
+    "join_min_cost_supplier_q2",
+    "join_exists_priority_q4",
+    "agg_forecast_revenue_q6",
+    "join_market_share_q8",
+    "join_product_profit_q9",
+    "agg_important_values_q11",
+    "agg_ship_delay_q12",
+    "agg_promo_share_q14",
+    "join_excess_suppliers_q20",
+    "skyline_parts",
+    "events_pattern_match",
+    "agg_unpivot_stats",
+    "split_group_disjoint",
+    "events_relational_division",
+    "events_chi_square",
+    "basket_part_pairs_lift",
 ]
 
 CHECKS = {
@@ -752,6 +769,70 @@ CHECKS_R7["timeseries_mase_baseline"] = [
 ]
 CHECKS.update(CHECKS_R7)
 
+CHECKS_R7B: dict = {}
+CHECKS_R7B["join_min_cost_supplier_q2"] = [
+    ("BroadcastHashJoin", True, "part/supplier/nation/region dims broadcast"),
+    ("CartesianProduct", False, "correlated min is a window, never a self-join"),
+]
+CHECKS_R7B["join_exists_priority_q4"] = [
+    ("LeftSemi", True, "EXISTS → semi join; lineitem never materialized"),
+]
+CHECKS_R7B["agg_forecast_revenue_q6"] = [
+    ("PushedFilters: [IsNotNull", True, "every predicate reaches the parquet scan"),
+    ("Exchange hashpartitioning", False, "1-row agg needs only the SinglePartition merge"),
+]
+CHECKS_R7B["join_market_share_q8"] = [
+    ("BroadcastHashJoin", True, "nation/region/supplier hops broadcast"),
+    ("SortMergeJoin", True, "lineitem⋈orders fact-fact stays SMJ"),
+]
+CHECKS_R7B["join_product_profit_q9"] = [
+    ("BroadcastHashJoin", True, "part/supplier/nation dims broadcast"),
+    ("SortMergeJoin", True, "lineitem⋈orders fact-fact stays SMJ"),
+]
+CHECKS_R7B["agg_important_values_q11"] = [
+    ("BroadcastNestedLoopJoin", True, "1-row grand-total scalar broadcast back"),
+    ("CartesianProduct", False, "the scalar join must broadcast, not cartesian"),
+]
+CHECKS_R7B["agg_ship_delay_q12"] = [
+    ("SortMergeJoin", True, "orders⋈lineitem fact-fact stays SMJ"),
+    ("HashAggregate", True, "CASE-bucketed conditional sums hash-aggregate"),
+]
+CHECKS_R7B["agg_promo_share_q14"] = [
+    ("BroadcastHashJoin", True, "part dim broadcast against the filtered scan"),
+    ("PushedFilters: [IsNotNull(l_shipdate)", True, "month window pushed to the scan"),
+]
+CHECKS_R7B["join_excess_suppliers_q20"] = [
+    ("LeftSemi", True, "nested IN chain → stacked semi joins"),
+]
+CHECKS_R7B["skyline_parts"] = [
+    ("BroadcastHashJoin", True, "tiny frontier broadcast back against the base"),
+    ("CartesianProduct", False, "skyline is reduce-then-sweep, never all-pairs"),
+]
+CHECKS_R7B["events_pattern_match"] = [
+    ("ObjectHashAggregate", True, "sequence build aggregates without a sort"),
+    ("SortAggregate", False, "would mean per-partition sorts returned"),
+]
+CHECKS_R7B["agg_unpivot_stats"] = [
+    ("Expand", True, "native unpivot lowers to an Expand node"),
+]
+CHECKS_R7B["split_group_disjoint"] = [
+    ("Exchange hashpartitioning", True, "one shuffle for the profile groupBy"),
+]
+CHECKS_R7B["events_relational_division"] = [
+    # Catalyst promotes the post-join equality filter into the join key:
+    # the 1-row divisor arrives as a keyed BroadcastHashJoin, not a BNLJ.
+    ("BroadcastHashJoin", True, "1-row divisor broadcast with a promoted equi-key"),
+    ("CartesianProduct", False, "the scalar join must broadcast, not cartesian"),
+]
+CHECKS_R7B["events_chi_square"] = [
+    ("BroadcastHashJoin", True, "customer dim broadcast into the fact scan"),
+]
+CHECKS_R7B["basket_part_pairs_lift"] = [
+    ("CartesianProduct", False, "pairs come from the basket-key equi-join"),
+    ("TakeOrderedAndProject", True, "top-100 by lift never globally sorts"),
+]
+CHECKS.update(CHECKS_R7B)
+
 CONF_OVERRIDES = {
     "join_large_orders": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "cohort_weekly_retention": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
@@ -763,6 +844,10 @@ CONF_OVERRIDES = {
     "orders_fulfillment_latency": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "text_novelty_rate": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "join_custdist_q13": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    # fact-fact SMJ assertions need autobroadcast off at audit scale
+    "join_market_share_q8": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "join_product_profit_q9": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "agg_ship_delay_q12": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 
