@@ -228,6 +228,12 @@ HEADLINE = [
     "events_relational_division",
     "events_chi_square",
     "basket_part_pairs_lift",
+    "sales_hierarchy_shares",
+    "agg_mode_per_group",
+    # round-7 session 2: class geometry, hard-negative mining, rollup merge
+    "embeddings_label_centroids",
+    "ann_hard_negatives",
+    "streaming_rollup_merge",
 ]
 
 

@@ -1388,3 +1388,100 @@ def agg_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "metric_value",
     ).orderBy("event_type", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical percent-of-parent rollup: revenue by region → nation with
+# each nation's share of its region and of the corpus. One star join + one
+# groupBy produce the cell frame (|regions|×|nations| rows); the parent
+# totals are windows over that tiny frame, never a second scan. Shares are
+# double divisions of decimal-exact sums — deterministic cross-engine.
+# ---------------------------------------------------------------------------
+
+_HIERARCHY_ORACLE = f"""
+WITH cells AS (
+    SELECT r_name AS region, n_name AS nation,
+           {DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT region, nation, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY region), 9)
+           AS share_of_region,
+       round(revenue / sum(revenue) OVER (), 9) AS share_of_total
+FROM cells
+ORDER BY region, nation
+"""
+
+
+@register("sales_hierarchy_shares", _HIERARCHY_ORACLE)
+def sales_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum(vol).alias("revenue"))
+    )
+    return cells.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(W.partitionBy("region")), 9
+        ).alias("share_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 9).alias(
+            "share_of_total"
+        ),
+    ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group with a deterministic tie-break:
+# each user's modal event type — highest count, then lexicographically
+# smallest type. Two hash aggregations; no sort of the fact, only of the
+# per-(user,type) count frame inside the per-user window.
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH counts AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id, event_type
+),
+ranked AS (
+    SELECT user_id, event_type, n,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n DESC, event_type) AS rk
+    FROM counts
+)
+SELECT user_id, event_type AS mode_type, n AS mode_count
+FROM ranked WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+@register("agg_mode_per_group", _MODE_ORACLE)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("mode_count"))
+        .orderBy("user_id")
+    )

@@ -812,3 +812,106 @@ def embeddings_sparsify_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _SPARSIFY_M)
         .select("vec_id", "rank", F.col("dim").cast("int").alias("dim"), "x")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids + pairwise centroid cosine (embedding-space class
+# geometry: which labels are near-duplicates of each other — the confusion
+# structure a training-data curator checks before collapsing classes).
+# One grouped pass builds |labels| centroid rows (64 decimal-exact per-dim
+# sums, authored as ONE SQL string — the corr_probe py4j lesson); the
+# pairwise stage is a self-join of that |labels|-row frame, bounded by the
+# label domain, never the corpus. Centroid dims are d6-summed raw floats
+# (passthrough values — the established corr_probe recipe), means and the
+# final cosine are double ops rounded at 9 dp.
+# ---------------------------------------------------------------------------
+
+
+def _centroid_select(x) -> str:
+    d6 = lambda e: f"CAST(sum(CAST({e} AS DECIMAL(25,6))) AS DOUBLE)"  # noqa: E731
+    means = ", ".join(f"{d6(x(i))} / count(*) AS m{i}" for i in range(1, DIM + 1))
+    return f"SELECT label, CAST(count(*) AS BIGINT) AS n, {means} FROM embeddings GROUP BY label"
+
+
+def _centroid_pairs_sql(cent_sql: str) -> str:
+    """Dialect-independent pair stage over the tiny centroid frame."""
+    dot = " + ".join(f"a.m{i} * b.m{i}" for i in range(1, DIM + 1))
+    na = " + ".join(f"a.m{i} * a.m{i}" for i in range(1, DIM + 1))
+    nb = " + ".join(f"b.m{i} * b.m{i}" for i in range(1, DIM + 1))
+    return f"""
+    WITH cent AS ({cent_sql})
+    SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+           CASE WHEN ({na}) * ({nb}) > 0
+                THEN round(({dot}) / sqrt(({na}) * ({nb})), {ROUND_DP}) END
+               AS centroid_cos
+    FROM cent a JOIN cent b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """
+
+
+_CENTROID_ORACLE = _centroid_pairs_sql(
+    _centroid_select(lambda i: f"CAST(embedding[{i}] AS DOUBLE)")
+)
+_CENTROID_SPARK_SQL = _centroid_pairs_sql(
+    _centroid_select(lambda i: f"CAST(element_at(embedding, {i}) AS DOUBLE)")
+).replace("FROM embeddings", "FROM cent_emb")
+
+
+@register("embeddings_label_centroids", _CENTROID_ORACLE)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("cent_emb")
+    return spark.sql(_CENTROID_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: for each query vector, the top-3 most-similar
+# vectors with a DIFFERENT label — the contrastive-training sampling step
+# (a high-cosine wrong-label neighbor is the informative negative). Same
+# broadcast-queries brute-force shape as ann_cosine_topk with the label
+# inequality pushed into the join condition; the scale path swaps the
+# corpus side for the LSH/IVF candidate generators unchanged.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id < 20),
+pairs AS (
+    SELECT q.q_id, q.q_label, c.vec_id, c.label,
+           {_cos_sql("q.q_vec", "c.embedding")} AS cos_sim
+    FROM embeddings c JOIN q
+      ON c.vec_id != q.q_id AND c.label != q.q_label
+),
+ranked AS (
+    SELECT q_id, q_label, vec_id, label, cos_sim,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT q_id, q_label, vec_id, label, cos_sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("ann_hard_negatives", _HARDNEG_ORACLE)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from enterprise_iot_bigdata_pipeline_spark.functions.vectors import cosine
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    pairs = fan_out(emb).join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("q_id")) & (F.col("label") != F.col("q_label")),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "q_label", "vec_id", "label", "cos_sim", "rank")
+    )

@@ -166,6 +166,10 @@ AUDITED = [
     "events_relational_division",
     "events_chi_square",
     "basket_part_pairs_lift",
+    "sales_hierarchy_shares",
+    "agg_mode_per_group",
+    "embeddings_label_centroids",
+    "ann_hard_negatives",
 ]
 
 CHECKS = {
@@ -831,6 +835,23 @@ CHECKS_R7B["basket_part_pairs_lift"] = [
     ("CartesianProduct", False, "pairs come from the basket-key equi-join"),
     ("TakeOrderedAndProject", True, "top-100 by lift never globally sorts"),
 ]
+CHECKS_R7B["sales_hierarchy_shares"] = [
+    ("BroadcastHashJoin", True, "customer/nation/region dims broadcast"),
+    ("SortMergeJoin", True, "lineitem\u22c8orders fact-fact stays SMJ"),
+]
+CHECKS_R7B["agg_mode_per_group"] = [
+    ("HashAggregate", True, "count frame hash-aggregates before the window"),
+    ("WindowGroupLimit", True, "rank=1 filter pushes a per-key group limit"),
+]
+CHECKS_R7B["embeddings_label_centroids"] = [
+    ("HashAggregate", True, "64 per-dim decimal sums in one grouped pass"),
+    ("CartesianProduct", False, "pair stage is a keyed theta-join on the tiny centroid frame"),
+]
+CHECKS_R7B["ann_hard_negatives"] = [
+    ("BroadcastNestedLoopJoin", True, "queries broadcast against the fanned-out corpus"),
+    ("WindowGroupLimit", True, "rank<=3 pushes a per-query group limit"),
+    ("BatchEvalPython", False, "cosine is JVM higher-order functions, not Python"),
+]
 CHECKS.update(CHECKS_R7B)
 
 CONF_OVERRIDES = {
@@ -848,6 +869,7 @@ CONF_OVERRIDES = {
     "join_market_share_q8": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "join_product_profit_q9": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "agg_ship_delay_q12": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "sales_hierarchy_shares": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 

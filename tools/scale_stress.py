@@ -163,6 +163,28 @@ STRESSED = [
     "text_secrets_scan",
     "timeseries_stl_decompose",
     "timeseries_mase_baseline",
+    # round-7 session 2 (streaming slots excluded: availableNow replay cost
+    # is dominated by state-store setup, constant in corpus volume)
+    "join_min_cost_supplier_q2",
+    "join_exists_priority_q4",
+    "agg_forecast_revenue_q6",
+    "join_market_share_q8",
+    "join_product_profit_q9",
+    "agg_important_values_q11",
+    "agg_ship_delay_q12",
+    "agg_promo_share_q14",
+    "join_excess_suppliers_q20",
+    "skyline_parts",
+    "events_pattern_match",
+    "agg_unpivot_stats",
+    "split_group_disjoint",
+    "events_relational_division",
+    "events_chi_square",
+    "basket_part_pairs_lift",
+    "sales_hierarchy_shares",
+    "agg_mode_per_group",
+    "embeddings_label_centroids",
+    "ann_hard_negatives",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -286,6 +308,26 @@ MAIN_TABLE = {
     "text_secrets_scan": "documents",
     "timeseries_stl_decompose": "events",
     "timeseries_mase_baseline": "events",
+    "join_min_cost_supplier_q2": "lineitem",
+    "join_exists_priority_q4": "lineitem",
+    "agg_forecast_revenue_q6": "lineitem",
+    "join_market_share_q8": "lineitem",
+    "join_product_profit_q9": "lineitem",
+    "agg_important_values_q11": "lineitem",
+    "agg_ship_delay_q12": "lineitem",
+    "agg_promo_share_q14": "lineitem",
+    "join_excess_suppliers_q20": "lineitem",
+    "skyline_parts": "part",
+    "events_pattern_match": "events",
+    "agg_unpivot_stats": "events",
+    "split_group_disjoint": "documents",
+    "events_relational_division": "events",
+    "events_chi_square": "events",
+    "basket_part_pairs_lift": "lineitem",
+    "sales_hierarchy_shares": "lineitem",
+    "agg_mode_per_group": "events",
+    "embeddings_label_centroids": "embeddings",
+    "ann_hard_negatives": "embeddings",
 }
 ID_COLS = {
     "events": "event_id",
@@ -294,6 +336,7 @@ ID_COLS = {
     "orders": "o_orderkey",
     "embeddings": "vec_id",
     "customer": "c_custkey",
+    "part": "p_partkey",
 }
 
 
