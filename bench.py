@@ -234,6 +234,11 @@ HEADLINE = [
     "embeddings_label_centroids",
     "ann_hard_negatives",
     "streaming_rollup_merge",
+    # round-7 session 2 wave 4: incremental ingest dedup, header/detail
+    # reconciliation, grid hotspot statistic
+    "dedup_incremental_lsh",
+    "orders_price_reconcile",
+    "events_grid_hotspots",
 ]
 
 

@@ -1941,11 +1941,13 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = g.withColumn("best_cheaper", F.max("pmax").over(sweep)).filter(
         F.col("best_cheaper").isNull() | (F.col("pmax") > F.col("best_cheaper"))
     )
-    # The frontier is small by construction (monotone in both dims) —
-    # broadcast it back against the base table to recover full part rows.
+    # Recover full part rows by joining the frontier back. NO broadcast
+    # hint: the frontier is |distinct price| in the worst case (a fully
+    # anti-correlated corpus keeps every price), which scales with the
+    # corpus — AQE broadcasts it when it measures small, the usual case.
     return (
         p.join(
-            F.broadcast(k),
+            k,
             (p.p_retailprice == k.price) & (p.p_size == k.pmax),
         )
         .select("p_partkey", "p_name", "p_retailprice", "p_size")

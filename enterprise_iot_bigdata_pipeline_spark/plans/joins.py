@@ -852,3 +852,49 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_custkey") == F.col("entity_id")).alias("is_representative"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order/lineitem price reconciliation (the lakehouse conformance audit):
+# recompute each order's total from its lines and surface the 50 worst
+# header-vs-detail discrepancies. Fact-fact SMJ + per-order reduce; the
+# top-50 rides TakeOrderedAndProject (no global sort). Money math through
+# the DSUM decimal recipe; the 4-dp-rounded diff is double algebra over
+# those exact sums, deterministic cross-engine.
+# ---------------------------------------------------------------------------
+
+_RECONCILE_ORACLE = f"""
+WITH detail AS (
+    SELECT l_orderkey,
+           {DSUM_SQL("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS line_total
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_totalprice,
+       round(line_total, 4) AS line_total,
+       round(o_totalprice - line_total, 4) AS diff
+FROM orders JOIN detail ON o_orderkey = l_orderkey
+ORDER BY abs(round(o_totalprice - line_total, 4)) DESC, o_orderkey
+LIMIT 50
+"""
+
+
+@register("orders_price_reconcile", _RECONCILE_ORACLE)
+def orders_price_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    line_total = dsum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    detail = li.groupBy("l_orderkey").agg(line_total.alias("line_total"))
+    diff = F.round(F.col("o_totalprice") - F.col("line_total"), 4)
+    return (
+        o.join(detail, o.o_orderkey == detail.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round("line_total", 4).alias("line_total"),
+            diff.alias("diff"),
+        )
+        .orderBy(F.abs(F.col("diff")).desc(), "o_orderkey")
+        .limit(50)
+    )

@@ -96,3 +96,84 @@ def events_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("dist2").cast("double") / F.lit(1000000.0)), 9
         ).alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid hotspot detection (Getis-Ord-lite): bucket the synthetic point
+# cloud into a fixed 20×20 cell grid, zero-fill the empty cells (the
+# statistic is over the WHOLE grid, not just occupied cells), and flag
+# cells whose count sits > 2σ above the grid mean. Counts are integers,
+# the grid is a generated 400-row frame, and mean/σ come from exact
+# integer sums (Σn, Σn²) broadcast back — so the z-score double algebra
+# is bit-identical cross-engine. The fact pass is ONE groupBy; everything
+# after runs on the 400-row cell frame.
+# ---------------------------------------------------------------------------
+
+_HOT_CELL = 50000  # cell edge in milli-units → ceil(1e6 / 5e4) = 20 per axis
+_HOT_NX = 20
+_HOT_Z = 2.0
+
+_HOTSPOT_ORACLE = f"""
+WITH p AS ({_POINTS_SQL}),
+occ AS (
+    SELECT ix // {_HOT_CELL} AS cx, iy // {_HOT_CELL} AS cy,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+),
+grid AS (
+    SELECT gx.cx, gy.cy, COALESCE(occ.n, 0) AS n
+    FROM (SELECT unnest(range(0, {_HOT_NX})) AS cx) gx
+    CROSS JOIN (SELECT unnest(range(0, {_HOT_NX})) AS cy) gy
+    LEFT JOIN occ ON occ.cx = gx.cx AND occ.cy = gy.cy
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+    FROM grid
+)
+SELECT cx, cy, n,
+       round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / n_cells)
+             / sqrt(CAST(s2 AS DOUBLE) / n_cells
+                    - (CAST(s1 AS DOUBLE) / n_cells) * (CAST(s1 AS DOUBLE) / n_cells)),
+             6) AS z
+FROM grid, m
+WHERE (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / n_cells)
+      / sqrt(CAST(s2 AS DOUBLE) / n_cells
+             - (CAST(s1 AS DOUBLE) / n_cells) * (CAST(s1 AS DOUBLE) / n_cells))
+      > {_HOT_Z}
+ORDER BY cx, cy
+"""
+
+
+@register("events_grid_hotspots", _HOTSPOT_ORACLE)
+def events_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    pts = ev.selectExpr("event_id", f"{_IX_SQL} AS ix", f"{_IY_SQL} AS iy")
+    occ = (
+        pts.groupBy(
+            F.expr(f"ix div {_HOT_CELL}").alias("cx"),
+            F.expr(f"iy div {_HOT_CELL}").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    axis = spark.range(_HOT_NX)
+    grid = (
+        axis.select(F.col("id").alias("cx"))
+        .crossJoin(axis.select(F.col("id").alias("cy")))
+        .join(occ, ["cx", "cy"], "left")
+        .select("cx", "cy", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
+    m = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_cells")
+    var = F.col("s2").cast("double") / F.col("n_cells") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        grid.join(F.broadcast(m))
+        .filter(z > _HOT_Z)
+        .select("cx", "cy", "n", F.round(z, 6).alias("z"))
+        .orderBy("cx", "cy")
+    )

@@ -2635,3 +2635,113 @@ def text_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         red.alias("redacted"),
         (remaining == 0).alias("clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup ingest (the production loop): epoch 0 indexes the
+# standing corpus (doc_id % 5 != 0) — in-batch LSH pairs → connected
+# components → min-id survivors, whose band keys become the persisted
+# index; epoch 1 dedups the incoming batch (doc_id % 5 == 0) against that
+# index (band-collision ⇒ drop, the high-recall crawl policy), then
+# resolves in-batch near-dups among the cross-novel docs. This is what a
+# 100 TB pipeline runs per ingest cycle instead of re-deduping the corpus:
+# each batch joins B_new × index, never corpus × corpus. The oracle
+# composes the full two-epoch algebra with two recursive-CTE component
+# passes; the Spark side's hot-bucket star cap is component-preserving
+# (bucket-min connects to every member), so the uncapped oracle pairs
+# yield identical clusters. Exercises operators.dedup.
+# incremental_minhash_dedup (epoch commit markers, atomic index swap)
+# under the driver gate. late=True: window discipline (DEVNOTES).
+# ---------------------------------------------------------------------------
+
+_INCR_LSH_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip().lstrip()},
+xs AS (SELECT doc, {_SHINGLE_INT} % {D.MERSENNE_P} AS x FROM sh),
+sig AS (
+    SELECT doc,
+        {_sig_cols}
+    FROM xs GROUP BY doc
+),
+bands AS (
+    {_band_selects}
+),
+tagged AS (SELECT doc, band, key, (doc % 5 = 0) AS incoming FROM bands),
+e_pairs AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM tagged a JOIN tagged b
+      ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+    WHERE NOT a.incoming AND NOT b.incoming
+),
+e_edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM e_pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM e_pairs
+),
+e_walk(doc, label) AS (
+    SELECT DISTINCT src, src FROM e_edges
+    UNION
+    SELECT e.dst, w.label FROM e_walk w JOIN e_edges e ON e.src = w.doc
+),
+e_dropped AS (
+    SELECT doc FROM (SELECT doc, min(label) AS component FROM e_walk GROUP BY doc)
+    WHERE doc != component
+),
+index_keys AS (
+    SELECT DISTINCT band, key FROM tagged
+    WHERE NOT incoming AND doc NOT IN (SELECT doc FROM e_dropped)
+),
+i_hit AS (
+    SELECT DISTINCT t.doc FROM tagged t
+    JOIN index_keys x ON t.band = x.band AND t.key = x.key
+    WHERE t.incoming
+),
+i_novel AS (
+    SELECT doc, band, key FROM tagged
+    WHERE incoming AND doc NOT IN (SELECT doc FROM i_hit)
+),
+i_pairs AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM i_novel a JOIN i_novel b
+      ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+),
+i_edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM i_pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM i_pairs
+),
+i_walk(doc, label) AS (
+    SELECT DISTINCT src, src FROM i_edges
+    UNION
+    SELECT e.dst, w.label FROM i_walk w JOIN i_edges e ON e.src = w.doc
+),
+i_dropped AS (
+    SELECT doc FROM (SELECT doc, min(label) AS component FROM i_walk GROUP BY doc)
+    WHERE doc != component
+)
+SELECT DISTINCT doc AS doc_id FROM i_novel
+WHERE doc NOT IN (SELECT doc FROM i_dropped)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_incremental_lsh", _INCR_LSH_ORACLE, late=True)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    work = tempfile.mkdtemp(prefix="lsh_index_")
+    idx = os.path.join(work, "index")
+    try:
+        D.incremental_minhash_dedup(
+            spark, existing, idx, "text", "doc_id", _K, _BANDS, epoch_id=0
+        )
+        kept = D.incremental_minhash_dedup(
+            spark, incoming, idx, "text", "doc_id", _K, _BANDS, epoch_id=1
+        )
+        return kept.select("doc_id").orderBy("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

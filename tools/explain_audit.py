@@ -170,6 +170,8 @@ AUDITED = [
     "agg_mode_per_group",
     "embeddings_label_centroids",
     "ann_hard_negatives",
+    "orders_price_reconcile",
+    "events_grid_hotspots",
 ]
 
 CHECKS = {
@@ -852,6 +854,17 @@ CHECKS_R7B["ann_hard_negatives"] = [
     ("WindowGroupLimit", True, "rank<=3 pushes a per-query group limit"),
     ("BatchEvalPython", False, "cosine is JVM higher-order functions, not Python"),
 ]
+CHECKS_R7B["orders_price_reconcile"] = [
+    ("SortMergeJoin", True, "orders\u22c8line-detail fact-fact stays SMJ"),
+    ("TakeOrderedAndProject", True, "worst-50 never globally sorts"),
+]
+CHECKS_R7B["events_grid_hotspots"] = [
+    ("HashAggregate", True, "one grouped pass over the fact; stats on the 400-cell frame"),
+    # the occupied-cell frame is GRID-bounded (<=400 rows at any corpus
+    # size), so broadcasting it against the generated grid is the right
+    # plan at 100 TB too
+    ("BroadcastHashJoin", True, "grid-bounded occupied-cell frame broadcasts"),
+]
 CHECKS.update(CHECKS_R7B)
 
 CONF_OVERRIDES = {
@@ -870,6 +883,7 @@ CONF_OVERRIDES = {
     "join_product_profit_q9": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "agg_ship_delay_q12": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "sales_hierarchy_shares": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "orders_price_reconcile": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 

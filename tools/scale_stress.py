@@ -185,6 +185,9 @@ STRESSED = [
     "agg_mode_per_group",
     "embeddings_label_centroids",
     "ann_hard_negatives",
+    "dedup_incremental_lsh",
+    "orders_price_reconcile",
+    "events_grid_hotspots",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -328,6 +331,9 @@ MAIN_TABLE = {
     "agg_mode_per_group": "events",
     "embeddings_label_centroids": "embeddings",
     "ann_hard_negatives": "embeddings",
+    "dedup_incremental_lsh": "documents",
+    "orders_price_reconcile": "lineitem",
+    "events_grid_hotspots": "events",
 }
 ID_COLS = {
     "events": "event_id",
