@@ -239,6 +239,10 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "orders_price_reconcile",
     "events_grid_hotspots",
+    # round-7 session 2 wave 5: PERMISSIVE quarantine routing through the
+    # driver gate; exact integer-decay frequency
+    "ingest_ndjson_quarantine",
+    "events_decayed_type_weight",
 ]
 
 

@@ -1485,3 +1485,57 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("mode_count"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed frequency with EXACT integer weights: per event type, a
+# half-life-one-day decayed mass where each event contributes
+# 2^(40 − age_days) (bit-shift, capped at 40 days — older events weigh 0).
+# Power-of-two weights make the decay sum pure BIGINT arithmetic — no
+# exp(), no float accumulation, no cross-engine rounding surface — while
+# keeping the exact half-life-per-day semantics (normalize by 2^40 at
+# read time for the [0,1] view). Anchor is the corpus max date, a 1-row
+# broadcast scalar. One scan + one groupBy.
+# ---------------------------------------------------------------------------
+
+_DECAY_CAP = 40
+
+_DECAYED_ORACLE = f"""
+WITH anchor AS (SELECT CAST(max(ts) AS DATE) AS d0 FROM events),
+w AS (
+    SELECT event_type,
+           date_diff('day', CAST(ts AS DATE), d0) AS age
+    FROM events, anchor
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN age BETWEEN 0 AND {_DECAY_CAP}
+                     THEN CAST(1 AS BIGINT) << ({_DECAY_CAP} - age)
+                     ELSE 0 END) AS BIGINT) AS decayed_mass
+FROM w
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_decayed_type_weight", _DECAYED_ORACLE)
+def events_decayed_type_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("d0"))
+    # shiftleft's bit count is an expression only in SQL form (the Column
+    # API wants a literal), so the weight is an expr over a staged age col
+    weight = F.expr(
+        f"CASE WHEN age BETWEEN 0 AND {_DECAY_CAP} "
+        f"THEN shiftleft(CAST(1 AS BIGINT), CAST({_DECAY_CAP} - age AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        e.join(F.broadcast(anchor))
+        .withColumn("age", F.datediff(F.col("d0"), F.to_date("ts")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(weight).cast("long").alias("decayed_mass"),
+        )
+        .orderBy("event_type")
+    )

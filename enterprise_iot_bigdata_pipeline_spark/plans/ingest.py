@@ -948,3 +948,64 @@ def streaming_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# PERMISSIVE-ingest quarantine routing, driver-gated (S1's corrupt-record
+# contract as a registered query, not just pytest): NDJSON synthesized
+# from the documents table with every 7th line deliberately malformed,
+# read back through sources.ndjson.read_ndjson with an explicit schema
+# (the 100 TB path — no inference pass), and routed ok/quarantine on
+# _corrupt_record. The oracle recomputes both routes from the corruption
+# rule alone, so a hash-green row proves malformed lines neither kill the
+# job NOR leak into the clean route. late=True: window discipline.
+# ---------------------------------------------------------------------------
+
+_QUARANTINE_ORACLE = """
+SELECT 'ok' AS route, lang, CAST(count(*) AS BIGINT) AS n_lines
+FROM documents WHERE doc_id % 7 != 0 GROUP BY lang
+UNION ALL
+SELECT 'quarantine', CAST(NULL AS VARCHAR), CAST(count(*) AS BIGINT)
+FROM documents WHERE doc_id % 7 = 0
+ORDER BY route, lang
+"""
+
+
+@register("ingest_ndjson_quarantine", _QUARANTINE_ORACLE, late=True)
+def ingest_ndjson_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from enterprise_iot_bigdata_pipeline_spark.sources.ndjson import (
+        CORRUPT_COL,
+        read_ndjson,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    good = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("NOTJSON "), F.col("doc_id").cast("string")),
+    ).otherwise(good)
+    work = tempfile.mkdtemp(prefix="ndjson_q_")
+    path = os.path.join(work, "lines")
+    try:
+        docs.select(line.alias("value")).write.mode("overwrite").text(path)
+        parsed = read_ndjson(
+            spark, path, schema="doc_id long, lang string, n_chars long"
+        )
+        route = F.when(F.col(CORRUPT_COL).isNotNull(), "quarantine").otherwise("ok")
+        return (
+            parsed.withColumn("route", route)
+            .withColumn(
+                "lang",
+                F.when(F.col("route") == "ok", F.col("lang")).otherwise(F.lit(None)),
+            )
+            .groupBy("route", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+            .orderBy("route", "lang")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -172,6 +172,7 @@ AUDITED = [
     "ann_hard_negatives",
     "orders_price_reconcile",
     "events_grid_hotspots",
+    "events_decayed_type_weight",
 ]
 
 CHECKS = {
@@ -864,6 +865,10 @@ CHECKS_R7B["events_grid_hotspots"] = [
     # size), so broadcasting it against the generated grid is the right
     # plan at 100 TB too
     ("BroadcastHashJoin", True, "grid-bounded occupied-cell frame broadcasts"),
+]
+CHECKS_R7B["events_decayed_type_weight"] = [
+    ("HashAggregate", True, "integer decay mass is one hash aggregate"),
+    ("BatchEvalPython", False, "bit-shift weights are pure JVM expressions"),
 ]
 CHECKS.update(CHECKS_R7B)
 

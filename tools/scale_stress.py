@@ -188,6 +188,8 @@ STRESSED = [
     "dedup_incremental_lsh",
     "orders_price_reconcile",
     "events_grid_hotspots",
+    "ingest_ndjson_quarantine",
+    "events_decayed_type_weight",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -334,6 +336,8 @@ MAIN_TABLE = {
     "dedup_incremental_lsh": "documents",
     "orders_price_reconcile": "lineitem",
     "events_grid_hotspots": "events",
+    "ingest_ndjson_quarantine": "documents",
+    "events_decayed_type_weight": "events",
 }
 ID_COLS = {
     "events": "event_id",
