@@ -1382,12 +1382,19 @@ def agg_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("double").alias("n_users"),
         dsum(F.col("value")).alias("sum_value"),
     )
-    return wide.unpivot(
-        ["event_type"],
-        ["n_events", "n_users", "sum_value"],
-        "metric",
-        "metric_value",
-    ).orderBy("event_type", "metric")
+    return (
+        wide.unpivot(
+            ["event_type"],
+            ["n_events", "n_users", "sum_value"],
+            "metric",
+            "metric_value",
+        )
+        # SQL UNPIVOT (both ANSI and DuckDB) EXCLUDES NULL measure cells;
+        # Spark's DataFrame.unpivot retains them — drop them to keep the
+        # relational semantics (and the oracle) on both engines.
+        .filter(F.col("metric_value").isNotNull())
+        .orderBy("event_type", "metric")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1398,10 +1405,14 @@ def agg_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double divisions of decimal-exact sums — deterministic cross-engine.
 # ---------------------------------------------------------------------------
 
-_HIERARCHY_ORACLE = f"""
+# Parent totals stay DECIMAL through the windows (a window SUM over
+# DOUBLE adds in engine-dependent order — the exact-sum recipe applies to
+# the rollup levels too); every double appears only as a final cast.
+_HIERARCHY_ORACLE = """
 WITH cells AS (
     SELECT r_name AS region, n_name AS nation,
-           {DSUM_SQL("l_extendedprice * (1 - l_discount)")} AS revenue
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+               AS rev_dec
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1409,10 +1420,12 @@ WITH cells AS (
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
 )
-SELECT region, nation, revenue,
-       round(revenue / sum(revenue) OVER (PARTITION BY region), 9)
+SELECT region, nation, CAST(rev_dec AS DOUBLE) AS revenue,
+       round(CAST(rev_dec AS DOUBLE)
+             / CAST(sum(rev_dec) OVER (PARTITION BY region) AS DOUBLE), 9)
            AS share_of_region,
-       round(revenue / sum(revenue) OVER (), 9) AS share_of_total
+       round(CAST(rev_dec AS DOUBLE)
+             / CAST(sum(rev_dec) OVER () AS DOUBLE), 9) AS share_of_total
 FROM cells
 ORDER BY region, nation
 """
@@ -1432,18 +1445,17 @@ def sales_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(dsum(vol).alias("revenue"))
+        .agg(F.sum(vol.cast("decimal(25,6)")).alias("rev_dec"))
     )
+    region_tot = F.sum("rev_dec").over(W.partitionBy("region")).cast("double")
+    grand_tot = F.sum("rev_dec").over(W.partitionBy()).cast("double")
+    rev = F.col("rev_dec").cast("double")
     return cells.select(
         "region",
         "nation",
-        "revenue",
-        F.round(
-            F.col("revenue") / F.sum("revenue").over(W.partitionBy("region")), 9
-        ).alias("share_of_region"),
-        F.round(F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 9).alias(
-            "share_of_total"
-        ),
+        rev.alias("revenue"),
+        F.round(rev / region_tot, 9).alias("share_of_region"),
+        F.round(rev / grand_tot, 9).alias("share_of_total"),
     ).orderBy("region", "nation")
 
 
@@ -1490,15 +1502,18 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Time-decayed frequency with EXACT integer weights: per event type, a
 # half-life-one-day decayed mass where each event contributes
-# 2^(40 − age_days) (bit-shift, capped at 40 days — older events weigh 0).
+# 2^(20 − age_days) (bit-shift, capped at 20 days — older events weigh 0).
 # Power-of-two weights make the decay sum pure BIGINT arithmetic — no
 # exp(), no float accumulation, no cross-engine rounding surface — while
-# keeping the exact half-life-per-day semantics (normalize by 2^40 at
+# keeping the exact half-life-per-day semantics (normalize by 2^20 at
 # read time for the [0,1] view). Anchor is the corpus max date, a 1-row
 # broadcast scalar. One scan + one groupBy.
+# Overflow bound: mass <= n_type * 2^20, BIGINT-safe up to ~8.7e12 rows
+# per type — above any per-type cardinality a 100 TB corpus produces
+# (a 40-bit shift would overflow at ~8.4M same-day events, far below it).
 # ---------------------------------------------------------------------------
 
-_DECAY_CAP = 40
+_DECAY_CAP = 20
 
 _DECAYED_ORACLE = f"""
 WITH anchor AS (SELECT CAST(max(ts) AS DATE) AS d0 FROM events),

@@ -296,10 +296,16 @@ def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
-def _stage_events_stream(spark: SparkSession, sf_dir: str):
+def _stage_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_copies: int = 1,
+    max_files_per_trigger: int | None = None,
+):
     """File-source stream over the events table (symlink staging — the
-    streaming source needs a directory) with the ts column normalized to
-    TIMESTAMP. The stream reads the file's RAW schema (tables.t's ns→µs
+    streaming source needs a directory; ``n_copies`` symlinks the file
+    several times, e.g. to force a multi-batch availableNow run) with the
+    ts column normalized to TIMESTAMP. The stream reads the file's RAW schema (tables.t's ns→µs
     rewrite does not apply), so the conversion branches on the STREAM's
     dtype, never a proxy frame's (the r03 bench-kill lesson). Returns
     (stream, stage_dir); the caller owns the directory's lifetime."""
@@ -307,10 +313,16 @@ def _stage_events_stream(spark: SparkSession, sf_dir: str):
     import tempfile
 
     stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(
+    for i in range(n_copies):
+        os.symlink(
+            f"{sf_dir}/events.parquet", os.path.join(stage, f"events_{i}.parquet")
+        )
+    reader = spark.readStream.schema(
         spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ).parquet(stage)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(stage)
     raw_ts = dict(stream.dtypes).get("ts")
     if raw_ts == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -904,25 +916,13 @@ def streaming_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t(spark, sf_dir, "events")  # session-conf side effects (UTC + nanosAsLong)
-    stage = tempfile.mkdtemp(prefix="rollup_stage_")
     work = tempfile.mkdtemp(prefix="rollup_out_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "copy_a.parquet"))
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "copy_b.parquet"))
+    stream, stage = _stage_events_stream(
+        spark, sf_dir, n_copies=2, max_files_per_trigger=1
+    )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        stream = (
-            spark.readStream.schema(
-                spark.read.parquet(f"{sf_dir}/events.parquet").schema
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage)
-        )
-        raw_ts = dict(stream.dtypes).get("ts")
-        if raw_ts == "bigint":
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif raw_ts == "timestamp_ntz":
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
         q = continuous_rollup(
             spark,
             stream,
@@ -967,6 +967,9 @@ FROM documents WHERE doc_id % 7 != 0 GROUP BY lang
 UNION ALL
 SELECT 'quarantine', CAST(NULL AS VARCHAR), CAST(count(*) AS BIGINT)
 FROM documents WHERE doc_id % 7 = 0
+-- the ungrouped aggregate always yields a row; the Spark side's groupBy
+-- yields none when nothing is malformed — align the empty case
+HAVING count(*) > 0
 ORDER BY route, lang
 """
 

@@ -137,7 +137,9 @@ SELECT cx, cy, n,
                     - (CAST(s1 AS DOUBLE) / n_cells) * (CAST(s1 AS DOUBLE) / n_cells)),
              6) AS z
 FROM grid, m
-WHERE (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / n_cells)
+WHERE CAST(s2 AS DOUBLE) / n_cells
+      - (CAST(s1 AS DOUBLE) / n_cells) * (CAST(s1 AS DOUBLE) / n_cells) > 0
+  AND (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / n_cells)
       / sqrt(CAST(s2 AS DOUBLE) / n_cells
              - (CAST(s1 AS DOUBLE) / n_cells) * (CAST(s1 AS DOUBLE) / n_cells))
       > {_HOT_Z}
@@ -171,9 +173,13 @@ def events_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("s1").cast("double") / F.col("n_cells")
     var = F.col("s2").cast("double") / F.col("n_cells") - mean * mean
     z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    # var > 0 guard on BOTH sides: a degenerate all-equal grid makes z
+    # NaN, and DuckDB's total float order ranks NaN above every number
+    # (NaN > 2 is TRUE there, FALSE in Spark) — without the guard the two
+    # engines disagree on exactly the zero-information corpus.
     return (
         grid.join(F.broadcast(m))
-        .filter(z > _HOT_Z)
+        .filter((var > 0) & (z > _HOT_Z))
         .select("cx", "cy", "n", F.round(z, 6).alias("z"))
         .orderBy("cx", "cy")
     )

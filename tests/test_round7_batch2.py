@@ -221,3 +221,48 @@ class TestStreamingDrainSemantics:
             for r in QUERIES["streaming_dedup_keys"](spark, str(tmp_path)).collect()
         )
         assert got == [(1, "click"), (1, "view"), (2, "view")]
+
+
+class TestReviewFixRegressions:
+    """Round-7 code-review catches: the engine-divergence edge cases the
+    oracle corpus never exercises (NULL measure cells in unpivot; the
+    zero-variance NaN grid in the hotspot statistic)."""
+
+    def test_unpivot_drops_null_measure_cells(self, spark, tmp_path):
+        # one event_type whose every value is NULL -> dsum yields NULL;
+        # SQL UNPIVOT excludes that cell, so the query must too (DuckDB
+        # drops it; an unfiltered DataFrame.unpivot would keep it).
+        rows = [
+            (1, "2024-01-01 00:00:00", 1, "view", 1.5, ""),
+            (2, "2024-01-01 00:01:00", 2, "ghost", None, ""),
+            (3, "2024-01-01 00:02:00", 3, "ghost", None, ""),
+        ]
+        _write(
+            spark,
+            tmp_path,
+            "events",
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+            ts_cols=("ts",),
+        )
+        got = QUERIES["agg_unpivot_stats"](spark, str(tmp_path)).collect()
+        ghost = {(r.metric): r.metric_value for r in got if r.event_type == "ghost"}
+        assert "sum_value" not in ghost  # NULL cell excluded
+        assert ghost == {"n_events": 2.0, "n_users": 2.0}
+        assert all(r.metric_value is not None for r in got)
+
+    def test_hotspots_zero_variance_grid_returns_nothing(self, spark, tmp_path):
+        # An empty events table makes every grid cell count 0 -> var = 0
+        # -> z would be NaN. DuckDB's total float order ranks NaN above
+        # every number, Spark's comparison yields FALSE — the var > 0
+        # guard must make BOTH engines return zero rows.
+        _write(
+            spark,
+            tmp_path,
+            "events",
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        assert QUERIES["events_grid_hotspots"](spark, str(tmp_path)).count() == 0
