@@ -243,6 +243,7 @@ HEADLINE = [
     # driver gate; exact integer-decay frequency
     "ingest_ndjson_quarantine",
     "events_decayed_type_weight",
+    "timeseries_declining_streaks",
 ]
 
 

@@ -1322,3 +1322,75 @@ def timeseries_mase_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             d6(F.col("x") - F.col("x1")) > 0, F.round(mae_s / mae_n, 9)
         ).alias("mase_r9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monotone-run detection (sensor-degradation streaks): per user, maximal
+# runs of STRICTLY decreasing readings in event-time order, reporting the
+# longest streak and how many streaks reach the alert length. The classic
+# gaps-and-islands trick — a "new run" flag summed into run ids — over one
+# user-keyed window; user cardinality scales with the corpus, so the
+# window parallelizes. Values are passthrough doubles compared, never
+# accumulated: no float surface. Ties (equal consecutive values) BREAK a
+# strict run on both engines identically.
+# ---------------------------------------------------------------------------
+
+_STREAK_ALERT = 4  # readings in a row, i.e. >= 3 consecutive drops
+
+_STREAK_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN value < lag(value) OVER w THEN 0 ELSE 1 END AS new_run
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id,
+           sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM flagged
+),
+lens AS (
+    SELECT user_id, run_id, CAST(count(*) AS BIGINT) AS run_len
+    FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id,
+       CAST(max(run_len) AS BIGINT) AS longest_streak,
+       CAST(count(CASE WHEN run_len >= {_STREAK_ALERT} THEN 1 END) AS BIGINT)
+           AS n_alert_streaks
+FROM lens
+GROUP BY user_id
+HAVING max(run_len) >= {_STREAK_ALERT}
+ORDER BY user_id
+"""
+
+
+@register("timeseries_declining_streaks", _STREAK_ORACLE)
+def timeseries_declining_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_run",
+        F.when(F.col("value") < F.lag("value").over(w), 0).otherwise(1),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    lens = runs.groupBy("user_id", "run_id").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        lens.groupBy("user_id")
+        .agg(
+            F.max("run_len").cast("long").alias("longest_streak"),
+            F.count(F.when(F.col("run_len") >= _STREAK_ALERT, 1))
+            .cast("long")
+            .alias("n_alert_streaks"),
+        )
+        .filter(F.col("longest_streak") >= _STREAK_ALERT)
+        .orderBy("user_id")
+    )

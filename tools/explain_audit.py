@@ -173,6 +173,7 @@ AUDITED = [
     "orders_price_reconcile",
     "events_grid_hotspots",
     "events_decayed_type_weight",
+    "timeseries_declining_streaks",
 ]
 
 CHECKS = {
@@ -869,6 +870,10 @@ CHECKS_R7B["events_grid_hotspots"] = [
 CHECKS_R7B["events_decayed_type_weight"] = [
     ("HashAggregate", True, "integer decay mass is one hash aggregate"),
     ("BatchEvalPython", False, "bit-shift weights are pure JVM expressions"),
+]
+CHECKS_R7B["timeseries_declining_streaks"] = [
+    ("RunningWindowFunction", False, "plain frame windows, no special exec needed"),
+    ("Exchange SinglePartition", False, "user-keyed windows never serialize globally"),
 ]
 CHECKS.update(CHECKS_R7B)
 

@@ -190,6 +190,7 @@ STRESSED = [
     "events_grid_hotspots",
     "ingest_ndjson_quarantine",
     "events_decayed_type_weight",
+    "timeseries_declining_streaks",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -338,6 +339,7 @@ MAIN_TABLE = {
     "events_grid_hotspots": "events",
     "ingest_ndjson_quarantine": "documents",
     "events_decayed_type_weight": "events",
+    "timeseries_declining_streaks": "events",
 }
 ID_COLS = {
     "events": "event_id",
