@@ -1,0 +1,112 @@
+"""Bucketized two-phase prefix aggregates (running sum / running max).
+
+An unpartitioned ``Window.orderBy(v)`` prefix sweep is exact but runs as
+ONE task over the whole frame — fine for a histogram of a few hundred
+rows, fatal when the frame scales with a value domain (|distinct price|,
+|distinct per-user counts|) that can approach corpus cardinality on an
+anti-correlated 100 TB corpus. This module computes the IDENTICAL prefix
+aggregate with no value-domain-scale single task, the same two-phase
+discipline as ``operators.sessionize``:
+
+1. **Bucket phase** — rows get an order-preserving coarse bucket from the
+   value range (a 1-row min/max broadcast scalar; ``floor((v-lo)/width)``
+   is monotone non-decreasing in ``v`` even under double rounding, and
+   exactness never depends on WHERE the bucket boundaries fall, only on
+   monotonicity). One hash shuffle on the bucket key aggregates each
+   bucket's total (sum) or best (max).
+2. **Bucket-prefix phase** — an exclusive prefix over the per-bucket rows,
+   a frame bounded by the CONSTANT bucket count (default 1024), never by
+   the data. This is the only sequential sweep left and it is O(buckets).
+3. **Merge phase** — the bucket prefix broadcast-joins back on the bucket
+   key; a window PARTITIONED BY bucket (parallel, each task bounded by
+   one bucket's rows) supplies the within-bucket prefix, and
+   ``prefix(row) = combine(prefix over earlier buckets,
+   prefix over earlier rows in my bucket)``.
+
+Callers guarantee one row per distinct ``order_col`` value (both call
+sites group first), so within-bucket ordering is total and the result is
+bit-identical to the single-window form — which therefore remains the
+DuckDB oracle for every query built on this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_N_BUCKETS = 1024
+
+
+def _combine(agg: str, a: Column, b: Column) -> Column:
+    """NULL-aware combine of two partial prefixes (NULL = empty prefix)."""
+    if agg == "sum":
+        merged = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+    else:  # max
+        merged = F.greatest(a, b)
+    return (
+        F.when(a.isNull() & b.isNull(), F.lit(None))
+        .when(a.isNull(), b)
+        .when(b.isNull(), a)
+        .otherwise(merged)
+    )
+
+
+def with_bucketed_prefix(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    agg: str = "sum",
+    out_inclusive: str | None = None,
+    out_exclusive: str | None = None,
+    n_buckets: int = _N_BUCKETS,
+) -> DataFrame:
+    """Add exact prefix-aggregate column(s) over ``order_col`` order.
+
+    ``out_inclusive`` gets the prefix INCLUDING the current row,
+    ``out_exclusive`` the strictly-preceding prefix (NULL for the first
+    row, matching ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``).
+    ``agg`` is ``"sum"`` or ``"max"``. Requires one row per distinct
+    ``order_col`` value and a non-NULL numeric ``order_col``.
+    """
+    if agg not in ("sum", "max"):
+        raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
+    if out_inclusive is None and out_exclusive is None:
+        raise ValueError("request at least one of out_inclusive/out_exclusive")
+
+    v = F.col(order_col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(F.col("__hi") <= F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((v - F.col("__lo")) / width).cast("int"),
+            )
+        )
+        .alias("__bkt")
+    )
+    tagged = df.join(F.broadcast(bounds)).select("*", bkt).drop("__lo", "__hi")
+
+    agg_fn = F.sum if agg == "sum" else F.max
+    per_bucket = tagged.groupBy("__bkt").agg(agg_fn(value_col).alias("__btot"))
+    # O(n_buckets) rows — the only unpartitioned sweep, bounded by a
+    # constant, never by the data.
+    w_bkts = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    bucket_prefix = per_bucket.select(
+        "__bkt", agg_fn("__btot").over(w_bkts).alias("__bprev")
+    )
+
+    w_in = W.partitionBy("__bkt").orderBy(order_col)
+    out = tagged.join(F.broadcast(bucket_prefix), "__bkt")
+    if out_inclusive is not None:
+        incl = agg_fn(value_col).over(
+            w_in.rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        out = out.withColumn(out_inclusive, _combine(agg, F.col("__bprev"), incl))
+    if out_exclusive is not None:
+        excl = agg_fn(value_col).over(w_in.rowsBetween(W.unboundedPreceding, -1))
+        out = out.withColumn(out_exclusive, _combine(agg, F.col("__bprev"), excl))
+    return out.drop("__bkt", "__bprev")

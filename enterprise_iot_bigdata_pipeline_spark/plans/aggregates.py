@@ -1475,7 +1475,7 @@ WITH counts AS (
 ranked AS (
     SELECT user_id, event_type, n,
            row_number() OVER (PARTITION BY user_id
-                              ORDER BY n DESC, event_type) AS rk
+                              ORDER BY n DESC, event_type NULLS LAST) AS rk
     FROM counts
 )
 SELECT user_id, event_type AS mode_type, n AS mode_count
@@ -1490,7 +1490,10 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = e.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    w = W.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    # NULLS LAST on the tie-break: Spark's default asc puts NULL event_type
+    # first while DuckDB's window default is NULLS LAST — a count tie
+    # involving NULL would pick different mode rows per engine.
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc_nulls_last("event_type"))
     return (
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)

@@ -15,6 +15,7 @@ from enterprise_iot_bigdata_pipeline_spark.functions.parity import (
     davg,
     dsum,
 )
+from enterprise_iot_bigdata_pipeline_spark.operators.prefix import with_bucketed_prefix
 from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
@@ -1361,14 +1362,16 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist = u2.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).cast("long").alias("c")
         )
-        w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-        w_all = W.orderBy("v").rowsBetween(
-            W.unboundedPreceding, W.unboundedFollowing
-        )
-        cr = hist.select(
-            "v",
-            F.sum("c").over(w_cum).alias("cum"),
-            F.sum("c").over(w_all).alias("n"),
+        # Bucketized two-phase running sum (operators.prefix): the
+        # histogram is ~O(max value) in the expected case but can
+        # approach |users| on a pathological corpus, so the cumulative
+        # scan must not be one unpartitioned task. The grand total is a
+        # 1-row broadcast scalar, not a whole-frame window.
+        total = hist.agg(F.sum("c").alias("n"))
+        cr = (
+            with_bucketed_prefix(hist, "v", "c", agg="sum", out_inclusive="cum")
+            .crossJoin(F.broadcast(total))
+            .select("v", "cum", "n")
         )
         pick = lambda idx: F.min(  # noqa: E731
             F.when(F.col("cum") >= F.expr(idx) + 1, F.col("v"))
@@ -1937,8 +1940,15 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("pmax")
     )
-    sweep = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
-    k = g.withColumn("best_cheaper", F.max("pmax").over(sweep)).filter(
+    # Bucketized two-phase prefix-max (operators.prefix): the frontier
+    # sweep frame is |distinct price| — corpus-scale on an
+    # anti-correlated corpus — so the strictly-preceding running max runs
+    # per price-range bucket with an O(1024) bucket-prefix merge, never
+    # as one value-domain-scale task. Bit-identical to the single-window
+    # oracle above.
+    k = with_bucketed_prefix(
+        g, "price", "pmax", agg="max", out_exclusive="best_cheaper"
+    ).filter(
         F.col("best_cheaper").isNull() | (F.col("pmax") > F.col("best_cheaper"))
     )
     # Recover full part rows by joining the frontier back. NO broadcast
@@ -2143,8 +2153,8 @@ pairs AS (
 )
 SELECT p1, p2, c12,
        round(CAST(c12 AS DOUBLE) / CAST(n_orders AS DOUBLE), 9) AS support,
-       round(CAST(c12 * n_orders AS DOUBLE)
-             / CAST(i1.c * i2.c AS DOUBLE), 9) AS lift
+       round(CAST(c12 AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(i1.c AS DOUBLE) * CAST(i2.c AS DOUBLE)), 9) AS lift
 FROM pairs
 CROSS JOIN n
 JOIN ic i1 ON p1 = i1.l_partkey
@@ -2188,9 +2198,12 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("c12").cast("double") / F.col("n_orders").cast("double"), 9
             ).alias("support"),
+            # Cast each factor to double BEFORE multiplying: a BIGINT
+            # product would wrap silently in Spark (non-ANSI) but raise in
+            # DuckDB at extreme corpus scale — engines must not diverge.
             F.round(
-                (F.col("c12") * F.col("n_orders")).cast("double")
-                / (F.col("c1") * F.col("c2")).cast("double"),
+                F.col("c12").cast("double") * F.col("n_orders").cast("double")
+                / (F.col("c1").cast("double") * F.col("c2").cast("double")),
                 9,
             ).alias("lift"),
         )

@@ -174,9 +174,10 @@ def events_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = F.col("s2").cast("double") / F.col("n_cells") - mean * mean
     z = (F.col("n").cast("double") - mean) / F.sqrt(var)
     # var > 0 guard on BOTH sides: a degenerate all-equal grid makes z
-    # NaN, and DuckDB's total float order ranks NaN above every number
-    # (NaN > 2 is TRUE there, FALSE in Spark) — without the guard the two
-    # engines disagree on exactly the zero-information corpus.
+    # NaN. Both engines rank NaN above every number in comparisons, so
+    # they agree there — the guard exists to exclude the degenerate
+    # zero-variance grid (every cell would pass the z threshold), not to
+    # paper over a cross-engine comparison divergence.
     return (
         grid.join(F.broadcast(m))
         .filter((var > 0) & (z > _HOT_Z))

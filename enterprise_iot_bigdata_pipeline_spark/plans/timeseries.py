@@ -1342,7 +1342,7 @@ WITH flagged AS (
     SELECT user_id, ts, event_id,
            CASE WHEN value < lag(value) OVER w THEN 0 ELSE 1 END AS new_run
     FROM events
-    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 runs AS (
@@ -1368,8 +1368,12 @@ ORDER BY user_id
 
 @register("timeseries_declining_streaks", _STREAK_ORACLE)
 def timeseries_declining_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts IS NOT NULL on both sides: Spark orders NULL ts first, DuckDB
+    # last, which would segment runs differently per engine.
     e = t(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.withColumn(

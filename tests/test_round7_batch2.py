@@ -254,9 +254,9 @@ class TestReviewFixRegressions:
 
     def test_hotspots_zero_variance_grid_returns_nothing(self, spark, tmp_path):
         # An empty events table makes every grid cell count 0 -> var = 0
-        # -> z would be NaN. DuckDB's total float order ranks NaN above
-        # every number, Spark's comparison yields FALSE — the var > 0
-        # guard must make BOTH engines return zero rows.
+        # -> z would be NaN. Both engines rank NaN above every number, so
+        # every cell would pass the z threshold — the var > 0 guard must
+        # exclude the degenerate zero-variance grid on BOTH engines.
         _write(
             spark,
             tmp_path,
