@@ -246,6 +246,30 @@ HEADLINE = [
     "timeseries_declining_streaks",
 ]
 
+# Composition exclusions — the ONLY registered queries without a bench row,
+# each because it re-executes pipelines that already carry their own rows
+# (a composed double-run would double-count that cost in the headline
+# total; their own marginal cost is iteration/job-launch latency, constant
+# at scale).
+EXCLUDED = {
+    "dedup_recall_eval": "re-runs dedup_minhash_lsh + text_setsim_prefix_join,"
+    " both benched on their own rows",
+    "entity_resolution_clusters": "re-runs join_fuzzy_names + the"
+    " dedup_components fixpoint, both benched on their own rows",
+}
+
+
+def bench_names(queries: dict) -> list[str]:
+    """Every registered query gets a bench row: the curated HEADLINE order
+    first (stable round-over-round comparison), then any registered query
+    not yet listed, in registry order — so a new registration can never
+    silently miss the bench artifact. Only EXCLUDED names (documented
+    double-count compositions) are skipped."""
+    listed = [n for n in HEADLINE if n in queries]
+    seen = set(listed)
+    listed += [n for n in queries if n not in seen and n not in EXCLUDED]
+    return listed
+
 
 def main() -> None:
     from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
@@ -253,7 +277,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     queries = all_queries()
-    names = [n for n in HEADLINE if n in queries]
+    names = bench_names(queries)
     # A failing query must cost its own bench row, never the whole artifact:
     # run everything else and report the error per-query.
     errors: dict[str, str] = {}
@@ -295,6 +319,25 @@ def main() -> None:
             samples.setdefault(name, []).append(dt)
             times[name] = min(times.get(name, dt), dt)
 
+    # Per-phase detail for the composite slots whose headline row spans
+    # more than one production phase (the incremental-LSH slot runs an
+    # index BUILD plus the steady-state per-batch dedup; only the latter
+    # is the production per-cycle cost).
+    phase_detail: dict[str, dict[str, float]] = {}
+    try:
+        from enterprise_iot_bigdata_pipeline_spark.plans.text import (
+            incremental_lsh_phase_times,
+        )
+
+        spark.catalog.clearCache()
+        phase_detail["dedup_incremental_lsh"] = incremental_lsh_phase_times(
+            spark, SF_DIR
+        )
+    except Exception as exc:  # noqa: BLE001 — detail must not kill the artifact
+        errors["phase_detail:dedup_incremental_lsh"] = (
+            f"{type(exc).__name__}: {exc}"[:300]
+        )
+
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     out = {
@@ -303,6 +346,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "samples": samples,
+        "phase_detail": phase_detail,
         "sf": sf,
     }
     if errors:

@@ -462,6 +462,98 @@ def streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PRODUCTION-SINK streaming round-trip: the five other streaming slots
+# gate the streaming SEMANTICS through memory sinks (driver-collected);
+# this one gates the production WRITE path — foreachBatch →
+# streaming.ingest.write_epoch_batch (idempotent epoch-partitioned parquet
+# with dynamic partition overwrite, the reference's SUCCESS-claim
+# machinery re-expressed, s3_datalog_processor.py:46-243) — and proves it
+# by READING THE SINK BACK for the oracle. The events file is staged
+# twice with maxFilesPerTrigger=1, so TWO micro-batches land as two
+# ingest_epoch partitions; the readback aggregate sees doubled counts and
+# exactly 2 epochs per event-date, which the oracle recomputes with 2×
+# algebra (the rollup-merge convention). A hash-green row proves: the
+# foreachBatch sink ran, both epochs committed, partition values
+# round-tripped (date-typed hiveperiod through directory encoding), and
+# no rows duplicated or dropped across the epoch boundary.
+# ---------------------------------------------------------------------------
+
+_SINK_ROUNDTRIP_ORACLE = """
+SELECT CAST(ts AS DATE) AS hiveperiod,
+       'D1' AS dstrct_code,
+       CAST(2 * count(*) AS BIGINT) AS n_rows,
+       CAST(2 AS BIGINT) AS n_epochs,
+       CAST(2 * sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("streaming_sink_parquet_epoch", _SINK_ROUNDTRIP_ORACLE)
+def streaming_sink_parquet_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from enterprise_iot_bigdata_pipeline_spark.streaming.ingest import (
+        write_epoch_batch,
+    )
+
+    t(spark, sf_dir, "events")  # session-conf side effects (UTC + nanosAsLong)
+    work = tempfile.mkdtemp(prefix="sink_rt_")
+    target = os.path.join(work, "lake")
+    stream, stage = _stage_events_stream(
+        spark, sf_dir, n_copies=2, max_files_per_trigger=1
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        enriched = (
+            stream.filter(F.col("ts").isNotNull())
+            .withColumn("hiveperiod", F.to_date("ts"))
+            .withColumn("dstrct_code", F.lit("D1"))
+        )
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():  # T5 skip-on-empty
+                return
+            write_epoch_batch(batch_df, target, epoch_id)
+
+        q = (
+            enriched.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(target)
+            .groupBy("hiveperiod", "dstrct_code")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct("ingest_epoch").cast("long").alias("n_epochs"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.col("hiveperiod").cast("date").alias("hiveperiod"),
+                F.col("dstrct_code").cast("string").alias("dstrct_code"),
+                "n_rows",
+                "n_epochs",
+                "sum_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Video container round-trip: mux a deterministic AVI (even hash) or
 # multi-chunk MP4 (odd hash) per document, demux it, and surface per-frame
 # lengths + byte checksums the oracle recomputes from the hash formulas

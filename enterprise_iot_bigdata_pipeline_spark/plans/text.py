@@ -2745,3 +2745,40 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return kept.select("doc_id").orderBy("doc_id").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def incremental_lsh_phase_times(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Per-phase timings for ``dedup_incremental_lsh`` (bench detail only —
+    not a registered query). The registered slot runs TWO full ingest
+    cycles by construction (epoch-0 index build over 80% of the corpus +
+    epoch-1 batch dedup of the remaining 20%), so its single headline
+    number reads as one query's cost when the PRODUCTION steady-state cost
+    is only the second phase (per-batch: B_new × index join, never corpus ×
+    corpus). This splits the two so the bench artifact records each."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    docs = t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    work = tempfile.mkdtemp(prefix="lsh_phase_")
+    idx = os.path.join(work, "index")
+    try:
+        t0 = time.perf_counter()
+        D.incremental_minhash_dedup(
+            spark, existing, idx, "text", "doc_id", _K, _BANDS, epoch_id=0
+        )
+        t1 = time.perf_counter()
+        kept = D.incremental_minhash_dedup(
+            spark, incoming, idx, "text", "doc_id", _K, _BANDS, epoch_id=1
+        )
+        kept.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
+        return {
+            "index_build": round(t1 - t0, 3),
+            "batch_dedup": round(t2 - t1, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
