@@ -20,6 +20,21 @@ from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import attach_fa
 from enterprise_iot_bigdata_pipeline_spark.plans import register
 from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
+# Audit hook: each streaming slot records its last EXECUTED streaming
+# physical plan here (explainInternal after the availableNow run), so
+# tools/explain_audit.py can assert the state-store/watermark properties
+# that the returned BATCH frame (a memory-sink/parquet readback) cannot
+# show. Capture-only — never load-bearing for the query result.
+STREAM_PLANS: dict[str, str] = {}
+
+
+def record_stream_plan(name: str, q) -> None:
+    try:
+        STREAM_PLANS[name] = q._jsq.explainInternal(True)
+    except Exception:  # noqa: BLE001 — audit-only, never fail the query
+        pass
+
+
 # ---------------------------------------------------------------------------
 # Repair audit (T4/F4, data-cleaner.py:109-117): DISTINCT partitions whose
 # stored date ≠ event-time date. Heartbeats synthesized at mixed scales as
@@ -285,6 +300,7 @@ def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_stream_plan("streaming_hour_agg", q)
         # Memory sink rows live on the driver — safe to drop the staged input
         # dir right away (no /tmp leak per run). localCheckpoint + dropTempView
         # also release the sink's driver copy, so repeated bench runs don't
@@ -400,6 +416,7 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
+        record_stream_plan("streaming_click_purchase_join", q)
         out_df = spark.table(name).localCheckpoint(eager=True)
         spark.catalog.dropTempView(name)
         return out_df
@@ -454,6 +471,7 @@ def streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_stream_plan("streaming_enrich_dim", q)
         out_df = spark.table(name).localCheckpoint(eager=True)
         spark.catalog.dropTempView(name)
         return out_df
@@ -527,6 +545,7 @@ def streaming_sink_parquet_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_stream_plan("streaming_sink_parquet_epoch", q)
         out = (
             spark.read.parquet(target)
             .groupBy("hiveperiod", "dstrct_code")
@@ -880,6 +899,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_stream_plan("streaming_dedup_keys", q)
         out_df = spark.table(name).localCheckpoint(eager=True)
         spark.catalog.dropTempView(name)
         return out_df
@@ -965,6 +985,7 @@ def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_stream_plan("streaming_sessionize_state", q)
         out_df = spark.table(name).localCheckpoint(eager=True)
         spark.catalog.dropTempView(name)
         return out_df
@@ -1024,6 +1045,7 @@ def streaming_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys=("event_type",),
         )
         q.awaitTermination()
+        record_stream_plan("streaming_rollup_merge", q)
         out = (
             read_rollup(spark, os.path.join(work, "rollup"))
             .select(

@@ -498,6 +498,11 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        from enterprise_iot_bigdata_pipeline_spark.plans.ingest import (
+            record_stream_plan,
+        )
+
+        record_stream_plan("streaming_anomaly_zscore", q)
         # sever the memory-sink view before returning: localCheckpoint
         # materializes the rows, dropTempView releases the sink's driver
         # copy (repeated bench runs would otherwise pin one result set

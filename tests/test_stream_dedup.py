@@ -209,3 +209,97 @@ def test_incremental_dedup_survives_swap_crash(spark, tmp_path):
     assert {r["doc_id"] for r in novel.collect()} == {11}
     # index healed and advanced: alpha, beta, gamma
     assert spark.read.parquet(idx).count() == 3
+
+
+def test_incremental_minhash_dedup_three_epochs_crash_replay(spark, tmp_path):
+    """Three ingest epochs with a crash-and-replay between each pair:
+    the atomic-swap + commit-marker contract must make a re-run of a
+    failed epoch IDEMPOTENT (identical kept frame, index unchanged), and
+    the index must keep accumulating correctly across the replays — the
+    claim at operators/dedup.py:incremental_minhash_dedup was only
+    two-epoch-tested before this."""
+    import shutil
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    idx = str(tmp_path / "lsh3_index")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun near the garden wall"
+    )
+    engines = (
+        "completely different subject matter entirely about distributed "
+        "database engines shuffling partitioned columnar data across racks"
+    )
+    weather = (
+        "unrelated fresh paragraph describing mountain weather patterns and "
+        "the migration of alpine birds across the high ridge every autumn"
+    )
+
+    def run(rows, epoch):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = incremental_minhash_dedup(
+            spark, df, idx, "text", "doc_id", epoch_id=epoch
+        )
+        return {r["doc_id"] for r in kept.collect()}
+
+    def index_snapshot():
+        return {
+            (r["band"], r["key"], r["keep_id"], r["added_epoch"])
+            for r in spark.read.parquet(idx).collect()
+        }
+
+    # epoch 0: one in-batch near-dup pair + one distinct doc
+    b0 = [(1, base), (2, base + " extra tail words"), (3, engines)]
+    assert run(b0, 0) == {1, 3}
+
+    # crash AFTER epoch 0 committed but BEFORE downstream consumed it:
+    # replaying epoch 0 must return the identical kept set and leave the
+    # index byte-identical (no duplicate band keys, no new epoch rows).
+    snap0 = index_snapshot()
+    assert run(b0, 0) == {1, 3}
+    assert index_snapshot() == snap0
+
+    # epoch 1: near-dup of an epoch-0 survivor (cross-batch drop) + fresh
+    b1 = [(10, base + " with a slightly different ending clause"), (11, weather)]
+    assert run(b1, 1) == {11}
+
+    # crash INSIDE the swap after epoch 1 (dir absent, tmp+old present),
+    # then the scheduler replays epoch 1: the healed index must replay the
+    # identical kept frame, not re-initialize or re-deduplicate.
+    snap1 = index_snapshot()
+    shutil.copytree(idx, idx + ".__swap_tmp__")
+    shutil.move(idx, idx + ".__swap_old__")
+    assert run(b1, 1) == {11}
+    assert index_snapshot() == snap1
+
+    # epoch 2 sees the ACCUMULATED index: near-dups of epoch-0 AND
+    # epoch-1 survivors drop, genuinely new content survives.
+    novel = (
+        "a third body of text on oceanic current simulation with spectral "
+        "solvers and the seasonal mixing of the upper thermocline layers"
+    )
+    b2 = [
+        (20, base + " and one more trailing clause appended"),  # ~ epoch-0 keep
+        (21, weather + " with an extra closing sentence"),       # ~ epoch-1 keep
+        (22, novel),
+    ]
+    assert run(b2, 2) == {22}
+
+    # replay epoch 2 after another between-epoch crash: same result.
+    snap2 = index_snapshot()
+    assert run(b2, 2) == {22}
+    assert index_snapshot() == snap2
+
+    # lineage: the index records which epoch added each survivor's keys,
+    # and every kept doc appears under exactly its own epoch.
+    by_epoch = {}
+    for _, _, keep_id, added in snap2:
+        by_epoch.setdefault(added, set()).add(keep_id)
+    assert by_epoch == {0: {1, 3}, 1: {11}, 2: {22}}
+
+    # an OLDER epoch replays its own kept set even after later commits
+    assert run(b1, 1) == {11}
+    assert index_snapshot() == snap2
