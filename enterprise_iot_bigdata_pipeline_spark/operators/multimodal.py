@@ -608,6 +608,17 @@ def build_mp4_meta(
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
 
+# Legal FIRST top-level boxes: branded MP4s lead with ftyp; legacy
+# QuickTime MOV files may lead straight with moov/mdat (or padding boxes).
+_BMFF_LEAD_TAGS = {b"ftyp", b"moov", b"mdat", b"free", b"skip", b"wide", b"pnot"}
+
+
+def _require_bmff(payload: bytes) -> None:
+    if len(payload) < 12 or payload[4:8] not in _BMFF_LEAD_TAGS:
+        raise ValueError(
+            "not an MP4/ISO-BMFF payload (no ftyp and no legacy MOV lead box)"
+        )
+
 
 def _mp4_boxes(data: bytes, start: int, end: int):
     """Yield (tag, body_start, body_end) for the boxes in data[start:end];
@@ -646,10 +657,11 @@ def parse_mp4_meta(payload: bytes) -> dict:
     crafted self-containing box can't recurse unboundedly."""
     import struct
 
-    if len(payload) < 12 or payload[4:8] != b"ftyp":
-        raise ValueError("not an MP4/ISO-BMFF payload (missing ftyp)")
+    _require_bmff(payload)
     meta: dict = {
-        "major_brand": payload[8:12].decode("latin-1"),
+        "major_brand": payload[8:12].decode("latin-1")
+        if payload[4:8] == b"ftyp"
+        else None,
         "timescale": None, "duration": None, "duration_s": None,
         "n_tracks": 0, "width": None, "height": None,
         "has_video": False, "has_audio": False,
@@ -721,6 +733,7 @@ def encode_mp4_mjpeg(
     timescale: int = 25,
     sample_delta: int = 1,
     samples_per_chunk: int | None = None,
+    include_ftyp: bool = True,
 ) -> bytes:
     """Minimal valid ISO-BMFF (QuickTime-compatible) file with one
     Motion-JPEG video track; ``frames`` are complete JPEG payloads.
@@ -728,7 +741,8 @@ def encode_mp4_mjpeg(
     mdat by absolute offset — hence moov-last). ``samples_per_chunk``
     splits samples across multiple chunks (default: one chunk) — real
     muxers interleave chunks, so the parser's stsc/stco run resolution
-    needs a multi-chunk fixture path."""
+    needs a multi-chunk fixture path. ``include_ftyp=False`` writes the
+    legacy QuickTime MOV layout (no ftyp; file leads with mdat)."""
     import struct
 
     def box(tag: bytes, payload: bytes) -> bytes:
@@ -740,7 +754,11 @@ def encode_mp4_mjpeg(
     frames = [bytes(f) for f in frames]
     n = len(frames)
     duration = n * sample_delta
-    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomiso2")
+    ftyp = (
+        box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomiso2")
+        if include_ftyp
+        else b""
+    )
     mdat = box(b"mdat", b"".join(frames))
     first_sample_off = len(ftyp) + 8  # mdat body start == chunk 1 offset
 
@@ -815,27 +833,263 @@ def encode_mp4_mjpeg(
     return ftyp + mdat + moov
 
 
+def encode_mp4_mjpeg_fragmented(
+    width: int,
+    height: int,
+    frames: list,
+    timescale: int = 25,
+    sample_delta: int = 1,
+    frames_per_fragment: int = 2,
+    per_sample_sizes: bool = True,
+) -> bytes:
+    """Fragmented ISO-BMFF (fMP4/DASH-style) Motion-JPEG file: ftyp, moov
+    with EMPTY sample tables + mvex/trex movie-extends defaults, then one
+    [moof + mdat] pair per fragment. Each moof carries mfhd (sequence),
+    tfhd (default-base-is-moof addressing) and trun (data-offset +
+    per-sample sizes). This is the layout every live/DASH muxer emits —
+    the sample map lives in the fragments, not in moov — so the parser's
+    moof/traf/trun walk needs a real fixture path. Writer and parser are
+    mirrors (the GIF/TIFF LZW lesson). ``per_sample_sizes=False`` emits
+    truns WITHOUT size tables (all frames must share one length, carried
+    as the trex default) — the fixed-bitrate muxer shape that exercises
+    the parser's trex-default fallback."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+    frames = [bytes(f) for f in frames]
+    n = len(frames)
+    duration = n * sample_delta
+    ftyp = box(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5iso6dash")
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = box(b"dinf", full(b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b"")))
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x05mjpeg" + b"\x00" * 26
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(b"jpeg", entry))
+    # fragmented movies keep EMPTY moov sample tables — samples live in trun
+    stbl = box(
+        b"stbl",
+        stsd
+        + full(b"stts", 0, 0, struct.pack(">I", 0))
+        + full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    # trex: per-track fragment defaults (track 1). default size 0 when
+    # every trun carries explicit sizes; the shared frame length otherwise.
+    if per_sample_sizes:
+        default_size = 0
+    else:
+        lens = {len(f) for f in frames}
+        if len(lens) > 1:
+            raise ValueError(
+                "per_sample_sizes=False requires all frames to share one length"
+            )
+        default_size = lens.pop() if lens else 0
+    trex = full(
+        b"trex", 0, 0, struct.pack(">IIIII", 1, 1, sample_delta, default_size, 0)
+    )
+    moov = box(b"moov", mvhd + trak + box(b"mvex", trex))
+
+    out = [ftyp, moov]
+    fpf = max(1, frames_per_fragment)
+    for seq, lo in enumerate(range(0, n, fpf), start=1):
+        chunk = frames[lo : lo + fpf]
+        mfhd = full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd flags 0x020000: default-base-is-moof (offsets relative to
+        # the moof box START — the modern addressing every DASH muxer uses)
+        tfhd = full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        # trun flags: 0x1 data-offset present, 0x200 per-sample sizes
+        # (omitted in the fixed-size layout — samples ride the trex default)
+        trun_body = struct.pack(">I", len(chunk))
+        # data_offset = moof total size + mdat header (mdat follows moof);
+        # trun size is deterministic from the sample count, so the moof
+        # size is computable before serialization
+        size_bytes = 4 * len(chunk) if per_sample_sizes else 0
+        trun_size = 8 + 4 + 4 + 4 + size_bytes
+        tfhd_size = len(tfhd)
+        traf_size = 8 + tfhd_size + trun_size
+        moof_size = 8 + len(mfhd) + traf_size
+        trun_body += struct.pack(">i", moof_size + 8)
+        if per_sample_sizes:
+            trun_body += b"".join(struct.pack(">I", len(f)) for f in chunk)
+        trun = full(b"trun", 0, 0x000201 if per_sample_sizes else 0x000001, trun_body)
+        traf = box(b"traf", tfhd + trun)
+        moof = box(b"moof", mfhd + traf)
+        assert len(moof) == moof_size
+        out.append(moof)
+        out.append(box(b"mdat", b"".join(chunk)))
+    return b"".join(out)
+
+
+def _resolve_fragment_samples(
+    payload: bytes,
+    fragments: list,
+    track_id,
+    trex_defaults: dict,
+    need,
+) -> list:
+    """Resolve fMP4 samples from the collected moof fragments: per traf,
+    the byte base is tfhd's explicit base-data-offset when present, else
+    the moof box start (default-base-is-moof — also the spec default for
+    a first traf); each trun adds its signed data-offset and walks
+    contiguous samples using per-sample trun sizes, falling back to
+    tfhd's default-sample-size, then the track's trex default. A trun
+    without a data offset (valid: continues the previous trun's bytes) is
+    a NAMED NotImplementedError gate — no real DASH muxer emits it for
+    video, and silently guessing offsets would corrupt frames."""
+    frames: list[bytes] = []
+    for frag in fragments:
+        for traf in frag["trafs"]:
+            if track_id is not None and traf.get("track_id") != track_id:
+                continue
+            base = traf.get("base", frag["start"])
+            default_size = traf.get("default_size")
+            if default_size is None:
+                default_size = trex_defaults.get(traf.get("track_id"), (None, None))[1]
+            for trun in traf["truns"]:
+                if trun["offset"] is None:
+                    raise NotImplementedError(
+                        "fMP4 trun without a data offset (continue-previous "
+                        "addressing): unsupported — every supported muxer "
+                        "layout carries explicit per-trun offsets"
+                    )
+                pos = base + trun["offset"]
+                need(0 <= pos <= len(payload), "trun data offset past file end")
+                sizes = trun["sizes"]
+                if sizes is None:
+                    need(
+                        default_size is not None and default_size > 0,
+                        "trun lacks sample sizes and no tfhd/trex default",
+                    )
+                    sizes = [default_size] * trun["count"]
+                for size in sizes:
+                    need(pos + size <= len(payload), "fragment sample past file end")
+                    frames.append(payload[pos : pos + size])
+                    pos += size
+    need(bool(frames), "fragmented MP4 resolved zero samples for the video track")
+    return frames
+
+
 def parse_mp4_samples(payload: bytes) -> dict:
     """Extract the video track's raw samples from an ISO-BMFF container by
     walking the real sample tables: stsd (codec fourcc), stsc
     (sample→chunk runs), stsz (sizes), stco/co64 (chunk offsets). Returns
     ``{"codec", "width", "height", "timescale", "duration", "frames"}``
     where frames are the raw sample payloads (standalone JPEGs for an
-    MJPEG track). Non-MJPEG video codecs raise NotImplementedError (named
-    gate — inter-frame codecs are out of scope); every malformed payload
-    raises ValueError (the parse_mp4_meta error contract: short bodies,
-    lying sizes, and deep nesting must never surface as struct.error/
-    IndexError and kill a decode batch)."""
+    MJPEG track). FRAGMENTED movies (fMP4/DASH: empty moov sample tables,
+    per-fragment moof/traf/trun sample maps) resolve through the fragment
+    walk — tfhd base-data-offset or default-base-is-moof addressing,
+    per-sample trun sizes with tfhd/trex defaults as fallback. Legacy MOV
+    files without an ftyp lead box parse too. Non-MJPEG video codecs and
+    valid-but-unsupported fragment addressing raise NotImplementedError
+    (named gates); every malformed payload raises ValueError (the
+    parse_mp4_meta error contract: short bodies, lying sizes, and deep
+    nesting must never surface as struct.error/IndexError and kill a
+    decode batch)."""
     import struct
 
-    if len(payload) < 12 or payload[4:8] != b"ftyp":
-        raise ValueError("not an MP4/ISO-BMFF payload (missing ftyp)")
+    _require_bmff(payload)
     meta = parse_mp4_meta(payload)  # validates tree + pulls dims/timescale
     tracks: list[dict] = []
+    trex_defaults: dict[int, tuple] = {}  # track_id -> (duration, size)
+    fragments: list[dict] = []  # per-moof: {"start": int, "trafs": [...]}
 
     def need(cond: bool, what: str) -> None:
         if not cond:
             raise ValueError(f"corrupt MP4: {what}")
+
+    def parse_traf(b0: int, b1: int) -> dict:
+        traf: dict = {"truns": []}
+        for tag, c0, c1 in _mp4_boxes(payload, b0, b1):
+            if tag == b"tfhd":
+                need(c1 - c0 >= 8, "tfhd body too short")
+                (vf,) = struct.unpack(">I", payload[c0 : c0 + 4])
+                flags = vf & 0xFFFFFF
+                (traf["track_id"],) = struct.unpack(">I", payload[c0 + 4 : c0 + 8])
+                pos = c0 + 8
+                if flags & 0x1:  # base-data-offset present
+                    need(c1 - pos >= 8, "tfhd base-data-offset past box end")
+                    (traf["base"],) = struct.unpack(">Q", payload[pos : pos + 8])
+                    pos += 8
+                if flags & 0x2:  # sample-description-index
+                    pos += 4
+                if flags & 0x8:  # default-sample-duration
+                    pos += 4
+                if flags & 0x10:  # default-sample-size
+                    need(c1 - pos >= 4, "tfhd default-sample-size past box end")
+                    (traf["default_size"],) = struct.unpack(
+                        ">I", payload[pos : pos + 4]
+                    )
+                    pos += 4
+                need(pos <= c1, "tfhd flags claim fields past box end")
+            elif tag == b"trun":
+                need(c1 - c0 >= 8, "trun body too short")
+                (vf,) = struct.unpack(">I", payload[c0 : c0 + 4])
+                flags = vf & 0xFFFFFF
+                (cnt,) = struct.unpack(">I", payload[c0 + 4 : c0 + 8])
+                pos = c0 + 8
+                trun: dict = {"count": cnt, "offset": None, "sizes": None}
+                if flags & 0x1:
+                    need(c1 - pos >= 4, "trun data-offset past box end")
+                    (trun["offset"],) = struct.unpack(">i", payload[pos : pos + 4])
+                    pos += 4
+                if flags & 0x4:  # first-sample-flags
+                    pos += 4
+                per = (
+                    (4 if flags & 0x100 else 0)
+                    + (4 if flags & 0x200 else 0)
+                    + (4 if flags & 0x400 else 0)
+                    + (4 if flags & 0x800 else 0)
+                )
+                need(c1 - pos >= per * cnt, "trun sample entries past box end")
+                if flags & 0x200:
+                    size_off = pos + (4 if flags & 0x100 else 0)
+                    trun["sizes"] = [
+                        struct.unpack(
+                            ">I", payload[size_off + per * i : size_off + per * i + 4]
+                        )[0]
+                        for i in range(cnt)
+                    ]
+                traf["truns"].append(trun)
+        return traf
 
     def walk(start: int, end: int, trak: dict | None, depth: int) -> None:
         if depth > 16:
@@ -845,10 +1099,30 @@ def parse_mp4_samples(payload: bytes) -> dict:
                 ctx: dict = {}
                 walk(b0, b1, ctx, depth + 1)
                 tracks.append(ctx)
+            elif tag == b"mvex":
+                for t2, c0, c1 in _mp4_boxes(payload, b0, b1):
+                    if t2 == b"trex":
+                        need(c1 - c0 >= 24, "trex body too short")
+                        tid, _sdi, ddur, dsize, _dflags = struct.unpack(
+                            ">IIIII", payload[c0 + 4 : c0 + 24]
+                        )
+                        trex_defaults[tid] = (ddur, dsize)
+            elif tag == b"moof":
+                frag: dict = {"start": b0 - 8, "trafs": []}
+                for t2, c0, c1 in _mp4_boxes(payload, b0, b1):
+                    if t2 == b"traf":
+                        frag["trafs"].append(parse_traf(c0, c1))
+                fragments.append(frag)
             elif tag in _MP4_CONTAINERS or tag == b"minf":
                 walk(b0, b1, trak, depth + 1)
             elif trak is None:
                 continue
+            elif tag == b"tkhd":
+                need(b1 - b0 >= 16, "tkhd body too short")
+                ver = payload[b0]
+                off = b0 + (20 if ver == 1 else 12)
+                need(off + 4 <= b1, "tkhd track_id past box end")
+                (trak["track_id"],) = struct.unpack(">I", payload[off : off + 4])
             elif tag == b"hdlr":
                 need(b1 - b0 >= 12, "hdlr body too short")
                 trak["handler"] = payload[b0 + 8 : b0 + 12]
@@ -913,7 +1187,21 @@ def parse_mp4_samples(payload: bytes) -> dict:
     offsets = trk.get("offsets")
     stsc = trk.get("stsc")
     if not (sizes and offsets and stsc):
-        raise ValueError("MP4 video track missing stsz/stco/stsc tables")
+        if fragments:
+            frames = _resolve_fragment_samples(
+                payload, fragments, trk.get("track_id"), trex_defaults, need
+            )
+            return {
+                "codec": codec,
+                "width": meta["width"],
+                "height": meta["height"],
+                "timescale": meta["timescale"],
+                "duration": meta["duration"],
+                "frames": frames,
+            }
+        raise ValueError(
+            "MP4 video track missing stsz/stco/stsc tables and no moof fragments"
+        )
 
     # Resolve per-sample absolute offsets: stsc runs give samples-per-chunk
     # from first_chunk (1-based) until the next run's first_chunk.

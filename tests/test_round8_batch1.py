@@ -112,3 +112,127 @@ class TestBucketedPrefix:
             with_bucketed_prefix(df, "v", "c", agg="avg", out_inclusive="x")
         with pytest.raises(ValueError):
             with_bucketed_prefix(df, "v", "c", agg="sum")
+
+
+def _mjpeg_frames(n=5, w=8, h=8):
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import encode_jpeg
+
+    return [
+        encode_jpeg(w, h, bytes((np.arange(w * h * 3) * (i + 1) % 256).astype("uint8")))
+        for i in range(n)
+    ]
+
+
+class TestFragmentedMp4:
+    """Round-8: fMP4 (moof/traf/trun) sample resolution + legacy MOV
+    (no-ftyp) acceptance — the two container variants the round-7 walker
+    gated away. Writer and parser are mirrors; frame BYTES must round-trip
+    exactly (the offsets algebra, not just counts)."""
+
+    def test_fragmented_roundtrip_exact_bytes(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg_fragmented,
+            parse_mp4_samples,
+        )
+
+        frames = _mjpeg_frames(5)
+        payload = encode_mp4_mjpeg_fragmented(8, 8, frames, frames_per_fragment=2)
+        got = parse_mp4_samples(payload)
+        assert got["codec"].strip() == "jpeg"
+        assert got["width"] == 8 and got["height"] == 8
+        assert got["frames"] == frames  # exact byte equality, 3 fragments (2+2+1)
+
+    def test_fragmented_decodes_pixels(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            decode_mp4_samples,
+            encode_mp4_mjpeg_fragmented,
+        )
+
+        frames = _mjpeg_frames(3)
+        meta = decode_mp4_samples(encode_mp4_mjpeg_fragmented(8, 8, frames))
+        assert len(meta["decoded"]) == 3
+        assert all(d["width"] == 8 and d["height"] == 8 for d in meta["decoded"])
+
+    def test_legacy_mov_without_ftyp(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg,
+            parse_mp4_meta,
+            parse_mp4_samples,
+        )
+
+        frames = _mjpeg_frames(4)
+        payload = encode_mp4_mjpeg(
+            8, 8, frames, include_ftyp=False, samples_per_chunk=2
+        )
+        assert payload[4:8] == b"mdat"  # genuinely leads without ftyp
+        assert parse_mp4_meta(payload)["major_brand"] is None
+        assert parse_mp4_samples(payload)["frames"] == frames
+
+    def test_trex_default_size_fallback(self):
+        # truns WITHOUT size tables (the fixed-bitrate muxer shape): the
+        # parser must fall back to the trex default sample size.
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg_fragmented,
+            parse_mp4_samples,
+        )
+
+        frames = _mjpeg_frames(1) * 4  # identical payloads -> one fixed size
+        payload = encode_mp4_mjpeg_fragmented(
+            8, 8, frames, frames_per_fragment=2, per_sample_sizes=False
+        )
+        assert b"trun" in payload and len(payload) < len(
+            encode_mp4_mjpeg_fragmented(8, 8, frames, frames_per_fragment=2)
+        )  # the size tables are genuinely absent
+        got = parse_mp4_samples(payload)
+        assert got["frames"] == frames
+
+    def test_mixed_lengths_reject_fixed_size_layout(self):
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg_fragmented,
+        )
+
+        with pytest.raises(ValueError, match="share one length"):
+            encode_mp4_mjpeg_fragmented(8, 8, _mjpeg_frames(3), per_sample_sizes=False)
+
+    def test_trun_without_offset_is_named_gate(self):
+        import struct
+
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg_fragmented,
+            parse_mp4_samples,
+        )
+
+        payload = bytearray(encode_mp4_mjpeg_fragmented(8, 8, _mjpeg_frames(2)))
+        j = bytes(payload).find(b"trun")
+        flags = struct.unpack(">I", payload[j + 4 : j + 8])[0]
+        payload[j + 4 : j + 8] = struct.pack(">I", flags & ~0x1)
+        with pytest.raises(NotImplementedError, match="data offset"):
+            parse_mp4_samples(bytes(payload))
+
+    def test_truncated_fragment_is_valueerror(self):
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg_fragmented,
+            parse_mp4_samples,
+        )
+
+        payload = encode_mp4_mjpeg_fragmented(8, 8, _mjpeg_frames(4))
+        with pytest.raises(ValueError):
+            parse_mp4_samples(payload[: len(payload) // 2])
+
+    def test_garbage_lead_box_rejected(self):
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            parse_mp4_samples,
+        )
+
+        with pytest.raises(ValueError, match="legacy MOV"):
+            parse_mp4_samples(b"\x00\x00\x00\x14natr" + b"\x00" * 24)
