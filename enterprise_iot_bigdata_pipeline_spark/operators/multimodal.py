@@ -1198,6 +1198,7 @@ def parse_mp4_samples(payload: bytes) -> dict:
                 "timescale": meta["timescale"],
                 "duration": meta["duration"],
                 "frames": frames,
+                "layout": "fragmented",
             }
         raise ValueError(
             "MP4 video track missing stsz/stco/stsc tables and no moof fragments"
@@ -1230,6 +1231,7 @@ def parse_mp4_samples(payload: bytes) -> dict:
         "timescale": meta["timescale"],
         "duration": meta["duration"],
         "frames": frames,
+        "layout": "stbl",
     }
 
 
@@ -2292,8 +2294,11 @@ def attach_video_media(
 ) -> DataFrame:
     """Synthesize one video container per document from the text-hash ramp:
     h%5+2 frames, frame i = bytes (h+11i+j)%256 for j < h%50+20+i (odd
-    lengths exercise RIFF's even-padding), dims (h%16+1, h%8+1); even h →
-    AVI/MJPG, odd h → MP4 with samples_per_chunk=2 (multi-run stsc)."""
+    lengths exercise RIFF's even-padding), dims (h%16+1, h%8+1). Container
+    layout rotates on h%4 so every walker path gets corpus coverage:
+    0 → AVI/MJPG, 1 → classic MP4 (samples_per_chunk=2, multi-run stsc),
+    2 → fragmented MP4 (moof/traf/trun, 2 frames per fragment),
+    3 → legacy MOV (no ftyp lead box)."""
     seeded = df.select(
         F.col(id_col).alias("doc_id"),
         F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long").alias("h"),
@@ -2306,10 +2311,19 @@ def attach_video_media(
                 h = int(h)
                 frames = _video_ramp_frames(h)
                 w, ht = h % 16 + 1, h % 8 + 1
-                if h % 2 == 0:
+                variant = h % 4
+                if variant == 0:
                     content = encode_avi_mjpeg(w, ht, frames, us_per_frame=40_000)
-                else:
+                elif variant == 1:
                     content = encode_mp4_mjpeg(w, ht, frames, samples_per_chunk=2)
+                elif variant == 2:
+                    content = encode_mp4_mjpeg_fragmented(
+                        w, ht, frames, frames_per_fragment=2
+                    )
+                else:
+                    content = encode_mp4_mjpeg(
+                        w, ht, frames, samples_per_chunk=2, include_ftyp=False
+                    )
                 rows.append((int(doc_id), content))
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
@@ -2338,7 +2352,15 @@ def parse_video_containers(media: DataFrame) -> DataFrame:
                         kind = "avi"
                     else:
                         meta = parse_mp4_samples(b)
-                        kind = "mp4"
+                        # label by the layout the parser ACTUALLY resolved
+                        # (fragment walk vs stbl tables) and by the lead
+                        # box (legacy MOV has no ftyp) — never by guesswork
+                        if meta.get("layout") == "fragmented":
+                            kind = "fmp4"
+                        elif b[4:8] != b"ftyp":
+                            kind = "mov"
+                        else:
+                            kind = "mp4"
                     frames = meta["frames"]
                     doc_rows = [
                         (

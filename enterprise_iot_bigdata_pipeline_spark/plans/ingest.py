@@ -573,15 +573,18 @@ def streaming_sink_parquet_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Video container round-trip: mux a deterministic AVI (even hash) or
-# multi-chunk MP4 (odd hash) per document, demux it, and surface per-frame
-# lengths + byte checksums the oracle recomputes from the hash formulas
-# alone (the multimodal ramp trick — see operators.multimodal
+# Video container round-trip: mux a deterministic container per document
+# (layout rotates on h%4: AVI, classic MP4, FRAGMENTED MP4 with
+# moof/traf/trun sample maps, legacy no-ftyp MOV), demux it, and surface
+# per-frame lengths + byte checksums the oracle recomputes from the hash
+# formulas alone (the multimodal ramp trick — see operators.multimodal
 # attach_video_media). A hash-green row proves the RIFF walker, the
 # ISO-BMFF stsc/stsz/stco sample-offset algebra (two stsc runs by
-# construction), and the Spark plumbing end-to-end. Frames are raw ramps,
-# not JPEGs: pixel decode is lossy and therefore pytest territory
-# (sample_video_frames), while the container math is exact.
+# construction), the fMP4 fragment walk (tfhd/trun offset algebra), the
+# legacy-MOV lead-box acceptance, and the Spark plumbing end-to-end.
+# Frames are raw ramps, not JPEGs: pixel decode is lossy and therefore
+# pytest territory (sample_video_frames), while the container math is
+# exact.
 # ---------------------------------------------------------------------------
 
 _VIDEO_AUDIT_ORACLE = """
@@ -595,7 +598,9 @@ f AS (
     FROM m
 )
 SELECT doc_id,
-       CASE WHEN h % 2 = 0 THEN 'avi' ELSE 'mp4' END AS container,
+       CASE CAST(h % 4 AS INTEGER)
+            WHEN 0 THEN 'avi' WHEN 1 THEN 'mp4'
+            WHEN 2 THEN 'fmp4' ELSE 'mov' END AS container,
        CAST(h % 5 + 2 AS INTEGER) AS n_frames,
        CAST(h % 16 + 1 AS INTEGER) AS width,
        CAST(h % 8 + 1 AS INTEGER) AS height,
