@@ -1353,6 +1353,13 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("f"),
         F.sum(F.col("value").cast("decimal(25,6)")).alias("m"),
     )
+    # Checkpoint the per-user reduction: the threshold passes, the anchor
+    # scalar, and the final banding all consume it, and the combined plan
+    # repeats the subtree 22 times — without the checkpoint that is 22
+    # scans of the events fact per query (measured; no ReusedExchange
+    # fires across these branch shapes). |users| rows — far below the
+    # fact — materialized once.
+    u = u.localCheckpoint(eager=False)
     mx = u.agg(F.max("last_day").alias("corp_day"))
     u2 = u.crossJoin(F.broadcast(mx)).select(
         "user_id", (F.col("corp_day") - F.col("last_day")).alias("r"), "f", "m"
@@ -1937,8 +1944,13 @@ ORDER BY p_retailprice, p_partkey
 @register("skyline_parts", _SKYLINE_ORACLE)
 def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
-    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
-        F.max("p_size").alias("pmax")
+    # Checkpoint the price reduction: the prefix operator's bounds scalar
+    # and its bucket tagging both consume it — without the checkpoint each
+    # re-scans part and re-groups. |distinct price| rows.
+    g = (
+        p.groupBy(F.col("p_retailprice").alias("price"))
+        .agg(F.max("p_size").alias("pmax"))
+        .localCheckpoint(eager=False)
     )
     # Bucketized two-phase prefix-max (operators.prefix): the frontier
     # sweep frame is |distinct price| — corpus-scale on an
