@@ -1630,12 +1630,21 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(sz - 1, F.lit(0)),
     )
     bg = docs.filter(sz >= 2).select(F.explode(grams).alias("g"))
-    cnt = bg.groupBy("g").agg(F.count(F.lit(1)).alias("n_ab"))
+    # Checkpoint both vocabulary reductions: cnt feeds the totals AND the
+    # qualified join, uni feeds the totals and BOTH marginal joins —
+    # without the checkpoints the plan repeats the corpus tokenize+explode
+    # five times (scan-count audit). Vocab-sized frames, materialized once.
+    cnt = (
+        bg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
     uni = (
         docs.select(F.explode(w).alias("tok"))
         .filter(F.length("tok") > 0)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_tok"))
+        .localCheckpoint(eager=False)
     )
     tot = cnt.agg(F.sum("n_ab").cast("long").alias("n_pairs")).crossJoin(
         uni.agg(F.sum("n_tok").cast("long").alias("n_uni"))

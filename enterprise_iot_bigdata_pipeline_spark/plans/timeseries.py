@@ -881,9 +881,15 @@ def timeseries_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     minute = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / _BURST_BUCKET_S).cast(
         "long"
     )
-    m = ev.select("event_type", minute.alias("minute_b")).groupBy(
-        "event_type", "minute_b"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # Checkpoint the minute reduction: span, the grid's type list, and the
+    # dense join all consume it — without the checkpoint the plan repeats
+    # the events scan six times (scan-count audit). |types|·|minutes| rows.
+    m = (
+        ev.select("event_type", minute.alias("minute_b"))
+        .groupBy("event_type", "minute_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     span = m.agg(F.min("minute_b").alias("lo"), F.max("minute_b").alias("hi"))
     grid = (
         m.select("event_type").distinct()
