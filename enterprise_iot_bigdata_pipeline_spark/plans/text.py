@@ -1965,10 +1965,15 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = docs.filter(sz >= 2).select("doc_id", F.explode(grams).alias("g"))
     cnt = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # uni feeds both the vocab scalar and the scoring join — checkpoint the
+    # vocab-sized reduction so the corpus tokenize+explode runs once for
+    # it. (bg is occurrence-scale — LARGER than the corpus — so its two
+    # consumers correctly re-derive it instead of materializing it.)
     uni = (
         docs.select(F.explode(w).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_tok"))
+        .localCheckpoint(eager=False)
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     fixed_ln = lambda c: F.round(F.log(c.cast("double")) * 1e6, 0).cast("long")  # noqa: E731
