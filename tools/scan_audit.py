@@ -1,0 +1,79 @@
+"""Scan-count audit: how many parquet scans does each registered query's
+EXECUTED plan contain, and over how many distinct tables?
+
+A plan whose scan count far exceeds its distinct-table count is repeating
+a shared subtree — Spark does not fire ReusedExchange across arbitrary
+branch shapes, so a multiply-consumed reduction silently re-scans the
+fact table once per consumer. At 100 TB that multiplier is the whole
+query cost. The fix is a lazy ``localCheckpoint`` on the SMALL reduction
+(never on fact-scale or occurrence-scale frames — materializing those is
+worse than re-scanning).
+
+Round-8 finds (all fixed with reduction checkpoints):
+  users_rfm_segments       22 scans -> 1   (per-user aggregate)
+  events_kmv_type_overlap   9 scans -> 2   (distinct hashes + sketch minima)
+  timeseries_burst_windows  6 scans -> 1   (per-minute counts)
+  text_bigram_lift          5 scans -> 2   (bigram + unigram vocab counts)
+
+Legitimate multi-scan shapes this audit will keep reporting (do NOT
+"fix" them): per-table unions (table_checksum_audit, filter_suite),
+set-operation branches (set_ops), two-pass percentile algorithms
+(timeseries_mad_outliers — the MAD needs the median first), composition
+evals that re-run scored pipelines (ann_recall_eval), and star joins
+whose scans are distinct DIMENSION tables (one pruned scan each).
+
+Run: python tools/scan_audit.py [sf_dir] [--max=N]   (default sf0.001)
+Exits non-zero if any query exceeds --max scans (default 12 — above
+every legitimate shape in the registry today).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    cap = next(
+        (int(a.split("=", 1)[1]) for a in sys.argv[1:] if a.startswith("--max=")),
+        12,
+    )
+    spark = get_spark(app_name="scan_audit")
+    rows = []
+    for name, fn in all_queries().items():
+        # streaming slots execute sinks at build time; their batch plan is
+        # a readback leaf and their streaming plan is audited by
+        # tools/explain_audit.py — skip here.
+        if name.startswith("streaming_"):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            n = plan.count("Scan parquet")
+            tables = set(re.findall(r"/(\w+)\.parquet", plan))
+            rows.append((n, len(tables), name))
+        except Exception as ex:  # noqa: BLE001 — report, don't die
+            rows.append((-1, 0, f"{name}  ERROR {str(ex)[:80]}"))
+    rows.sort(reverse=True)
+    bad = [r for r in rows if r[0] > cap]
+    for n, t, name in rows[:25]:
+        flag = "  <-- OVER CAP" if n > cap else ""
+        print(f"{n:3d} scans / {t} tables  {name}{flag}")
+    spark.stop()
+    if bad:
+        print(f"\n{len(bad)} queries exceed the {cap}-scan cap")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
