@@ -573,6 +573,75 @@ def streaming_sink_parquet_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-ORDER LAKE ROUND-TRIP: the clustered writers (sources/lake.py
+# write_zordered_lake — Delta OPTIMIZE ZORDER's shape: Morton-interleaved
+# range partition + in-file sort so footer stats prune on EVERY clustered
+# column) were pytest-only; this slot drives the write path through the
+# oracle gate. Events are written z-ordered on (user_id, value), read
+# back, and aggregated twice: the 'all' scope proves write FIDELITY (no
+# row lost, duplicated, or value-mangled through the Morton shuffle), the
+# 'selected' scope proves a point/range filter over both clustered
+# columns returns exact results through the pruned layout. The actual
+# file-skipping property is plan-shape, asserted in pytest
+# (test_write_zordered_lake_prunes_both_dimensions) — the oracle gates
+# the data.
+# ---------------------------------------------------------------------------
+
+_ZORDER_ORACLE = """
+SELECT 'all' AS scope,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM events
+UNION ALL
+SELECT 'selected',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE),
+       CAST(sum(event_id) AS BIGINT)
+FROM events
+WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 5.0 AND 50.0
+"""
+
+
+@register("lake_zorder_roundtrip", _ZORDER_ORACLE)
+def lake_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from enterprise_iot_bigdata_pipeline_spark.sources.lake import (
+        write_zordered_lake,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="zorder_rt_")
+    path = os.path.join(work, "lake")
+    try:
+        write_zordered_lake(ev, path, ("user_id", "value"), n_files=8)
+        back = spark.read.parquet(path)
+
+        def scope(df: DataFrame, name: str) -> DataFrame:
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.sum("event_id").cast("long").alias("sum_ids"),
+            ).select(F.lit(name).alias("scope"), "n_rows", "sum_value", "sum_ids")
+
+        sel = back.filter(
+            F.col("user_id").between(100, 300) & F.col("value").between(5.0, 50.0)
+        )
+        return (
+            scope(back, "all")
+            .unionByName(scope(sel, "selected"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Video container round-trip: mux a deterministic container per document
 # (layout rotates on h%4: AVI, classic MP4, FRAGMENTED MP4 with
 # moof/traf/trun sample maps, legacy no-ftyp MOV), demux it, and surface

@@ -940,9 +940,16 @@ AUDITED += [
     "agg_distributions",
     "subquery_mixed",
     "scalar_funcs",
+    "lake_zorder_roundtrip",
 ]
 
 CHECKS_R8: dict = {}
+CHECKS_R8["lake_zorder_roundtrip"] = [
+    ("Scan ExistingRDD", True,
+     "fidelity + pruned-filter aggregates materialized eagerly — the "
+     "z-ordered write/readback ran at build, before the temp lake is "
+     "cleaned; the file-skipping plan shape is pinned in pytest"),
+]
 CHECKS_R8["dedup_incremental_lsh"] = [
     ("Scan ExistingRDD", True,
      "kept frame rides its materialized checkpoint — both ingest epochs "
