@@ -999,6 +999,16 @@ def _resolve_fragment_samples(
                         default_size is not None and default_size > 0,
                         "trun lacks sample sizes and no tfhd/trex default",
                     )
+                    # A size-table-less trun carries no per-entry bytes to
+                    # bound its count by the box size, so bound it by the
+                    # file itself (the stsz fixed-size lesson) — a crafted
+                    # count=2^32-1 would otherwise allocate a 4-billion-
+                    # entry list and OOM the decode batch instead of
+                    # raising ValueError.
+                    need(
+                        trun["count"] * default_size <= len(payload),
+                        "trun fixed-size sample extent exceeds file size",
+                    )
                     sizes = [default_size] * trun["count"]
                 for size in sizes:
                     need(pos + size <= len(payload), "fragment sample past file end")
@@ -1108,7 +1118,21 @@ def parse_mp4_samples(payload: bytes) -> dict:
                         )
                         trex_defaults[tid] = (ddur, dsize)
             elif tag == b"moof":
-                frag: dict = {"start": b0 - 8, "trafs": []}
+                # Recover the box START (default-base-is-moof offsets are
+                # relative to it): a normal box header is 8 bytes (tag at
+                # body-4), a 64-bit largesize header is 16 (tag at
+                # body-12) — assuming 8 unconditionally would slice every
+                # fragment sample 8 bytes late on a largesize moof,
+                # silently corrupting frames.
+                if payload[b0 - 4 : b0] == b"moof":
+                    moof_start = b0 - 8
+                else:
+                    need(
+                        payload[b0 - 12 : b0 - 8] == b"moof",
+                        "moof body offset matches neither header size",
+                    )
+                    moof_start = b0 - 16
+                frag: dict = {"start": moof_start, "trafs": []}
                 for t2, c0, c1 in _mp4_boxes(payload, b0, b1):
                     if t2 == b"traf":
                         frag["trafs"].append(parse_traf(c0, c1))

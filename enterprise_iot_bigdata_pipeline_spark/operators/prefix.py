@@ -73,40 +73,49 @@ def with_bucketed_prefix(
     if out_inclusive is None and out_exclusive is None:
         raise ValueError("request at least one of out_inclusive/out_exclusive")
 
+    # Never shadow-then-drop a caller column (the write_zordered_lake
+    # precedent): uniquify every internal name against the frame.
+    def fresh(base: str) -> str:
+        name = base
+        while name in df.columns:
+            name += "_"
+        return name
+
+    c_lo, c_hi = fresh("__lo"), fresh("__hi")
+    c_bkt, c_btot, c_bprev = fresh("__bkt"), fresh("__btot"), fresh("__bprev")
+
     v = F.col(order_col).cast("double")
-    bounds = df.agg(
-        F.min(v).alias("__lo"), F.max(v).alias("__hi")
-    )
-    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bounds = df.agg(F.min(v).alias(c_lo), F.max(v).alias(c_hi))
+    width = (F.col(c_hi) - F.col(c_lo)) / F.lit(float(n_buckets))
     bkt = (
-        F.when(F.col("__hi") <= F.col("__lo"), F.lit(0))
+        F.when(F.col(c_hi) <= F.col(c_lo), F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_buckets - 1),
-                F.floor((v - F.col("__lo")) / width).cast("int"),
+                F.floor((v - F.col(c_lo)) / width).cast("int"),
             )
         )
-        .alias("__bkt")
+        .alias(c_bkt)
     )
-    tagged = df.join(F.broadcast(bounds)).select("*", bkt).drop("__lo", "__hi")
+    tagged = df.join(F.broadcast(bounds)).select("*", bkt).drop(c_lo, c_hi)
 
     agg_fn = F.sum if agg == "sum" else F.max
-    per_bucket = tagged.groupBy("__bkt").agg(agg_fn(value_col).alias("__btot"))
+    per_bucket = tagged.groupBy(c_bkt).agg(agg_fn(value_col).alias(c_btot))
     # O(n_buckets) rows — the only unpartitioned sweep, bounded by a
     # constant, never by the data.
-    w_bkts = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    w_bkts = W.orderBy(c_bkt).rowsBetween(W.unboundedPreceding, -1)
     bucket_prefix = per_bucket.select(
-        "__bkt", agg_fn("__btot").over(w_bkts).alias("__bprev")
+        c_bkt, agg_fn(c_btot).over(w_bkts).alias(c_bprev)
     )
 
-    w_in = W.partitionBy("__bkt").orderBy(order_col)
-    out = tagged.join(F.broadcast(bucket_prefix), "__bkt")
+    w_in = W.partitionBy(c_bkt).orderBy(order_col)
+    out = tagged.join(F.broadcast(bucket_prefix), c_bkt)
     if out_inclusive is not None:
         incl = agg_fn(value_col).over(
             w_in.rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        out = out.withColumn(out_inclusive, _combine(agg, F.col("__bprev"), incl))
+        out = out.withColumn(out_inclusive, _combine(agg, F.col(c_bprev), incl))
     if out_exclusive is not None:
         excl = agg_fn(value_col).over(w_in.rowsBetween(W.unboundedPreceding, -1))
-        out = out.withColumn(out_exclusive, _combine(agg, F.col("__bprev"), excl))
-    return out.drop("__bkt", "__bprev")
+        out = out.withColumn(out_exclusive, _combine(agg, F.col(c_bprev), excl))
+    return out.drop(c_bkt, c_bprev)

@@ -142,19 +142,40 @@ _PRIORITY = [
 ]
 
 
+# Re-entrancy: three oracle builders (ann_recall_eval, dedup_recall_eval,
+# entity_resolution_clusters) call load_all() at module-import time to
+# compose oracles of queries registered EARLIER in the import order. The
+# nested call must be a no-op — the registry is mid-load, so the rotation
+# validation below would (correctly) see missing names and refuse.
+_LOADING = False
+
+
 def load_all() -> None:
     """Import every plan module so registration side effects run."""
-    for m in _MODULES:
-        importlib.import_module(f"enterprise_iot_bigdata_pipeline_spark.plans.{m}")
-    for name, fn, oracle in _LATE:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
+    global _LOADING
+    if _LOADING:
+        return  # nested call from an oracle builder — outermost finishes up
+    _LOADING = True
+    try:
+        for m in _MODULES:
+            importlib.import_module(
+                f"enterprise_iot_bigdata_pipeline_spark.plans.{m}"
+            )
+        for name, fn, oracle in _LATE:
+            QUERIES[name] = fn
+            if oracle is not None:
+                ORACLES[name] = oracle
+    finally:
+        _LOADING = False
     # Rotation reorder (see _PRIORITY): priority names first, everything
-    # else in registration order behind them. A priority name that has an
-    # oracle must keep it — the driver window treats a missing oracle as
-    # an error row, so the rotation asserts the invariant here.
-    front = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    # else in registration order behind them. Unknown names fail LOUDLY —
+    # a typo or a later rename would otherwise silently drop a slot out of
+    # the driver's 50-query correctness window — and a priority name must
+    # carry an oracle (the window treats a missing oracle as an error row).
+    unknown = [n for n in _PRIORITY if n not in QUERIES]
+    if unknown:
+        raise RuntimeError(f"rotation names not in registry: {unknown}")
+    front = {n: QUERIES[n] for n in _PRIORITY}
     missing_oracle = [n for n in front if n not in ORACLES]
     if missing_oracle:
         raise RuntimeError(f"rotation names lack oracles: {missing_oracle}")

@@ -1318,7 +1318,7 @@ _RFM_THR_SQL = """
                max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS last_day,
                CAST(count(*) AS BIGINT) AS f,
                sum(CAST(value AS DECIMAL(25,6))) AS m
-        FROM events GROUP BY user_id
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ),
     mx AS (SELECT max(last_day) AS corp_day FROM u),
     u2 AS (SELECT user_id, mx.corp_day - u.last_day AS r, u.f, u.m FROM u, mx),
@@ -1346,7 +1346,13 @@ _RFM_THR_SQL = """
     """,
 )
 def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL on both sides: an all-NULL-ts user would carry a NULL
+    # recency into the threshold histogram, and with_bucketed_prefix
+    # requires a non-NULL order key (a NULL would land in the LAST bucket
+    # while the single-window oracle sorts it per-engine NULL order —
+    # shifting every quartile threshold). Filtering makes r provably
+    # non-NULL: max over a non-empty, non-NULL day set.
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     day = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400).cast("long")
     u = ev.groupBy("user_id").agg(
         F.max(day).alias("last_day"),

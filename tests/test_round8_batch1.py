@@ -236,3 +236,106 @@ class TestFragmentedMp4:
 
         with pytest.raises(ValueError, match="legacy MOV"):
             parse_mp4_samples(b"\x00\x00\x00\x14natr" + b"\x00" * 24)
+
+
+class TestReviewFixes:
+    """Round-8 review fixes: fMP4 allocation bomb + largesize moof base,
+    NULL-order-key precondition at the RFM call site, prefix-operator
+    column-collision guard, rotation typo guard."""
+
+    def test_trun_count_bomb_raises_not_oom(self):
+        # size-table-less trun with count=2^32-1 and a positive trex
+        # default must raise ValueError BEFORE allocating the sizes list.
+        import struct
+
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg_fragmented,
+            parse_mp4_samples,
+        )
+
+        frames = _mjpeg_frames(1) * 2
+        payload = bytearray(
+            encode_mp4_mjpeg_fragmented(8, 8, frames, per_sample_sizes=False)
+        )
+        j = bytes(payload).find(b"trun")
+        payload[j + 8 : j + 12] = struct.pack(">I", 0xFFFFFFFF)  # sample count
+        with pytest.raises(ValueError, match="exceeds file size"):
+            parse_mp4_samples(bytes(payload))
+
+    def test_largesize_moof_base_offset(self):
+        # rewrite the first moof as a 64-bit largesize box: offsets are
+        # relative to the moof START, which moves 8 bytes earlier — the
+        # parser must recover the true start, not assume an 8-byte header.
+        import struct
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg_fragmented,
+            parse_mp4_samples,
+        )
+
+        frames = _mjpeg_frames(4)
+        data = encode_mp4_mjpeg_fragmented(8, 8, frames, frames_per_fragment=2)
+        j = data.find(b"moof")
+        start = j - 4
+        (size,) = struct.unpack(">I", data[start : start + 4])
+        body = data[start + 8 : start + size]
+        # largesize header: size=1, tag, 64-bit size (8 bytes larger)
+        large = struct.pack(">I", 1) + b"moof" + struct.pack(">Q", size + 8) + body
+        # data offsets inside trun are moof-relative and the header grew by
+        # 8, so the mdat payload is now 8 bytes FURTHER from moof start
+        k = large.find(b"trun")
+        (off,) = struct.unpack(">i", large[k + 12 : k + 16])
+        large = large[: k + 12] + struct.pack(">i", off + 8) + large[k + 16 :]
+        patched = data[:start] + large + data[start + size :]
+        got = parse_mp4_samples(patched)
+        assert got["frames"] == frames
+
+    def test_rfm_all_null_ts_user_excluded_both_engines(self, spark, tmp_path):
+        # an all-NULL-ts user must drop out entirely (NULL recency would
+        # violate the prefix operator's non-NULL order-key precondition
+        # and diverge from the oracle's NULL ordering).
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        rows = []
+        for i in range(40):
+            rows.append((i, "2024-03-01 10:00:00", i % 7, "click", float(i)))
+        rows.append((100, None, 99, "click", 5.0))  # all-NULL-ts user
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["props"] = "{}"
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(tmp_path / "events.parquet"),
+        )
+        out = all_queries()["users_rfm_segments"](spark, str(tmp_path)).collect()
+        assert sum(r.n_users for r in out) == 7  # user 99 excluded
+
+    def test_prefix_operator_survives_colliding_columns(self, spark):
+        # a frame already carrying __bkt/__lo/__hi must neither collide
+        # nor lose its columns through the operator.
+        df = spark.createDataFrame(
+            [(1.0, 2, 7), (2.0, 3, 8)], "v double, c long, __bkt long"
+        )
+        got = with_bucketed_prefix(df, "v", "c", agg="sum", out_inclusive="incl")
+        rows = {r["v"]: (r["incl"], r["__bkt"]) for r in got.collect()}
+        assert rows == {1.0: (2, 7), 2.0: (5, 8)}
+
+    def test_rotation_rejects_unknown_names(self):
+        from enterprise_iot_bigdata_pipeline_spark import plans
+
+        plans.load_all()
+        plans._PRIORITY.append("no_such_query_xyz")
+        try:
+            with pytest.raises(RuntimeError, match="not in registry"):
+                plans.load_all()
+        finally:
+            plans._PRIORITY.remove("no_such_query_xyz")
+            plans.load_all()  # restore a consistent registry for other tests

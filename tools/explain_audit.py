@@ -1192,8 +1192,13 @@ def collect_audit(spark, sf_dir: str):
                 )
 
                 # the returned frame is a memory-sink/parquet readback;
-                # audit the streaming plan that actually executed
-                plan = STREAM_PLANS[name]
+                # audit the streaming plan that actually executed.
+                # record_stream_plan swallows capture errors by design, so
+                # a missing entry must fail THIS slot's checks visibly —
+                # not KeyError the whole artifact.
+                plan = STREAM_PLANS.get(
+                    name, f"<streaming plan capture missing for {name}>"
+                )
             else:
                 plan = df._jdf.queryExecution().executedPlan().toString()
         finally:
@@ -1202,7 +1207,13 @@ def collect_audit(spark, sf_dir: str):
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
-        simple = df._jdf.queryExecution().simpleString()
+        # for streaming slots the batch readback's simpleString is the
+        # WRONG plan to consult — checks run against the captured stream
+        # plan only
+        simple = (
+            "" if name in STREAM_AUDITED
+            else df._jdf.queryExecution().simpleString()
+        )
         # count real shuffles only (broadcast/single-partition are cheap)
         n_exchanges = len(re.findall(r"Exchange (hash|range)partitioning", plan))
         out.append(f"## {name}")
