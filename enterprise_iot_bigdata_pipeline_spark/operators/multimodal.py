@@ -965,56 +965,99 @@ def _resolve_fragment_samples(
     track_id,
     trex_defaults: dict,
     need,
+    allow_empty: bool = False,
 ) -> list:
     """Resolve fMP4 samples from the collected moof fragments: per traf,
-    the byte base is tfhd's explicit base-data-offset when present, else
-    the moof box start (default-base-is-moof — also the spec default for
-    a first traf); each trun adds its signed data-offset and walks
+    the byte base is (ISO 14496-12 §8.8.7, in precedence order) tfhd's
+    explicit base-data-offset when present; else the moof box start when
+    the tfhd carries default-base-is-moof (0x020000) or the traf is the
+    FIRST in its moof; else — non-first traf, no flag — the END of the
+    previous traf's data (the spec default for classic multi-traf
+    video+audio muxes). EVERY traf's extents are therefore walked, even
+    ones filtered out by ``track_id``, because the next traf's default
+    base may depend on this one's data end; only the matching track's
+    bytes are collected. Each trun adds its signed data-offset and walks
     contiguous samples using per-sample trun sizes, falling back to
     tfhd's default-sample-size, then the track's trex default. A trun
     without a data offset (valid: continues the previous trun's bytes) is
     a NAMED NotImplementedError gate — no real DASH muxer emits it for
-    video, and silently guessing offsets would corrupt frames."""
+    video, and silently guessing offsets would corrupt frames.
+    ``allow_empty`` relaxes the zero-sample check for the hybrid
+    stbl+moof layout, where the fragments may carry only other tracks."""
     frames: list[bytes] = []
     for frag in fragments:
-        for traf in frag["trafs"]:
-            if track_id is not None and traf.get("track_id") != track_id:
-                continue
-            base = traf.get("base", frag["start"])
+        prev_end: int | None = None  # previous traf's data end in this moof
+        for i, traf in enumerate(frag["trafs"]):
+            if "base" in traf:
+                base = traf["base"]
+            elif i == 0 or traf.get("dbim"):
+                base = frag["start"]
+            else:
+                # Spec default: continue from the previous traf's data.
+                need(
+                    prev_end is not None,
+                    "non-first traf needs the previous traf's data end but "
+                    "it could not be resolved",
+                )
+                base = prev_end
+            collect = track_id is None or traf.get("track_id") == track_id
             default_size = traf.get("default_size")
             if default_size is None:
                 default_size = trex_defaults.get(traf.get("track_id"), (None, None))[1]
-            for trun in traf["truns"]:
-                if trun["offset"] is None:
-                    raise NotImplementedError(
-                        "fMP4 trun without a data offset (continue-previous "
-                        "addressing): unsupported — every supported muxer "
-                        "layout carries explicit per-trun offsets"
-                    )
-                pos = base + trun["offset"]
-                need(0 <= pos <= len(payload), "trun data offset past file end")
-                sizes = trun["sizes"]
-                if sizes is None:
-                    need(
-                        default_size is not None and default_size > 0,
-                        "trun lacks sample sizes and no tfhd/trex default",
-                    )
-                    # A size-table-less trun carries no per-entry bytes to
-                    # bound its count by the box size, so bound it by the
-                    # file itself (the stsz fixed-size lesson) — a crafted
-                    # count=2^32-1 would otherwise allocate a 4-billion-
-                    # entry list and OOM the decode batch instead of
-                    # raising ValueError.
-                    need(
-                        trun["count"] * default_size <= len(payload),
-                        "trun fixed-size sample extent exceeds file size",
-                    )
-                    sizes = [default_size] * trun["count"]
-                for size in sizes:
-                    need(pos + size <= len(payload), "fragment sample past file end")
-                    frames.append(payload[pos : pos + size])
-                    pos += size
-    need(bool(frames), "fragmented MP4 resolved zero samples for the video track")
+
+            def walk_traf() -> int:
+                traf_end = base
+                for trun in traf["truns"]:
+                    if trun["offset"] is None:
+                        raise NotImplementedError(
+                            "fMP4 trun without a data offset (continue-previous "
+                            "addressing): unsupported — every supported muxer "
+                            "layout carries explicit per-trun offsets"
+                        )
+                    pos = base + trun["offset"]
+                    need(0 <= pos <= len(payload), "trun data offset past file end")
+                    sizes = trun["sizes"]
+                    if sizes is None:
+                        need(
+                            default_size is not None and default_size > 0,
+                            "trun lacks sample sizes and no tfhd/trex default",
+                        )
+                        # A size-table-less trun carries no per-entry bytes to
+                        # bound its count by the box size, so bound it by the
+                        # file itself (the stsz fixed-size lesson) — a crafted
+                        # count=2^32-1 would otherwise allocate a 4-billion-
+                        # entry list and OOM the decode batch instead of
+                        # raising ValueError.
+                        need(
+                            trun["count"] * default_size <= len(payload),
+                            "trun fixed-size sample extent exceeds file size",
+                        )
+                        sizes = [default_size] * trun["count"]
+                    for size in sizes:
+                        need(
+                            pos + size <= len(payload),
+                            "fragment sample past file end",
+                        )
+                        if collect:
+                            frames.append(payload[pos : pos + size])
+                        pos += size
+                    traf_end = max(traf_end, pos)
+                return traf_end
+
+            if collect:
+                prev_end = walk_traf()
+            else:
+                # A filtered-out traf is walked only for its data end (a
+                # later traf's spec-default base may need it). If IT can't
+                # resolve, that's not this track's problem unless someone
+                # actually depends on the end — record None and let the
+                # dependent traf's need() fire then.
+                try:
+                    prev_end = walk_traf()
+                except (ValueError, NotImplementedError):
+                    prev_end = None
+    if not allow_empty:
+        need(bool(frames), "fragmented MP4 resolved zero samples for the video track")
     return frames
 
 
@@ -1054,6 +1097,11 @@ def parse_mp4_samples(payload: bytes) -> dict:
                 (vf,) = struct.unpack(">I", payload[c0 : c0 + 4])
                 flags = vf & 0xFFFFFF
                 (traf["track_id"],) = struct.unpack(">I", payload[c0 + 4 : c0 + 8])
+                # default-base-is-moof (0x020000): offsets relative to the
+                # moof start. WITHOUT it and without an explicit base, the
+                # spec default for a non-first traf is the END of the
+                # previous traf's data — the resolver needs to know which.
+                traf["dbim"] = bool(flags & 0x020000)
                 pos = c0 + 8
                 if flags & 0x1:  # base-data-offset present
                     need(c1 - pos >= 8, "tfhd base-data-offset past box end")
@@ -1248,6 +1296,25 @@ def parse_mp4_samples(payload: bytes) -> dict:
                 pos += size
                 sample += 1
     need(sample == len(sizes), "stsc/stco chunks cover fewer samples than stsz")
+    layout = "stbl"
+    if fragments:
+        # Hybrid layout (progressive fMP4: populated stbl AND moof
+        # fragments). Ignoring the fragments would silently under-count
+        # frames vs the real file content — append the fragment-resolved
+        # samples after the stbl samples (movie-then-fragments is their
+        # presentation order). allow_empty: the fragments may carry only
+        # other tracks' continuations.
+        frames.extend(
+            _resolve_fragment_samples(
+                payload,
+                fragments,
+                trk.get("track_id"),
+                trex_defaults,
+                need,
+                allow_empty=True,
+            )
+        )
+        layout = "hybrid"
     return {
         "codec": codec,
         "width": meta["width"],
@@ -1255,7 +1322,7 @@ def parse_mp4_samples(payload: bytes) -> dict:
         "timescale": meta["timescale"],
         "duration": meta["duration"],
         "frames": frames,
-        "layout": "stbl",
+        "layout": layout,
     }
 
 

@@ -25,8 +25,15 @@ discipline as ``operators.sessionize``:
 
 Callers guarantee one row per distinct ``order_col`` value (both call
 sites group first), so within-bucket ordering is total and the result is
-bit-identical to the single-window form — which therefore remains the
-DuckDB oracle for every query built on this.
+bit-identical to the single-window form FOR EXACT VALUE TYPES (integral
+or decimal sums, max over any orderable type) — which therefore remains
+the DuckDB oracle for every query built on this. A floating-point ``sum``
+would NOT be bit-identical: the two-phase form reassociates the addition
+(per-bucket subtotal + merge vs one sequential sweep), and double
+addition is not associative. Both current call sites use long counts;
+``with_bucketed_prefix`` asserts exactness of the value type for
+``agg='sum'`` so a future double-sum caller fails loudly instead of
+relying on exact oracle equality.
 """
 
 from __future__ import annotations
@@ -72,6 +79,18 @@ def with_bucketed_prefix(
         raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
     if out_inclusive is None and out_exclusive is None:
         raise ValueError("request at least one of out_inclusive/out_exclusive")
+    if agg == "sum":
+        # Two-phase sum reassociates addition; only exact types keep the
+        # bit-identical-to-single-window contract (see module docstring).
+        vt = df.schema[value_col].dataType.typeName()
+        exact = {"byte", "short", "integer", "long", "decimal"}
+        if vt not in exact and not vt.startswith("decimal"):
+            raise TypeError(
+                f"with_bucketed_prefix(agg='sum') requires an exact numeric "
+                f"value_col (integral/decimal); got {vt} for {value_col!r} — "
+                f"float/double sums are not associative and would break the "
+                f"single-window oracle equality"
+            )
 
     # Never shadow-then-drop a caller column (the write_zordered_lake
     # precedent): uniquify every internal name against the frame.

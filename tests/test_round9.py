@@ -1,0 +1,203 @@
+"""Round-9 regressions: ADVICE r8 fixes.
+
+1. fMP4 non-first traf WITHOUT explicit base-data-offset and WITHOUT the
+   default-base-is-moof flag: ISO 14496-12 defaults its base to the END
+   of the previous traf's data (classic multi-traf video+audio muxes).
+   The r8 resolver wrongly defaulted every traf to the moof start.
+2. Hybrid layout (populated stbl AND moof fragments): the fragments'
+   samples must be appended, not silently dropped.
+3. scan_audit ERROR rows must fail the audit, not slide under the cap.
+4. with_bucketed_prefix(agg='sum') rejects non-exact value types (double
+   sums reassociate and break the single-window oracle equality).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+
+def _mjpeg_frames(n=3, w=8, h=8):
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.jpeg import encode_jpeg
+
+    return [
+        encode_jpeg(w, h, bytes((np.arange(w * h * 3) * (i + 1) % 256).astype("uint8")))
+        for i in range(n)
+    ]
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def _two_traf_moof(frames, decoy: bytes, decoy_trun_flags=0x000201):
+    """moof with traf#1 for (non-video) track 2 covering `decoy` bytes and
+    traf#2 for video track 1 covering `frames` — traf#2 carries NEITHER an
+    explicit base NOR default-base-is-moof, so its spec base is the END of
+    traf#1's data."""
+    mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", 1))
+
+    # traf#1 (decoy track): first traf, no base/dbim -> base = moof start.
+    t1_trun_body = struct.pack(">I", 1)
+    if decoy_trun_flags & 0x1:
+        t1_trun_body += struct.pack(">i", 0)  # patched below
+    if decoy_trun_flags & 0x200:
+        t1_trun_body += struct.pack(">I", len(decoy))
+    t1 = _box(
+        b"traf",
+        _full(b"tfhd", 0, 0, struct.pack(">I", 2))
+        + _full(b"trun", 0, decoy_trun_flags, t1_trun_body),
+    )
+
+    # traf#2 (video track 1): no base, no dbim, NOT first -> base must be
+    # the end of traf#1's data (= moof start + data_offset1 + len(decoy)).
+    t2_trun_body = (
+        struct.pack(">I", len(frames))
+        + struct.pack(">i", 0)  # continue exactly at previous traf's end
+        + b"".join(struct.pack(">I", len(f)) for f in frames)
+    )
+    t2 = _box(
+        b"traf",
+        _full(b"tfhd", 0, 0, struct.pack(">I", 1))
+        + _full(b"trun", 0, 0x000201, t2_trun_body),
+    )
+
+    moof_size = 8 + len(mfhd) + len(t1) + len(t2)
+    moof = bytearray(_box(b"moof", mfhd + t1 + t2))
+    if decoy_trun_flags & 0x1:
+        # patch traf#1's data_offset to point at mdat payload start
+        j = bytes(moof).find(b"trun")
+        moof[j + 12 : j + 16] = struct.pack(">i", moof_size + 8)
+    mdat = _box(b"mdat", decoy + b"".join(frames))
+    return bytes(moof), mdat
+
+
+class TestFmp4TrafBaseDefaults:
+    def _header(self, frames):
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg_fragmented,
+        )
+
+        whole = encode_mp4_mjpeg_fragmented(8, 8, frames)
+        j = whole.find(b"moof")
+        return whole[: j - 4]  # ftyp + moov (with mvex/trex)
+
+    def test_non_first_traf_defaults_to_previous_traf_end(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            parse_mp4_samples,
+        )
+
+        frames = _mjpeg_frames(3)
+        decoy = b"\xaa" * 13  # track-2 bytes ahead of the video frames
+        moof, mdat = _two_traf_moof(frames, decoy)
+        got = parse_mp4_samples(self._header(frames) + moof + mdat)
+        # r8 behavior (base = moof start for every traf) would slice 13
+        # bytes early and return garbage; spec default returns the frames.
+        assert got["frames"] == frames
+        assert got["layout"] == "fragmented"
+
+    def test_unresolvable_previous_traf_fails_loudly(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            parse_mp4_samples,
+        )
+
+        frames = _mjpeg_frames(2)
+        # decoy traf's trun has NO data offset (continue-previous) -> its
+        # data end is unknowable; the dependent video traf must raise, not
+        # silently guess a base.
+        moof, mdat = _two_traf_moof(frames, b"\xaa" * 13, decoy_trun_flags=0x000200)
+        with pytest.raises(ValueError, match="previous traf"):
+            parse_mp4_samples(self._header(frames) + moof + mdat)
+
+
+class TestHybridStblPlusFragments:
+    def test_fragment_frames_appended_after_stbl(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg,
+            parse_mp4_samples,
+        )
+
+        frames = _mjpeg_frames(5)
+        head = encode_mp4_mjpeg(8, 8, frames[:3])  # populated stbl movie
+        # one dbim-addressed fragment carrying the remaining two frames
+        tail = frames[3:]
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", 1))
+        trun_body = (
+            struct.pack(">I", len(tail))
+            + struct.pack(">i", 0)  # patched below
+            + b"".join(struct.pack(">I", len(f)) for f in tail)
+        )
+        traf = _box(
+            b"traf",
+            _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+            + _full(b"trun", 0, 0x000201, trun_body),
+        )
+        moof = bytearray(_box(b"moof", mfhd + traf))
+        j = bytes(moof).find(b"trun")
+        moof[j + 12 : j + 16] = struct.pack(">i", len(moof) + 8)
+        payload = head + bytes(moof) + _box(b"mdat", b"".join(tail))
+
+        got = parse_mp4_samples(payload)
+        assert got["layout"] == "hybrid"
+        assert got["frames"] == frames  # stbl 3 + fragment 2, in order
+
+    def test_pure_stbl_layout_unchanged(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg,
+            parse_mp4_samples,
+        )
+
+        frames = _mjpeg_frames(3)
+        got = parse_mp4_samples(encode_mp4_mjpeg(8, 8, frames))
+        assert got["layout"] == "stbl"
+        assert got["frames"] == frames
+
+
+class TestScanAuditErrors:
+    def test_error_rows_counted_as_failures(self):
+        # main()'s bad-row filter must catch n == -1 rows; replicate the
+        # filter expression on a synthetic row set (running the full audit
+        # lives in test_scan_audit.py).
+        rows = [(3, 2, "ok_query"), (-1, 0, "broken  ERROR boom")]
+        cap = 12
+        bad = [r for r in rows if r[0] > cap or r[0] < 0]
+        assert bad == [(-1, 0, "broken  ERROR boom")]
+
+
+class TestPrefixExactTypeGuard:
+    def test_double_sum_rejected(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.prefix import (
+            with_bucketed_prefix,
+        )
+
+        df = spark.createDataFrame([(1.0, 2.5)], "v double, c double")
+        with pytest.raises(TypeError, match="exact numeric"):
+            with_bucketed_prefix(df, "v", "c", agg="sum", out_inclusive="x")
+
+    def test_decimal_and_long_sums_accepted(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.prefix import (
+            with_bucketed_prefix,
+        )
+
+        df = spark.createDataFrame([(1.0, 2), (2.0, 3)], "v double, c long")
+        out = with_bucketed_prefix(df, "v", "c", agg="sum", out_inclusive="x")
+        assert {r["x"] for r in out.collect()} == {2, 5}
+        ddf = df.selectExpr("v", "cast(c as decimal(20,2)) as c")
+        out2 = with_bucketed_prefix(ddf, "v", "c", agg="sum", out_inclusive="x")
+        assert out2.count() == 2
+
+    def test_double_max_still_allowed(self, spark):
+        from enterprise_iot_bigdata_pipeline_spark.operators.prefix import (
+            with_bucketed_prefix,
+        )
+
+        df = spark.createDataFrame([(1.0, 2.5), (2.0, 1.5)], "v double, c double")
+        out = with_bucketed_prefix(df, "v", "c", agg="max", out_inclusive="x")
+        assert {r["x"] for r in out.collect()} == {2.5}

@@ -37,17 +37,15 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def main() -> int:
-    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
-    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+def audit_rows(spark, sf_dir: str) -> list[tuple[int, int, str]]:
+    """(scan_count, distinct_tables, name) per registered batch query.
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    cap = next(
-        (int(a.split("=", 1)[1]) for a in sys.argv[1:] if a.startswith("--max=")),
-        12,
-    )
-    spark = get_spark(app_name="scan_audit")
+    An erroring query is recorded as ``(-1, 0, "name  ERROR ...")`` —
+    callers MUST treat n == -1 as a failure (a broken query must not
+    slide under the scan cap).
+    """
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
     rows = []
     for name, fn in all_queries().items():
         # streaming slots execute sinks at build time; their batch plan is
@@ -64,13 +62,32 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report, don't die
             rows.append((-1, 0, f"{name}  ERROR {str(ex)[:80]}"))
     rows.sort(reverse=True)
-    bad = [r for r in rows if r[0] > cap]
+    return rows
+
+
+def main() -> int:
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    cap = next(
+        (int(a.split("=", 1)[1]) for a in sys.argv[1:] if a.startswith("--max=")),
+        12,
+    )
+    spark = get_spark(app_name="scan_audit")
+    rows = audit_rows(spark, sf_dir)
+    # ERROR rows (n == -1) are failures: a query that throws cannot pass
+    # the audit it was supposed to gate.
+    bad = [r for r in rows if r[0] > cap or r[0] < 0]
     for n, t, name in rows[:25]:
         flag = "  <-- OVER CAP" if n > cap else ""
         print(f"{n:3d} scans / {t} tables  {name}{flag}")
+    for n, t, name in rows:
+        if n < 0:
+            print(f"FAIL (query error): {name}")
     spark.stop()
     if bad:
-        print(f"\n{len(bad)} queries exceed the {cap}-scan cap")
+        print(f"\n{len(bad)} queries exceed the {cap}-scan cap or errored")
         return 1
     return 0
 
