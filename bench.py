@@ -259,6 +259,83 @@ EXCLUDED = {
 }
 
 
+# Calibration rows (round-9, verdict task): three FIXED generated-data
+# workloads that never read the lake and never change round-over-round, so
+# BENCH deltas can be attributed — a headline drift that tracks the
+# calibration ratio is host contention; one that doesn't is a real plan
+# regression. CAL_BASELINE pins the min-of-3 measured on the round-9
+# reference box; each artifact reports raw calibration times plus
+# ratio = median(time / baseline) and the ratio-normalized headline total.
+def _cal_shuffle_agg(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 30_000_000, 1, 32)
+        .withColumn("k", F.col("id") % 4096)
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+    )
+
+
+def _cal_hash_cpu(spark):
+    from pyspark.sql import functions as F
+
+    x = F.xxhash64("id")
+    for _ in range(6):
+        x = F.xxhash64(x)
+    # pmod before the sum: ANSI mode (Spark 4 default) would overflow a
+    # long sum of raw 64-bit hashes
+    return (
+        spark.range(0, 20_000_000, 1, 32)
+        .select(F.pmod(x, F.lit(1_000_000)).alias("h"))
+        .agg(F.sum("h").alias("s"))
+    )
+
+
+def _cal_join(spark):
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 8_000_000, 1, 32).withColumn("k", F.col("id") % 1_000_000)
+    b = spark.range(0, 1_000_000, 1, 32).withColumn(
+        "v", F.pmod(F.xxhash64("id"), F.lit(1_000_000))
+    ).withColumnRenamed("id", "k")
+    return a.join(b, "k").agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+
+
+CALIBRATIONS = {
+    "cal_shuffle_agg": _cal_shuffle_agg,
+    "cal_hash_cpu": _cal_hash_cpu,
+    "cal_join": _cal_join,
+}
+
+# min-of-3 on the round-9 box (local[32], 128 GiB) — the denominator for
+# the drift ratio. Do NOT update these when the box changes; the whole
+# point is that the ratio moves instead of the headline being argued over.
+CAL_BASELINE = {
+    "cal_shuffle_agg": 0.45,
+    "cal_hash_cpu": 0.17,
+    "cal_join": 0.909,
+}
+
+
+def run_calibration(spark) -> dict:
+    """Min-of-3 calibration times + drift ratio vs the pinned baseline."""
+    import statistics
+
+    times: dict[str, float] = {}
+    for name, fn in CALIBRATIONS.items():
+        fn(spark).write.format("noop").mode("overwrite").save()  # warmup
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+    ratio = round(
+        statistics.median(times[n] / CAL_BASELINE[n] for n in CALIBRATIONS), 3
+    )
+    return {"times": times, "baseline": CAL_BASELINE, "ratio": ratio}
+
+
 def bench_names(queries: dict) -> list[str]:
     """Every registered query gets a bench row: the curated HEADLINE order
     first (stable round-over-round comparison), then any registered query
@@ -338,17 +415,29 @@ def main() -> None:
             f"{type(exc).__name__}: {exc}"[:300]
         )
 
+    # Host-drift calibration: fixed generated workloads, pinned baseline.
+    try:
+        calibration = run_calibration(spark)
+    except Exception as exc:  # noqa: BLE001 — calibration must not kill bench
+        calibration = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
+    total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(times.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": times,
         "samples": samples,
         "phase_detail": phase_detail,
+        "calibration": calibration,
         "sf": sf,
     }
+    if calibration.get("ratio"):
+        # headline total with host drift divided out — compare THIS across
+        # rounds; a normalized delta is a plan change, not a busy box
+        out["value_normalized"] = round(total / calibration["ratio"], 3)
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
@@ -370,6 +459,9 @@ def main() -> None:
         "detail": "BENCH_LOCAL.json",
         "queries": {},
     }
+    if calibration.get("ratio"):
+        compact["calibration_ratio"] = calibration["ratio"]
+        compact["value_normalized"] = out["value_normalized"]
     if errors:
         compact["n_errors"] = len(errors)
     for name in names:

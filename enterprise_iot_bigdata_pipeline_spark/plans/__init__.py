@@ -76,69 +76,78 @@ def register(name: str, oracle: str | None = None, late: bool = False):
 
 
 # Driver-window rotation: the per-round correctness artifact samples the
-# FIRST 50 registered queries, and by round 7 it had covered 131 of the
-# (then) 202 registry names while 115 had only judge/sweep evidence. The
-# names below — all oracle-backed, all green in the round-7 judge sweep and
-# the three-SF builder sweep — are moved to the FRONT of the registry for
-# this round so the driver window converts that evidence into hard
-# CORRECTNESS rows: the 11 TPC-H join/agg shapes, the graph suite, the
-# incremental-LSH ingest loop, the remaining streaming semantics (incl. the
-# new production-parquet-sink round-trip), the full timeseries suite, BPE,
-# the recall evals, and the two freshly two-phased sweeps
-# (skyline_parts / users_rfm_segments). Everything else keeps its relative
-# registration order behind them; the two principled rows-only slots stay
-# at the very end (late=True).
+# FIRST 50 registered queries. Rounds 1–8 covered 137 distinct registry
+# names; 67 + 3 new slots had only judge/sweep evidence entering round 9.
+# The round-9 window below (all oracle-backed, all green in the round-8
+# judge sweep / three-SF builder sweep or freshly oracle-verified this
+# round) converts the next 50 into hard CORRECTNESS rows: the full
+# events_* analytics suite, the remaining join_*/orders_* shapes, the four
+# extraction queries (json/xml/variant/csv), the z-order lake round-trip,
+# the funnel, and the three NEW round-9 slots (checkpoint-recovery
+# streaming, sorted-lake round-trip, dashboard fill-gaps). The ~20
+# leftover never-sampled names (embeddings_*, samplers, SCD2/FIFO/Pareto/
+# basket/mode/unpivot/hierarchy, cohort retention, funnel_time_to_convert,
+# quality_fk_orphans, table_checksum_audit, table_layout_plan,
+# text_lang_confusion, ann_hard_negatives) rotate in round 10. Everything
+# else keeps its relative registration order behind them; the two
+# principled rows-only slots stay at the very end (late=True).
 _PRIORITY = [
-    "join_min_cost_supplier_q2",
-    "join_exists_priority_q4",
-    "agg_forecast_revenue_q6",
-    "join_market_share_q8",
-    "join_product_profit_q9",
-    "agg_important_values_q11",
-    "agg_ship_delay_q12",
-    "join_custdist_q13",
-    "agg_promo_share_q14",
-    "join_excess_suppliers_q20",
-    "join_dormant_balances_q22",
-    "graph_pagerank_nations",
-    "graph_triangle_count",
-    "graph_bfs_recursive",
-    "graph_kcore_parts",
-    "graph_markov_stationary",
-    "dedup_incremental_lsh",
-    "streaming_sink_parquet_epoch",
-    "streaming_dedup_keys",
-    "streaming_sessionize_state",
-    "streaming_rollup_merge",
-    "streaming_anomaly_zscore",
-    "ingest_ndjson_quarantine",
-    "timeseries_m4_downsample",
-    "timeseries_anomaly_zscore",
-    "timeseries_interpolate",
-    "timeseries_trend_ols",
-    "timeseries_fir_smooth",
-    "timeseries_anomaly_chunked",
-    "timeseries_winsorize",
-    "timeseries_seasonal_profile",
-    "timeseries_range_window",
-    "timeseries_time_weighted_avg",
-    "timeseries_gap_topk",
-    "timeseries_mad_outliers",
-    "timeseries_burst_windows",
-    "timeseries_cusum_shift",
-    "timeseries_histogram",
-    "timeseries_autocorr",
-    "timeseries_stl_decompose",
-    "timeseries_mase_baseline",
-    "timeseries_declining_streaks",
-    "bpe_train_merges",
-    "bpe_encode_apply",
-    "entity_resolution_clusters",
-    "ann_recall_eval",
-    "dedup_recall_eval",
-    "sessionize_two_phase",
-    "skyline_parts",
-    "users_rfm_segments",
+    # never-sampled events_* analytics suite (27)
+    "events_key_skew_profile",
+    "events_benford_audit",
+    "events_rolling_wau",
+    "events_kmv_distinct",
+    "events_countmin_freq",
+    "events_column_entropy",
+    "events_kmv_type_overlap",
+    "events_dau_mau",
+    "events_psi_drift",
+    "events_cumulative_users",
+    "events_decayed_type_weight",
+    "events_value_quartiles",
+    "events_type_cooccurrence",
+    "events_transition_matrix",
+    "events_session_window_agg",
+    "events_rank_battery",
+    "events_quartile_banded",
+    "events_transition_dwell",
+    "events_attribution_touch",
+    "events_top_paths",
+    "events_interval_islands",
+    "events_ab_test_summary",
+    "events_pattern_match",
+    "events_relational_division",
+    "events_chi_square",
+    "events_spatial_pairs",
+    "events_grid_hotspots",
+    # never-sampled join_* shapes (10)
+    "join_bloom_prune",
+    "join_fuzzy_names",
+    "join_snapshot_diff",
+    "join_interval_overlap",
+    "join_supplier_diversity",
+    "join_blame_suppliers",
+    "join_small_quantity_revenue",
+    "join_top_supplier_quarter",
+    "join_disjunctive_revenue",
+    "join_point_in_time",
+    # never-sampled orders_* shapes (4)
+    "orders_price_reconcile",
+    "orders_backlog_profile",
+    "orders_fulfillment_latency",
+    "orders_cohort_ltv",
+    # never-sampled extraction battery (4)
+    "json_extract_fields",
+    "xml_extract_fields",
+    "variant_extract_fields",
+    "csv_extract_fields",
+    # never-sampled round-8 z-order writer + the funnel (2)
+    "lake_zorder_roundtrip",
+    "funnel_view_click_purchase",
+    # NEW round-9 slots (3): driver evidence on first registration
+    "streaming_checkpoint_recovery",
+    "lake_sorted_roundtrip",
+    "events_fill_gaps",
 ]
 
 

@@ -1200,3 +1200,159 @@ def ingest_ndjson_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CHECKPOINT-RECOVERY streaming round-trip (T3 at the query level, verdict
+# r8 task 5): TWO SEPARATE availableNow invocations share ONE checkpoint
+# directory over a file-source stage. Run 1 sees file A and lands it in
+# the exactly-once parquet file sink; file B then arrives; run 2 restarts
+# from the SAME checkpoint and must process ONLY file B. The sink is read
+# back and aggregated with 2x algebra (both files symlink the same events
+# table): if the restart ignored the checkpoint the readback is 3x (A
+# reprocessed) and the hash fails; if the restart processed nothing it is
+# 1x and fails too. This promotes pytest's
+# test_stream_compact_exactly_once semantics to a driver-gated slot —
+# restart-with-same-checkpoint is the production crash-recovery story
+# (reference: s3_datalog_processor.py's claim/SUCCESS machinery, which
+# restarts from the MSSQL claim table instead of a checkpoint).
+# ---------------------------------------------------------------------------
+
+_CKPT_RECOVERY_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(2 * count(*) AS BIGINT) AS n_rows,
+       CAST(2 * sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("streaming_checkpoint_recovery", _CKPT_RECOVERY_ORACLE)
+def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    t(spark, sf_dir, "events")  # session-conf side effects (UTC + nanosAsLong)
+    work = tempfile.mkdtemp(prefix="ckpt_rec_")
+    stage = os.path.join(work, "stage")
+    target = os.path.join(work, "lake")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(stage)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def run_once(tag: str) -> None:
+        stream = spark.readStream.schema(schema).parquet(stage)
+        raw_ts = dict(stream.dtypes).get("ts")
+        if raw_ts == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif raw_ts == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (
+            stream.filter(F.col("ts").isNotNull())
+            .select("ts", "value")
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # run2 (the restart) is the audited plan — recovery is the story;
+        # run1 rides along under a suffixed key for inspection
+        key = (
+            "streaming_checkpoint_recovery"
+            if tag == "run2"
+            else f"streaming_checkpoint_recovery:{tag}"
+        )
+        record_stream_plan(key, q)
+
+    try:
+        os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "a.parquet"))
+        run_once("run1")
+        # file B arrives AFTER run 1 fully terminated; run 2 is a genuine
+        # restart (new query object, same checkpoint) and must see only B
+        os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "b.parquet"))
+        run_once("run2")
+        return (
+            spark.read.parquet(target)
+            .groupBy(F.to_date("ts").alias("event_date"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# SORTED-LAKE round-trip (verdict r8 task 4): sources.lake.write_sorted_lake
+# (repartitionByRange + sortWithinPartitions — every parquet file covers a
+# DISJOINT sort-key range so footer min/max stats skip whole files on
+# selective filters; the single-dimension sibling of the z-order writer)
+# was pytest-only machinery. Same gate shape as lake_zorder_roundtrip:
+# events written sorted on event_id, read back, aggregated in an 'all'
+# scope (write fidelity — nothing lost/duplicated/mangled through the
+# range shuffle) and a 'selected' scope (a selective sort-key filter
+# returns exact results through the skipping layout). The file-skipping
+# property itself is plan/footer shape, asserted in pytest.
+# ---------------------------------------------------------------------------
+
+_SORTED_ORACLE = """
+SELECT 'all' AS scope,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM events
+UNION ALL
+SELECT 'selected',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE),
+       CAST(sum(event_id) AS BIGINT)
+FROM events
+WHERE event_id BETWEEN 1000 AND 5000
+"""
+
+
+@register("lake_sorted_roundtrip", _SORTED_ORACLE)
+def lake_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from enterprise_iot_bigdata_pipeline_spark.sources.lake import write_sorted_lake
+
+    ev = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="sorted_rt_")
+    path = os.path.join(work, "lake")
+    try:
+        write_sorted_lake(ev, path, ("event_id",), n_files=8)
+        back = spark.read.parquet(path)
+
+        def scope(df: DataFrame, name: str) -> DataFrame:
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.sum("event_id").cast("long").alias("sum_ids"),
+            ).select(F.lit(name).alias("scope"), "n_rows", "sum_value", "sum_ids")
+
+        sel = back.filter(F.col("event_id").between(1000, 5000))
+        return (
+            scope(back, "all")
+            .unionByName(scope(sel, "selected"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

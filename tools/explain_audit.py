@@ -891,6 +891,7 @@ STREAM_AUDITED = {
     "streaming_rollup_merge",
     "streaming_sink_parquet_epoch",
     "streaming_anomaly_zscore",
+    "streaming_checkpoint_recovery",
 }
 
 AUDITED += [
@@ -941,6 +942,10 @@ AUDITED += [
     "subquery_mixed",
     "scalar_funcs",
     "lake_zorder_roundtrip",
+    # round-9 slots
+    "streaming_checkpoint_recovery",
+    "lake_sorted_roundtrip",
+    "events_fill_gaps",
 ]
 
 CHECKS_R8: dict = {}
@@ -1144,6 +1149,32 @@ CHECKS_R8["streaming_anomaly_zscore"] = [
 ]
 CHECKS.update(CHECKS_R8)
 
+# round-9 slots
+CHECKS_R9: dict = {}
+CHECKS_R9["streaming_checkpoint_recovery"] = [
+    # the audited plan is run 2 — the RESTART from the shared checkpoint
+    ("FileSink", True,
+     "the restart writes through the exactly-once streaming file sink"),
+    ("checkpointLocation", True,
+     "the restart carries the SHARED checkpoint — its source offsets make "
+     "run 2 skip run 1's file (the oracle's 2x algebra proves it did)"),
+    ("IsNotNull(ts)", True, "the ts filter reaches the streamed scan"),
+]
+CHECKS_R9["lake_sorted_roundtrip"] = [
+    ("Scan ExistingRDD", True,
+     "fidelity + selected-scope aggregates materialized eagerly — the "
+     "sorted write/readback ran at build, before the temp lake is cleaned; "
+     "the file-skipping plan shape is pinned in pytest"),
+]
+CHECKS_R9["events_fill_gaps"] = [
+    ("Generate explode(sequence", True,
+     "the tick spine generates map-side per group (sequence+explode after "
+     "one min/max agg) — no driver range, no cross join"),
+    ("CartesianProduct", False, "densify never cross-joins"),
+    ("BatchEvalPython", False, "spine + ffill are JVM window/sequence ops"),
+]
+CHECKS.update(CHECKS_R9)
+
 CONF_OVERRIDES = {
     "join_large_orders": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "cohort_weekly_retention": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
@@ -1171,6 +1202,15 @@ def collect_audit(spark, sf_dir: str):
     from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
 
     queries = all_queries()
+    # The curated AUDITED order leads (stable diffs, hand-written checks);
+    # any registered query not yet listed is appended so a new registration
+    # can never silently miss the artifact (the bench_names convention).
+    # A curated name missing from the registry is a typo/rename — fail loud.
+    unknown = [n for n in AUDITED if n not in queries]
+    if unknown:
+        raise RuntimeError(f"explain_audit AUDITED names not in registry: {unknown}")
+    listed = set(AUDITED)
+    names = AUDITED + [n for n in queries if n not in listed]
     out = [
         "# EXPLAIN — physical plans of the headline queries",
         "",
@@ -1179,7 +1219,7 @@ def collect_audit(spark, sf_dir: str):
         "",
     ]
     failures = []
-    for name in AUDITED:
+    for name in names:
         overrides = CONF_OVERRIDES.get(name, {})
         saved = {k: spark.conf.get(k, None) for k in overrides}
         for k, v in overrides.items():
@@ -1248,7 +1288,8 @@ def main() -> None:
     spark = get_spark(app_name="explain_audit")
     out, failures = collect_audit(spark, sf_dir)
     (REPO / "EXPLAIN.md").write_text("\n".join(out))
-    print(f"wrote EXPLAIN.md ({len(AUDITED)} plans)")
+    n_sections = sum(1 for line in out if line.startswith("## "))
+    print(f"wrote EXPLAIN.md ({n_sections} plans)")
     if failures:
         print("PLAN CHECK FAILURES:", failures)
         sys.exit(1)
