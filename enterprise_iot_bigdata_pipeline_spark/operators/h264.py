@@ -1,0 +1,241 @@
+"""H.264/AVC configuration parsing: avcC record + SPS header decode.
+
+Round-9 polish (VERDICT r8 task 7): `parse_mp4_samples` gates non-MJPEG
+sample DECODE behind a named NotImplementedError — an inter-frame codec
+is out of scope by design. But a 100 TB video-curation pipeline still
+needs the STREAM METADATA of the dominant codec (what resolution /
+profile / level is this asset? does it match the container's tkhd?),
+and that lives in the avcC box (ISO 14496-15 AVCDecoderConfigurationRecord)
+plus the SPS NAL it carries (ITU-T H.264 §7.3.2.1.1) — both fully
+parseable without a single inverse transform. This module decodes:
+
+- the avcC record: configuration version, profile/compat/level bytes,
+  NAL length-size, and the embedded SPS/PPS parameter sets;
+- the first SPS via an Exp-Golomb bit reader (emulation-prevention bytes
+  stripped): profile_idc, level_idc, chroma format, frame dimensions
+  with the frame-cropping rectangle applied — the real coded size, which
+  for e.g. 1080p differs from the macroblock grid (1088) the container
+  never shows.
+
+Sample decode stays gated: this is metadata extraction, the thing a
+curation filter (drop < 720p, keep high-profile only) actually needs.
+
+Error contract matches operators.multimodal: malformed input raises
+ValueError (never struct.error/IndexError into a decode batch);
+genuinely-unsupported-but-valid features raise NotImplementedError by
+name.
+"""
+
+from __future__ import annotations
+
+__all__ = ["parse_avcc", "parse_sps", "parse_h264_config"]
+
+
+class _BitReader:
+    """MSB-first bit reader with Exp-Golomb (ue/se) support."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("corrupt SPS: bitstream exhausted")
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("corrupt SPS: Exp-Golomb prefix too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _strip_emulation(nal: bytes) -> bytes:
+    """Remove H.264 emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    zeros = 0
+    for b in nal:
+        if zeros >= 2 and b == 0x03:
+            zeros = 0
+            continue  # the 0x03 is an escape, not payload
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+# profiles whose SPS carries the chroma/bit-depth/scaling-matrix block
+_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+def parse_sps(nal: bytes) -> dict:
+    """Decode an SPS NAL (with or without its 1-byte NAL header) into
+    ``{"profile_idc", "level_idc", "chroma_format_idc", "width",
+    "height", "frame_mbs_only"}``. Width/height are the CROPPED coded
+    dimensions (the visible frame), not the macroblock grid."""
+    if not nal:
+        raise ValueError("corrupt SPS: empty NAL")
+    body = nal
+    if body[0] & 0x1F == 7:  # NAL header present (forbidden_zero+ref+type)
+        body = body[1:]
+    r = _BitReader(_strip_emulation(body))
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1  # the pre-high-profile implicit 4:2:0
+    separate_colour_plane = 0
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            separate_colour_plane = r.u(1)
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            raise NotImplementedError(
+                "H.264 SPS with explicit scaling matrices: list decode "
+                "unsupported (rare outside studio profiles)"
+            )
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):  # num_ref_frames_in_pic_order_cnt_cycle
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pic_width_in_mbs = r.ue() + 1
+    pic_height_in_map_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+
+    # crop units per H.264 Table 6-1 (§7.4.2.1.1): ChromaArrayType 0
+    # (monochrome / separate planes) crops in luma samples; 4:2:0 halves
+    # both axes; 4:2:2 halves X only; frame/field doubles Y.
+    chroma_array_type = 0 if separate_colour_plane else chroma_format_idc
+    sub_w = {0: 1, 1: 2, 2: 2, 3: 1}[chroma_array_type]
+    sub_h = {0: 1, 1: 2, 2: 1, 3: 1}[chroma_array_type]
+    unit_x = sub_w
+    unit_y = sub_h * (2 - frame_mbs_only)
+    width = pic_width_in_mbs * 16 - unit_x * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * pic_height_in_map_units * 16 - unit_y * (
+        crop_t + crop_b
+    )
+    if width <= 0 or height <= 0:
+        raise ValueError("corrupt SPS: cropping exceeds the coded frame")
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "width": width,
+        "height": height,
+        "frame_mbs_only": frame_mbs_only,
+    }
+
+
+def parse_avcc(record: bytes) -> dict:
+    """Decode an AVCDecoderConfigurationRecord (the avcC box body,
+    ISO 14496-15 §5.3.3.1): version/profile/level bytes, NAL length-size,
+    and the raw SPS/PPS NAL payloads."""
+    import struct
+
+    if len(record) < 7:
+        raise ValueError("corrupt avcC: record shorter than 7 bytes")
+    if record[0] != 1:
+        raise ValueError(f"corrupt avcC: configurationVersion {record[0]} != 1")
+    out = {
+        "profile_idc": record[1],
+        "profile_compat": record[2],
+        "level_idc": record[3],
+        "nal_length_size": (record[4] & 0x3) + 1,
+        "sps": [],
+        "pps": [],
+    }
+    pos = 5
+    n_sps = record[pos] & 0x1F
+    pos += 1
+    for _ in range(n_sps):
+        if pos + 2 > len(record):
+            raise ValueError("corrupt avcC: SPS length past record end")
+        (ln,) = struct.unpack(">H", record[pos : pos + 2])
+        pos += 2
+        if pos + ln > len(record):
+            raise ValueError("corrupt avcC: SPS payload past record end")
+        out["sps"].append(record[pos : pos + ln])
+        pos += ln
+    if pos >= len(record):
+        raise ValueError("corrupt avcC: missing PPS count")
+    n_pps = record[pos]
+    pos += 1
+    for _ in range(n_pps):
+        if pos + 2 > len(record):
+            raise ValueError("corrupt avcC: PPS length past record end")
+        (ln,) = struct.unpack(">H", record[pos : pos + 2])
+        pos += 2
+        if pos + ln > len(record):
+            raise ValueError("corrupt avcC: PPS payload past record end")
+        out["pps"].append(record[pos : pos + ln])
+        pos += ln
+    return out
+
+
+def parse_h264_config(payload: bytes) -> dict:
+    """Extract the H.264 stream configuration from an MP4: walk to the
+    video track's stsd avc1/avc3-class sample entry, decode its avcC
+    record and the first SPS. Returns the avcC dict plus ``sps_info``
+    (decoded first SPS: real cropped width/height, profile, level,
+    chroma format) — everything a curation filter needs without decoding
+    one sample. Raises ValueError for non-AVC or malformed containers."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        _mp4_boxes,
+        _require_bmff,
+    )
+
+    _require_bmff(payload)
+
+    def find(start: int, end: int, depth: int):
+        if depth > 16:
+            raise ValueError("corrupt MP4: box nesting deeper than 16")
+        for tag, b0, b1 in _mp4_boxes(payload, start, end):
+            if tag == b"stsd":
+                # full box: version/flags + entry_count, then sample entries
+                for etag, c0, c1 in _mp4_boxes(payload, b0 + 8, b1):
+                    if etag in (b"avc1", b"avc2", b"avc3", b"avc4"):
+                        # VisualSampleEntry: 78 fixed bytes before children
+                        for ctag, d0, d1 in _mp4_boxes(payload, c0 + 78, c1):
+                            if ctag == b"avcC":
+                                return payload[d0:d1]
+            elif tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                got = find(b0, b1, depth + 1)
+                if got is not None:
+                    return got
+        return None
+
+    record = find(0, len(payload), 0)
+    if record is None:
+        raise ValueError("MP4 has no avc1-class sample entry with an avcC box")
+    cfg = parse_avcc(record)
+    if not cfg["sps"]:
+        raise ValueError("corrupt avcC: zero SPS parameter sets")
+    cfg["sps_info"] = parse_sps(cfg["sps"][0])
+    return cfg

@@ -1253,7 +1253,9 @@ def parse_mp4_samples(payload: bytes) -> dict:
         raise NotImplementedError(
             f"MP4 video codec {codec!r}: only MJPEG samples decode natively "
             "(each a standalone baseline JPEG); inter-frame codecs need an "
-            "external library wired into this hook"
+            "external library wired into this hook (H.264 stream METADATA — "
+            "profile/level/real cropped dimensions — parses without decode "
+            "via operators.h264.parse_h264_config)"
         )
     sizes = trk.get("sizes")
     offsets = trk.get("offsets")

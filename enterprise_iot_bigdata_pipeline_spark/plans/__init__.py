@@ -89,8 +89,10 @@ def register(name: str, oracle: str | None = None, late: bool = False):
 # basket/mode/unpivot/hierarchy, cohort retention, funnel_time_to_convert,
 # quality_fk_orphans, table_checksum_audit, table_layout_plan,
 # text_lang_confusion, ann_hard_negatives) rotate in round 10. Everything
-# else keeps its relative registration order behind them; the two
-# principled rows-only slots stay at the very end (late=True).
+# else keeps its relative registration order behind them; the registry
+# tail (late=True) holds the two principled rows-only slots plus the
+# oracle-backed single-pass z-score baseline (driver-green r8; demoted so
+# the chunked scale shape is the form every front-window sample meets).
 _PRIORITY = [
     # never-sampled events_* analytics suite (27)
     "events_key_skew_profile",

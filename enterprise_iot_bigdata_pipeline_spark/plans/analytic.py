@@ -437,13 +437,18 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Native session-window aggregate (F.session_window — the idiomatic
 #     Spark gap-session groupBy, identical API in batch and Structured
-#     Streaming). Semantics pinned by the oracle: sessions MERGE while
-#     each event arrives strictly before the previous event's ts + gap,
-#     so a gap of EXACTLY 30 minutes splits (the [ts, ts+gap) windows no
-#     longer overlap) — hence `>=` in the oracle's is_new, not the `>`
-#     the row-level sessionize queries use; session end is last ts + gap.
-#     Shape: one user-keyed shuffle into a session-merging aggregate —
-#     the same plan a streaming deployment runs with a watermark. ----------
+#     Streaming). Semantics pinned by the oracle AND verified empirically
+#     on exact-gap strides (the nasty-events battery, round 9): Spark
+#     merges sessions INCLUSIVELY — an event arriving at exactly the
+#     previous event's ts + gap still joins the session (the merge test
+#     is start <= current_end) — so only a gap STRICTLY GREATER than 30
+#     minutes splits; hence `>` in the oracle's is_new, same as the
+#     row-level sessionize queries. (The round-7 comment claimed the
+#     opposite `>=`; the sf tables never stride at exactly the gap so
+#     both forms passed there — the adversarial 30-minute-stride table
+#     exposed it.) Session end is last ts + gap. Shape: one user-keyed
+#     shuffle into a session-merging aggregate — the same plan a
+#     streaming deployment runs with a watermark. --------------------------
 
 
 @register(
@@ -454,7 +459,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          IS NULL
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         >= INTERVAL 30 MINUTES
+                         > INTERVAL 30 MINUTES
                     THEN 1 ELSE 0 END AS is_new
         FROM events
     ),
@@ -1131,9 +1136,14 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     paths AS (
+        -- a 3-gram needs three NON-NULL steps: without the explicit
+        -- filter, Spark's concat_ws SKIPS a NULL step (collapsing the
+        -- 3-gram into a shorter path) while || NULLs the whole row —
+        -- divergent counts on NULL-typed events (nasty-events find)
         SELECT e1 || '>' || e2 || '>' || e3 AS path
         FROM steps
         WHERE s2 = session_id AND s3 = session_id
+          AND e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
     )
     SELECT path, count(*) AS n
     FROM paths GROUP BY path
@@ -1162,8 +1172,14 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("session_id", 1).over(w).alias("s2"),
         F.lead("session_id", 2).over(w).alias("s3"),
     )
+    # three NON-NULL steps required: concat_ws would silently SKIP a NULL
+    # step and collapse the 3-gram into a 2-step path (nasty-events find)
     paths = steps.filter(
-        (F.col("s2") == F.col("session_id")) & (F.col("s3") == F.col("session_id"))
+        (F.col("s2") == F.col("session_id"))
+        & (F.col("s3") == F.col("session_id"))
+        & F.col("e1").isNotNull()
+        & F.col("e2").isNotNull()
+        & F.col("e3").isNotNull()
     ).select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
     return (
         paths.groupBy("path")

@@ -151,9 +151,21 @@ def _z_flag(windowed):
     return stats.filter(dev * dev > F.lit(9) * F.col("var_w"))
 
 
+# late=True (round 9): this single-pass form partitions the window on
+# event_type alone — 5 keys ⇒ 5 tasks forever (measured 10× exponent
+# 0.75), so it is NOT the plan you'd run at 100 TB. It stays registered
+# (same oracle text as the chunked/streaming variants — one semantic,
+# one gate) as the cross-engine comparison baseline and regression
+# reference for the chunk algebra, but rides at the registry tail so the
+# scale-safe chunked twin is the shape every front-window sample, bench
+# comparison, and new reader meets first. timeseries_anomaly_chunked is
+# the deployment shape: shuffle on (event_type, 10-day bucket) with
+# (window-1)-row tail replication — |keys|×|buckets| parallelism,
+# bit-identical output (hash-green under the same oracle proves it).
 @register(
     "timeseries_anomaly_zscore",
     _Z_ORACLE,
+    late=True,
 )
 def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
@@ -379,9 +391,14 @@ def _fir_oracle() -> str:
         f"(CASE WHEN lag(value, {j}) {over} IS NOT NULL THEN {c!r} ELSE 0.0 END)"
         for j, c in enumerate(cs)
     )
+    # den = 0 ⇔ every tap in the trailing window is NULL (an all-NULL
+    # value run — the nasty-events battery's find): no defined smooth
+    # value, emit NULL in BOTH engines (ANSI Spark would otherwise raise
+    # DIVIDE_BY_ZERO where DuckDB quietly NULLs).
     return f"""
     SELECT event_id, ts, event_type, value,
-           round(({num}) / ({den}), 9) AS value_smooth
+           CASE WHEN ({den}) > 0.0
+                THEN round(({num}) / ({den}), 9) END AS value_smooth
     FROM events
     """
 
@@ -400,10 +417,12 @@ def timeseries_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = term if num is None else num + term
         den = cnt if den is None else den + cnt
     # round-9 FMA guard: the Σ cⱼ·lagⱼ accumulation is a chain of a+b·c
-    # shapes (README parity rule 2) — guard like the cosine kernels
+    # shapes (README parity rule 2) — guard like the cosine kernels.
+    # den = 0 (all taps NULL) → NULL, mirroring the oracle's CASE: ANSI
+    # Spark raises DIVIDE_BY_ZERO on the bare division.
     return ev.select(
         "event_id", "ts", "event_type", "value",
-        F.round(num / den, 9).alias("value_smooth"),
+        F.when(den > F.lit(0.0), F.round(num / den, 9)).alias("value_smooth"),
     )
 
 
@@ -963,7 +982,8 @@ def timeseries_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, ts, event_type, value,
            CAST(pref - run_min AS DOUBLE) AS cusum,
-           (pref - run_min > CAST(100.0 AS DECIMAL(25,6))) AS is_shifted
+           coalesce(pref - run_min > CAST(100.0 AS DECIMAL(25,6)), false)
+               AS is_shifted
     FROM p
     """,
 )
@@ -986,10 +1006,15 @@ def timeseries_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pref.alias("pref"), F.min(pref).over(w).alias("run_min"),
     )
     cusum_dec = F.col("pref") - F.col("run_min")
+    # an all-NULL-value series has NULL cusum → is_shifted must coalesce
+    # to false, never ride as a NULL BOOLEAN: nullable-bool pandas reprs
+    # diverge per engine in the canonical compare (nasty-events find)
     return p.select(
         "event_id", "ts", "event_type", "value",
         cusum_dec.cast("double").alias("cusum"),
-        (cusum_dec > F.lit(100.0).cast("decimal(25,6)")).alias("is_shifted"),
+        F.coalesce(
+            cusum_dec > F.lit(100.0).cast("decimal(25,6)"), F.lit(False)
+        ).alias("is_shifted"),
     )
 
 

@@ -238,8 +238,18 @@ GROUP BY vec_a, vec_b
 @register("dedup_embedding_multiround", _MR_ORACLE)
 def dedup_embedding_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    # n_planes pinned: the oracle CTEs embed the 8-plane literals per
-    # round. Deployments omit it and get auto_planes sizing.
+    # n_planes PINNED at 8, deliberately (the carried "perf pin", kept
+    # with rationale per VERDICT r8 task 6): a DuckDB oracle for LSH
+    # bucketing must embed the hyperplane literals in SQL text, and those
+    # literals exist only for a FIXED plane count — auto_planes sizes the
+    # count from the runtime corpus, which no static oracle can mirror.
+    # Dropping the pin therefore means dropping the only hash-exact gate
+    # on the multi-round union/cap/threshold algebra. The scale story
+    # doesn't need the pin retired: deployments omit n_planes and get
+    # auto_planes (bounded bucket occupancy, rows-mode exponent ~0.27 vs
+    # the pin's 1.0), the `_auto` twin below registers + benches that
+    # exact shape, and the recall pytest covers its semantics. The pin is
+    # a test fixture with an oracle, not a deployment recommendation.
     return S.embedding_near_dup_multiround(
         emb, threshold=_NEAR_T, rounds=_MR_ROUNDS, n_planes=8
     )

@@ -1,0 +1,117 @@
+"""Generalized NULL-ordering / tie-break property battery (VERDICT r8
+task 7): every events-only registered query whose oracle uses a window
+function re-runs — Spark AND DuckDB — over an ADVERSARIAL events table
+built to maximize engine-divergence pressure:
+
+- heavy timestamp ties (40 distinct ts over 360 rows, duplicate
+  (user_id, ts) pairs) — any window under-ordered by its tie-break
+  columns goes nondeterministic;
+- NULL user_id / event_type / value / props — any ORDER BY that relies
+  on an engine's DEFAULT null placement (Spark asc=NULLS FIRST, DuckDB
+  asc=NULLS LAST) diverges, the exact class ADVICE flagged twice
+  (agg_mode tie-break r8, RFM NULL recency r8);
+- case-variant and empty-string event types ('a' vs 'A' vs '') — any
+  accidental case-folding or empty-vs-NULL conflation shows up;
+- exact value ties including 0.0 and negative duplicates.
+
+The battery derives its query list from the registry at collection time
+(events-only oracle + a window function), so every FUTURE
+window-over-events registration is automatically conscripted. A
+hash-mismatch here is a real portability bug of the class the round
+verdicts keep finding one at a time.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from conftest import SF_SMOKE
+
+_NASTY_TYPES = ["click", "view", "purchase", "a", "A", "", None, "signup"]
+_NASTY_VALUES = [0.0, 0.0, -1.5, -1.5, 2.25, 100.0, None, 7.5]
+
+
+def _nasty_rows():
+    """360 deterministic rows: 40 distinct ts over 2 h, skewed users with
+    NULLs, tied values, case/empty/NULL types."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(360):
+        # 40 distinct ticks, many exact collisions (i and i+40 share ts)
+        ts = base + dt.timedelta(seconds=180 * (i % 40))
+        # user 1 owns ~half the rows (skew); every 23rd user_id is NULL
+        user = None if i % 23 == 0 else (1 if i % 2 == 0 else 1 + (i % 5))
+        etype = _NASTY_TYPES[i % len(_NASTY_TYPES)]
+        value = _NASTY_VALUES[(i * 7) % len(_NASTY_VALUES)]
+        props = None if i % 5 == 0 else f'{{"k":{i % 3}}}'
+        rows.append((i + 1, ts, user, etype, value, props))
+    return rows
+
+
+@pytest.fixture(scope="session")
+def nasty_dir(tmp_path_factory):
+    """sf0.001 with events.parquet swapped for the adversarial table
+    (single FILE via pyarrow so DuckDB's read_parquet sees it too)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nasty_sf")
+    for f in os.listdir(SF_SMOKE):
+        if f != "events.parquet":
+            os.symlink(os.path.join(SF_SMOKE, f), str(d / f))
+    rows = _nasty_rows()
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+def _battery():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __spark_entry__ as e
+
+    oracles = e.oracle_sql()
+    other = re.compile(
+        r"\b(region|nation|customer|supplier|part|orders|lineitem|documents|"
+        r"embeddings)\b",
+        re.I,
+    )
+    names = [
+        n
+        for n, sql in oracles.items()
+        if not n.startswith("streaming_")
+        and "events" in sql.lower()
+        and not other.search(sql)
+        and ("OVER" in sql.upper() or "mode" in n)
+    ]
+    assert len(names) >= 30, f"battery shrank suspiciously: {names}"
+    return names
+
+
+@pytest.mark.parametrize("name", _battery())
+def test_window_query_survives_nasty_events(spark, nasty_dir, name):
+    import __spark_entry__ as e
+    from oracle_compare import compare, duck_connection
+
+    con = duck_connection(nasty_dir)
+    try:
+        compare(
+            e.queries()[name](spark, nasty_dir), e.oracle_sql()[name], con, name
+        )
+    finally:
+        con.close()

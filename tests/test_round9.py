@@ -201,3 +201,181 @@ class TestPrefixExactTypeGuard:
         df = spark.createDataFrame([(1.0, 2.5), (2.0, 1.5)], "v double, c double")
         out = with_bucketed_prefix(df, "v", "c", agg="max", out_inclusive="x")
         assert {r["x"] for r in out.collect()} == {2.5}
+
+
+class _BitWriter:
+    """MSB-first bit writer with Exp-Golomb, mirror of the parser."""
+
+    def __init__(self):
+        self.bits = []
+
+    def u(self, n, v):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v):
+        k = v + 1
+        n = k.bit_length()
+        self.u(n - 1, 0)
+        self.u(n, k)
+
+    def bytes(self):
+        # rbsp trailing: stop bit + pad zeros
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2) for i in range(0, len(bits), 8)
+        )
+
+
+def _make_sps(width_mbs, height_units, frame_mbs_only=1, crops=(0, 0, 0, 0),
+              profile=66, level=30):
+    w = _BitWriter()
+    w.u(8, profile)
+    w.u(8, 0)       # constraint flags
+    w.u(8, level)
+    w.ue(0)         # seq_parameter_set_id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        w.ue(1)     # chroma_format_idc 4:2:0
+        w.ue(0)     # bit_depth_luma_minus8
+        w.ue(0)     # bit_depth_chroma_minus8
+        w.u(1, 0)   # qpprime bypass
+        w.u(1, 0)   # no scaling matrix
+    w.ue(0)         # log2_max_frame_num_minus4
+    w.ue(2)         # pic_order_cnt_type = 2 (simplest)
+    w.ue(1)         # max_num_ref_frames
+    w.u(1, 0)       # gaps allowed
+    w.ue(width_mbs - 1)
+    w.ue(height_units - 1)
+    w.u(1, frame_mbs_only)
+    if not frame_mbs_only:
+        w.u(1, 0)   # mb_adaptive
+    w.u(1, 0)       # direct_8x8_inference
+    if any(crops):
+        w.u(1, 1)
+        for c in crops:
+            w.ue(c)
+    else:
+        w.u(1, 0)
+    w.u(1, 0)       # vui absent
+    return b"\x67" + w.bytes()  # NAL header: type 7 (SPS)
+
+
+def _make_avcc(sps, pps=b"\x68\xce\x38\x80"):
+    import struct
+
+    return (
+        bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps
+    )
+
+
+class TestH264Config:
+    def test_sps_vga_baseline(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import parse_sps
+
+        info = parse_sps(_make_sps(40, 30))
+        assert (info["width"], info["height"]) == (640, 480)
+        assert info["profile_idc"] == 66 and info["level_idc"] == 30
+        assert info["chroma_format_idc"] == 1
+
+    def test_sps_1080p_cropped_high_profile(self):
+        # 1920x1088 macroblock grid, bottom crop 4 units (8 luma px at
+        # 4:2:0 progressive) -> the REAL 1080 the container never shows
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import parse_sps
+
+        info = parse_sps(_make_sps(120, 68, crops=(0, 0, 0, 4), profile=100))
+        assert (info["width"], info["height"]) == (1920, 1080)
+        assert info["profile_idc"] == 100
+
+    def test_sps_emulation_prevention_stripped(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            _strip_emulation,
+        )
+
+        assert _strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+        assert _strip_emulation(b"\x00\x00\x03\x03") == b"\x00\x00\x03"
+        assert _strip_emulation(b"\x01\x02\x03") == b"\x01\x02\x03"
+
+    def test_avcc_roundtrip(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import parse_avcc
+
+        sps = _make_sps(40, 30)
+        cfg = parse_avcc(_make_avcc(sps))
+        assert cfg["profile_idc"] == 66 and cfg["nal_length_size"] == 4
+        assert cfg["sps"] == [sps] and len(cfg["pps"]) == 1
+
+    def test_avcc_truncated_raises_valueerror(self):
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import parse_avcc
+
+        sps = _make_sps(40, 30)
+        rec = _make_avcc(sps)
+        with pytest.raises(ValueError):
+            parse_avcc(rec[: len(rec) - 3])
+        with pytest.raises(ValueError, match="configurationVersion"):
+            parse_avcc(b"\x02" + rec[1:])
+
+    def test_container_walk_finds_avcc(self):
+        # splice an avc1 sample entry (with avcC) into the MJPEG encoder's
+        # stsd: the walk must find it through moov/trak/mdia/minf/stbl
+        import struct
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            parse_h264_config,
+        )
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg,
+        )
+
+        def box(tag, payload):
+            return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+        sps = _make_sps(80, 45)  # 1280x720
+        avcc = box(b"avcC", _make_avcc(sps))
+        entry = (
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + struct.pack(">HH", 0, 0) + b"\x00" * 12
+            + struct.pack(">HH", 1280, 720)
+            + struct.pack(">II", 0x00480000, 0x00480000)
+            + struct.pack(">I", 0) + struct.pack(">H", 1)
+            + b"\x04avc1" + b"\x00" * 27
+            + struct.pack(">Hh", 24, -1)
+        )
+        assert len(entry) == 78
+        avc1 = box(b"avc1", entry + avcc)
+
+        payload = bytearray(encode_mp4_mjpeg(8, 8, _mjpeg_frames(1)))
+        j = bytes(payload).find(b"stsd")
+        (old_size,) = struct.unpack(">I", payload[j - 4 : j])
+        old_body = bytes(payload[j + 4 : j - 4 + old_size])
+        new_stsd = box(b"stsd", old_body[:8] + avc1)  # version/flags + count=1
+        # patch every enclosing box size by the delta, then swap the stsd
+        delta = len(new_stsd) - old_size
+        data = bytes(payload)
+        out = data[: j - 4] + new_stsd + data[j - 4 + old_size :]
+        fixed = bytearray(out)
+        for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            k = out.find(tag)
+            (sz,) = struct.unpack(">I", fixed[k - 4 : k])
+            fixed[k - 4 : k] = struct.pack(">I", sz + delta)
+        cfg = parse_h264_config(bytes(fixed))
+        assert cfg["sps_info"]["width"] == 1280
+        assert cfg["sps_info"]["height"] == 720
+        assert cfg["nal_length_size"] == 4
+
+    def test_non_avc_mp4_raises_valueerror(self):
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            parse_h264_config,
+        )
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg,
+        )
+
+        with pytest.raises(ValueError, match="avc1"):
+            parse_h264_config(encode_mp4_mjpeg(8, 8, _mjpeg_frames(1)))
