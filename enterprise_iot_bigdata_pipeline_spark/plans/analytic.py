@@ -38,10 +38,14 @@ from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
     FROM events
+    WHERE ts IS NOT NULL
     """,
 )
 def window_lag_runsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # un-timestamped events can't join a time-ordered window: the engines'
+    # opposite NULL placements (Spark NULLS FIRST asc, DuckDB NULLS LAST)
+    # would shift every frame in the partition (nasty-events battery)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return ev.select(
@@ -67,6 +71,7 @@ def window_lag_runsum(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT event_id, user_id, ts,
            CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -75,7 +80,8 @@ def window_lag_runsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # un-timestamped events can't be sessionized (nasty-events battery)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     is_new = F.when(
@@ -105,6 +111,7 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT event_id, user_id, ts,
            CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -122,7 +129,11 @@ def sessionize_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_two_phase as _s2p,
     )
 
-    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # nasty-events battery: no NULL order keys
+        .select("event_id", "user_id", "ts")
+    )
     return _s2p(ev, gap="30 minutes", bucket="1 day")
 
 
@@ -143,7 +154,7 @@ def sessionize_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
         FROM events
-        WHERE event_type IN ('click', 'purchase')
+        WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
     )
     SELECT event_id, user_id, ts, last_click_ts
     FROM tagged
@@ -151,7 +162,9 @@ def sessionize_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase") & F.col("ts").isNotNull()
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -395,6 +408,7 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
         FROM events
+        WHERE ts IS NOT NULL
     ),
     trans AS (
         SELECT prev_type AS type_from, event_type AS type_to,
@@ -410,7 +424,7 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
@@ -462,6 +476,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                          > INTERVAL 30 MINUTES
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL
     ),
     s AS (
         SELECT user_id, ts, value,
@@ -479,7 +494,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # session_window silently DROPS NULL-ts rows; make the semantic
+    # explicit and oracle-mirrored (nasty-events battery)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
@@ -614,6 +631,7 @@ def events_quartile_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(ts) OVER (PARTITION BY user_id
                              ORDER BY ts, event_id) AS prev_ts
         FROM events
+        WHERE ts IS NOT NULL
     ),
     d AS (
         SELECT prev_type AS type_from, event_type AS type_to,
@@ -630,7 +648,7 @@ def events_quartile_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     tus = F.unix_micros(F.col("ts").cast("timestamp"))
     seq = ev.select(
@@ -815,6 +833,7 @@ def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch_last
         FROM events
+        WHERE ts IS NOT NULL
     ),
     buys AS (SELECT * FROM tagged WHERE event_type = 'purchase'),
     unp AS (
@@ -829,7 +848,7 @@ def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1117,6 +1136,7 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -1151,7 +1171,7 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     is_new = F.when(
@@ -1464,7 +1484,7 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch_us(ts)
                + greatest(CAST(round(value * 1000000, 0) AS BIGINT),
                           CAST(1 AS BIGINT)) AS e
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     m AS (
         SELECT user_id, event_id, s, e,
@@ -1496,7 +1516,9 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     s = F.unix_micros(F.col("ts").cast("timestamp"))
     dur = F.greatest(
         F.round(F.col("value") * 1000000, 0).cast("long"), F.lit(1).cast("long")

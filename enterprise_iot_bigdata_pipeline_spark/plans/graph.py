@@ -489,6 +489,7 @@ def _markov_oracle() -> str:
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
         FROM events
+        WHERE ts IS NOT NULL
     ),
     c AS (
         SELECT prev_type AS t_from, event_type AS t_to, count(*) AS n
@@ -512,7 +513,7 @@ def _markov_oracle() -> str:
 
 @register("graph_markov_stationary", _markov_oracle())
 def graph_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts", "event_id")

@@ -47,6 +47,7 @@ _M4_BUCKET_S = 21600  # 6-hour pixels over the 30-day corpus
                CAST(floor(epoch(ts)/{_M4_BUCKET_S}) AS BIGINT)*{_M4_BUCKET_S} AS bucket_s,
                ts, event_id, value
         FROM events
+        WHERE ts IS NOT NULL
     ), r AS (
         SELECT *,
             row_number() OVER (PARTITION BY event_type, bucket_s ORDER BY ts, event_id) AS rn_a,
@@ -64,7 +65,8 @@ _M4_BUCKET_S = 21600  # 6-hour pixels over the 30-day corpus
     """,
 )
 def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # un-timestamped rows have no pixel bucket (nasty-events battery)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # x − pmod(x, step) == floor(x/step)·step for ANY sign — negative-safe
     # (the oracle floors; `x − x % step` truncates toward zero and diverges
     # pre-epoch) and stays in integer arithmetic, no double round-trip.
@@ -122,6 +124,7 @@ _Z_ORACLE = f"""
             CAST(sum(CAST(value * value AS DECIMAL(25,6))) {_Z_OVER} AS DOUBLE) AS q_w,
             count(value) {_Z_OVER} AS n_w
         FROM events
+        WHERE ts IS NOT NULL
     ), stats AS (
         SELECT event_id, ts, event_type, value, n_w,
             s_w / n_w AS mean_w,
@@ -168,7 +171,7 @@ def _z_flag(windowed):
     late=True,
 )
 def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     wz = (
         W.partitionBy("event_type")
         .orderBy("ts", "event_id")
@@ -446,7 +449,11 @@ _CHUNK_BUCKET_S = 864_000  # 10-day chunks: mid-chunks hold ≥ w−1 rows at ev
 def timeseries_anomaly_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.operators.rolling import rolling_sums_chunked
 
-    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # no NULL order keys (nasty battery)
+        .select("event_id", "ts", "event_type", "value")
+    )
     v = F.col("value")
     rolled = rolling_sums_chunked(
         ev,
@@ -507,6 +514,9 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif raw_ts == "timestamp_ntz":
             stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        # mirror the _Z_ORACLE/batch-twin contract: un-timestamped rows
+        # have no position in the trailing window (nasty-events battery)
+        stream = stream.filter(F.col("ts").isNotNull())
         out = stream_anomaly_zscore(stream, window=_Z_WIN, min_n=_Z_MIN)
         name = f"stream_anom_{uuid.uuid4().hex[:8]}"
         q = (
@@ -687,7 +697,7 @@ def timeseries_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
         SELECT event_type, ts, event_id, value FROM events
-        WHERE value IS NOT NULL
+        WHERE value IS NOT NULL AND ts IS NOT NULL
     ), s AS (
         SELECT event_type, value,
             epoch_us(ts) AS t_us,
@@ -705,7 +715,9 @@ def timeseries_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     wlead = W.partitionBy("event_type").orderBy("ts", "event_id")
     s = ev.select(

@@ -34,9 +34,11 @@ _NASTY_TYPES = ["click", "view", "purchase", "a", "A", "", None, "signup"]
 _NASTY_VALUES = [0.0, 0.0, -1.5, -1.5, 2.25, 100.0, None, 7.5]
 
 
-def _nasty_rows():
+def _nasty_rows(null_ts: bool = False):
     """360 deterministic rows: 40 distinct ts over 2 h, skewed users with
-    NULLs, tied values, case/empty/NULL types."""
+    NULLs, tied values, case/empty/NULL types. ``null_ts`` additionally
+    NULLs every 17th timestamp — the sharpest divergence axis (Spark
+    windows place NULLS FIRST on asc, DuckDB NULLS LAST)."""
     import datetime as dt
 
     base = dt.datetime(2024, 1, 1, 0, 0, 0)
@@ -44,6 +46,8 @@ def _nasty_rows():
     for i in range(360):
         # 40 distinct ticks, many exact collisions (i and i+40 share ts)
         ts = base + dt.timedelta(seconds=180 * (i % 40))
+        if null_ts and i % 17 == 0:
+            ts = None
         # user 1 owns ~half the rows (skew); every 23rd user_id is NULL
         user = None if i % 23 == 0 else (1 if i % 2 == 0 else 1 + (i % 5))
         etype = _NASTY_TYPES[i % len(_NASTY_TYPES)]
@@ -53,10 +57,7 @@ def _nasty_rows():
     return rows
 
 
-@pytest.fixture(scope="session")
-def nasty_dir(tmp_path_factory):
-    """sf0.001 with events.parquet swapped for the adversarial table
-    (single FILE via pyarrow so DuckDB's read_parquet sees it too)."""
+def _write_nasty(tmp_path_factory, null_ts: bool) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -64,7 +65,7 @@ def nasty_dir(tmp_path_factory):
     for f in os.listdir(SF_SMOKE):
         if f != "events.parquet":
             os.symlink(os.path.join(SF_SMOKE, f), str(d / f))
-    rows = _nasty_rows()
+    rows = _nasty_rows(null_ts=null_ts)
     table = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -77,6 +78,22 @@ def nasty_dir(tmp_path_factory):
     )
     pq.write_table(table, str(d / "events.parquet"))
     return str(d)
+
+
+@pytest.fixture(scope="session")
+def nasty_dir(tmp_path_factory):
+    """sf0.001 with events.parquet swapped for the adversarial table
+    (single FILE via pyarrow so DuckDB's read_parquet sees it too)."""
+    return _write_nasty(tmp_path_factory, null_ts=False)
+
+
+@pytest.fixture(scope="session")
+def nasty_null_ts_dir(tmp_path_factory):
+    """The adversarial table with NULL timestamps added — any time-ordered
+    window not explicitly pinning NULL placement (or not filtering NULL ts
+    out of time-ordered analytics) diverges between the engines' opposite
+    defaults."""
+    return _write_nasty(tmp_path_factory, null_ts=True)
 
 
 def _battery():
@@ -112,6 +129,23 @@ def test_window_query_survives_nasty_events(spark, nasty_dir, name):
     try:
         compare(
             e.queries()[name](spark, nasty_dir), e.oracle_sql()[name], con, name
+        )
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", _battery())
+def test_window_query_survives_null_timestamps(spark, nasty_null_ts_dir, name):
+    import __spark_entry__ as e
+    from oracle_compare import compare, duck_connection
+
+    con = duck_connection(nasty_null_ts_dir)
+    try:
+        compare(
+            e.queries()[name](spark, nasty_null_ts_dir),
+            e.oracle_sql()[name],
+            con,
+            name,
         )
     finally:
         con.close()

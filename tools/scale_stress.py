@@ -41,6 +41,10 @@ _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
 N = int(_pos[0]) if _pos else 10
 SF = "/root/testdata/sf0.1"
 STRESSED = [
+    # round-9 slots (streaming_checkpoint_recovery is streaming-excluded
+    # like the other writeStream slots)
+    "events_fill_gaps",
+    "lake_sorted_roundtrip",
     "flagship_minute_resample",
     "agg_pricing_summary",
     "join_semi_anti",
