@@ -172,8 +172,17 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         # NULL, marking tail positions that have no full n-gram
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     grams = F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.when(sz >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
+    # NULL text -> NO shingles (empty array; explode drops the doc).
+    # Without the guard, concat_ws(' ', NULL_ARRAY) degrades NULL to the
+    # same [''] shingle as an EMPTY doc, minting spurious NULL~empty
+    # "duplicate" pairs the DuckDB oracle (array_to_string(NULL) -> NULL,
+    # never joinable) can't see — the nasty-documents battery's find.
+    return F.when(
+        w.isNull(), F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.when(sz >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
+        )
     )
 
 

@@ -56,8 +56,16 @@ _QUALITY_SQL = f"""round(0.4::DOUBLE * least(1.0::DOUBLE, CAST({_TOKENS} AS DOUB
       + 0.3::DOUBLE * {_STOP_RATIO}, 9)"""
 
 # DuckDB shingle pipeline (mirrors functions.text.word_shingles, n=3).
+# NULL-text docs do NOT participate in dedup/similarity (round-9 pin,
+# nasty-documents battery): without the filter, Spark's word_shingles
+# degrades NULL to the same [''] shingle as an EMPTY doc (concat_ws
+# ignores a NULL array) while DuckDB's array_to_string(NULL) yields a
+# never-joinable NULL shingle — spurious NULL~empty "duplicate" pairs on
+# one engine only. Every consumer's Spark side carries the matching
+# text-IS-NOT-NULL filter.
 _SHINGLES_CTE = f"""
-words AS (SELECT doc_id AS doc, {_WORDS} AS ws FROM documents),
+words AS (SELECT doc_id AS doc, {_WORDS} AS ws FROM documents
+          WHERE text IS NOT NULL),
 sh AS (
     SELECT doc, unnest(list_distinct(
         CASE WHEN len(ws) >= 3
@@ -76,13 +84,16 @@ _SHINGLE_INT = "CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)"
 
 _NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
-_ROLLING_SQL = f"""list_reduce(
+# NULL text -> NULL fingerprint (Spark's aggregate over a NULL array is
+# NULL; without the CASE, DuckDB's list_prepend(0, NULL) = [0] folds to 0
+# — the nasty-documents battery's find)
+_ROLLING_SQL = f"""CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
            list_prepend(CAST(0 AS BIGINT),
                list_transform(
                    list_filter(string_split({_NORM_TEXT}, ''), c -> c != ''),
                    c -> CAST(ascii(c) AS BIGINT))),
            (acc, c) -> (acc * {{B}} + c) % {{P}}
-       )"""
+       ) END"""
 
 _METRICS_ORACLE = f"""
 WITH g AS (
@@ -696,7 +707,8 @@ s AS (
 )
 SELECT doc_id, n_tokens, score_raw,
        CAST(score_raw AS DOUBLE) / (1000.0 * n_tokens) AS model_score,
-       CAST(score_raw AS DOUBLE) / (1000.0 * n_tokens) > 0.0 AS keep
+       coalesce(CAST(score_raw AS DOUBLE) / (1000.0 * n_tokens) > 0.0, false)
+           AS keep
 FROM s
 """
 
@@ -731,7 +743,12 @@ def text_classify_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score_raw").cast("double")
             / (F.lit(1000.0) * F.col("n_tokens"))
         ).alias("model_score"),
-    ).withColumn("keep", F.col("model_score") > F.lit(0.0))
+    ).withColumn(
+        # NULL text -> NULL score; keep must coalesce to false, never ride
+        # as a NULL BOOLEAN (engine pandas reprs diverge — nasty battery)
+        "keep",
+        F.coalesce(F.col("model_score") > F.lit(0.0), F.lit(False)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -880,7 +897,8 @@ WHERE s.cnt <= {D.DEFAULT_MAX_BUCKET} OR a.doc = s.bmin
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # NULL-text docs do not participate in dedup (see _SHINGLES_CTE note)
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sigs = D.minhash_signatures(docs, "text", "doc_id", _K, _SEED)
     return D.lsh_candidate_pairs(sigs, _K, _BANDS)
 
@@ -910,8 +928,10 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= {_JACCARD_T}
 
 @register("dedup_ngram_jaccard", _JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-text docs do not participate in dedup (see _SHINGLES_CTE note)
     return D.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "text", "doc_id", threshold=_JACCARD_T
+        t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "text", "doc_id", threshold=_JACCARD_T
     )
 
 
@@ -932,7 +952,8 @@ _SIMHASH_CTE = f"""
 w AS (
     SELECT doc_id AS doc,
            CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
-    FROM (SELECT doc_id, unnest({_WORDS}) AS word FROM documents)
+    FROM (SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+          WHERE text IS NOT NULL)
 ),
 sums AS (
     SELECT doc,
@@ -980,7 +1001,11 @@ SELECT 'pair', doc_a, doc_b, CAST(hamming AS BIGINT) FROM pairs
 
 @register("dedup_simhash", _SIMHASH_SUITE_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sims = D.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
+    # NULL-text docs do not participate in dedup (see _SHINGLES_CTE note)
+    sims = D.simhash(
+        t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "text", "doc_id",
+    )
     fingerprints = sims.select(
         F.lit("fingerprint").alias("kind"),
         F.col("doc").alias("a"),
@@ -1128,7 +1153,8 @@ SELECT doc, min(label) AS component FROM walk GROUP BY doc
 
 @register("dedup_components", _COMPONENTS_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # NULL-text docs do not participate in dedup (see _SHINGLES_CTE note)
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sigs = D.minhash_signatures(docs, "text", "doc_id", _K, _SEED)
     pairs = D.lsh_candidate_pairs(sigs, _K, _BANDS)
     return D.connected_components(pairs)
@@ -1179,7 +1205,10 @@ walk(doc, label) AS (
 comp AS (SELECT doc, min(label) AS component FROM walk GROUP BY doc),
 members AS (
     SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
-           CAST(length(d.text) AS DECIMAL(38,0)) * 1000000000000
+           -- NULL text packs as length 0: a NULL singleton must still be
+           -- its own canonical (arg_max over an all-NULL key returns NULL
+           -- and is_canonical would ride as a NULL BOOLEAN — nasty battery)
+           CAST(coalesce(length(d.text), 0) AS DECIMAL(38,0)) * 1000000000000
              - d.doc_id AS packed
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
 ),
@@ -1197,8 +1226,12 @@ FROM members m JOIN reps r USING (component)
 
 @register("dedup_canonical_map", _CANONICAL_ORACLE)
 def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs exclude NULL-text docs (see _SHINGLES_CTE note); the map-back
+    # join below still covers every doc (left join, self-representative)
     docs = t(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "text", "doc_id", _K, _SEED)
+    sigs = D.minhash_signatures(
+        docs.filter(F.col("text").isNotNull()), "text", "doc_id", _K, _SEED
+    )
     pairs = D.lsh_candidate_pairs(sigs, _K, _BANDS)
     comp = D.connected_components(pairs)
     members = (
@@ -1207,7 +1240,8 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("component", "doc_id").alias("component"),
             (
-                F.length("text").cast("decimal(38,0)") * F.lit(10**12)
+                F.coalesce(F.length("text"), F.lit(0)).cast("decimal(38,0)")
+                * F.lit(10**12)
                 - F.col("doc_id")
             ).alias("packed"),
         )
@@ -1259,6 +1293,9 @@ WHERE d.doc_id % {_BENCH_MOD} != 0
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
+    # Coverage is ALL corpus docs (a NULL-text doc is trivially clean);
+    # NULL docs carry no shingles via the word_shingles kernel guard, so
+    # no filter here — mirrors the oracle's full-corpus final select.
     docs = fan_out(t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
@@ -1274,8 +1311,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redacted output agree, non-vacuously (counts vary 1-2 / 0-1 / 1 per doc).
 # ---------------------------------------------------------------------------
 
+# coalesce(text, ''): explicit — DuckDB's concat would skip a NULL arg
+# anyway, but the Spark twin must coalesce (its concat NULL-propagates),
+# and the two synth expressions must read identically
 _PII_SYNTH_SQL = """concat(
-    text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com',
+    coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR), '@example.com',
     CASE WHEN doc_id % 2 = 0
          THEN concat(' or call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
          ELSE '' END,
@@ -1314,8 +1354,11 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(t(spark, sf_dir, "documents"))
     did = F.col("doc_id")
+    # coalesce(text, ''): Spark's concat NULL-propagates while DuckDB's
+    # skips NULL args, so a NULL-text doc would lose its synthetic PII on
+    # one engine only (nasty-documents battery find)
     dirty = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
         F.when(
             did % 2 == 0,
@@ -1809,7 +1852,8 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _pairs_of_sorted
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
-    docs = fan_out(t(spark, sf_dir, "documents"))
+    # NULL-text docs do not participate (see _SHINGLES_CTE note)
+    docs = fan_out(t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     # Materialize the per-doc shingle arrays ONCE (word_shingles is a
     # wide repeated-split expression tree the DAG would otherwise
     # re-evaluate per branch), then run the WHOLE pipeline on xxhash64
@@ -2116,7 +2160,8 @@ def text_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
-    docs = fan_out(t(spark, sf_dir, "documents"))
+    # NULL-text docs do not participate (see _SHINGLES_CTE note)
+    docs = fan_out(t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     base = docs.select(
         F.col("doc_id").alias("doc"), X.word_shingles(F.col("text")).alias("toks")
     ).localCheckpoint(eager=False)
@@ -2281,7 +2326,8 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _pairs_of_sorted
 
-    docs = t(spark, sf_dir, "documents")
+    # NULL-text docs contribute no shingles (see _SHINGLES_CTE note)
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     ss = docs.select(
         "source", F.explode(X.word_shingles(F.col("text"))).alias("shingle")
     ).distinct()
@@ -2447,7 +2493,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # NULL-text docs contribute no shingles (see _SHINGLES_CTE note)
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sh = docs.select(
         F.col("doc_id").alias("doc"),
         F.explode(X.word_shingles(F.col("text"))).alias("shingle"),
@@ -2568,8 +2615,9 @@ _SECRET_RULES = [
     (r"\b[0-9a-f]{64}\b", "[HEX_SECRET]"),
 ]
 
+# coalesce(text, ''): see _PII_SYNTH_SQL
 _SECRET_SYNTH_SQL = """concat(
-    text,
+    coalesce(text, ''),
     CASE WHEN doc_id % 3 = 0
          THEN concat(' key=AKIA', upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)))
          ELSE '' END,
@@ -2610,8 +2658,10 @@ def text_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(t(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     ds = did.cast("string")
+    # coalesce(text, ''): Spark concat NULL-propagates, DuckDB's skips
+    # NULL args (the text_pii_redact note)
     dirty = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.when(
             did % 3 == 0,
             F.concat(F.lit(" key=AKIA"), F.upper(F.substring(F.md5(ds), 1, 16))),
@@ -2744,7 +2794,8 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    docs = t(spark, sf_dir, "documents")
+    # NULL-text docs do not participate in dedup (see _SHINGLES_CTE note)
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     existing = docs.filter(F.col("doc_id") % 5 != 0)
     incoming = docs.filter(F.col("doc_id") % 5 == 0)
     work = tempfile.mkdtemp(prefix="lsh_index_")
