@@ -18,6 +18,26 @@ from enterprise_iot_bigdata_pipeline_spark.plans.tables import t
 
 DIM = 64
 
+# Embedding sanity gate for the DECIMAL-moment accumulators (round-9,
+# nasty-embeddings battery): a pathological component (|x| ~ 1e18 from a
+# broken upstream encoder) squares past DECIMAL(38,12) and ANSI-Spark
+# raises NUMERIC_VALUE_OUT_OF_RANGE where DuckDB saturates differently.
+# Real embeddings are unit-scale; vectors with any |component| > 1e6 are
+# junk by contract and are excluded from the moment statistics — the
+# standard quality gate a production pipeline applies before stats. The
+# cosine family needs no gate (doubles hold 1e36 fine).
+_SANE_ABS_CAP = 1e6
+_SANE_SQL = (
+    "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) "
+    f"<= {_SANE_ABS_CAP!r}"
+)
+
+
+def sane_embedding(col: str = "embedding"):
+    return F.array_max(
+        F.transform(col, lambda v: F.abs(v.cast("double")))
+    ) <= F.lit(_SANE_ABS_CAP)
+
 
 def _dot_sql(a: str, b: str) -> str:
     """Unrolled 64-term dot product (1-indexed DuckDB lists)."""
@@ -44,11 +64,12 @@ def _cos_sql(a: str, b: str) -> str:
 # ---------------------------------------------------------------------------
 
 _TOPK_ORACLE = f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 5 AND embedding IS NOT NULL),
 pairs AS (
     SELECT q.q_id, c.vec_id,
            {_cos_sql("q.q_vec", "c.embedding")} AS cos_sim
-    FROM embeddings c, q
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c, q
     WHERE c.vec_id != q.q_id
 ),
 ranked AS (
@@ -62,7 +83,8 @@ SELECT q_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
 
 @register("ann_cosine_topk", _TOPK_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -102,7 +124,8 @@ _bucket_sql = _bucket_sql_for()
 # ---------------------------------------------------------------------------
 
 _LSH_TOPK_ORACLE = f"""
-WITH b AS (SELECT vec_id, embedding, CAST({_bucket_sql} AS BIGINT) AS bucket FROM embeddings),
+WITH b AS (SELECT vec_id, embedding, CAST({_bucket_sql} AS BIGINT) AS bucket
+           FROM embeddings WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket FROM b WHERE vec_id < 20),
 pairs AS (
     SELECT q.q_id, c.vec_id, c.bucket,
@@ -120,7 +143,8 @@ SELECT q_id, vec_id, bucket, cos_sim, rank FROM ranked WHERE rank <= 3
 
 @register("ann_lsh_topk", _LSH_TOPK_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     # n_planes pinned: the oracle SQL above embeds the 8-plane hyperplane
     # literals. Deployments omit it and get auto_planes sizing.
     return S.lsh_topk(emb, F.col("vec_id") < 20, k=3, n_planes=8)
@@ -159,6 +183,7 @@ def _ivf_dist_sql(c: int) -> str:
 _IVF_ORACLE = f"""
 WITH n AS (
     SELECT vec_id, embedding, ({_norm2_sql("embedding")}) AS n2 FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 dist AS (
     SELECT vec_id, embedding,
@@ -189,7 +214,8 @@ SELECT q_id, vec_id, cell, cos_sim, rank FROM ranked WHERE rank <= {_IVF_K}
 
 @register("ann_ivf_topk", _IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return S.ivf_topk(
         emb, F.col("vec_id") < 20, k=_IVF_K, n_probe=_IVF_PROBE, centroids=CENTROIDS
     )
@@ -214,7 +240,8 @@ _MR_ROUNDS = 2
 # (operators.dedup.bucket_pairs_capped): buckets past the cap emit only
 # (bucket-min, other) pairs — keeps the oracle hash-exact under floods.
 _MR_CTES = ",\n".join(
-    f"""b{r} AS (SELECT vec_id, embedding, CAST({_bucket_sql_for(7 + 101 * r)} AS BIGINT) AS bucket FROM embeddings),
+    f"""b{r} AS (SELECT vec_id, embedding, CAST({_bucket_sql_for(7 + 101 * r)} AS BIGINT) AS bucket
+    FROM embeddings WHERE embedding IS NOT NULL),
 s{r} AS (SELECT bucket, count(DISTINCT vec_id) AS cnt, min(vec_id) AS bmin FROM b{r} GROUP BY bucket),
 p{r} AS (
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
@@ -237,7 +264,8 @@ GROUP BY vec_a, vec_b
 
 @register("dedup_embedding_multiround", _MR_ORACLE)
 def dedup_embedding_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     # n_planes PINNED at 8, deliberately (the carried "perf pin", kept
     # with rationale per VERDICT r8 task 6): a DuckDB oracle for LSH
     # bucketing must embed the hyperplane literals in SQL text, and those
@@ -266,7 +294,8 @@ def dedup_embedding_multiround_auto(spark: SparkSession, sf_dir: str) -> DataFra
     covered by the pinned twin above plus the recall pytest
     (tests/test_similarity.py). Registered so the bench measures what a
     100 TB run would actually execute, not just the oracle pin."""
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return S.embedding_near_dup_multiround(emb, threshold=_NEAR_T, rounds=_MR_ROUNDS)
 
 
@@ -295,7 +324,7 @@ def _code_sql(i: int) -> str:
 _QUANT_ORACLE = f"""
 WITH b AS (
     SELECT vec_id, embedding, {_LO_SQL} AS lo, {_HI_SQL} - {_LO_SQL} AS rng
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT vec_id, lo, rng,
        CASE WHEN rng > 0 THEN {_code_sql(1)} ELSE 0 END AS q_first,
@@ -315,7 +344,10 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the code checksum) plus the (lo, rng) dequantization parameters."""
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
-    emb = fan_out(t(spark, sf_dir, "embeddings"))
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = fan_out(
+        t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    )
     xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
         "vec_id",
@@ -379,7 +411,7 @@ def _cluster_oracle() -> str:
     pairs AS (
         SELECT e.vec_id, e.label, c.cid,
                coalesce({_cos_sql("e.embedding", "c.cvec")}, -2.0) AS cos_sim
-        FROM embeddings e CROSS JOIN cen c
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN cen c
     ),
     r AS (
         SELECT vec_id, label, cid, cos_sim,
@@ -397,7 +429,8 @@ def _cluster_oracle() -> str:
 def embeddings_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.functions.vectors import cosine
 
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     cen = S.hyperplanes(n_planes=_CLUSTER_K, dim=DIM, seed=_CLUSTER_SEED)
     candidates = F.array(
         *[
@@ -465,10 +498,10 @@ def _mmr_oracle() -> str:
     chain = ",\n    ".join(steps)
     return f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
-               FROM embeddings WHERE vec_id < {_MMR_NQ}),
+               FROM embeddings WHERE vec_id < {_MMR_NQ} AND embedding IS NOT NULL),
     pairs AS (
         SELECT q.q_id, c.vec_id, {_cos_sql("q.q_vec", "c.embedding")} AS rel
-        FROM embeddings c, q WHERE c.vec_id != q.q_id
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c, q WHERE c.vec_id != q.q_id
     ),
     cands AS (
         SELECT q_id, vec_id, rel FROM (
@@ -502,7 +535,8 @@ def _mmr_oracle() -> str:
 
 @register("mmr_diversify_topk", _mmr_oracle())
 def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     out = S.mmr_topk(
         emb,
         emb.filter(F.col("vec_id") < _MMR_NQ),
@@ -540,16 +574,26 @@ _JL_SEED = 271
 
 def _jl_oracle() -> str:
     rows = S.hyperplanes(n_planes=_JL_OUT_DIM, dim=DIM, seed=_JL_SEED)
+    # `+ 0.0` normalizes IEEE negative zero: the all-zero vector's dot is
+    # a chain of ±0.0 terms that DuckDB's round keeps as -0.0 while
+    # Spark's round normalizes to +0.0 — identical for every other finite
+    # value (nasty-embeddings battery find)
     coords = ", ".join(
-        f"round(({_dot_sql_lit('embedding', r)}), {ROUND_DP})" for r in rows
+        f"(round(({_dot_sql_lit('embedding', r)}), {ROUND_DP}) + 0.0)" for r in rows
     )
     scalars = ", ".join(f"p[{i + 1}] AS p{i:02d}" for i in range(_JL_OUT_DIM))
     sq = " + ".join(f"p[{i + 1}] * p[{i + 1}]" for i in range(_JL_OUT_DIM))
+    # junk-magnitude gate (see _SANE_SQL): at |x| ~ 1e18 the engines'
+    # round(x, 9) implementations drift one ulp (BigDecimal vs the
+    # multiply-divide trick) — and a JL projection of a junk vector is
+    # junk anyway
     return f"""
     WITH p0 AS (
         SELECT vec_id, label, [{coords}] AS p FROM embeddings
+        WHERE embedding IS NOT NULL AND {_SANE_SQL}
     )
-    SELECT vec_id, label, {scalars}, round({sq}, {ROUND_DP}) AS proj_norm2
+    SELECT vec_id, label, {scalars},
+           (round({sq}, {ROUND_DP}) + 0.0) AS proj_norm2
     FROM p0
     """
 
@@ -564,7 +608,13 @@ def _dot_sql_lit(vec: str, coefs: list[float]) -> str:
 def embeddings_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.functions.vectors import dot
 
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL-embedding rows do not participate; junk magnitudes are gated
+    # (see the _jl_oracle note)
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .filter(sane_embedding())
+    )
     rows = S.hyperplanes(n_planes=_JL_OUT_DIM, dim=DIM, seed=_JL_SEED)
     coords = [
         F.round(dot(F.col("embedding"), F.array(*[F.lit(v) for v in r])), ROUND_DP)
@@ -611,7 +661,7 @@ WITH ex AS (
     SELECT vec_id,
            unnest(range(1, {DIM} + 1)) AS dim,
            CAST(unnest(embedding) AS DOUBLE) AS x
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL AND {_SANE_SQL}
 ),
 stats AS (
     SELECT dim,
@@ -642,7 +692,13 @@ FROM z GROUP BY vec_id
 def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
-    emb = fan_out(t(spark, sf_dir, "embeddings"))
+    # NULL-embedding rows do not participate; junk magnitudes are gated
+    # out of the moment statistics (see _SANE_SQL note)
+    emb = fan_out(
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .filter(sane_embedding())
+    )
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim0", "xf")
     ).select("vec_id", (F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
@@ -703,7 +759,8 @@ def _corr_oracle() -> str:
         f"({a}, {b}, s{a}, s{b}, q{a}, q{b}, p{a}_{b})" for a, b in _CORR_PAIRS
     )
     return f"""
-    WITH m AS (SELECT count(*) AS n, {sums}, {prods} FROM embeddings),
+    WITH m AS (SELECT count(*) AS n, {sums}, {prods} FROM embeddings
+               WHERE embedding IS NOT NULL AND {_SANE_SQL}),
     pairs AS (
         SELECT n, u.* FROM m,
         UNNEST([{", ".join(
@@ -772,7 +829,11 @@ _CORR_SPARK_SQL = _corr_spark_sql()
 
 @register("embeddings_corr_probe", _corr_oracle())
 def embeddings_corr_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "embeddings").createOrReplaceTempView("corr_emb")
+    t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # round-9 NULL-embedding pin
+    ).filter(
+        sane_embedding()  # junk-magnitude gate (see _SANE_SQL note)
+    ).createOrReplaceTempView("corr_emb")
     return spark.sql(_CORR_SPARK_SQL)
 
 
@@ -794,7 +855,7 @@ WITH ex AS (
     SELECT vec_id,
            unnest(range(1, {DIM} + 1)) AS dim,
            CAST(unnest(embedding) AS DOUBLE) AS x
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 ranked AS (
     SELECT vec_id, dim, x,
@@ -811,7 +872,8 @@ FROM ranked WHERE rnk <= {_SPARSIFY_M}
 def embeddings_sparsify_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     ex = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
@@ -840,7 +902,7 @@ def embeddings_sparsify_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _centroid_select(x) -> str:
     d6 = lambda e: f"CAST(sum(CAST({e} AS DECIMAL(25,6))) AS DOUBLE)"  # noqa: E731
     means = ", ".join(f"{d6(x(i))} / count(*) AS m{i}" for i in range(1, DIM + 1))
-    return f"SELECT label, CAST(count(*) AS BIGINT) AS n, {means} FROM embeddings GROUP BY label"
+    return f"SELECT label, CAST(count(*) AS BIGINT) AS n, {means} FROM embeddings WHERE embedding IS NOT NULL GROUP BY label"
 
 
 def _centroid_pairs_sql(cent_sql: str) -> str:
@@ -869,7 +931,9 @@ _CENTROID_SPARK_SQL = _centroid_pairs_sql(
 
 @register("embeddings_label_centroids", _CENTROID_ORACLE)
 def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "embeddings").createOrReplaceTempView("cent_emb")
+    t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # round-9 NULL-embedding pin
+    ).createOrReplaceTempView("cent_emb")
     return spark.sql(_CENTROID_SPARK_SQL)
 
 
@@ -884,11 +948,11 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HARDNEG_ORACLE = f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
-           FROM embeddings WHERE vec_id < 20),
+           FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL),
 pairs AS (
     SELECT q.q_id, q.q_label, c.vec_id, c.label,
            {_cos_sql("q.q_vec", "c.embedding")} AS cos_sim
-    FROM embeddings c JOIN q
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c JOIN q
       ON c.vec_id != q.q_id AND c.label != q.q_label
 ),
 ranked AS (
@@ -908,7 +972,8 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.functions.vectors import cosine
     from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),

@@ -1,0 +1,138 @@
+"""Adversarial embeddings battery (sibling of test_nasty_events /
+test_nasty_documents): every embeddings-only registered query re-verifies
+— Spark AND DuckDB — over a vector table built to stress the numeric
+edges a production embedding pipeline actually produces:
+
+- the ZERO vector (×3, identical): cosine norm 0 → division hazards and
+  ANSI-Spark DIVIDE_BY_ZERO where DuckDB quietly NaNs/NULLs;
+- exact duplicate vectors (cosine exactly 1.0 ties) and near-duplicates;
+- a huge-magnitude vector (1e18 components: float32 stays finite but
+  dot products overflow double ranges in squared space) and a tiny one
+  (1e-30: denormal-adjacent, squared underflows to 0);
+- constant vectors (every component equal — zero variance for
+  standardize/correlation paths);
+- NULL embedding rows and NULL/negative labels.
+
+Dimension stays at the 64-dim table contract — ragged vectors violate
+the data contract and are a loader-validation concern, not a query one.
+
+The battery conscripts embeddings-only oracles at collection time, so a
+future vector registration joins by existing. The two composition evals
+(ann_recall_eval re-runs three ANN pipelines; dedup_embedding_multiround
+rides its own pinned-plane gate) are kept — they're the integration
+check that the edge rows flow through entire pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from conftest import SF_SMOKE
+
+_DIM = 64
+
+
+def _lcg_vec(seed: int) -> list[float]:
+    x = seed * 2654435761 % 2**32
+    out = []
+    for _ in range(_DIM):
+        x = (1103515245 * x + 12345) % 2**31
+        out.append(round((x / 2**31 - 0.5) * 0.4, 6))
+    return out
+
+
+def _nasty_vectors():
+    rows = []
+    base = _lcg_vec(7)
+    near = list(base)
+    near[0] = round(near[0] + 1e-3, 6)
+    for i in range(120):
+        vid = i
+        label = None if i % 29 == 0 else (i % 7) - 2  # negative + NULL labels
+        k = i % 12
+        if k == 0:
+            vec = [0.0] * _DIM  # zero vector (three per 36 rows)
+        elif k == 1:
+            vec = list(base)  # exact duplicate cluster
+        elif k == 2:
+            vec = near  # near-duplicate of base
+        elif k == 3:
+            vec = [1e18] * _DIM  # huge magnitude
+        elif k == 4:
+            vec = [1e-30] * _DIM  # tiny magnitude
+        elif k == 5:
+            vec = [0.25] * _DIM  # constant vector
+        elif k == 6:
+            vec = None  # NULL embedding
+        else:
+            vec = _lcg_vec(i)
+        rows.append((vid, vec, label))
+    return rows
+
+
+@pytest.fixture(scope="session")
+def nasty_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nasty_emb_sf")
+    for f in os.listdir(SF_SMOKE):
+        if f != "embeddings.parquet":
+            os.symlink(os.path.join(SF_SMOKE, f), str(d / f))
+    rows = _nasty_vectors()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def _battery():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __spark_entry__ as e
+
+    oracles = e.oracle_sql()
+    other = re.compile(
+        r"\b(region|nation|customer|supplier|part|orders|lineitem|events|"
+        r"documents)\b",
+        re.I,
+    )
+    names = [
+        n
+        for n, sql in oracles.items()
+        if not n.startswith("streaming_")
+        and "embeddings" in sql.lower()
+        and not other.search(sql)
+    ]
+    assert len(names) >= 12, f"battery shrank suspiciously: {names}"
+    return names
+
+
+@pytest.mark.parametrize("name", _battery())
+def test_vector_query_survives_nasty_embeddings(spark, nasty_emb_dir, name):
+    import __spark_entry__ as e
+    from oracle_compare import compare, duck_connection
+
+    con = duck_connection(nasty_emb_dir)
+    try:
+        compare(
+            e.queries()[name](spark, nasty_emb_dir),
+            e.oracle_sql()[name],
+            con,
+            name,
+        )
+    finally:
+        con.close()
