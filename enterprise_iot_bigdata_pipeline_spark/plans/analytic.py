@@ -700,6 +700,7 @@ def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
                     THEN 1 ELSE 0 END AS chg
         FROM orders
+        WHERE o_orderdate IS NOT NULL
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ),
     runs AS (
@@ -723,7 +724,9 @@ def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
+    # an undated order has no place in a date-ordered validity history
+    # (nasty-orders battery: engines default opposite NULL placements)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     # null-safe change flag: the first row of each customer opens a run
     chg = F.when(
@@ -738,8 +741,11 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SortAggregate (string buffers aren't Tungsten hash-aggregatable) —
     # int-encode the single-char status code so the rollup stays a
     # HashAggregate (same trick as the flagship's string mins)
+    # decode guard: ascii('') = 0 but char(0) = '\x00', not '' — an
+    # empty-string status must round-trip exactly (nasty-orders battery)
+    min_code = F.min(F.ascii("o_orderstatus"))
     grp = runs.groupBy("o_custkey", F.col("run").alias("version")).agg(
-        F.char(F.min(F.ascii("o_orderstatus"))).alias("status"),
+        F.when(min_code == 0, F.lit("")).otherwise(F.char(min_code)).alias("status"),
         F.min("o_orderdate").alias("valid_from"),
         F.count(F.lit(1)).alias("n_orders"),
     )
@@ -1030,6 +1036,7 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
                     THEN 1 ELSE 0 END AS chg
         FROM orders
+        WHERE o_orderdate IS NOT NULL
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ),
     runs AS (
@@ -1063,7 +1070,14 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hist = scd2_status_history(spark, sf_dir).select(
+    # NULL-custkey versions must never serve a probe: the window replay
+    # groups NULL partition keys TOGETHER (a NULL-custkey probe would see
+    # a NULL-custkey "customer history") while the oracle's equi-join
+    # semantics keep NULL != NULL — drop NULL-key dims; NULL-key probes
+    # stay and resolve to NULL version, the LEFT-join answer (battery)
+    hist = scd2_status_history(spark, sf_dir).filter(
+        F.col("o_custkey").isNotNull()
+    ).select(
         "o_custkey",
         F.col("valid_from").alias("ts"),
         "version",
@@ -1799,6 +1813,7 @@ def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch_us(min(l.l_shipdate)) - epoch_us(o.o_orderdate) AS first_us,
                epoch_us(max(l.l_shipdate)) - epoch_us(o.o_orderdate) AS last_us
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
         GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
     ),
     ranked AS (
@@ -1825,8 +1840,11 @@ def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    # undated orders / unshipped lines carry no latency; a NULL first_us
+    # in the quantile window would shift ranks by engine-default NULL
+    # placement (nasty-orders battery)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
     ous = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
     sus = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
     per_order = (
@@ -1886,6 +1904,7 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
         FROM orders
+        WHERE o_orderdate IS NOT NULL
     ),
     firsts AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o2 GROUP BY o_custkey),
     facts AS (
@@ -1913,7 +1932,9 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
+    # undated orders have no cohort month; a NULL age in the cumulative
+    # window shifts by engine-default NULL placement (nasty-orders)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     d = F.col("o_orderdate").cast("timestamp")
     ym = (F.year(d) * 12 + F.month(d)).cast("long")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")

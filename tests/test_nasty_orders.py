@@ -1,0 +1,172 @@
+"""Adversarial orders/lineitem battery (the relational/TPC-H sibling of
+the events/documents/embeddings batteries): every registered query whose
+oracle touches `orders` or `lineitem` re-verifies — Spark AND DuckDB —
+with those two tables swapped for adversarial variants (dimension tables
+stay real):
+
+- NULL join keys (o_custkey, l_orderkey, l_partkey, l_suppkey) — inner
+  joins must drop them IDENTICALLY; outer joins must group them
+  identically;
+- orphan keys (orders to nonexistent customers, lineitems to
+  nonexistent orders/parts/suppliers) — the fk-orphan and anti-join
+  shapes get real matches;
+- NULL dates and ONE heavily-duplicated date (cohort/quarter/top-k tie
+  stress), plus NULL/zero/negative/duplicated prices and quantities —
+  any under-tie-broken ORDER BY ... LIMIT diverges;
+- NULL / empty / unusual status, priority, returnflag, linestatus
+  strings (CASE coverage + grouping on NULL keys).
+
+Order keys stay UNIQUE (primary-key contract — duplicate PKs are a
+loader-dedup concern, not a query one). The battery conscripts matching
+oracles at collection time, so future join registrations are battered by
+existing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+
+import pytest
+
+from conftest import SF_SMOKE
+
+_STATUSES = ["O", "F", "P", None, ""]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", None, "", "5-LOW"]
+_HOT_DATE = dt.datetime(1997, 6, 15)
+
+
+def _nasty_orders():
+    rows = []
+    for i in range(400):
+        okey = i + 1
+        # every 11th custkey NULL; every 7th an orphan (beyond any real
+        # customer); others cycle a small real-ish range incl. heavy skew
+        if i % 11 == 0:
+            ck = None
+        elif i % 7 == 0:
+            ck = 10_000_000 + i
+        else:
+            ck = 1 + (i % 25) if i % 2 else 3  # key 3 is hot
+        status = _STATUSES[i % len(_STATUSES)]
+        # duplicated totals (ties), NULLs, zero, negative
+        price = [100.0, 100.0, 0.0, -50.0, None, 2500.25, 100.0, 999.99][i % 8]
+        if i % 13 == 0:
+            date = None
+        elif i % 3 == 0:
+            date = _HOT_DATE  # one hot date: quarter/cohort tie pile-up
+        else:
+            date = dt.datetime(1995 + (i % 6), 1 + (i % 12), 1 + (i % 28))
+        prio = _PRIORITIES[i % len(_PRIORITIES)]
+        rows.append((okey, ck, status, price, date, prio))
+    return rows
+
+
+def _nasty_lineitems():
+    rows = []
+    for i in range(1200):
+        # every 17th orderkey NULL; every 5th an orphan; rest hit the
+        # nasty orders (1..400) with skew toward order 1
+        if i % 17 == 0:
+            ok = None
+        elif i % 5 == 0:
+            ok = 5_000_000 + i
+        else:
+            ok = 1 if i % 3 == 0 else 1 + (i % 400)
+        pk = None if i % 19 == 0 else 1 + (i % 40)
+        sk = None if i % 23 == 0 else 1 + (i % 10)
+        ln = 1 + (i % 7)
+        qty = [10.0, 10.0, 0.0, -5.0, None, 50.0, 10.0, 37.0][i % 8]
+        price = [1000.0, 1000.0, 0.0, None, 42.42, 1000.0][i % 6]
+        disc = [0.0, 0.05, 0.05, None, 0.5, 0.1][i % 6]
+        tax = [0.0, 0.08, None, 0.08][i % 4]
+        rf = ["R", "A", "N", None, ""][i % 5]
+        ls = ["O", "F", None][i % 3]
+        if i % 29 == 0:
+            ship = None
+        elif i % 3 == 0:
+            ship = _HOT_DATE + dt.timedelta(days=30)
+        else:
+            ship = dt.datetime(1995 + (i % 6), 1 + ((i + 3) % 12), 1 + (i % 28))
+        rows.append((ok, pk, sk, ln, qty, price, disc, tax, rf, ls, ship))
+    return rows
+
+
+@pytest.fixture(scope="session")
+def nasty_orders_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nasty_orders_sf")
+    for f in os.listdir(SF_SMOKE):
+        if f not in ("orders.parquet", "lineitem.parquet"):
+            os.symlink(os.path.join(SF_SMOKE, f), str(d / f))
+    o = _nasty_orders()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in o], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in o], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in o], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in o], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in o], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in o], pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    li = _nasty_lineitems()
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in li], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in li], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in li], pa.float64()),
+                "l_discount": pa.array([r[6] for r in li], pa.float64()),
+                "l_tax": pa.array([r[7] for r in li], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in li], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in li], pa.string()),
+                "l_shipdate": pa.array([r[10] for r in li], pa.timestamp("us")),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    return str(d)
+
+
+def _battery():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __spark_entry__ as e
+
+    oracles = e.oracle_sql()
+    hits = re.compile(r"\b(orders|lineitem)\b", re.I)
+    names = [
+        n
+        for n, sql in oracles.items()
+        if not n.startswith("streaming_") and hits.search(sql)
+    ]
+    assert len(names) >= 30, f"battery shrank suspiciously: {names}"
+    return names
+
+
+@pytest.mark.parametrize("name", _battery())
+def test_relational_query_survives_nasty_orders(spark, nasty_orders_dir, name):
+    import __spark_entry__ as e
+    from oracle_compare import compare, duck_connection
+
+    con = duck_connection(nasty_orders_dir)
+    try:
+        compare(
+            e.queries()[name](spark, nasty_orders_dir),
+            e.oracle_sql()[name],
+            con,
+            name,
+        )
+    finally:
+        con.close()
