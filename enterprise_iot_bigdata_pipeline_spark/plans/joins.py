@@ -279,6 +279,11 @@ _SN_WINDOW = 10
         SELECT c_nationkey, c_custkey, c_name,
                row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name, c_custkey) AS rn
         FROM customer
+        -- nameless customers can't fuzzy-match, and a NULL block key
+        -- would pair rows in Spark's window (NULL partitions group
+        -- together) that the self-join's NULL != NULL never pairs
+        -- (nasty-dims battery)
+        WHERE c_name IS NOT NULL AND c_nationkey IS NOT NULL
     )
     SELECT a.c_nationkey AS block_key,
            a.c_custkey AS cust_a, b.c_custkey AS cust_b,
@@ -293,7 +298,11 @@ _SN_WINDOW = 10
 def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_name").isNotNull() & F.col("c_nationkey").isNotNull())
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
     wn = W.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
     nb = F.array(
         *[

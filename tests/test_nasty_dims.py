@@ -1,0 +1,151 @@
+"""Adversarial dimension-table battery — the last of the five table
+families (events, documents, embeddings, orders/lineitem, dims). Every
+registered query whose oracle touches customer/supplier/part re-verifies
+with those three swapped for adversarial variants (nation/region and the
+fact tables stay real):
+
+- NULL nationkeys (broadcast-join NULL keys), orphan nationkeys;
+- NULL / tied / negative / zero acctbal and retailprice (top-k,
+  skyline, and min-cost tie stress);
+- NULL / empty / case-variant mktsegment, brand, type, names —
+  grouping-on-NULL-keys and CASE coverage;
+- p_size NULLs and duplicates (range filters, skyline dominance).
+
+Primary keys stay unique (loader contract). Query lists derive from the
+registry at collection time.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from conftest import SF_SMOKE
+
+_SEGMENTS = ["BUILDING", "AUTOMOBILE", None, "", "building", "MACHINERY"]
+_BRANDS = ["Brand#1", "Brand#2", None, "", "Brand#1"]
+_TYPES = ["SMALL PLATED", "PROMO BRUSHED", None, "", "STANDARD", "PROMO ANODIZED"]
+
+
+def _nasty_customer():
+    rows = []
+    for i in range(150):
+        ck = i + 1
+        nk = None if i % 13 == 0 else (99 if i % 17 == 0 else i % 25)  # 99 orphan
+        bal = [100.0, 100.0, None, 0.0, -999.99, 5000.5][i % 6]
+        name = None if i % 29 == 0 else f"Customer#{ck:09d}"
+        seg = _SEGMENTS[i % len(_SEGMENTS)]
+        rows.append((ck, name, nk, bal, seg))
+    return rows
+
+
+def _nasty_supplier():
+    rows = []
+    for i in range(10):
+        sk = i + 1
+        nk = None if i == 0 else (99 if i == 1 else i % 25)
+        bal = [200.0, 200.0, None, -5.0, 0.0][i % 5]
+        name = None if i == 2 else f"Supplier#{sk:09d}"
+        rows.append((sk, name, nk, bal))
+    return rows
+
+
+def _nasty_part():
+    rows = []
+    for i in range(200):
+        pk = i + 1
+        name = None if i % 31 == 0 else f"part {i} ghost linen"
+        brand = _BRANDS[i % len(_BRANDS)]
+        ptype = _TYPES[i % len(_TYPES)]
+        size = None if i % 11 == 0 else [1, 1, 5, 50, 5][i % 5]
+        price = [10.0, 10.0, None, 0.0, -1.0, 901.0, 10.0][i % 7]
+        rows.append((pk, name, brand, ptype, size, price))
+    return rows
+
+
+@pytest.fixture(scope="session")
+def nasty_dims_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nasty_dims_sf")
+    swapped = ("customer.parquet", "supplier.parquet", "part.parquet")
+    for f in os.listdir(SF_SMOKE):
+        if f not in swapped:
+            os.symlink(os.path.join(SF_SMOKE, f), str(d / f))
+    c = _nasty_customer()
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in c], pa.int64()),
+                "c_name": pa.array([r[1] for r in c], pa.string()),
+                "c_nationkey": pa.array([r[2] for r in c], pa.int32()),
+                "c_acctbal": pa.array([r[3] for r in c], pa.float64()),
+                "c_mktsegment": pa.array([r[4] for r in c], pa.string()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    s = _nasty_supplier()
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([r[0] for r in s], pa.int64()),
+                "s_name": pa.array([r[1] for r in s], pa.string()),
+                "s_nationkey": pa.array([r[2] for r in s], pa.int32()),
+                "s_acctbal": pa.array([r[3] for r in s], pa.float64()),
+            }
+        ),
+        str(d / "supplier.parquet"),
+    )
+    p = _nasty_part()
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in p], pa.int64()),
+                "p_name": pa.array([r[1] for r in p], pa.string()),
+                "p_brand": pa.array([r[2] for r in p], pa.string()),
+                "p_type": pa.array([r[3] for r in p], pa.string()),
+                "p_size": pa.array([r[4] for r in p], pa.int32()),
+                "p_retailprice": pa.array([r[5] for r in p], pa.float64()),
+            }
+        ),
+        str(d / "part.parquet"),
+    )
+    return str(d)
+
+
+def _battery():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __spark_entry__ as e
+
+    oracles = e.oracle_sql()
+    hits = re.compile(r"\b(customer|supplier|part)\b", re.I)
+    names = [
+        n
+        for n, sql in oracles.items()
+        if not n.startswith("streaming_") and hits.search(sql)
+    ]
+    assert len(names) >= 25, f"battery shrank suspiciously: {names}"
+    return names
+
+
+@pytest.mark.parametrize("name", _battery())
+def test_dim_query_survives_nasty_dims(spark, nasty_dims_dir, name):
+    import __spark_entry__ as e
+    from oracle_compare import compare, duck_connection
+
+    con = duck_connection(nasty_dims_dir)
+    try:
+        compare(
+            e.queries()[name](spark, nasty_dims_dir),
+            e.oracle_sql()[name],
+            con,
+            name,
+        )
+    finally:
+        con.close()
