@@ -260,11 +260,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state store — is still what executes on the Spark side).
 # ---------------------------------------------------------------------------
 
+# ts IS NOT NULL: the streaming side's watermark operator silently DROPS
+# rows with NULL event time — the oracle must count the same population
+# (streaming nasty-events battery, round 9)
 _STREAM_HOUR_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour_start,
        event_type,
        count(*) AS n_events
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -279,7 +283,11 @@ def streaming_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, stage = _stage_events_stream(spark, sf_dir)
     try:
         agg = (
-            stream.withWatermark("ts", "1 hour")
+            # explicit: NULL-event-time rows never enter the windowed agg
+            # (windowing/watermark would drop them silently; the oracle
+            # pins the same exclusion)
+            stream.filter(F.col("ts").isNotNull())
+            .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(
@@ -1087,6 +1095,7 @@ SELECT date_trunc('hour', ts) AS window_start,
             THEN CAST(2 * sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
                  / (2 * count(value)) END AS avg_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -1112,7 +1121,8 @@ def streaming_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = continuous_rollup(
             spark,
-            stream,
+            # explicit NULL-event-time exclusion (the hour-agg note)
+            stream.filter(F.col("ts").isNotNull()),
             rollup_path=os.path.join(work, "rollup"),
             checkpoint=os.path.join(work, "ckpt"),
             window="1 hour",

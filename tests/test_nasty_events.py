@@ -134,6 +134,40 @@ def test_window_query_survives_nasty_events(spark, nasty_dir, name):
         con.close()
 
 
+def _streaming_battery():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __spark_entry__ as e
+
+    oracles = e.oracle_sql()
+    names = [n for n in e.queries() if n.startswith("streaming_") and n in oracles]
+    assert len(names) >= 8, f"streaming battery shrank suspiciously: {names}"
+    return names
+
+
+@pytest.mark.parametrize("name", _streaming_battery())
+def test_streaming_slot_survives_null_timestamps(spark, nasty_null_ts_dir, name):
+    """A production stream SEES dirty input: rows with NULL event time
+    must flow through watermarks, state stores, and sinks to the same
+    answer the batch oracle computes — watermark operators silently DROP
+    NULL-event-time rows, so any slot whose oracle counts them (or whose
+    stream doesn't pin the exclusion) diverges here."""
+    import __spark_entry__ as e
+    from oracle_compare import compare, duck_connection
+
+    con = duck_connection(nasty_null_ts_dir)
+    try:
+        compare(
+            e.queries()[name](spark, nasty_null_ts_dir),
+            e.oracle_sql()[name],
+            con,
+            name,
+        )
+    finally:
+        con.close()
+
+
 @pytest.mark.parametrize("name", _battery())
 def test_window_query_survives_null_timestamps(spark, nasty_null_ts_dir, name):
     import __spark_entry__ as e
