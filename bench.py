@@ -308,10 +308,23 @@ CALIBRATIONS = {
     "cal_join": _cal_join,
 }
 
-# min-of-3 on the round-9 box (local[32], 128 GiB) — the denominator for
-# the drift ratio. Do NOT update these when the box changes; the whole
-# point is that the ratio moves instead of the headline being argued over.
+# Pinned at round 10 from min-of-3 runs measured on the round-10 builder
+# box in the same session that committed the pin (so ratio ≈ 1.0 at pin
+# time — the r9 pin was taken from an earlier session and carried a ~10%
+# built-in bias into every value_normalized). Do NOT update these when
+# the box changes; the whole point is that the ratio moves instead of
+# the headline being argued over.
 CAL_BASELINE = {
+    "cal_shuffle_agg": 0.411,
+    "cal_hash_cpu": 0.145,
+    "cal_join": 0.732,
+}
+
+# The round-9 pin, kept verbatim so cross-round normalization against
+# BENCH_r09.json (which carries ratio 0.729 vs THESE values) stays a
+# same-denominator division: normalized r9->r10 per-query ratio =
+# raw_ratio x (ratio_r9pin_now / 0.729).
+CAL_BASELINE_R9 = {
     "cal_shuffle_agg": 0.45,
     "cal_hash_cpu": 0.17,
     "cal_join": 0.909,
@@ -319,7 +332,12 @@ CAL_BASELINE = {
 
 
 def run_calibration(spark) -> dict:
-    """Min-of-3 calibration times + drift ratio vs the pinned baseline."""
+    """Min-of-3 calibration times + drift ratios vs the pinned baselines.
+
+    Reports per-workload ratios alongside the median (a single workload
+    regressing 2x would otherwise leave the 3-element median unchanged
+    and invisible), plus the ratio against the round-9 pin so r9-era
+    artifacts can be compared with shared units."""
     import statistics
 
     times: dict[str, float] = {}
@@ -330,10 +348,20 @@ def run_calibration(spark) -> dict:
             fn(spark).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
-    ratio = round(
-        statistics.median(times[n] / CAL_BASELINE[n] for n in CALIBRATIONS), 3
+    per_workload = {
+        n: round(times[n] / CAL_BASELINE[n], 3) for n in CALIBRATIONS
+    }
+    ratio = round(statistics.median(per_workload.values()), 3)
+    ratio_r9pin = round(
+        statistics.median(times[n] / CAL_BASELINE_R9[n] for n in CALIBRATIONS), 3
     )
-    return {"times": times, "baseline": CAL_BASELINE, "ratio": ratio}
+    return {
+        "times": times,
+        "baseline": CAL_BASELINE,
+        "per_workload_ratio": per_workload,
+        "ratio": ratio,
+        "ratio_r9pin": ratio_r9pin,
+    }
 
 
 def bench_names(queries: dict) -> list[str]:
@@ -462,6 +490,10 @@ def main() -> None:
     if calibration.get("ratio"):
         compact["calibration_ratio"] = calibration["ratio"]
         compact["value_normalized"] = out["value_normalized"]
+    if calibration.get("ratio_r9pin"):
+        # shared-denominator ratio for comparing against BENCH_r09.json
+        # (whose 0.729 was measured vs the same r9 pin)
+        compact["calibration_ratio_r9pin"] = calibration["ratio_r9pin"]
     if errors:
         compact["n_errors"] = len(errors)
     for name in names:

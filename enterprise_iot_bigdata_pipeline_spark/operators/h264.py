@@ -78,16 +78,27 @@ def _strip_emulation(nal: bytes) -> bytes:
 _HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
 
 
-def parse_sps(nal: bytes) -> dict:
+def parse_sps(nal: bytes, has_nal_header: bool | None = None) -> dict:
     """Decode an SPS NAL (with or without its 1-byte NAL header) into
     ``{"profile_idc", "level_idc", "chroma_format_idc", "width",
     "height", "frame_mbs_only"}``. Width/height are the CROPPED coded
-    dimensions (the visible frame), not the macroblock grid."""
+    dimensions (the visible frame), not the macroblock grid.
+
+    ``has_nal_header`` disambiguates the first byte explicitly; when
+    ``None`` the header is detected only for a byte that is a
+    well-formed SPS NAL header (forbidden_zero_bit == 0, nal_ref_idc
+    != 0 as §7.4.1 requires for SPS, nal_unit_type == 7 — i.e. one of
+    0x67/0x47/0x27). A bare ``& 0x1F == 7`` test would mis-strip
+    profile_idc values whose low 5 bits are 7 (e.g. high-profile 135)."""
     if not nal:
         raise ValueError("corrupt SPS: empty NAL")
     body = nal
-    if body[0] & 0x1F == 7:  # NAL header present (forbidden_zero+ref+type)
+    if has_nal_header is None:
+        has_nal_header = body[0] in (0x67, 0x47, 0x27)
+    if has_nal_header:
         body = body[1:]
+        if not body:
+            raise ValueError("corrupt SPS: header with no payload")
     r = _BitReader(_strip_emulation(body))
     profile_idc = r.u(8)
     r.u(8)  # constraint flags + reserved
@@ -163,6 +174,9 @@ def parse_avcc(record: bytes) -> dict:
         raise ValueError("corrupt avcC: record shorter than 7 bytes")
     if record[0] != 1:
         raise ValueError(f"corrupt avcC: configurationVersion {record[0]} != 1")
+    if record[4] & 0x3 == 2:
+        # lengthSizeMinusOne == 2 is reserved by ISO 14496-15 §5.3.3.1.2
+        raise ValueError("corrupt avcC: reserved lengthSizeMinusOne value 2")
     out = {
         "profile_idc": record[1],
         "profile_compat": record[2],
@@ -237,5 +251,6 @@ def parse_h264_config(payload: bytes) -> dict:
     cfg = parse_avcc(record)
     if not cfg["sps"]:
         raise ValueError("corrupt avcC: zero SPS parameter sets")
-    cfg["sps_info"] = parse_sps(cfg["sps"][0])
+    # avcC parameter-set payloads always include the 1-byte NAL header
+    cfg["sps_info"] = parse_sps(cfg["sps"][0], has_nal_header=True)
     return cfg

@@ -1,0 +1,43 @@
+"""Rotation-policy guard: _PRIORITY must equal the derived window.
+
+The driver's correctness artifact samples the first 50 registered
+queries; tools/rotation.py derives that window from the
+CORRECTNESS_r*.json evidence ledger (never-sampled names first, then
+stalest driver evidence). This test pins the committed literal to the
+computation so the rotation stays policy-driven — a new round's
+artifact landing in the repo root will (correctly) fail this test
+until the window is regenerated with ``python tools/rotation.py
+--emit``.
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def test_priority_matches_derived_window():
+    import rotation
+
+    from enterprise_iot_bigdata_pipeline_spark import plans
+
+    plans.load_all()
+    derived = rotation.compute_window(
+        list(plans.QUERIES),
+        set(plans.ORACLES),
+        rotation.evidence_ledger(REPO),
+    )
+    assert list(plans._PRIORITY) == derived
+
+
+def test_window_is_full_and_oracle_backed():
+    from enterprise_iot_bigdata_pipeline_spark import plans
+
+    plans.load_all()
+    assert len(plans._PRIORITY) == 50
+    assert len(set(plans._PRIORITY)) == 50
+    missing = [n for n in plans._PRIORITY if n not in plans.ORACLES]
+    assert missing == []
+    # load_all reorders: the first 50 registry names ARE the window
+    assert list(plans.QUERIES)[:50] == list(plans._PRIORITY)

@@ -236,7 +236,7 @@ def _make_sps(width_mbs, height_units, frame_mbs_only=1, crops=(0, 0, 0, 0),
     w.u(8, 0)       # constraint flags
     w.u(8, level)
     w.ue(0)         # seq_parameter_set_id
-    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135):
         w.ue(1)     # chroma_format_idc 4:2:0
         w.ue(0)     # bit_depth_luma_minus8
         w.ue(0)     # bit_depth_chroma_minus8
@@ -306,6 +306,40 @@ class TestH264Config:
         cfg = parse_avcc(_make_avcc(sps))
         assert cfg["profile_idc"] == 66 and cfg["nal_length_size"] == 4
         assert cfg["sps"] == [sps] and len(cfg["pps"]) == 1
+
+    def test_sps_headerless_profile135_not_misstripped(self):
+        # profile_idc 135 has low 5 bits == 7: a bare `& 0x1F == 7` header
+        # test would strip it as a NAL header and garbage the parse. The
+        # heuristic only strips well-formed SPS headers (0x67/0x47/0x27).
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import parse_sps
+
+        body = _make_sps(40, 30, profile=135)[1:]  # drop the real header
+        for kwargs in ({}, {"has_nal_header": False}):
+            info = parse_sps(body, **kwargs)
+            assert info["profile_idc"] == 135
+            assert (info["width"], info["height"]) == (640, 480)
+
+    def test_sps_explicit_header_flag_overrides_heuristic(self):
+        # a header-less SPS whose profile_idc collides with a header byte
+        # (103 == 0x67) parses correctly when the caller says so
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import parse_sps
+
+        body = _make_sps(40, 30, profile=103)[1:]
+        assert body[0] == 0x67
+        info = parse_sps(body, has_nal_header=False)
+        assert info["profile_idc"] == 103
+        assert (info["width"], info["height"]) == (640, 480)
+
+    def test_avcc_reserved_length_size_raises(self):
+        # lengthSizeMinusOne == 2 is reserved (ISO 14496-15 §5.3.3.1.2)
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import parse_avcc
+
+        rec = bytearray(_make_avcc(_make_sps(40, 30)))
+        rec[4] = 0xFC | 2
+        with pytest.raises(ValueError, match="lengthSizeMinusOne"):
+            parse_avcc(bytes(rec))
 
     def test_avcc_truncated_raises_valueerror(self):
         import pytest

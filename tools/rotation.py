@@ -1,0 +1,96 @@
+"""Driver-window rotation generator.
+
+The per-round correctness artifact samples the FIRST 50 registered
+queries, so which names lead the registry decides which get hard driver
+CORRECTNESS evidence this round. Rounds 1-9 rotated a hand-maintained
+list; from round 10 the window is DERIVED from the evidence ledger:
+
+    window = first 50 oracle-backed registry names, ordered by
+             (latest driver round the name was sampled in, name)
+
+Never-sampled names sort first (round 0), so any rotation debt clears
+before stale evidence refreshes — exactly the policy the hand lists
+implemented, now computed. ``tests/test_rotation.py`` asserts the
+committed ``plans.__init__._PRIORITY`` equals this computation, so the
+list in code stays a plain reviewable literal (and the registry's
+typo/oracle guards keep failing loudly) while drift from the policy is
+a test failure, not a judgement call.
+
+Usage:
+    python tools/rotation.py            # print the 50-name window
+    python tools/rotation.py --check    # exit 1 if _PRIORITY drifts
+    python tools/rotation.py --emit     # print as a Python list literal
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def evidence_ledger(repo: str = REPO) -> dict[str, int]:
+    """name -> latest round with a driver CORRECTNESS row (any verdict)."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def compute_window(
+    registry: list[str],
+    oracles: set[str],
+    ledger: dict[str, int],
+    window: int = WINDOW,
+) -> list[str]:
+    eligible = [n for n in registry if n in oracles]
+    eligible.sort(key=lambda n: (ledger.get(n, 0), n))
+    return eligible[:window]
+
+
+def current_window(repo: str = REPO) -> list[str]:
+    sys.path.insert(0, repo)
+    from enterprise_iot_bigdata_pipeline_spark import plans
+
+    registry = list(plans.all_queries())
+    oracles = set(plans.all_oracles())
+    return compute_window(registry, oracles, evidence_ledger(repo))
+
+
+def main() -> int:
+    window = current_window()
+    if "--check" in sys.argv:
+        from enterprise_iot_bigdata_pipeline_spark.plans import _PRIORITY
+
+        if list(_PRIORITY) != window:
+            extra = [n for n in _PRIORITY if n not in window]
+            missing = [n for n in window if n not in _PRIORITY]
+            print(f"_PRIORITY drifts from policy: +{extra} -{missing}")
+            return 1
+        print(f"_PRIORITY matches the derived {len(window)}-name window")
+        return 0
+    if "--emit" in sys.argv:
+        print("_PRIORITY = [")
+        for n in window:
+            print(f'    "{n}",')
+        print("]")
+        return 0
+    for n in window:
+        print(n)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,8 +41,13 @@ _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
 N = int(_pos[0]) if _pos else 10
 SF = "/root/testdata/sf0.1"
 STRESSED = [
-    # round-9 slots (streaming_checkpoint_recovery is streaming-excluded
-    # like the other writeStream slots)
+    # round-9 slots. streaming_checkpoint_recovery is self-contained (it
+    # symlinks {sf_dir}/events.parquet into its own staging dir), so the
+    # generic path amplifies it like any batch slot — expect a LOW
+    # exponent: availableNow replay cost is state-store/query-startup
+    # dominated, roughly constant in corpus volume (the other writeStream
+    # slots stay excluded because they read fixed synthetic streams).
+    "streaming_checkpoint_recovery",
     "events_fill_gaps",
     "lake_sorted_roundtrip",
     "flagship_minute_resample",
@@ -198,6 +203,7 @@ STRESSED = [
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
+    "streaming_checkpoint_recovery": "events",
     "flagship_minute_resample": "events",
     "agg_pricing_summary": "lineitem",
     "join_semi_anti": "orders",
