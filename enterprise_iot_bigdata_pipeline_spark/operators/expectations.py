@@ -106,5 +106,7 @@ def run_expectations(df: DataFrame, specs: list[dict]) -> DataFrame:
         "col_name",
         "violations",
         F.col("n_rows").cast("long").alias("n_rows"),
-        (F.col("violations") == 0).alias("passed"),
+        # registry invariant: no nullable-boolean outputs; violations is a
+        # non-NULL count, the coalesce just pins the schema flag
+        F.coalesce(F.col("violations") == 0, F.lit(False)).alias("passed"),
     )

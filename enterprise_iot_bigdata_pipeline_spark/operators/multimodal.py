@@ -734,6 +734,7 @@ def encode_mp4_mjpeg(
     sample_delta: int = 1,
     samples_per_chunk: int | None = None,
     include_ftyp: bool = True,
+    stsd_entry_box: bytes | None = None,
 ) -> bytes:
     """Minimal valid ISO-BMFF (QuickTime-compatible) file with one
     Motion-JPEG video track; ``frames`` are complete JPEG payloads.
@@ -797,7 +798,13 @@ def encode_mp4_mjpeg(
         + b"\x05mjpeg" + b"\x00" * 26                 # compressorname (32 B pascal)
         + struct.pack(">Hh", 24, -1)                  # depth, pre_defined
     )
-    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(b"jpeg", entry))
+    # stsd_entry_box swaps in a caller-built sample entry (e.g. an avc1
+    # VisualSampleEntry with its avcC child for the I_PCM keyframe tests)
+    stsd = full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + (box(b"jpeg", entry) if stsd_entry_box is None else stsd_entry_box),
+    )
     stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta))
     spc = n if samples_per_chunk is None else max(1, samples_per_chunk)
     # chunk boundaries: samples are contiguous in mdat, so chunk k starts at
@@ -1061,7 +1068,7 @@ def _resolve_fragment_samples(
     return frames
 
 
-def parse_mp4_samples(payload: bytes) -> dict:
+def parse_mp4_samples(payload: bytes, codec_whitelist: tuple | None = None) -> dict:
     """Extract the video track's raw samples from an ISO-BMFF container by
     walking the real sample tables: stsd (codec fourcc), stsc
     (sample→chunk runs), stsz (sizes), stco/co64 (chunk offsets). Returns
@@ -1249,13 +1256,16 @@ def parse_mp4_samples(payload: bytes) -> dict:
         raise ValueError("MP4 has no video sample table (metadata-only or audio file)")
     trk = video[0]
     codec = trk["codec"]
-    if codec.strip() not in _MP4_MJPEG_FOURCC:
+    if codec.strip() not in (
+        _MP4_MJPEG_FOURCC if codec_whitelist is None else codec_whitelist
+    ):
         raise NotImplementedError(
             f"MP4 video codec {codec!r}: only MJPEG samples decode natively "
             "(each a standalone baseline JPEG); inter-frame codecs need an "
-            "external library wired into this hook (H.264 stream METADATA — "
-            "profile/level/real cropped dimensions — parses without decode "
-            "via operators.h264.parse_h264_config)"
+            "external library wired into this hook (H.264 stream METADATA "
+            "parses without decode via operators.h264.parse_h264_config, "
+            "and all-I_PCM IDR keyframes decode via "
+            "operators.h264.decode_h264_keyframe)"
         )
     sizes = trk.get("sizes")
     offsets = trk.get("offsets")
@@ -2484,3 +2494,16 @@ def parse_video_containers(media: DataFrame) -> DataFrame:
     return fan_out(media.select("doc_id", "content")).mapInPandas(
         per_batch, VIDEO_AUDIT_SCHEMA
     )
+
+
+def _mp4_first_avc_sample(payload: bytes) -> bytes:
+    """First raw sample of the container's AVC video track (the
+    length-prefixed NAL stream operators.h264.decode_h264_keyframe
+    feeds). Reuses the full sample-table/fragment walk via the codec
+    whitelist override."""
+    got = parse_mp4_samples(
+        payload, codec_whitelist=("avc1", "avc2", "avc3", "avc4")
+    )
+    if not got["frames"]:
+        raise ValueError("MP4 AVC track resolved zero samples")
+    return got["frames"][0]

@@ -1269,7 +1269,11 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_cumulative_users",
     """
     WITH firsts AS (
-        SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+        -- ts IS NOT NULL both engines: a user with only undated events
+        -- has no first-seen day, and the NULL day would ride the running
+        -- sum at opposite ends of the engines' default NULL orders
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ),
     daily AS (
         SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
@@ -1283,7 +1287,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
     daily = firsts.groupBy("first_day").agg(
         F.count(F.lit(1)).cast("long").alias("new_users")

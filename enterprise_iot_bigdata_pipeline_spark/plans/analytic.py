@@ -316,10 +316,14 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_value_quartiles",
     f"""
     WITH q AS (
+        -- value IS NOT NULL both engines: a NULL value has no quartile,
+        -- and the engines' opposite ASC NULL placement would otherwise
+        -- band NULLs into quartile 1 (Spark) vs 4 (DuckDB)
         SELECT event_type, value,
                ntile(4) OVER (PARTITION BY event_type
                               ORDER BY value, event_id) AS quartile
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_type, quartile,
            count(*) AS n,
@@ -331,7 +335,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = W.partitionBy("event_type").orderBy("value", "event_id")
     q = ev.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
     return q.groupBy("event_type", "quartile").agg(
@@ -775,9 +779,13 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_backlog_profile",
     """
     WITH iv AS (
+        -- o_orderdate IS NOT NULL both engines: an undated order has no
+        -- interval, and a NULL day in the sweep-line running sum lands
+        -- at opposite ends of the engines' default orders
         SELECT epoch(o_orderdate) // 86400 AS d0,
                epoch(o_orderdate) // 86400 + o_orderkey % 30 + 1 AS de
         FROM orders
+        WHERE o_orderdate IS NOT NULL
     ),
     deltas AS (
         SELECT d0 AS d, 1 AS s, 0 AS e FROM iv
@@ -797,7 +805,7 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     d0 = F.expr("unix_timestamp(o_orderdate) div 86400")
     de = d0 + F.col("o_orderkey") % 30 + 1
     iv = orders.select(d0.alias("d0"), de.alias("de"))
@@ -901,10 +909,15 @@ def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_time_to_convert",
     """
     WITH s1 AS (
+        -- user_id IS NOT NULL both engines: anonymous events can't
+        -- funnel, and a NULL user riding the per-leg rank as an ASC
+        -- tiebreaker would land at opposite ends of the engines'
+        -- default NULL orders on latency ties
         SELECT user_id, event_type, ts,
             min(CASE WHEN event_type = 'view' THEN ts END)
                 OVER (PARTITION BY user_id) AS t_view
         FROM events
+        WHERE user_id IS NOT NULL
     ), s2 AS (
         SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
                       OVER (PARTITION BY user_id) AS t_click
@@ -918,15 +931,18 @@ def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(t_buy) AS t_buy
         FROM s3 GROUP BY user_id
     ), legs AS (
+        -- the t_view/t_click pins are implied (t_click non-NULL requires
+        -- a t_view to anchor on) but stated explicitly so the latency is
+        -- PROVABLY non-NULL as a rank key (tools/null_audit.py)
         SELECT 'view_to_click' AS leg, user_id,
                epoch_us(t_click) - epoch_us(t_view) AS lat_us
-        FROM per_user WHERE t_click IS NOT NULL
+        FROM per_user WHERE t_click IS NOT NULL AND t_view IS NOT NULL
         UNION ALL
         SELECT 'click_to_purchase', user_id, epoch_us(t_buy) - epoch_us(t_click)
-        FROM per_user WHERE t_buy IS NOT NULL
+        FROM per_user WHERE t_buy IS NOT NULL AND t_click IS NOT NULL
         UNION ALL
         SELECT 'view_to_purchase', user_id, epoch_us(t_buy) - epoch_us(t_view)
-        FROM per_user WHERE t_buy IS NOT NULL
+        FROM per_user WHERE t_buy IS NOT NULL AND t_view IS NOT NULL
     ), ranked AS (
         SELECT leg, lat_us,
                row_number() OVER (PARTITION BY leg ORDER BY lat_us, user_id) AS rn,
@@ -945,7 +961,7 @@ def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     wu = W.partitionBy("user_id")
     et, ts = F.col("event_type"), F.col("ts")
     s3 = (
@@ -969,20 +985,26 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     legs = (
-        per_user.filter(F.col("t_click").isNotNull()).select(
+        per_user.filter(
+            F.col("t_click").isNotNull() & F.col("t_view").isNotNull()
+        ).select(
             F.lit("view_to_click").alias("leg"),
             "user_id",
             (us("t_click") - us("t_view")).alias("lat_us"),
         )
         .unionByName(
-            per_user.filter(F.col("t_buy").isNotNull()).select(
+            per_user.filter(
+                F.col("t_buy").isNotNull() & F.col("t_click").isNotNull()
+            ).select(
                 F.lit("click_to_purchase").alias("leg"),
                 "user_id",
                 (us("t_buy") - us("t_click")).alias("lat_us"),
             )
         )
         .unionByName(
-            per_user.filter(F.col("t_buy").isNotNull()).select(
+            per_user.filter(
+                F.col("t_buy").isNotNull() & F.col("t_view").isNotNull()
+            ).select(
                 F.lit("view_to_purchase").alias("leg"),
                 "user_id",
                 (us("t_buy") - us("t_view")).alias("lat_us"),
@@ -1245,9 +1267,12 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fifo_return_allocation",
     """
     WITH ships AS (
+        -- l_shipdate IS NOT NULL both engines: a dateless line has no
+        -- place in a FIFO queue, and its placement (Spark first /
+        -- DuckDB last) would shift every later line's allocation
         SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
                CAST(round(l_quantity, 0) AS BIGINT) AS qty
-        FROM lineitem WHERE l_returnflag <> 'R'
+        FROM lineitem WHERE l_returnflag <> 'R' AND l_shipdate IS NOT NULL
     ),
     pool AS (
         SELECT l_partkey, CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS r_total
@@ -1285,7 +1310,9 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fifo_return_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     qty = F.round(F.col("l_quantity"), 0).cast("long")
-    ships = li.filter(F.col("l_returnflag") != "R").select(
+    ships = li.filter(
+        (F.col("l_returnflag") != "R") & F.col("l_shipdate").isNotNull()
+    ).select(
         "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate", qty.alias("qty")
     )
     pool = (
@@ -1594,10 +1621,13 @@ def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parts_pareto_abc",
     """
     WITH rev AS (
+        -- l_partkey IS NOT NULL both engines: an orphan line has no part
+        -- to classify, and the NULL group would ride the revenue-order
+        -- tiebreaker at opposite ends of the engines' NULL defaults
         SELECT l_partkey,
                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
                              AS BIGINT)) AS BIGINT) AS cents
-        FROM lineitem GROUP BY l_partkey
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
     ),
     o AS (
         SELECT l_partkey, cents,
@@ -1621,7 +1651,7 @@ def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
     cents_line = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("long")
@@ -1988,8 +2018,11 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SKYLINE_ORACLE = """
 WITH g AS (
+    -- p_retailprice IS NOT NULL both engines: an unpriced part has no
+    -- place on a price frontier, and the NULL price group would enter
+    -- the sweep at opposite ends of the engines' default NULL orders
     SELECT p_retailprice AS price, max(p_size) AS pmax
-    FROM part GROUP BY p_retailprice
+    FROM part WHERE p_retailprice IS NOT NULL GROUP BY p_retailprice
 ),
 a AS (
     SELECT price, pmax,
@@ -2008,7 +2041,7 @@ ORDER BY p_retailprice, p_partkey
 
 @register("skyline_parts", _SKYLINE_ORACLE)
 def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = t(spark, sf_dir, "part")
+    p = t(spark, sf_dir, "part").filter(F.col("p_retailprice").isNotNull())
     # Checkpoint the price reduction: the prefix operator's bounds scalar
     # and its bucket tagging both consume it — without the checkpoint each
     # re-scans part and re-groups. |distinct price| rows.

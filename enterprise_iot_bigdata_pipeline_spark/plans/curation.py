@@ -444,8 +444,12 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_water_fill",
     """
     WITH caps AS (
-        SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap
-        FROM documents GROUP BY source
+        -- source IS NOT NULL both engines (an unattributed doc has no
+        -- mixture bucket, and NULL source/cap would ride the fill-line
+        -- sort at opposite ends of the engines' default NULL orders);
+        -- coalesce(n_chars, 0) keeps cap provably non-NULL
+        SELECT source, CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS cap
+        FROM documents WHERE source IS NOT NULL GROUP BY source
     ),
     o AS (
         SELECT source, cap,
@@ -484,8 +488,10 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mixture_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    caps = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("cap"))
+    docs = t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    caps = docs.groupBy("source").agg(
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("long").alias("cap")
+    )
     w = W.orderBy("cap", "source")
     o = caps.select(
         "source",

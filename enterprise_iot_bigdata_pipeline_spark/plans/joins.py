@@ -820,7 +820,7 @@ def _er_oracle() -> str:
         FROM mapped GROUP BY entity_id
     )
     SELECT m.c_custkey, m.c_name, m.entity_id, s.n_members,
-           m.c_custkey = m.entity_id AS is_representative
+           coalesce(m.c_custkey = m.entity_id, false) AS is_representative
     FROM mapped m JOIN sizes s USING (entity_id)
     WHERE s.n_members > 1
     """
@@ -858,7 +858,11 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "entity_id",
             "n_members",
-            (F.col("c_custkey") == F.col("entity_id")).alias("is_representative"),
+            # registry invariant: no nullable-boolean outputs (entity_id
+            # is coalesce-backed non-NULL; this pins the schema flag)
+            F.coalesce(
+                F.col("c_custkey") == F.col("entity_id"), F.lit(False)
+            ).alias("is_representative"),
         )
     )
 

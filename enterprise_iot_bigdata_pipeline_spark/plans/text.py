@@ -640,7 +640,7 @@ s AS (
     FROM m GROUP BY domain
 )
 SELECT m.doc_id, m.domain, s.domain_docs, s.domain_avg_q,
-       s.domain_avg_q >= {_DOMAIN_KEEP_T!r} AS keep
+       coalesce(s.domain_avg_q >= {_DOMAIN_KEEP_T!r}, false) AS keep
 FROM m JOIN s USING (domain)
 """
 
@@ -675,7 +675,11 @@ def web_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain",
         "domain_docs",
         "domain_avg_q",
-        (F.col("domain_avg_q") >= F.lit(_DOMAIN_KEEP_T)).alias("keep"),
+        # registry invariant: no NULL booleans — a domain with no scored
+        # docs (NULL avg) is not kept, in both engines
+        F.coalesce(
+            F.col("domain_avg_q") >= F.lit(_DOMAIN_KEEP_T), F.lit(False)
+        ).alias("keep"),
     )
 
 
@@ -1219,7 +1223,7 @@ reps AS (
     FROM members GROUP BY component
 )
 SELECT m.doc_id, m.component, r.canonical_id, n_members,
-       m.doc_id = r.canonical_id AS is_canonical
+       coalesce(m.doc_id = r.canonical_id, false) AS is_canonical
 FROM members m JOIN reps r USING (component)
 """
 
@@ -1259,7 +1263,11 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         "canonical_id",
         "n_members",
-        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        # registry invariant: no nullable-boolean outputs (canonical_id is
+        # non-NULL by the packed-key fix above; the coalesce pins the flag)
+        F.coalesce(
+            F.col("doc_id") == F.col("canonical_id"), F.lit(False)
+        ).alias("is_canonical"),
     )
 
 
@@ -1342,7 +1350,7 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(raw, '{P.PHONE_RE}')) AS BIGINT) AS n_phones,
        CAST(len(regexp_extract_all(raw, '{P.IPV4_RE}')) AS BIGINT) AS n_ips,
        {red} AS redacted,
-       ({remaining}) = 0 AS clean
+       coalesce(({remaining}) = 0, false) AS clean
 FROM dirty
 """
 
@@ -1380,11 +1388,14 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_phones"].alias("n_phones"),
         counts["n_ips"].alias("n_ips"),
         redacted.alias("redacted"),
-        (
+        # registry invariant: no nullable-boolean outputs (raw is non-NULL
+        # via the coalesce above; this just pins the schema flag)
+        F.coalesce(
             F.regexp_count(redacted, F.lit(P.EMAIL_RE))
             + F.regexp_count(redacted, F.lit(P.PHONE_RE))
             + F.regexp_count(redacted, F.lit(P.IPV4_RE))
-            == 0
+            == 0,
+            F.lit(False),
         ).alias("clean"),
     )
 
@@ -2646,7 +2657,7 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(raw, '{_SECRET_RULES[1][0]}')) AS BIGINT) AS n_github,
        CAST(len(regexp_extract_all(raw, '{_SECRET_RULES[2][0]}')) AS BIGINT) AS n_hex64,
        {red} AS redacted,
-       ({remaining}) = 0 AS clean
+       coalesce(({remaining}) = 0, false) AS clean
 FROM dirty
 """
 
@@ -2697,7 +2708,9 @@ def text_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("raw"), F.lit(_SECRET_RULES[1][0])).cast("long").alias("n_github"),
         F.regexp_count(F.col("raw"), F.lit(_SECRET_RULES[2][0])).cast("long").alias("n_hex64"),
         red.alias("redacted"),
-        (remaining == 0).alias("clean"),
+        # registry invariant: no nullable-boolean outputs (raw is non-NULL
+        # via the coalesce above; this just pins the schema flag)
+        F.coalesce(remaining == 0, F.lit(False)).alias("clean"),
     )
 
 

@@ -398,17 +398,22 @@ def _fir_oracle() -> str:
     # value run — the nasty-events battery's find): no defined smooth
     # value, emit NULL in BOTH engines (ANSI Spark would otherwise raise
     # DIVIDE_BY_ZERO where DuckDB quietly NULLs).
+    # ts IS NOT NULL both engines: lag() taps read NEIGHBORS in time
+    # order, so NULL-ts placement (Spark first / DuckDB last) changes
+    # which rows smooth into which — the uniform r9 pin, enforced by the
+    # decorrelated-value nasty battery + tools/null_audit.py
     return f"""
     SELECT event_id, ts, event_type, value,
            CASE WHEN ({den}) > 0.0
                 THEN round(({num}) / ({den}), 9) END AS value_smooth
     FROM events
+    WHERE ts IS NOT NULL
     """
 
 
 @register("timeseries_fir_smooth", _fir_oracle())
 def timeseries_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("event_type").orderBy("ts", "event_id")
     cs = _fir_coeffs()
     num = None
@@ -570,7 +575,7 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN e.value < b.lo THEN b.lo
                 WHEN e.value > b.hi THEN b.hi
                 ELSE e.value END AS value_wins,
-           (e.value < b.lo OR e.value > b.hi) AS clipped
+           coalesce(e.value < b.lo OR e.value > b.hi, false) AS clipped
     FROM events e JOIN b USING (event_type)
     """,
 )
@@ -585,7 +590,9 @@ def timeseries_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id", "ts", "event_type", "value",
         F.when(v < lo, lo).when(v > hi, hi).otherwise(v).alias("value_wins"),
-        ((v < lo) | (v > hi)).alias("clipped"),
+        # registry invariant: no NULL booleans — a NULL value (or an
+        # all-NULL series' NULL bounds) is "not clipped" in both engines
+        F.coalesce((v < lo) | (v > hi), F.lit(False)).alias("clipped"),
     )
 
 
@@ -648,9 +655,13 @@ _RANGE_S = 3600
     "timeseries_range_window",
     f"""
     WITH e AS (
+        -- ts IS NOT NULL both engines: a NULL epoch has no trailing-hour
+        -- frame, and the engines disagree on where the NULL peer group
+        -- sits in RANGE windows (null_audit standing lint)
         SELECT event_id, ts, event_type, value,
                CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT event_id, ts, event_type, value,
         CAST(sum(CAST(value AS DECIMAL(25,6)))
@@ -666,8 +677,10 @@ _RANGE_S = 3600
     """,
 )
 def timeseries_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").withColumn(
-        "ts_s", F.unix_timestamp("ts").cast("long")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("ts_s", F.unix_timestamp("ts").cast("long"))
     )
     wr = (
         W.partitionBy("event_type")
@@ -759,9 +772,13 @@ _GAP_TOPK = 10
     "timeseries_gap_topk",
     f"""
     WITH g AS (
+        -- ts IS NOT NULL both engines: a NULL arrival has no gap, and
+        -- un-pinned it becomes a lag() NEIGHBOR whose placement (Spark
+        -- first / DuckDB last) changes which real gaps exist at all
         SELECT event_type, ts, event_id,
             lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts
         FROM events
+        WHERE ts IS NOT NULL
     ), d AS (
         SELECT event_type, prev_ts AS gap_start, ts AS gap_end, event_id,
             epoch_us(ts) - epoch_us(prev_ts) AS gap_us
@@ -777,7 +794,7 @@ _GAP_TOPK = 10
     """,
 )
 def timeseries_gap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     word = W.partitionBy("event_type").orderBy("ts", "event_id")
     d = ev.select(
@@ -830,7 +847,8 @@ def timeseries_gap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_id, d.ts, d.event_type, d.value, d.med, s.mad, d.absdev,
            CASE WHEN s.mad > 0
                 THEN round(d.absdev / (1.4826 * s.mad), 9) END AS robust_z,
-           (s.mad > 0 AND d.absdev > 3.0 * (1.4826 * s.mad)) AS is_outlier
+           coalesce(s.mad > 0 AND d.absdev > 3.0 * (1.4826 * s.mad), false)
+               AS is_outlier
     FROM dev d JOIN mad s USING (event_type)
     """,
 )
@@ -850,7 +868,13 @@ def timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id", "ts", "event_type", "value", "med", "mad", "absdev",
         F.when(F.col("mad") > 0, F.round(F.col("absdev") / scaled, 9)).alias("robust_z"),
-        ((F.col("mad") > 0) & (F.col("absdev") > F.lit(3.0) * scaled)).alias("is_outlier"),
+        # registry invariant: never emit NULL booleans (a NULL-value row's
+        # NULL absdev would 3VL-propagate here; "not an outlier" is the
+        # pinned cross-engine answer)
+        F.coalesce(
+            (F.col("mad") > 0) & (F.col("absdev") > F.lit(3.0) * scaled),
+            F.lit(False),
+        ).alias("is_outlier"),
     )
 
 
@@ -900,9 +924,9 @@ _BURST_BUCKET_S = 60
     )
     SELECT d.event_type, d.minute_b, d.n,
            round(s.mu, 9) AS mu,
-           (d.n > round(s.mu, 9) AND
+           coalesce(d.n > round(s.mu, 9) AND
             (d.n - round(s.mu, 9)) * (d.n - round(s.mu, 9))
-              > 9.0 * round(s.m2 - s.mu * s.mu, 9)) AS is_burst
+              > 9.0 * round(s.m2 - s.mu * s.mu, 9), false) AS is_burst
     FROM dense d JOIN stats s USING (event_type)
     WHERE d.n > 0
     """,
@@ -949,7 +973,11 @@ def timeseries_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minute_b",
         "n",
         mu_r.alias("mu"),
-        ((F.col("n") > mu_r) & (dev * dev > F.lit(9.0) * var_r)).alias("is_burst"),
+        # registry invariant: never emit NULL booleans (inputs here are
+        # non-NULL by construction — the coalesce pins the schema flag)
+        F.coalesce(
+            (F.col("n") > mu_r) & (dev * dev > F.lit(9.0) * var_r), F.lit(False)
+        ).alias("is_burst"),
     )
 
 
@@ -974,10 +1002,15 @@ def timeseries_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     ),
     d AS (
+        -- ts IS NOT NULL both engines: the CUSUM prefix is a running sum
+        -- in TIME order, so NULL-ts placement (Spark first / DuckDB
+        -- last) changes every downstream prefix (decorrelated
+        -- nasty-events find; the mean keeps full-corpus coverage)
         SELECT e.event_id, e.ts, e.event_type, e.value,
                CAST(e.value AS DECIMAL(25,6))
                  - CAST(round(s.mu, 9) AS DECIMAL(25,6)) AS dev
         FROM events e JOIN stats s USING (event_type)
+        WHERE e.ts IS NOT NULL
     ),
     pr AS (
         SELECT event_id, ts, event_type, value,
@@ -1002,7 +1035,9 @@ def timeseries_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(davg(F.col("value")).alias("mu"))
-    d = ev.join(F.broadcast(stats), "event_type").select(
+    # ts pin AFTER the mean: stats keep full-corpus coverage, the
+    # time-ordered prefix excludes NULL-ts rows (mirrors the oracle)
+    d = ev.filter(F.col("ts").isNotNull()).join(F.broadcast(stats), "event_type").select(
         "event_id", "ts", "event_type", "value",
         (
             F.col("value").cast("decimal(25,6)")
@@ -1110,18 +1145,30 @@ def _acf_oracle() -> str:
     lag_cols = ",\n               ".join(
         f"lag(xm, {k}) {over} AS x{k}" for k in _ACF_LAGS
     )
+    # cast-then-multiply, never CAST(xm * xk AS DECIMAL): a DOUBLE product
+    # has a 12-decimal tail, and double->decimal cast rounding diverges
+    # cross-engine there (JVM shortest-repr vs binary-value rounding —
+    # decorrelated nasty-events find). xm is a round-6 double, so its own
+    # decimal cast is exact both engines; the decimal product then is too.
     mom_cols = []
     for k in _ACF_LAGS:
         mom_cols.append(
             f"count(x{k}) AS n{k},\n"
-            f"           CAST(sum(CAST(xm * x{k} AS DECIMAL(25,6))) AS DOUBLE) AS sxy{k},\n"
+            f"           CAST(sum(CAST(xm AS DECIMAL(18,6)) * CAST(x{k} AS DECIMAL(18,6))) AS DOUBLE) AS sxy{k},\n"
             f"           CAST(sum(CASE WHEN x{k} IS NOT NULL THEN CAST(xm AS DECIMAL(25,6)) END) AS DOUBLE) AS sh{k},\n"
             f"           CAST(sum(CAST(x{k} AS DECIMAL(25,6))) AS DOUBLE) AS st{k}"
         )
+    # round-6 guard on EVERY product term: the numerator cancels ~1e7
+    # magnitude products down to O(1), so a single FMA-contracted or
+    # reassociated multiply-add (one ulp of a term) lands as ~1e-8 in the
+    # quotient — past the round-9 output guard (decorrelated nasty-events
+    # find). Materializing each product through round() pins both
+    # engines' intermediates to a shared grid before any add/sub.
     acf_cols = ",\n        ".join(
-        f"CASE WHEN n{k} > 0 AND n * sxx - s * s <> 0 THEN "
-        f"round((n * n * sxy{k} - n * s * (sh{k} + st{k}) + n{k} * s * s)"
-        f" / (n * (n * sxx - s * s)), 9) END AS acf_lag{k}"
+        f"CASE WHEN n{k} > 0 AND round(n * sxx, 6) - round(s * s, 6) <> 0 THEN "
+        f"round((round(n * n * sxy{k}, 6) - round(n * s * (sh{k} + st{k}), 6)"
+        f" + round(n{k} * s * s, 6))"
+        f" / (n * (round(n * sxx, 6) - round(s * s, 6))), 9) END AS acf_lag{k}"
         for k in _ACF_LAGS
     )
     return f"""
@@ -1130,6 +1177,7 @@ def _acf_oracle() -> str:
                CAST(floor(epoch(ts)/60) AS BIGINT)*60 AS bucket_s,
                round({DAVG_SQL('value')}, 6) AS xm
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     ), lagged AS (
         SELECT event_type, xm,
@@ -1139,7 +1187,7 @@ def _acf_oracle() -> str:
         SELECT event_type,
                count(*) AS n,
                CAST(sum(CAST(xm AS DECIMAL(25,6))) AS DOUBLE) AS s,
-               CAST(sum(CAST(xm * xm AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(xm AS DECIMAL(18,6)) * CAST(xm AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
            {",".join(mom_cols)}
         FROM lagged
         GROUP BY event_type
@@ -1152,7 +1200,7 @@ def _acf_oracle() -> str:
 
 @register("timeseries_autocorr", _acf_oracle())
 def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     sec = F.unix_timestamp("ts").cast("long")
     bucket = (sec - F.pmod(sec, F.lit(60))).alias("bucket_s")
     series = (
@@ -1165,33 +1213,41 @@ def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lag("xm", k).over(w).alias(f"x{k}") for k in _ACF_LAGS],
     )
     d25 = "decimal(25,6)"
+    d18 = "decimal(18,6)"
+    # cast-then-multiply (mirrors the oracle): double products have
+    # 12-decimal tails whose decimal-cast rounding diverges cross-engine
+    xm18 = F.col("xm").cast(d18)
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("xm").cast(d25)).cast("double").alias("s"),
-        F.sum((F.col("xm") * F.col("xm")).cast(d25)).cast("double").alias("sxx"),
+        F.sum(xm18 * xm18).cast("double").alias("sxx"),
     ]
     for k in _ACF_LAGS:
         xk = F.col(f"x{k}")
         aggs += [
             F.count(xk).alias(f"n{k}"),
-            F.sum((F.col("xm") * xk).cast(d25)).cast("double").alias(f"sxy{k}"),
+            F.sum(xm18 * xk.cast(d18)).cast("double").alias(f"sxy{k}"),
             F.sum(F.when(xk.isNotNull(), F.col("xm").cast(d25))).cast("double").alias(f"sh{k}"),
             F.sum(xk.cast(d25)).cast("double").alias(f"st{k}"),
         ]
     mom = lagged.groupBy("event_type").agg(*aggs)
     n, s, sxx = F.col("n"), F.col("s"), F.col("sxx")
-    den = n * (n * sxx - s * s)
+    # round-6 guard on every product (mirrors the oracle): the numerator
+    # cancels large products down to O(1), so one contracted multiply-add
+    # ulp lands ~1e-8 in the quotient — materialize each product through
+    # round() so both engines combine identical intermediates
+    varn = F.round(n * sxx, 6) - F.round(s * s, 6)
+    den = n * varn
     out = ["event_type", "n"]
     for k in _ACF_LAGS:
         nk = F.col(f"n{k}")
         num = (
-            n * n * F.col(f"sxy{k}")
-            - n * s * (F.col(f"sh{k}") + F.col(f"st{k}"))
-            + nk * s * s
+            F.round(n * n * F.col(f"sxy{k}"), 6)
+            - F.round(n * s * (F.col(f"sh{k}") + F.col(f"st{k}")), 6)
+            + F.round(nk * s * s, 6)
         )
-        # round-9 FMA guard: a−b·c / a+b·c shapes in num (README rule 2)
         out.append(
-            F.when((nk > 0) & (n * sxx - s * s != 0), F.round(num / den, 9)).alias(
+            F.when((nk > 0) & (varn != 0), F.round(num / den, 9)).alias(
                 f"acf_lag{k}"
             )
         )
@@ -1216,9 +1272,14 @@ _STL_HALF = 12  # 25-hour centered window
     "timeseries_stl_decompose",
     f"""
     WITH hourly AS (
+        -- ts IS NOT NULL both engines: downstream lag()/moving-average
+        -- windows read neighbors in HOUR order, so the NULL-hour
+        -- bucket's placement (Spark first / DuckDB last) shifts every
+        -- window read (decorrelated nasty-events find)
         SELECT event_type, date_trunc('hour', ts) AS hour_start,
                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS x
-        FROM events GROUP BY event_type, date_trunc('hour', ts)
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, date_trunc('hour', ts)
     ),
     tr AS (
         SELECT event_type, hour_start, x,
@@ -1251,7 +1312,7 @@ _STL_HALF = 12  # 25-hour centered window
 def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = (
         ev.select("event_type", F.date_trunc("hour", "ts").alias("hour_start"), "value")
         .groupBy("event_type", "hour_start")
@@ -1312,9 +1373,14 @@ def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timeseries_mase_baseline",
     """
     WITH hourly AS (
+        -- ts IS NOT NULL both engines: downstream lag()/moving-average
+        -- windows read neighbors in HOUR order, so the NULL-hour
+        -- bucket's placement (Spark first / DuckDB last) shifts every
+        -- window read (decorrelated nasty-events find)
         SELECT event_type, date_trunc('hour', ts) AS hour_start,
                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS x
-        FROM events GROUP BY event_type, date_trunc('hour', ts)
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, date_trunc('hour', ts)
     ),
     lagged AS (
         SELECT event_type, x,
@@ -1340,7 +1406,7 @@ def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_mase_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = (
         ev.select("event_type", F.date_trunc("hour", "ts").alias("hour_start"), "value")
         .groupBy("event_type", "hour_start")

@@ -51,7 +51,12 @@ def _nasty_rows(null_ts: bool = False):
         # user 1 owns ~half the rows (skew); every 23rd user_id is NULL
         user = None if i % 23 == 0 else (1 if i % 2 == 0 else 1 + (i % 5))
         etype = _NASTY_TYPES[i % len(_NASTY_TYPES)]
-        value = _NASTY_VALUES[(i * 7) % len(_NASTY_VALUES)]
+        # the i//8 term decorrelates value from event_type: both i%8 and
+        # (i*7)%8 are functions of i mod 8, so the original index made
+        # value CONSTANT within every type partition — running sums and
+        # ranks became order-insensitive and the NULL-ts table couldn't
+        # catch NULL-placement divergence in time-ordered windows at all
+        value = _NASTY_VALUES[(i * 7 + i // 8) % len(_NASTY_VALUES)]
         props = None if i % 5 == 0 else f'{{"k":{i % 3}}}'
         rows.append((i + 1, ts, user, etype, value, props))
     return rows

@@ -1,0 +1,205 @@
+"""Round-10 additions: H.264 I_PCM keyframe decode (slice + container).
+
+Encoder mirror built from the spec (ITU-T H.264 §7.3.3 slice header,
+§7.3.5 macroblock layer, §7.4.1 emulation prevention) — the same
+bit-writer discipline as test_round9's SPS fixtures. I_PCM is the
+codec's raw-sample macroblock mode: a valid, x264-producible stream
+class that decodes EXACTLY, which makes a pixel-true round trip
+assertable without any external codec library.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from test_round9 import _BitWriter, _make_avcc, _make_sps
+
+
+def _escape_ep(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes (00 00 0x -> 00 00 03 0x)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _make_pps() -> bytes:
+    w = _BitWriter()
+    w.ue(0)     # pps_id
+    w.ue(0)     # sps_id
+    w.u(1, 0)   # entropy_coding_mode: CAVLC
+    w.u(1, 0)   # bottom_field_pic_order_in_frame_present
+    w.ue(0)     # num_slice_groups_minus1
+    w.ue(0)     # num_ref_idx_l0_default_minus1
+    w.ue(0)     # num_ref_idx_l1_default_minus1
+    w.u(1, 0)   # weighted_pred
+    w.u(2, 0)   # weighted_bipred_idc
+    w.ue(0)     # pic_init_qp_minus26 (se(0) == ue(0))
+    w.ue(0)     # pic_init_qs_minus26
+    w.ue(0)     # chroma_qp_index_offset
+    w.u(1, 0)   # deblocking_filter_control_present
+    w.u(1, 0)   # constrained_intra_pred
+    w.u(1, 0)   # redundant_pic_cnt_present
+    return b"\x68" + w.bytes()
+
+
+def _make_ipcm_slice(gw: int, gh: int, y, cb, cr) -> bytes:
+    """IDR slice NAL, every macroblock I_PCM. y is (gh*16, gw*16) rows of
+    ints; cb/cr are the half-size chroma grids."""
+    w = _BitWriter()
+    w.ue(0)       # first_mb_in_slice
+    w.ue(7)       # slice_type: I (all slices of this picture)
+    w.ue(0)       # pps_id
+    w.u(4, 0)     # frame_num (log2_max_frame_num == 4 in _make_sps)
+    w.ue(0)       # idr_pic_id    (poc_type 2 in _make_sps: no poc bits)
+    w.u(1, 0)     # no_output_of_prior_pics_flag
+    w.u(1, 0)     # long_term_reference_flag
+    w.ue(0)       # slice_qp_delta (se(0))
+    for mb in range(gw * gh):
+        w.ue(25)  # mb_type I_PCM
+        while len(w.bits) % 8:
+            w.u(1, 0)  # pcm_alignment_zero_bit
+        mx, my = (mb % gw) * 16, (mb // gw) * 16
+        for row in range(16):
+            for col in range(16):
+                w.u(8, y[my + row][mx + col])
+        cx, cy = (mb % gw) * 8, (mb // gw) * 8
+        for plane in (cb, cr):
+            for row in range(8):
+                for col in range(8):
+                    w.u(8, plane[cy + row][cx + col])
+    return b"\x65" + _escape_ep(w.bytes())
+
+
+def _pixel_grids(gw: int, gh: int):
+    """Deterministic planar test pattern, including zero runs so the
+    emulation-prevention escape path is genuinely exercised."""
+    lw, lh = gw * 16, gh * 16
+    y = [[(r * 31 + c * 7) % 256 if (r + c) % 9 else 0 for c in range(lw)]
+         for r in range(lh)]
+    cb = [[(r * 5 + c) % 256 if c % 11 else 0 for c in range(lw // 2)]
+          for r in range(lh // 2)]
+    cr = [[(r + c * 3) % 256 if r % 7 else 0 for c in range(lw // 2)]
+          for r in range(lh // 2)]
+    return y, cb, cr
+
+
+class TestH264IpcmDecode:
+    def test_slice_round_trip_uncropped(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            decode_idr_ipcm,
+        )
+
+        gw, gh = 2, 1  # 32x16
+        y, cb, cr = _pixel_grids(gw, gh)
+        out = decode_idr_ipcm(
+            _make_sps(gw, gh), _make_pps(), _make_ipcm_slice(gw, gh, y, cb, cr)
+        )
+        assert (out["width"], out["height"]) == (32, 16)
+        assert out["y"] == bytes(v for row in y for v in row)
+        assert out["cb"] == bytes(v for row in cb for v in row)
+        assert out["cr"] == bytes(v for row in cr for v in row)
+
+    def test_slice_round_trip_cropped(self):
+        # 2x2 MB grid cropped to 30x28: right crop 1 unit (2 px), bottom
+        # crop 2 units (4 px) at 4:2:0 progressive
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            decode_idr_ipcm,
+        )
+
+        gw, gh = 2, 2
+        y, cb, cr = _pixel_grids(gw, gh)
+        sps = _make_sps(gw, gh, crops=(0, 1, 0, 2))
+        out = decode_idr_ipcm(sps, _make_pps(), _make_ipcm_slice(gw, gh, y, cb, cr))
+        assert (out["width"], out["height"]) == (30, 28)
+        assert out["y"] == bytes(v for row in y[:28] for v in row[:30])
+        assert out["cb"] == bytes(v for row in cb[:14] for v in row[:15])
+        assert len(out["y"]) == 30 * 28
+
+    def test_non_pcm_macroblock_raises_named_gate(self):
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            decode_idr_ipcm,
+        )
+
+        w = _BitWriter()
+        w.ue(0); w.ue(7); w.ue(0); w.u(4, 0); w.ue(0)
+        w.u(1, 0); w.u(1, 0); w.ue(0)
+        w.ue(3)  # mb_type I_4x4-class: needs CAVLC residual decode
+        nal = b"\x65" + w.bytes()
+        with pytest.raises(NotImplementedError, match="residual"):
+            decode_idr_ipcm(_make_sps(1, 1), _make_pps(), nal)
+
+    def test_cabac_pps_raises_named_gate(self):
+        import pytest
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            decode_idr_ipcm,
+        )
+
+        w = _BitWriter()
+        w.ue(0); w.ue(0); w.u(1, 1)  # entropy_coding_mode = CABAC
+        w.u(1, 0); w.ue(0); w.ue(0); w.ue(0)
+        w.u(1, 0); w.u(2, 0); w.ue(0); w.ue(0); w.ue(0)
+        w.u(1, 0); w.u(1, 0); w.u(1, 0)
+        cabac_pps = b"\x68" + w.bytes()
+        with pytest.raises(NotImplementedError, match="CABAC"):
+            decode_idr_ipcm(_make_sps(1, 1), cabac_pps, b"\x65\x00")
+
+    def test_container_keyframe_decode(self):
+        # full path: avc1 MP4 (real stbl tables) -> first sample ->
+        # length-prefixed NAL walk -> I_PCM decode -> pixel-true planes
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            decode_h264_keyframe,
+        )
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            encode_mp4_mjpeg,
+        )
+
+        def box(tag, payload):
+            return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+        gw, gh = 2, 1
+        y, cb, cr = _pixel_grids(gw, gh)
+        sps = _make_sps(gw, gh)
+        slice_nal = _make_ipcm_slice(gw, gh, y, cb, cr)
+        sample = struct.pack(">I", len(slice_nal)) + slice_nal
+        entry = (
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + struct.pack(">HH", 0, 0) + b"\x00" * 12
+            + struct.pack(">HH", 32, 16)
+            + struct.pack(">II", 0x00480000, 0x00480000)
+            + struct.pack(">I", 0) + struct.pack(">H", 1)
+            + b"\x04avc1" + b"\x00" * 27
+            + struct.pack(">Hh", 24, -1)
+        )
+        avc1 = box(b"avc1", entry + box(b"avcC", _make_avcc(sps, pps=_make_pps())))
+        payload = encode_mp4_mjpeg(32, 16, [sample], stsd_entry_box=avc1)
+        out = decode_h264_keyframe(payload)
+        assert (out["width"], out["height"]) == (32, 16)
+        assert out["profile_idc"] == 66
+        assert out["y"] == bytes(v for row in y for v in row)
+        assert out["cb"] == bytes(v for row in cb for v in row)
+        assert out["cr"] == bytes(v for row in cr for v in row)
+
+    def test_pps_parse_fields(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import parse_pps
+
+        got = parse_pps(_make_pps())
+        assert got["entropy_coding_mode"] == 0
+        assert got["pic_init_qp"] == 26
+        assert got["deblocking_filter_control_present"] == 0
+
+    def test_emulation_escape_round_trip(self):
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            _strip_emulation,
+        )
+
+        for raw in (b"\x00\x00\x00\x00\x01", b"\x00\x00\x02", b"ab\x00\x00\x03"):
+            assert _strip_emulation(_escape_ep(raw)) == raw

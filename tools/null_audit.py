@@ -1,0 +1,332 @@
+"""NULL-semantics lint over the registry's analyzed plans.
+
+Round 9's adversarial batteries surfaced five recurring cross-engine
+divergence classes; two are mechanically detectable from a query's
+logical plan and output schema, so this audit makes them a standing
+gate (the other three — NULL/empty degeneracy in derived keys, window
+NULL-grouping vs join NULL semantics, decimal accumulators vs junk
+magnitudes — stay covered by the battery suites, which conscript every
+registration at collection time):
+
+1. **Un-pinned nullable ORDER keys where order changes VALUES.** The
+   driver compare hashes values order-insensitively, so a bare global
+   sort is harmless — but a nullable ordering key diverges engines in
+   two spots: a window function's ``orderSpec`` (lag/rank/running sums
+   compute DIFFERENT values under Spark's ASC-NULLS-FIRST vs DuckDB's
+   NULLS-LAST default) and a sort feeding a LIMIT (the NULL block lands
+   at opposite ends, changing which rows survive truncation). The r8/r9
+   fix pattern is a `IS NOT NULL` pin on the key in BOTH engines; this
+   audit requires an ``isnotnull(<attr>)`` filter on the key's exprId
+   somewhere in the subtree (or a non-nullable key).
+
+2. **Nullable BOOLEAN output columns.** Registered queries must never
+   emit NULL booleans — pandas reprs diverge per engine (r9 invariant,
+   `cusum is_shifted`). Mechanical proxy: a BooleanType output field
+   with ``nullable=True``; `coalesce(x, lit(False))` narrows the flag.
+
+Named exemptions carry a written reason and are themselves asserted
+(an exemption that stops firing must be deleted).
+
+Run: python tools/null_audit.py [sf_dir]   (default sf0.001; plan-build
+only, nothing executes). Exits non-zero on any unexempted violation or
+erroring query. Wired into pytest via tests/test_null_audit.py.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# name -> reason. Every entry must still fire (asserted) — delete when fixed.
+EXEMPT: dict[str, str] = {
+    "events_kmv_type_overlap": (
+        "order key h is the md5-derived 60-bit KMV hash of an "
+        "isnotnull-pinned user_id; the localCheckpoint that fixes the "
+        "9x-scan repeat (scan audit) erases the lineage the prover needs"
+    ),
+    "users_rfm_segments": (
+        "order key v is recency/frequency over a ts-pinned corpus (both "
+        "engines filter ts IS NOT NULL); the per-user reduction's "
+        "localCheckpoint (22x-scan fix) erases the lineage"
+    ),
+    "sessionize_two_phase": (
+        "chunk summaries pass through the two-phase merge's checkpoint; "
+        "_bucket derives from the query's pinned ts upstream of it"
+    ),
+    "events_fill_gaps": (
+        "value columns ride the ffill ordering only as an explicit "
+        "asc_nulls_first determinism tiebreak, inert here because the "
+        "input is pre-resampled to one row per (group, tick)"
+    ),
+    "variant_extract_fields": (
+        "boolean 'flag' is EXTRACTED payload (variant_get), where NULL "
+        "is a legitimate data value both engines produce identically — "
+        "coalescing would misreport absent fields as false"
+    ),
+}
+
+# Table PRIMARY keys: non-NULL by the data model (TESTDATA.md generators)
+# AND by every adversarial battery (tests/test_nasty_*.py build PKs as
+# i+1; only foreign keys, dates, values, and text columns are nullified).
+# An ordering tiebreaker on a PK cannot produce the NULL-placement
+# divergence this audit hunts, whatever the parquet nullability flag
+# says — FOREIGN keys (o_custkey, l_partkey, ...) stay strict: the
+# orders/dims batteries nullify those deliberately.
+NONNULL_KEYS = {
+    "event_id",
+    "doc_id",
+    "vec_id",
+    "o_orderkey",
+    "l_orderkey",
+    "l_linenumber",
+    "c_custkey",
+    "s_suppkey",
+    "p_partkey",
+    "ps_partkey",
+    "ps_suppkey",
+    "n_nationkey",
+    "r_regionkey",
+}
+
+
+def _children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _seq(scala_seq):
+    return [scala_seq.apply(i) for i in range(scala_seq.size())]
+
+
+# Expression classes whose output is non-NULL whenever every child is
+# non-NULL (null-intolerant scalars). ANSI mode (the Spark 4 default this
+# engine pins) turns the "partial" cases — divide-by-zero, decimal
+# overflow — into raised errors rather than NULLs, so arithmetic belongs
+# here. Anything NOT listed is treated as possibly-NULL-introducing
+# (lag/lead, sum-over-group, get_json_object, element_at, ...).
+NULL_INTOLERANT = {
+    "Alias", "Cast", "UpCast", "CheckOverflow", "PromotePrecision",
+    "KnownFloatingPointNormalized", "NormalizeNaNAndZero", "KnownNotNull",
+    "Add", "Subtract", "Multiply", "Divide", "Remainder", "Pmod",
+    "IntegralDivide", "UnaryMinus", "UnaryPositive", "Abs",
+    "Round", "BRound", "Floor", "Ceil", "Ceiling", "Exp", "Log", "Sqrt",
+    "Pow", "Least", "Greatest",
+    "Md5", "Sha1", "Sha2", "Conv", "Substring", "Lower", "Upper",
+    "Concat", "Length", "OctetLength", "StringTrim", "StringRepeat",
+    "TruncTimestamp", "TruncDate", "DateAdd", "DateSub", "DateDiff",
+    "TimestampAdd", "TimestampDiff", "Year", "Month", "DayOfMonth",
+    "DayOfWeek", "Hour", "Minute", "Second", "WeekOfYear", "Quarter",
+    "UnixMicros", "UnixMillis", "UnixSeconds", "MicrosToTimestamp",
+    "MillisToTimestamp", "SecondsToTimestamp", "UnixTimestamp",
+    "ToUnixTimestamp", "DateFormatClass", "LastDay",
+    # lint-level approximation: a struct FIELD can be NULL under a
+    # non-NULL struct, but every registry use is window(ts)["start"] /
+    # struct-packed sort keys whose fields are non-NULL with the struct
+    "TimeWindow", "GetStructField", "CreateNamedStruct",
+}
+
+_MAX_PROOF_DEPTH = 24
+
+
+def _defining_alias(plan, expr_id):
+    """(alias child expression, defining node's first child) for the
+    Alias that produces ``expr_id`` anywhere in ``plan``'s subtree."""
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        kind = node.getClass().getSimpleName()
+        exprs = None
+        if kind == "Project":
+            exprs = _seq(node.projectList())
+        elif kind == "Aggregate":
+            exprs = _seq(node.aggregateExpressions())
+        elif kind == "Window":
+            exprs = _seq(node.windowExpressions())
+        if exprs is not None:
+            for e in exprs:
+                if (
+                    e.getClass().getSimpleName() == "Alias"
+                    and e.exprId().id() == expr_id
+                ):
+                    kids = _children(node)
+                    return e.child(), (kids[0] if kids else None)
+        stack.extend(_children(node))
+    return None, None
+
+
+def _provably_nonnull(expr, env_plan, depth: int = 0) -> bool:
+    """Can ``expr`` (evaluated against ``env_plan``'s output) be proven
+    never-NULL? Sound but incomplete: False means "couldn't prove", not
+    "can be NULL". Attributes are proven by the env's propagated
+    constraint set, the PK whitelist, or by chasing their defining Alias
+    deeper into the plan; composites recurse through the null-intolerant
+    whitelist (Coalesce needs just one provable branch)."""
+    if depth > _MAX_PROOF_DEPTH:
+        return False
+    if not expr.nullable():
+        return True
+    kind = expr.getClass().getSimpleName()
+    if kind == "AttributeReference":
+        if expr.name() in NONNULL_KEYS:
+            return True
+        if env_plan is not None:
+            pin = f"isnotnull({expr.name()}#{expr.exprId().id()}"
+            if pin in env_plan.constraints().toString():
+                return True
+            aliased, sub_env = _defining_alias(env_plan, expr.exprId().id())
+            if aliased is not None:
+                return _provably_nonnull(aliased, sub_env, depth + 1)
+        return False
+    kids = [expr.children().apply(i) for i in range(expr.children().size())]
+    if kind == "Coalesce":
+        return any(_provably_nonnull(k, env_plan, depth + 1) for k in kids)
+    if kind == "WindowExpression":
+        # ranking window functions never produce NULL; an aggregate over
+        # a frame that ALWAYS contains the current row (rows/range
+        # lower=unboundedPreceding|currentRow .. upper>=currentRow) is
+        # non-NULL when its argument is — the current row's value is in
+        # every frame, so sum/min/max/avg cannot see an empty input
+        inner = kids[0]
+        iname = inner.getClass().getSimpleName()
+        if iname in ("RowNumber", "Rank", "DenseRank", "NTile"):
+            return True
+        if iname == "AggregateExpression":
+            fn = inner.children().apply(0)
+            fname = fn.getClass().getSimpleName()
+            if fname == "Count":
+                return True
+            if fname in ("Sum", "Min", "Max", "Average"):
+                spec = kids[1]
+                frame = spec.frameSpecification().toString().lower()
+                covers_current = (
+                    "unboundedpreceding$(), currentrow$()" in frame
+                    or "currentrow$(), unboundedfollowing$()" in frame
+                    or "unboundedpreceding$(), unboundedfollowing$()" in frame
+                )
+                if covers_current:
+                    arg = fn.children().apply(0)
+                    return _provably_nonnull(arg, env_plan, depth + 1)
+        return False
+    if kind == "AggregateExpression":
+        # reached only via a groupBy Aggregate node's alias (window
+        # aggregates are handled under WindowExpression with frame
+        # reasoning): groups are non-empty by construction, so count()
+        # is always non-NULL and min/max/sum/avg are non-NULL whenever
+        # their argument provably is
+        fn = kids[0] if kids else None
+        fname = fn.getClass().getSimpleName() if fn is not None else ""
+        if fname == "Count":
+            return True
+        if fname in ("Sum", "Min", "Max", "Average"):
+            arg = fn.children().apply(0)
+            return _provably_nonnull(arg, env_plan, depth + 1)
+        return False
+    if kind in NULL_INTOLERANT:
+        return all(_provably_nonnull(k, env_plan, depth + 1) for k in kids)
+    return False
+
+
+def _unpinned_nullable_keys(sort_orders, child_plan) -> list[str]:
+    """Ordering keys that are nullable with no provable non-NULL witness.
+
+    A key passes when the proof engine shows it can never be NULL: via
+    the child plan's propagated CONSTRAINT set (Spark carries
+    ``IsNotNull`` through aliases it can see), the table-PK whitelist,
+    or a recursive walk of the key's defining expression through
+    null-intolerant scalars back to pinned base attributes (the lineage
+    Spark's constraint propagation drops once the source column leaves
+    the projection).
+
+    Direction filter: DuckDB's ``default_null_order`` is NULLS LAST for
+    BOTH directions, while Spark defaults NULLS FIRST on ASC and NULLS
+    LAST on DESC — so a DESC key with Spark's default null ordering
+    already agrees cross-engine and only ASC/NULLS-FIRST (or an explicit
+    DESC/NULLS-FIRST) placement can diverge."""
+    bad = []
+    for so in sort_orders:
+        if so.nullOrdering().sql() == "NULLS LAST":
+            continue  # matches DuckDB's default on either direction
+        child = so.child()
+        if not _provably_nonnull(child, child_plan):
+            bad.append(child.toString())
+    return bad
+
+
+def audit_query(df) -> list[str]:
+    """Violation strings for one DataFrame's analyzed plan + schema."""
+    violations = []
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "boolean" and f.nullable:
+            violations.append(f"nullable boolean output column '{f.name}'")
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    stack = [(plan, False)]  # (node, under_limit)
+    while stack:
+        node, under_limit = stack.pop()
+        kind = node.getClass().getSimpleName()
+        if kind == "Window":
+            sub = node.child()
+            for key in _unpinned_nullable_keys(_seq(node.orderSpec()), sub):
+                violations.append(f"window orderSpec on un-pinned nullable {key}")
+        elif kind == "Sort" and under_limit:
+            sub = node.child()
+            for key in _unpinned_nullable_keys(_seq(node.order()), sub):
+                violations.append(f"limit-feeding sort on un-pinned nullable {key}")
+        here_limit = under_limit or kind in ("GlobalLimit", "LocalLimit")
+        for c in _children(node):
+            stack.append((c, here_limit))
+    return violations
+
+
+def audit_rows(spark, sf_dir: str) -> list[tuple[str, list[str]]]:
+    """(name, violations) per registered batch query; erroring queries
+    are recorded with a single ``ERROR ...`` violation — callers must
+    treat them as failures."""
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+    rows = []
+    for name, fn in all_queries().items():
+        if name.startswith("streaming_"):
+            continue  # sinks execute at build time; batteries cover these
+        try:
+            v = audit_query(fn(spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001 — report, don't die
+            v = [f"ERROR {type(ex).__name__}: {str(ex)[:120]}"]
+        if v:
+            rows.append((name, v))
+    return rows
+
+
+def violations_outside_exemptions(rows) -> tuple[list, list]:
+    """(unexempted violation rows, stale exemption names)."""
+    fired = {name for name, _ in rows}
+    unexempted = [(n, v) for n, v in rows if n not in EXEMPT]
+    stale = sorted(set(EXEMPT) - fired)
+    return unexempted, stale
+
+
+def main() -> int:
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="null_audit")
+    rows = audit_rows(spark, sf_dir)
+    unexempted, stale = violations_outside_exemptions(rows)
+    for name, vs in rows:
+        tag = "EXEMPT" if name in EXEMPT else "FAIL"
+        for v in vs:
+            print(f"{tag:6s} {name}: {v}")
+    for name in stale:
+        print(f"STALE  exemption no longer fires: {name}")
+    print(
+        f"{len(rows)} queries with findings, {len(unexempted)} unexempted, "
+        f"{len(stale)} stale exemptions"
+    )
+    return 1 if unexempted or stale else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
