@@ -308,16 +308,17 @@ CALIBRATIONS = {
     "cal_join": _cal_join,
 }
 
-# Pinned at round 10 from min-of-3 runs measured on the round-10 builder
-# box in the same session that committed the pin (so ratio ≈ 1.0 at pin
-# time — the r9 pin was taken from an earlier session and carried a ~10%
-# built-in bias into every value_normalized). Do NOT update these when
-# the box changes; the whole point is that the ratio moves instead of
-# the headline being argued over.
+# Pinned at round 10 from the round-10 builder box's own full bench run
+# (BENCH_LOCAL calibration times — ratio ≈ 1.0 at pin time IN BENCH
+# CONTEXT, the only context the calibration is ever consumed in; a
+# session-fresh pin measured this same box ~30% slower on cold JIT, so
+# pin and measurement must share warm-JVM context). Do NOT update these
+# when the box changes; the whole point is that the ratio moves instead
+# of the headline being argued over.
 CAL_BASELINE = {
-    "cal_shuffle_agg": 0.411,
-    "cal_hash_cpu": 0.145,
-    "cal_join": 0.732,
+    "cal_shuffle_agg": 0.314,
+    "cal_hash_cpu": 0.103,
+    "cal_join": 0.568,
 }
 
 # The round-9 pin, kept verbatim so cross-round normalization against

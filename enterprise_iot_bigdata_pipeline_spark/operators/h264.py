@@ -411,17 +411,23 @@ def decode_idr_ipcm(sps_nal: bytes, pps_nal: bytes, slice_nal: bytes) -> dict:
         while r.pos % 8:  # pcm_alignment_zero_bit
             if r.u(1):
                 raise ValueError("corrupt slice: nonzero PCM alignment bit")
+        # byte-aligned by the alignment bits above: bulk byte reads
+        # instead of 384 per-bit u(8) calls per macroblock
+        bpos = r.pos >> 3
+        if bpos + 384 > len(r.data):
+            raise ValueError("corrupt slice: PCM samples past bitstream end")
         mx, my = (mb % gw) * 16, (mb // gw) * 16
         for row in range(16):
             base = (my + row) * gw * 16 + mx
-            for col in range(16):
-                y[base + col] = r.u(8)
+            y[base : base + 16] = r.data[bpos : bpos + 16]
+            bpos += 16
         for plane in (cb, cr):
             cx, cy = (mb % gw) * 8, (mb // gw) * 8
             for row in range(8):
                 base = (cy + row) * gw * 8 + cx
-                for col in range(8):
-                    plane[base + col] = r.u(8)
+                plane[base : base + 8] = r.data[bpos : bpos + 8]
+                bpos += 8
+        r.pos = bpos << 3
 
     # crop the coded grid down to the real frame (general left/top
     # offsets honored via the SPS cropping rectangle)
@@ -556,3 +562,186 @@ def decode_h264_keyframe(payload: bytes) -> dict:
     out["profile_idc"] = cfg["sps_info"]["profile_idc"]
     out["level_idc"] = cfg["sps_info"]["level_idc"]
     return out
+
+
+# ---------------------------------------------------------------------------
+# I_PCM encoder (the decode path's product-side mirror): builds a valid
+# single-IDR AVC stream whose macroblocks are all PCM — used by the
+# registry's video_keyframe_stats gate to synthesize deterministic
+# decodable assets at corpus scale (the encode_mp4_mjpeg pattern), and
+# by any fixture needing a real H.264 keyframe without a codec library.
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit writer with Exp-Golomb, mirror of _BitReader."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, n: int, v: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        n = k.bit_length()
+        self.u(n - 1, 0)
+        self.u(n, k)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+
+def _escape_emulation(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes (00 00 0x -> 00 00 03 0x).
+
+    The non-overlapping regex scan is equivalent to the spec's
+    sequential zero-counter: after an escape the counter resets, and the
+    regex likewise resumes after the two matched zeros (hand-checked on
+    the 00-run edge cases; test_round10 asserts strip∘escape == id)."""
+    import re
+
+    return re.sub(rb"\x00\x00(?=[\x00-\x03])", b"\x00\x00\x03", rbsp)
+
+
+def build_sps(gw: int, gh: int, crop_b_units: int = 0) -> bytes:
+    """Baseline-profile SPS NAL for a gw×gh macroblock grid (4:2:0,
+    progressive, poc_type 2), optionally bottom-cropped."""
+    w = _BitWriter()
+    w.u(8, 66)   # profile_idc baseline
+    w.u(8, 0)
+    w.u(8, 30)   # level 3.0
+    w.ue(0)      # sps_id
+    w.ue(0)      # log2_max_frame_num_minus4
+    w.ue(2)      # poc_type 2
+    w.ue(1)      # max_num_ref_frames
+    w.u(1, 0)    # gaps allowed
+    w.ue(gw - 1)
+    w.ue(gh - 1)
+    w.u(1, 1)    # frame_mbs_only
+    w.u(1, 0)    # direct_8x8_inference
+    if crop_b_units:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(0)
+        w.ue(0)
+        w.ue(crop_b_units)
+    else:
+        w.u(1, 0)
+    w.u(1, 0)    # vui absent
+    return b"\x67" + _escape_emulation(w.rbsp())
+
+
+def build_pps() -> bytes:
+    """CAVLC PPS NAL matching build_sps (no FMO, no deblock control)."""
+    w = _BitWriter()
+    w.ue(0)      # pps_id
+    w.ue(0)      # sps_id
+    w.u(1, 0)    # CAVLC
+    w.u(1, 0)    # bottom_field_pic_order_in_frame_present
+    w.ue(0)      # num_slice_groups_minus1
+    w.ue(0)      # num_ref_idx_l0_default_minus1
+    w.ue(0)      # num_ref_idx_l1_default_minus1
+    w.u(1, 0)    # weighted_pred
+    w.u(2, 0)    # weighted_bipred_idc
+    w.ue(0)      # pic_init_qp_minus26 (se 0)
+    w.ue(0)      # pic_init_qs_minus26
+    w.ue(0)      # chroma_qp_index_offset
+    w.u(1, 0)    # deblocking_filter_control_present
+    w.u(1, 0)    # constrained_intra_pred
+    w.u(1, 0)    # redundant_pic_cnt_present
+    return b"\x68" + _escape_emulation(w.rbsp())
+
+
+def build_ipcm_idr(gw: int, gh: int, y: bytes, cb: bytes, cr: bytes) -> bytes:
+    """IDR slice NAL, every MB I_PCM. y is row-major (gh*16, gw*16);
+    cb/cr are the half-size chroma grids."""
+    lw = gw * 16
+    cw = gw * 8
+    if len(y) != lw * gh * 16 or len(cb) != cw * gh * 8 or len(cr) != cw * gh * 8:
+        raise ValueError("plane sizes do not match the macroblock grid")
+    w = _BitWriter()
+    w.ue(0)      # first_mb_in_slice
+    w.ue(7)      # slice_type I (all slices)
+    w.ue(0)      # pps_id
+    w.u(4, 0)    # frame_num (log2_max_frame_num == 4)
+    w.ue(0)      # idr_pic_id
+    w.u(1, 0)    # no_output_of_prior_pics_flag
+    w.u(1, 0)    # long_term_reference_flag
+    w.ue(0)      # slice_qp_delta (se 0)
+    # I_PCM samples are byte-aligned by construction (the pcm_alignment
+    # bits), so after the FIRST mb_type+alignment the stream stays
+    # byte-aligned and each later macroblock contributes the fixed
+    # 2-byte pattern ue(25)=000011010 + 7 alignment zeros = 0x0D 0x00,
+    # then its raw samples — a bulk bytes path, not per-bit writes.
+    w.ue(25)
+    while len(w.bits) % 8:
+        w.u(1, 0)
+    bits = w.bits
+    out = bytearray(
+        int("".join(map(str, bits[i : i + 8])), 2) for i in range(0, len(bits), 8)
+    )
+
+    def mb_samples(mb: int) -> bytes:
+        mx, my = (mb % gw) * 16, (mb // gw) * 16
+        cx, cy = (mb % gw) * 8, (mb // gw) * 8
+        chunks = [
+            y[(my + row) * lw + mx : (my + row) * lw + mx + 16] for row in range(16)
+        ]
+        for plane in (cb, cr):
+            chunks += [
+                plane[(cy + row) * cw + cx : (cy + row) * cw + cx + 8]
+                for row in range(8)
+            ]
+        return b"".join(chunks)
+
+    out += mb_samples(0)
+    for mb in range(1, gw * gh):
+        out += b"\x0d\x00" + mb_samples(mb)
+    out.append(0x80)  # rbsp_stop_one_bit on the aligned boundary
+    return b"\x65" + _escape_emulation(bytes(out))
+
+
+def encode_avc_ipcm_mp4(
+    gw: int, gh: int, y: bytes, cb: bytes, cr: bytes, crop_b_units: int = 0
+) -> bytes:
+    """Complete single-keyframe avc1 MP4 (real stbl tables + avcC) whose
+    IDR decodes pixel-true via decode_h264_keyframe."""
+    import struct
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_mp4_mjpeg,
+    )
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    sps = build_sps(gw, gh, crop_b_units)
+    pps = build_pps()
+    slice_nal = build_ipcm_idr(gw, gh, y, cb, cr)
+    sample = struct.pack(">I", len(slice_nal)) + slice_nal
+    avcc = (
+        bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps
+    )
+    width = gw * 16
+    height = gh * 16 - 2 * crop_b_units
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x04avc1" + b"\x00" * 27
+        + struct.pack(">Hh", 24, -1)
+    )
+    avc1 = box(b"avc1", entry + box(b"avcC", avcc))
+    return encode_mp4_mjpeg(width, height, [sample], stsd_entry_box=avc1)

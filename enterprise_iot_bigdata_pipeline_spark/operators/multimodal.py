@@ -2507,3 +2507,69 @@ def _mp4_first_avc_sample(payload: bytes) -> bytes:
     if not got["frames"]:
         raise ValueError("MP4 AVC track resolved zero samples")
     return got["frames"][0]
+
+
+def keyframe_luma_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize one single-keyframe AVC (I_PCM) MP4 per document from
+    the text-hash ramp, DECODE the keyframe through the full container →
+    avcC → NAL → PCM reconstruction path (operators.h264), and emit the
+    decoded planes' pixel sums + stream metadata. The pixel generators
+    are pure functions of the hash (y[j]=(h+j)%256, cb=(3h+j)%256,
+    cr=(5h+j)%256 over the coded grid, bottom-cropped by (h//4)%2 MB-pair
+    units), so a SQL oracle recomputes every output without any codec —
+    a hash-green row proves the ENCODE + parse + decode path pixel-true.
+
+    Scale shape: pure Arrow-batched map over the docs scan — no shuffle;
+    per-doc work is O(frame bytes) with byte-aligned bulk PCM paths."""
+    from enterprise_iot_bigdata_pipeline_spark.operators import h264 as H
+
+    seeded = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+                h = int(h)
+                gw = h % 2 + 1
+                crop = (h // 4) % 2
+                lw, cw = gw * 16, gw * 8
+                y = ((h + np.arange(lw * 16)) % 256).astype(np.uint8).tobytes()
+                cb = ((3 * h + np.arange(cw * 8)) % 256).astype(np.uint8).tobytes()
+                cr = ((5 * h + np.arange(cw * 8)) % 256).astype(np.uint8).tobytes()
+                payload = H.encode_avc_ipcm_mp4(gw, 1, y, cb, cr, crop)
+                out = H.decode_h264_keyframe(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        out["width"],
+                        out["height"],
+                        out["profile_idc"],
+                        sum(out["y"]),
+                        sum(out["cb"]),
+                        sum(out["cr"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "profile_idc",
+                    "luma_sum", "cb_sum", "cr_sum",
+                ],
+            )
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return fan_out(seeded).mapInPandas(
+        per_batch,
+        "doc_id long, width int, height int, profile_idc int, "
+        "luma_sum long, cb_sum long, cr_sum long",
+    )

@@ -107,6 +107,7 @@ _PRIORITY = [
     "table_checksum_audit",
     "table_layout_plan",
     "text_lang_confusion",
+    "video_keyframe_stats",
     "agg_distributions",
     "asof_purchase_click",
     "join_five_way",
@@ -136,7 +137,6 @@ _PRIORITY = [
     "parse_s3_keys",
     "proj_enrich_union",
     "sort_topk",
-    "tfidf_top_terms",
 ]
 
 

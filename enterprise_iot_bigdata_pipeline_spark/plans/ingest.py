@@ -702,6 +702,57 @@ def video_container_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# H.264 keyframe decode under the gate (round 10): one single-IDR avc1
+# MP4 per document, macroblocks all I_PCM (the codec's raw-sample mode —
+# valid, x264-producible, decodes EXACTLY), pixels a pure function of
+# the text hash. The Spark side runs the REAL pipeline — SPS/PPS/slice
+# encode, container mux, avcC walk, NAL split, PCM reconstruction, SPS
+# bottom-crop — and reports decoded-plane sums; the oracle recomputes
+# them from the generator formulas alone (the video_container_audit
+# trick, extended from container math to DECODED PIXELS). Grid rotates
+# on h%2 (1 or 2 MBs wide) and crop on (h//4)%2, so both the multi-MB
+# raster placement and the cropped-readback path get corpus coverage.
+# ---------------------------------------------------------------------------
+
+_KEYFRAME_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+d AS (
+    SELECT doc_id, h,
+           CAST(h % 2 + 1 AS BIGINT) AS gw,
+           CAST((h // 4) % 2 AS BIGINT) AS crop
+    FROM m
+)
+SELECT doc_id,
+       CAST(gw * 16 AS INTEGER) AS width,
+       CAST(16 - 2 * crop AS INTEGER) AS height,
+       CAST(66 AS INTEGER) AS profile_idc,
+       CAST(list_sum(list_transform(
+                generate_series(0, CAST(gw * 16 * (16 - 2 * crop) - 1 AS INTEGER)),
+                j -> (h + j) % 256)) AS BIGINT) AS luma_sum,
+       CAST(list_sum(list_transform(
+                generate_series(0, CAST(gw * 8 * (8 - crop) - 1 AS INTEGER)),
+                j -> (3 * h + j) % 256)) AS BIGINT) AS cb_sum,
+       CAST(list_sum(list_transform(
+                generate_series(0, CAST(gw * 8 * (8 - crop) - 1 AS INTEGER)),
+                j -> (5 * h + j) % 256)) AS BIGINT) AS cr_sum
+FROM d
+"""
+
+
+@register("video_keyframe_stats", _KEYFRAME_ORACLE)
+def video_keyframe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        keyframe_luma_stats,
+    )
+
+    return keyframe_luma_stats(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Declarative data-quality expectations (operators/expectations.py): a
 # dbt-tests-style spec battery compiled into ONE aggregate scan — row-level
 # checks as conditional sums, uniqueness as count − count(DISTINCT) in the
@@ -1282,12 +1333,31 @@ def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         record_stream_plan(key, q)
 
+    def arrive(tag: str) -> None:
+        # "file arrival": symlink the source into the staged inbox. A
+        # directory-shaped table (multi-file Spark write) links its part
+        # files individually — the file-source stream does not recurse
+        # into non-partition subdirectories, so a directory symlink would
+        # silently contribute zero input files.
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+            if not parts:
+                raise ValueError(f"no parquet part files under {src}")
+            for i, f in enumerate(parts):
+                os.symlink(
+                    os.path.join(src, f),
+                    os.path.join(stage, f"{tag}_{i:05d}.parquet"),
+                )
+        else:
+            os.symlink(src, os.path.join(stage, f"{tag}.parquet"))
+
     try:
-        os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "a.parquet"))
+        arrive("a")
         run_once("run1")
-        # file B arrives AFTER run 1 fully terminated; run 2 is a genuine
+        # batch B arrives AFTER run 1 fully terminated; run 2 is a genuine
         # restart (new query object, same checkpoint) and must see only B
-        os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "b.parquet"))
+        arrive("b")
         run_once("run2")
         return (
             spark.read.parquet(target)

@@ -203,3 +203,45 @@ class TestH264IpcmDecode:
 
         for raw in (b"\x00\x00\x00\x00\x01", b"\x00\x00\x02", b"ab\x00\x00\x03"):
             assert _strip_emulation(_escape_ep(raw)) == raw
+
+
+class TestKeyframeStatsPath:
+    def test_product_encoder_decode_round_trips(self):
+        # the registry kernel's exact generator recipe, across both grid
+        # widths and both crop settings
+        import numpy as np
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            decode_h264_keyframe,
+            encode_avc_ipcm_mp4,
+        )
+
+        for h in (0, 1, 4, 5, 7, 0xDEADBEEF, 0xFFFFFFFF):
+            gw = h % 2 + 1
+            crop = (h // 4) % 2
+            lw, cw = gw * 16, gw * 8
+            y = ((h + np.arange(lw * 16)) % 256).astype(np.uint8).tobytes()
+            cb = ((3 * h + np.arange(cw * 8)) % 256).astype(np.uint8).tobytes()
+            cr = ((5 * h + np.arange(cw * 8)) % 256).astype(np.uint8).tobytes()
+            out = decode_h264_keyframe(encode_avc_ipcm_mp4(gw, 1, y, cb, cr, crop))
+            hc = 16 - 2 * crop
+            assert (out["width"], out["height"]) == (lw, hc)
+            assert out["profile_idc"] == 66
+            assert out["y"] == y[: lw * hc]
+            assert out["cb"] == cb[: cw * (8 - crop)]
+            assert out["cr"] == cr[: cw * (8 - crop)]
+
+    def test_keyframe_stats_null_text_excluded(self, spark):
+        import pandas as pd
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+            keyframe_luma_stats,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": ["alpha", None, "gamma"]})
+        )
+        got = keyframe_luma_stats(df).toPandas().sort_values("doc_id")
+        assert list(got.doc_id) == [1, 3]
+        assert (got.profile_idc == 66).all()
+        assert (got.width % 16 == 0).all()

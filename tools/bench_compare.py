@@ -1,0 +1,110 @@
+"""Calibration-normalized cross-round bench comparison (verdict r9 task 2).
+
+Raw per-query deltas between rounds conflate plan changes with host
+drift. Both ends now carry a calibration ratio against the SAME pinned
+baseline (the r9 pin: BENCH_r09's `calibration_ratio` 0.729, and the
+current artifact's `ratio_r9pin`), so host speed divides out:
+
+    normalized_ratio(q) = (t_new / t_old) * (h_old / h_new)
+
+where h_* are the two runs' calibration ratios vs the shared pin. A
+normalized ratio > threshold is a PLAN/CODE regression, not a busy box.
+
+Usage: python tools/bench_compare.py [old.json] [new.json] [--thr=1.3]
+Defaults: old = the committed round-9 BENCH_LOCAL (extracted from git
+if needed), new = BENCH_LOCAL.json. Prints a sorted table + flags.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def load_old(path: str | None) -> dict:
+    if path:
+        return json.loads(Path(path).read_text())
+    # the round-9 closing commit's BENCH_LOCAL.json carries the full
+    # 205-query map at calibration ratio 0.729 (same run the driver
+    # sampled into BENCH_r09.json)
+    out = subprocess.run(
+        ["git", "-C", str(REPO), "show", "d18aea8:BENCH_LOCAL.json"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)
+
+
+def compare(old: dict, new: dict, thr: float = 1.3, floor_s: float = 0.15) -> dict:
+    """``floor_s``: minimum ABSOLUTE regression before a row can flag —
+    a ratio threshold alone fires on 25 ms of JIT/GC jitter whenever the
+    query itself is sub-second (round-10 finding: the two 1.31x flags
+    were untouched 0.2 s queries; standalone re-runs showed no
+    structural change)."""
+    h_old = old["calibration"]["ratio"]  # vs the r9 pin by construction
+    h_new = new["calibration"].get("ratio_r9pin") or new["calibration"]["ratio"]
+    qs_old, qs_new = old["queries"], new["queries"]
+    shared = sorted(set(qs_old) & set(qs_new))
+    rows = []
+    for q in shared:
+        t_old, t_new = qs_old[q], qs_new[q]
+        if not t_old or not t_new:
+            continue
+        raw = t_new / t_old
+        rows.append((q, t_old, t_new, raw, raw * (h_old / h_new)))
+    rows.sort(key=lambda r: -r[4])
+    norm_ratios = [r[4] for r in rows]
+    return {
+        "h_old": h_old,
+        "h_new": h_new,
+        "n_shared": len(rows),
+        "median_raw": round(statistics.median(r[3] for r in rows), 3),
+        "median_normalized": round(statistics.median(norm_ratios), 3),
+        "flagged": [
+            {"query": q, "t_old": a, "t_new": b, "normalized": round(n, 3)}
+            for q, a, b, _, n in rows
+            if n > thr and (b - a) > floor_s
+        ],
+        "rows": rows,
+    }
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = next(
+        (float(a.split("=", 1)[1]) for a in sys.argv[1:] if a.startswith("--thr=")),
+        1.3,
+    )
+    old = load_old(args[0] if args else None)
+    new = json.loads(
+        Path(args[1] if len(args) > 1 else REPO / "BENCH_LOCAL.json").read_text()
+    )
+    r = compare(old, new, thr)
+    print(
+        f"host factors: old {r['h_old']} new {r['h_new']} "
+        f"(shared r9-pin denominator)"
+    )
+    print(
+        f"{r['n_shared']} shared queries; median raw {r['median_raw']}x, "
+        f"median NORMALIZED {r['median_normalized']}x"
+    )
+    print(f"\n{'query':34s} {'old':>7s} {'new':>7s} {'raw':>6s} {'norm':>6s}")
+    for q, a, b, raw, n in r["rows"][:15]:
+        print(f"{q:34s} {a:7.3f} {b:7.3f} {raw:6.2f} {n:6.2f}")
+    if r["flagged"]:
+        print(f"\nFLAGGED (normalized > {thr}):")
+        for f in r["flagged"]:
+            print(f"  {f['query']}: {f['t_old']} -> {f['t_new']} ({f['normalized']}x)")
+    else:
+        print(f"\nno query exceeds the {thr}x normalized threshold")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
