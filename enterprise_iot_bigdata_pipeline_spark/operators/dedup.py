@@ -558,18 +558,35 @@ def _ckpt_leaf(df: DataFrame) -> DataFrame:
         return DataFrame(clean, spark)
     except Exception as exc:
         # private-API drift (internalCreateDataFrame is not public API): a
-        # Spark upgrade must not degrade SILENTLY to the stats-blowup
-        # behavior this function exists to prevent — warn so it's visible.
+        # Spark upgrade must not degrade to the stats-blowup behavior this
+        # function exists to prevent, so the fallback is a temp-parquet
+        # round-trip — a PUBLIC-API leaf with scan-default stats. Slower
+        # (disk write per iteration instead of reusing the checkpoint's
+        # block-manager rows) but CORRECT at any Spark version; the warn
+        # keeps the degradation visible so the fast path gets re-ported.
         import warnings
 
         warnings.warn(
             "_ckpt_leaf: internalCreateDataFrame unavailable "
-            f"({type(exc).__name__}); falling back to plain localCheckpoint "
-            "— iterative self-join loops may hit BigInteger stats blowup",
+            f"({type(exc).__name__}); falling back to a temp-parquet "
+            "round-trip leaf (correct stats reset, extra disk I/O per "
+            "iteration) — re-port the fast path for this Spark version",
             RuntimeWarning,
             stacklevel=2,
         )
-        return ck
+        return _ckpt_leaf_fallback(ck)
+
+
+def _ckpt_leaf_fallback(df: DataFrame) -> DataFrame:
+    """Public-API stats-reset leaf: write to a session-scoped temp parquet
+    and read it back. The directory must outlive the returned frame's
+    consumers, so it leaks into the session temp area (one narrow frame
+    per iterative round; the OS temp reaper owns the cleanup)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ckpt_leaf_")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def connected_components(

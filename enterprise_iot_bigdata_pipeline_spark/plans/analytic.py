@@ -1129,26 +1129,30 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "tag", "version")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # the dim row replays ATOMICALLY as a struct: last(version) and
+    # last(status) as SEPARATE ignore-nulls reads desynchronize when a
+    # version's status is legitimately NULL — the probe would take that
+    # version's number but the PREVIOUS version's status (decorrelated
+    # nasty-orders find; statuses were constant per customer before, so
+    # no NULL-status run ever followed a non-NULL one)
+    dim_row = F.when(
+        F.col("tag") == 0, F.struct(F.col("version"), F.col("status"))
+    )
     replayed = merged.select(
         "o_custkey",
         "ts",
         "tag",
         "l_orderkey",
         "l_linenumber",
-        F.last(F.when(F.col("tag") == 0, F.col("version")), ignorenulls=True)
-        .over(w)
-        .alias("version"),
-        F.last(F.when(F.col("tag") == 0, F.col("status")), ignorenulls=True)
-        .over(w)
-        .alias("status"),
+        F.last(dim_row, ignorenulls=True).over(w).alias("dim"),
     )
     return replayed.filter(F.col("tag") == 1).select(
         "o_custkey",
         "l_orderkey",
         "l_linenumber",
         F.col("ts").alias("ship_ts"),
-        "version",
-        "status",
+        F.col("dim.version").alias("version"),
+        F.col("dim.status").alias("status"),
     )
 
 

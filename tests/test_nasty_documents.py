@@ -88,7 +88,10 @@ def _nasty_docs():
             (
                 i + 1,
                 text,
-                langs[i % len(langs)],
+                # i//6 decorrelates lang from source: (i*7)%6 == i%6, so a
+                # bare i%6 paired every source class with exactly ONE lang
+                # (the nasty-events modulus-sharing degeneracy)
+                langs[(i + i // 6) % len(langs)],
                 sources[(i * 7) % len(sources)],
                 len(text) if text is not None else None,
             )

@@ -49,7 +49,12 @@ def _nasty_orders():
             ck = 10_000_000 + i
         else:
             ck = 1 + (i % 25) if i % 2 else 3  # key 3 is hot
-        status = _STATUSES[i % len(_STATUSES)]
+        # i//50 decorrelates status from the custkey classes: ck pools one
+        # odd residue mod 50 per customer and 5 | 50, so a bare i%5 made
+        # status CONSTANT within every non-hot customer — SCD2 run
+        # detection had no run boundaries to misorder (the nasty-events
+        # value degeneracy, relational edition)
+        status = _STATUSES[(i + i // 50) % len(_STATUSES)]
         # duplicated totals (ties), NULLs, zero, negative
         price = [100.0, 100.0, 0.0, -50.0, None, 2500.25, 100.0, 999.99][i % 8]
         if i % 13 == 0:
@@ -77,7 +82,9 @@ def _nasty_lineitems():
         pk = None if i % 19 == 0 else 1 + (i % 40)
         sk = None if i % 23 == 0 else 1 + (i % 10)
         ln = 1 + (i % 7)
-        qty = [10.0, 10.0, 0.0, -5.0, None, 50.0, 10.0, 37.0][i % 8]
+        # i//40 decorrelates qty from l_partkey (8 | 40 made qty constant
+        # per part — FIFO allocation ran on uniform line sizes)
+        qty = [10.0, 10.0, 0.0, -5.0, None, 50.0, 10.0, 37.0][(i + i // 40) % 8]
         price = [1000.0, 1000.0, 0.0, None, 42.42, 1000.0][i % 6]
         disc = [0.0, 0.05, 0.05, None, 0.5, 0.1][i % 6]
         tax = [0.0, 0.08, None, 0.08][i % 4]

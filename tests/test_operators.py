@@ -312,7 +312,10 @@ def test_fill_gaps_densifies_and_ffills(spark):
 def test_ckpt_leaf_fallback_warns(spark, monkeypatch):
     """A Spark upgrade that removes the private internalCreateDataFrame
     path must not degrade _ckpt_leaf silently back to the stats-blowup
-    behavior it exists to prevent — the fallback stays correct but warns."""
+    behavior it exists to prevent — the fallback (a temp-parquet
+    round-trip leaf, public API only) stays CORRECT but warns. The
+    simulation removes ONLY the private method (a delegating proxy), so
+    the fallback's own write/read path still has a working session."""
     import warnings
 
     import pytest
@@ -325,11 +328,25 @@ def test_ckpt_leaf_fallback_warns(spark, monkeypatch):
         out = _ckpt_leaf(healthy)
     assert out.count() == 5
 
-    df = spark.range(7)  # build BEFORE breaking the session's JVM handle
-    monkeypatch.setattr(spark, "_jsparkSession", object(), raising=False)
+    class _NoPrivateApi:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            if name == "internalCreateDataFrame":
+                raise AttributeError("removed in this Spark version (simulated)")
+            return getattr(self._real, name)
+
+    df = spark.range(7)
+    monkeypatch.setattr(
+        spark, "_jsparkSession", _NoPrivateApi(spark._jsparkSession), raising=False
+    )
     with pytest.warns(RuntimeWarning, match="_ckpt_leaf"):
         out2 = _ckpt_leaf(df)
-    assert out2.count() == 7
+    assert sorted(r.id for r in out2.collect()) == list(range(7))
+    # the fallback leaf must be a fresh SCAN (stats reset), not the
+    # checkpointed LogicalRDD carrying the origin estimate
+    assert "LogicalRDD" not in out2._jdf.queryExecution().analyzed().toString()
 
 
 def test_sessionize_two_phase_matches_single_pass(spark):
