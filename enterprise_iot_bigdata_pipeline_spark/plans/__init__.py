@@ -82,61 +82,62 @@ def register(name: str, oracle: str | None = None, late: bool = False):
 # (latest driver-sampled round, name) — never-sampled names first, then
 # the stalest evidence. tests/test_rotation.py asserts this literal
 # matches the computation, so the list stays reviewable while drift from
-# the policy is a test failure. The round-10 window below clears the
-# rotation debt entirely (the 20 names that had only judge/sweep
-# evidence through r9) and refreshes the 30 oldest driver rows (r4/r5).
+# the policy is a test failure. The round-11 window below refreshes the
+# 50 stalest driver rows: tfidf_top_terms (r5), the r6 curation cohort
+# (curation_assign, mixture_sample, pack_sequences_budget,
+# sample_topk_per_source, shuffle_assign), then r7 names.
 # Regenerate with:  python tools/rotation.py --emit
 _PRIORITY = [
-    "agg_mode_per_group",
-    "agg_unpivot_stats",
-    "ann_hard_negatives",
-    "basket_part_pairs_lift",
-    "cohort_weekly_retention",
-    "embeddings_corr_probe",
-    "embeddings_label_centroids",
-    "embeddings_sparsify_topm",
-    "fifo_return_allocation",
-    "funnel_time_to_convert",
-    "mixture_water_fill",
-    "parts_pareto_abc",
-    "quality_fk_orphans",
-    "sales_hierarchy_shares",
-    "sample_weighted_topn",
-    "scd2_status_history",
-    "split_group_disjoint",
-    "table_checksum_audit",
-    "table_layout_plan",
-    "text_lang_confusion",
-    "video_keyframe_stats",
-    "agg_distributions",
-    "asof_purchase_click",
-    "join_five_way",
-    "join_large_orders",
-    "join_nation_pairs",
-    "range_join_click_purchase",
-    "scalar_funcs",
-    "set_ops",
-    "subquery_mixed",
-    "window_lag_runsum",
-    "window_sessionize",
-    "agg_approx_distinct",
-    "agg_conditional_having",
-    "agg_count_distinct",
-    "agg_grouping_multi",
-    "agg_pivot",
-    "agg_pricing_summary",
-    "agg_sliding_window",
-    "agg_value_stats",
-    "distinct_multi",
-    "epoch_normalize_multiscale",
-    "events_heavy_hitters",
-    "filter_suite",
-    "flagship_minute_resample",
-    "join_semi_anti",
-    "join_top_revenue",
-    "parse_s3_keys",
-    "proj_enrich_union",
-    "sort_topk",
+    "tfidf_top_terms",
+    "curation_assign",
+    "mixture_sample",
+    "pack_sequences_budget",
+    "sample_topk_per_source",
+    "shuffle_assign",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "corpus_source_overlap",
+    "dedup_canonical_map",
+    "dedup_components",
+    "dedup_embedding_multiround",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_chunk_sliding",
+    "embeddings_cluster_assign",
+    "embeddings_jl_project",
+    "embeddings_standardize",
+    "events_quality_profile",
+    "image_dhash_neardup",
+    "mmr_diversify_topk",
+    "multimodal_decode",
+    "pipeline_curate_corpus",
+    "pysource_ramp_scan",
+    "quality_expectations",
+    "quality_percentile_filter",
+    "repair_audit_partitions",
+    "segment_dedup_global",
+    "streaming_click_purchase_join",
+    "streaming_enrich_dim",
+    "streaming_hour_agg",
+    "text_bigram_corpus_freq",
+    "text_bigram_lift",
+    "text_bigram_perplexity",
+    "text_classify_quality",
+    "text_collapse_stutter",
+    "text_containment_join",
+    "text_decontaminate",
+    "text_extract_urls",
+    "text_inverted_index",
+    "text_metrics",
+    "text_normalize_unicode",
+    "text_novelty_rate",
+    "text_oov_rate",
+    "text_pii_redact",
+    "text_readability",
+    "text_secrets_scan",
 ]
 
 

@@ -1,0 +1,82 @@
+"""Struct-replay lint as a suite gate (round-10 verdict task 3 for r11).
+
+tools/replay_audit.py mechanizes the design rule born from the
+join_point_in_time desync (DEVNOTES session 4; plans/analytic.py:1135):
+multi-column as-of/replay state must travel as ONE
+last(struct(...), ignorenulls=True) read. The audit walks every
+registered batch query's optimized plan and flags >= 2 ignore-nulls
+first/last/lag reads of DISTINCT arguments sharing one window spec —
+the shape where independent NULL placement lets one logical row be
+reconstructed from two different source rows. Registrations are
+conscripted at run time, so a future query with the desync shape fails
+here before any battery or driver round can diverge.
+
+The exemption ledger in the tool carries a written reason per entry and
+is itself asserted: an exemption that stops firing must be deleted.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from conftest import SF_SMOKE
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+
+def test_registry_clean_under_replay_audit(spark):
+    from tools.replay_audit import audit_rows, violations_outside_exemptions
+
+    rows = audit_rows(spark, SF_SMOKE)
+    unexempted, stale = violations_outside_exemptions(rows)
+    msg = "\n".join(f"{name}: {'; '.join(vs)}" for name, vs in unexempted) + (
+        "\nSTALE exemptions (fix no longer needed — delete the entry): "
+        + ", ".join(stale)
+        if stale
+        else ""
+    )
+    assert not unexempted and not stale, msg
+
+
+def test_audit_detects_the_desync_shape(spark):
+    """The lint must FIRE on the exact r10 bug shape: last(version) +
+    last(status) as separate ignore-nulls reads over one window spec —
+    and must NOT fire once the state travels as one struct."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tools.replay_audit import audit_query
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, "A"), (1, None, None)],
+        "k int, version int, status string",
+    )
+    w = Window.partitionBy("k").orderBy("version").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    buggy = df.select(
+        "k",
+        F.last("version", ignorenulls=True).over(w).alias("v"),
+        F.last("status", ignorenulls=True).over(w).alias("s"),
+    )
+    assert audit_query(buggy), "separate ignore-nulls reads must be flagged"
+
+    fixed = df.select(
+        "k",
+        F.last(F.struct("version", "status"), ignorenulls=True)
+        .over(w)
+        .alias("dim"),
+    ).select("k", "dim.version", "dim.status")
+    assert audit_query(fixed) == [], "atomic struct replay must pass"
+
+    # first+last of ONE column over one spec is intentional (attribution
+    # first/last touch) — two different rows is the semantics, not a bug
+    mixed = df.select(
+        "k",
+        F.first("status", ignorenulls=True).over(w).alias("a"),
+        F.last("status", ignorenulls=True).over(w).alias("b"),
+    )
+    assert audit_query(mixed) == []

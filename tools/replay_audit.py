@@ -1,0 +1,173 @@
+"""Struct-replay lint over the registry's analyzed plans.
+
+Round 10's sharpened orders battery found `join_point_in_time` replaying
+`last(version)` and `last(status)` as SEPARATE ignore-nulls window reads
+over one window spec: when a version's status is legitimately NULL (an
+all-NULL status run), a probe under it took that version's NUMBER but
+the PREVIOUS version's STATUS — one logical dim row reconstructed from
+two different source rows. The fix (and now a standing design rule,
+`plans/analytic.py:1135-1143`) is to replay multi-column state as ONE
+`last(struct(...), ignorenulls=True)` read.
+
+This audit mechanizes the rule, exactly like `tools/null_audit.py` does
+for NULL-ordering: walk each registered query's optimized plan, collect
+every ignore-nulls window read (`first`/`last` aggregates, `lag`/`lead`/
+`nth_value` offsets), group by (window spec, function class, offset) —
+the reads that CLAIM to observe the same source row — and flag any group
+holding >= 2 distinct argument expressions. Independent NULL placement
+across those arguments lets the reads resolve to DIFFERENT rows, which
+is only correct when the columns are semantically independent signals
+(per-metric forward-fill) or re-synchronized downstream (a shared
+`when()` key) — those cases carry named exemptions with written reasons,
+and a stale exemption (one that stops firing) is itself a failure.
+
+Same-spec `first` + `last` of one column is NOT flagged: picking two
+different rows is the point of mixing the two functions (attribution's
+first/last touch), not a desync.
+
+Run: python tools/replay_audit.py [sf_dir]   (default sf0.001;
+plan-build only, nothing executes). Exits non-zero on any unexempted
+violation, stale exemption, or erroring query. Wired into pytest via
+tests/test_replay_audit.py.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+from null_audit import _children, _seq  # noqa: E402 — shared plan walkers
+
+# name -> reason. Every entry must still fire (asserted) — delete when fixed.
+EXEMPT: dict[str, str] = {
+    "timeseries_interpolate": (
+        "prev_v/prev_t (and next_v/next_t) are synchronized BY "
+        "CONSTRUCTION: both read through the same v_obs-keyed when() — "
+        "obs_tick is NULL exactly when v_obs is, so the two reads cannot "
+        "resolve to different rows (DEVNOTES session 4 hand-audit)"
+    ),
+    "events_fill_gaps": (
+        "per-column forward-fill is the DOCUMENTED per-metric semantics "
+        "(operators/dashboard.py:91-133): each metric carries its own "
+        "last observation independently, like independent sensor ffill — "
+        "atomic struct replay would be wrong here"
+    ),
+}
+
+# Window functions that read a specific source row and honor ignoreNulls.
+_AGG_READS = {"First", "Last"}
+_OFFSET_READS = {"Lag", "Lead", "NthValue"}
+
+
+def _ignore_nulls(fn) -> bool:
+    try:
+        return bool(fn.ignoreNulls())
+    except Exception:  # noqa: BLE001 — expression class without the flag
+        return False
+
+
+def _reads_in_window(node) -> list[tuple[str, str, str]]:
+    """(group_key, arg_string, display) per ignore-nulls read in one
+    Window node. group_key identifies the source row the read claims to
+    observe: window spec + function class + offset (for lag/lead/nth)."""
+    reads = []
+    for e in _seq(node.windowExpressions()):
+        expr = e
+        if expr.getClass().getSimpleName() == "Alias":
+            expr = expr.child()
+        if expr.getClass().getSimpleName() != "WindowExpression":
+            continue
+        fn = expr.windowFunction()
+        spec = expr.windowSpec().toString()
+        kind = fn.getClass().getSimpleName()
+        if kind == "AggregateExpression":
+            inner = fn.children().apply(0)
+            iname = inner.getClass().getSimpleName()
+            if iname in _AGG_READS and _ignore_nulls(inner):
+                arg = inner.children().apply(0).toString()
+                reads.append((f"{spec}|{iname}", arg, f"{iname.lower()}({arg})"))
+        elif kind in _OFFSET_READS and _ignore_nulls(fn):
+            kids = [fn.children().apply(i) for i in range(fn.children().size())]
+            arg = kids[0].toString()
+            offset = kids[1].toString() if len(kids) > 1 else ""
+            reads.append(
+                (f"{spec}|{kind}|{offset}", arg, f"{kind.lower()}({arg}, {offset})")
+            )
+    return reads
+
+
+def audit_query(df) -> list[str]:
+    """Violation strings for one DataFrame's optimized plan."""
+    groups: dict[str, dict[str, str]] = {}
+    plan = df._jdf.queryExecution().optimizedPlan()
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            for key, arg, display in _reads_in_window(node):
+                groups.setdefault(key, {})[arg] = display
+        stack.extend(_children(node))
+    violations = []
+    for key, args in groups.items():
+        if len(args) >= 2:
+            fn = key.split("|", 1)[1]
+            violations.append(
+                f"{len(args)} independent ignore-nulls {fn} reads over one "
+                f"window spec ({', '.join(sorted(args.values()))}) — replay "
+                "multi-column state as ONE last(struct(...)) or exempt"
+            )
+    return violations
+
+
+def audit_rows(spark, sf_dir: str) -> list[tuple[str, list[str]]]:
+    """(name, violations) per registered batch query; erroring queries
+    are recorded with a single ``ERROR ...`` violation."""
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+    rows = []
+    for name, fn in all_queries().items():
+        if name.startswith("streaming_"):
+            continue  # sinks execute at build time; batteries cover these
+        try:
+            v = audit_query(fn(spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001 — report, don't die
+            v = [f"ERROR {type(ex).__name__}: {str(ex)[:120]}"]
+        if v:
+            rows.append((name, v))
+    return rows
+
+
+def violations_outside_exemptions(rows) -> tuple[list, list]:
+    """(unexempted violation rows, stale exemption names)."""
+    fired = {name for name, _ in rows}
+    unexempted = [(n, v) for n, v in rows if n not in EXEMPT]
+    stale = sorted(set(EXEMPT) - fired)
+    return unexempted, stale
+
+
+def main() -> int:
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="replay_audit")
+    rows = audit_rows(spark, sf_dir)
+    unexempted, stale = violations_outside_exemptions(rows)
+    for name, vs in rows:
+        tag = "EXEMPT" if name in EXEMPT else "FAIL"
+        for v in vs:
+            print(f"{tag:6s} {name}: {v}")
+    for name in stale:
+        print(f"STALE  exemption no longer fires: {name}")
+    print(
+        f"{len(rows)} queries with findings, {len(unexempted)} unexempted, "
+        f"{len(stale)} stale exemptions"
+    )
+    return 1 if unexempted or stale else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

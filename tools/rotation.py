@@ -28,16 +28,42 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
+def _ledger_paths(repo: str) -> list[str]:
+    """Git-TRACKED CORRECTNESS artifacts only, so an untracked artifact a
+    future round's driver drops mid-handoff cannot redden the committed
+    tree's suite (the regeneration obligation fires once the artifact is
+    committed, which the driver does at round start). Falls back to a
+    plain glob outside a git checkout."""
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return sorted(
+                os.path.join(repo, line.strip())
+                for line in out.stdout.splitlines()
+                if line.strip()
+            )
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+
+
 def evidence_ledger(repo: str = REPO) -> dict[str, int]:
     """name -> latest round with a driver CORRECTNESS row (any verdict)."""
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in _ledger_paths(repo):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
