@@ -577,16 +577,82 @@ def _ckpt_leaf(df: DataFrame) -> DataFrame:
         return _ckpt_leaf_fallback(ck)
 
 
-def _ckpt_leaf_fallback(df: DataFrame) -> DataFrame:
-    """Public-API stats-reset leaf: write to a session-scoped temp parquet
-    and read it back. The directory must outlive the returned frame's
-    consumers, so it leaks into the session temp area (one narrow frame
-    per iterative round; the OS temp reaper owns the cleanup)."""
-    import tempfile
+# Directories written by _ckpt_leaf_fallback, deleted at interpreter
+# exit (the leaf must outlive every lazy consumer of the returned frame,
+# so per-call deletion is impossible; relying on an OS temp reaper is
+# not — most distros never reap /tmp between boots).
+_LEAF_DIRS: list[tuple[str, str]] = []
+_LEAF_ATEXIT = False
 
-    path = tempfile.mkdtemp(prefix="ckpt_leaf_")
+
+def _cleanup_leaf_dirs() -> None:
+    import shutil
+
+    for kind, path in _LEAF_DIRS:
+        if kind == "local":
+            shutil.rmtree(path, ignore_errors=True)
+        else:  # a shared (possibly remote) checkpoint-dir subpath
+            try:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    jvm = spark._jvm
+                    hpath = jvm.org.apache.hadoop.fs.Path(path)
+                    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                    fs.delete(hpath, True)
+            except Exception:  # noqa: BLE001 — best-effort at shutdown
+                pass
+    _LEAF_DIRS.clear()
+
+
+def _register_leaf_dir(kind: str, path: str) -> None:
+    global _LEAF_ATEXIT
+    if not _LEAF_ATEXIT:
+        import atexit
+
+        atexit.register(_cleanup_leaf_dirs)
+        _LEAF_ATEXIT = True
+    _LEAF_DIRS.append((kind, path))
+
+
+def _ckpt_leaf_fallback(df: DataFrame) -> DataFrame:
+    """Public-API stats-reset leaf: write to a parquet directory and read
+    it back. The directory must be VISIBLE TO EVERY EXECUTOR — on a
+    non-local master a driver-local temp path would have executors write
+    part files to their own machines and the read-back silently return
+    partial data (loss, not an error). So: the session's checkpoint dir
+    when one is set (shared by contract), a driver-local tempdir only
+    under a local master, and a hard error otherwise. Directories are
+    registered for atexit cleanup."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    try:
+        ck_dir = sc.getCheckpointDir()
+    except Exception:  # noqa: BLE001 — older API surface
+        ck_dir = None
+    kind, path = _leaf_target(ck_dir, sc.master)
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    _register_leaf_dir(kind, path)
+    return spark.read.parquet(path)
+
+
+def _leaf_target(ck_dir: str | None, master: str | None) -> tuple[str, str]:
+    """(kind, path) for a fallback leaf, or raise when no executor-visible
+    location exists (non-local master without a checkpoint dir)."""
+    import tempfile
+    import uuid
+
+    if ck_dir:
+        return "shared", ck_dir.rstrip("/") + f"/ckpt_leaf_{uuid.uuid4().hex}"
+    if (master or "").startswith("local"):
+        return "local", tempfile.mkdtemp(prefix="ckpt_leaf_")
+    raise RuntimeError(
+        "_ckpt_leaf fallback needs a SHARED directory under master "
+        f"{master!r}: a driver-local temp path would silently lose "
+        "executor-written rows on read-back — call "
+        "spark.sparkContext.setCheckpointDir(<shared path>) first"
+    )
 
 
 def connected_components(

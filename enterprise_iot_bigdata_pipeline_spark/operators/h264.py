@@ -333,10 +333,14 @@ def _parse_sps_for_slice(nal: bytes) -> dict:
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
     log2_max_poc_lsb = 0
+    delta_poc_always_zero = 1
     if poc_type == 0:
         log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
-        r.u(1)
+        # the zero flag decides whether slice headers carry
+        # delta_pic_order_cnt fields (§7.3.3) — record it so the slice
+        # parse stays bit-exact for poc_type-1 streams
+        delta_poc_always_zero = r.u(1)
         r.se()
         r.se()
         for _ in range(r.ue()):
@@ -345,26 +349,33 @@ def _parse_sps_for_slice(nal: bytes) -> dict:
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type,
         "log2_max_poc_lsb": log2_max_poc_lsb,
+        "delta_pic_order_always_zero_flag": delta_poc_always_zero,
     }
 
 
-def decode_idr_ipcm(sps_nal: bytes, pps_nal: bytes, slice_nal: bytes) -> dict:
+def decode_idr_ipcm(
+    sps_nal: bytes, pps_nal: bytes | list[bytes], slice_nal: bytes
+) -> dict:
     """Decode one IDR slice whose macroblocks are ALL I_PCM into planar
     pixels: ``{"width", "height", "y", "cb", "cr"}`` with ``y`` a
     height×width bytes object (row-major) and cb/cr quarter-size (4:2:0).
 
-    Supports CAVLC entropy (``entropy_coding_mode 0``); any non-PCM
-    macroblock raises the named residual-decode gate. Cropping from the
-    SPS is applied, so output dimensions are the REAL frame."""
+    ``pps_nal`` may be one NAL or every PPS from the avcC — the slice
+    header's pic_parameter_set_id selects the one that applies (a stream
+    with two PPS would otherwise silently decode with the wrong QP/
+    deblocking fields — ADVICE r10). Supports CAVLC entropy
+    (``entropy_coding_mode 0``); any non-PCM macroblock raises the named
+    residual-decode gate. Cropping from the SPS is applied, so output
+    dimensions are the REAL frame."""
     info = parse_sps(sps_nal)
     if info["chroma_format_idc"] != 1:
         raise NotImplementedError("I_PCM decode: only 4:2:0 chroma supported")
     hdr = _parse_sps_for_slice(sps_nal)
-    pps = parse_pps(pps_nal)
-    if pps["entropy_coding_mode"] != 0:
-        raise NotImplementedError(
-            "H.264 CABAC slice decode unsupported (CAVLC I_PCM only)"
-        )
+    pps_nals = [pps_nal] if isinstance(pps_nal, (bytes, bytearray)) else list(pps_nal)
+    pps_by_id = {}
+    for nal in pps_nals:
+        p = parse_pps(nal)
+        pps_by_id.setdefault(p["pps_id"], p)
 
     body = slice_nal
     if body and body[0] & 0x1F == 5 and (body[0] & 0x80) == 0:
@@ -376,11 +387,28 @@ def decode_idr_ipcm(sps_nal: bytes, pps_nal: bytes, slice_nal: bytes) -> dict:
     slice_type = r.ue()
     if slice_type % 5 != 2:  # I slice (2 or 7)
         raise ValueError(f"not an I slice: slice_type {slice_type}")
-    r.ue()  # pps_id
+    pps_id = r.ue()
+    pps = pps_by_id.get(pps_id)
+    if pps is None:
+        raise ValueError(
+            f"slice references pic_parameter_set_id {pps_id} but only PPS "
+            f"{sorted(pps_by_id)} were provided"
+        )
+    if pps["entropy_coding_mode"] != 0:
+        raise NotImplementedError(
+            "H.264 CABAC slice decode unsupported (CAVLC I_PCM only)"
+        )
     r.u(hdr["log2_max_frame_num"])  # frame_num
     r.ue()  # idr_pic_id
     if hdr["poc_type"] == 0:
         r.u(hdr["log2_max_poc_lsb"])
+        if pps["bottom_field_pic_order_in_frame_present"]:
+            r.se()
+    elif hdr["poc_type"] == 1 and not hdr["delta_pic_order_always_zero_flag"]:
+        # §7.3.3: delta_pic_order_cnt[0] (+[1] when the PPS carries
+        # bottom-field POC in frame) — skipping these mis-aligned every
+        # later field for valid poc_type-1 IDRs (ADVICE r10)
+        r.se()
         if pps["bottom_field_pic_order_in_frame_present"]:
             r.se()
     if pps["redundant_pic_cnt_present"]:
@@ -558,7 +586,9 @@ def decode_h264_keyframe(payload: bytes) -> dict:
         raise ValueError("first AVC sample carries no IDR slice NAL")
     if not cfg["pps"]:
         raise ValueError("corrupt avcC: zero PPS parameter sets")
-    out = decode_idr_ipcm(cfg["sps"][0], cfg["pps"][0], slice_nal)
+    # every PPS rides along — the slice header's pps_id picks the one
+    # that applies (a second PPS must not be silently shadowed by [0])
+    out = decode_idr_ipcm(cfg["sps"][0], cfg["pps"], slice_nal)
     out["profile_idc"] = cfg["sps_info"]["profile_idc"]
     out["level_idc"] = cfg["sps_info"]["level_idc"]
     return out

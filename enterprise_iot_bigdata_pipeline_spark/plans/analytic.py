@@ -1283,10 +1283,19 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
     ),
     cums AS (
+        -- ordering is NULL-proofed and made total: l_orderkey is an FK
+        -- (NULLable — Spark sorts NULLs first on asc, DuckDB last, which
+        -- shifted every later line's allocation: decorrelated-battery
+        -- find, r11), and (shipdate, orderkey, linenumber) is not unique
+        -- under the hot order's repeating linenumbers, so qty breaks the
+        -- remaining ties (equal-qty ties are interchangeable for every
+        -- output; NULL-qty lines add nothing to the running sum, so
+        -- their position is free — both coalesce to a fixed sentinel)
         SELECT s.l_partkey, s.l_orderkey, s.qty, p.r_total,
                sum(s.qty) OVER (
                    PARTITION BY s.l_partkey
-                   ORDER BY s.l_shipdate, s.l_orderkey, s.l_linenumber
+                   ORDER BY s.l_shipdate, coalesce(s.l_orderkey, -1),
+                            s.l_linenumber, coalesce(s.qty, -1)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS cum_after
         FROM ships s JOIN pool p ON s.l_partkey = p.l_partkey
@@ -1326,7 +1335,12 @@ def fifo_return_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         W.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate",
+            F.coalesce(F.col("l_orderkey"), F.lit(-1)),
+            "l_linenumber",
+            F.coalesce(F.col("qty"), F.lit(-1)),
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cums = ships.join(pool, "l_partkey").select(

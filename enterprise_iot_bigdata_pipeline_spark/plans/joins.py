@@ -537,8 +537,17 @@ def join_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    # NULL-suppkey lines are INVISIBLE to the SQL form's correlations
+    # (`o.l_suppkey <> l.l_suppkey` is UNKNOWN when either side is NULL,
+    # so such a line neither establishes the other-supplier EXISTS nor
+    # blocks the NOT EXISTS, and a NULL outer row is never blamed) — but
+    # a bare groupBy would count the NULL group as a supplier, inflating
+    # n_supp and emitting a NULL blame row (decorrelated-battery find,
+    # r11). Dropping them reproduces the three-valued semantics exactly.
+    per_os = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
     )
     per_o = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),

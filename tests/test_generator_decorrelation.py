@@ -1,0 +1,193 @@
+"""Modulus-decorrelation property over every adversarial-table generator
+(round-10 verdict task 4 for r11).
+
+Round 10's biggest find was not a query bug but a BATTERY bug: the
+nasty-events generator derived `value` and `event_type` from the same
+index modulus, so `value` was CONSTANT within every event-type
+partition — every order-sensitive window was accidentally
+order-insensitive, and r9's "battery-green" proved much less than it
+claimed. The same class was then found by hand in the orders, lineitem
+and docs generators (DEVNOTES sessions 1/4), and the systematic sweep
+that built THIS test found five more latent instances the hand audit
+missed (customer balance constant per segment, part size per brand,
+lineitem tax per partkey AND suppkey, returnflag per supplier,
+linestatus/shipdate constant inside the hot order) — all decorrelated
+alongside this commit.
+
+The property: for every partition-key column a registered query might
+group or window by, no value/order-bearing column may be constant
+within any sufficiently large key class. A future generator edit that
+reintroduces a shared modulus fails here at test time, not two rounds
+later when a driver row diverges.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from test_nasty_dims import _nasty_customer, _nasty_part
+from test_nasty_documents import _nasty_docs
+from test_nasty_embeddings import _nasty_vectors
+from test_nasty_events import _nasty_rows
+from test_nasty_orders import _nasty_lineitems, _nasty_orders
+
+# A key class smaller than this can be legitimately constant by chance;
+# the degeneracy that matters is in the classes windows actually stress
+# (hot keys, segment/type/flag classes — all far larger than this).
+MIN_CLASS = 8
+
+
+def constant_classes(
+    rows: list[tuple],
+    cols: list[str],
+    key_cols: list[str],
+    value_cols: list[str],
+    min_class: int = MIN_CLASS,
+) -> list[str]:
+    """Findings like 'value <v> constant within key <k>=<class>' for every
+    (key class, value column) where the class has >= min_class rows, at
+    least two non-NULL value entries, and exactly one distinct value."""
+    findings = []
+    for k in key_cols:
+        ki = cols.index(k)
+        classes: dict[object, list[tuple]] = {}
+        for r in rows:
+            if r[ki] is not None:
+                classes.setdefault(r[ki], []).append(r)
+        for v in value_cols:
+            if v == k:
+                continue
+            vi = cols.index(v)
+            for kv, rs in classes.items():
+                if len(rs) < min_class:
+                    continue
+                nonnull = [repr(r[vi]) for r in rs if r[vi] is not None]
+                if len(nonnull) >= 2 and len(set(nonnull)) == 1:
+                    findings.append(
+                        f"{v} constant ({nonnull[0]}) within {k}={kv!r} "
+                        f"({len(rs)} rows)"
+                    )
+    return findings
+
+
+def _assert_decorrelated(rows, cols, keys, values):
+    findings = constant_classes(rows, cols, keys, values)
+    assert not findings, (
+        "generator reintroduced a modulus correlation — decorrelate with "
+        "an i//M term (see nasty-events `value`):\n" + "\n".join(findings)
+    )
+
+
+def test_events_generator_decorrelated():
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for null_ts in (False, True):
+        _assert_decorrelated(
+            _nasty_rows(null_ts=null_ts),
+            cols,
+            keys=["event_type", "user_id"],
+            values=["ts", "value", "props"],
+        )
+
+
+def test_orders_generator_decorrelated():
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    _assert_decorrelated(
+        _nasty_orders(),
+        cols,
+        keys=["o_custkey", "o_orderstatus", "o_orderpriority"],
+        values=["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+
+
+def test_lineitem_generator_decorrelated():
+    cols = [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ]
+    _assert_decorrelated(
+        _nasty_lineitems(),
+        cols,
+        keys=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_returnflag",
+            "l_linestatus",
+        ],
+        values=[
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+    )
+
+
+def test_customer_generator_decorrelated():
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    _assert_decorrelated(
+        _nasty_customer(),
+        cols,
+        keys=["c_mktsegment", "c_nationkey"],
+        values=["c_acctbal", "c_mktsegment"],
+    )
+
+
+def test_part_generator_decorrelated():
+    cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+    _assert_decorrelated(
+        _nasty_part(),
+        cols,
+        keys=["p_brand", "p_type"],
+        values=["p_size", "p_retailprice", "p_type", "p_brand"],
+    )
+
+
+def test_documents_generator_decorrelated():
+    cols = ["doc_id", "text", "lang", "source", "length"]
+    _assert_decorrelated(
+        _nasty_docs(),
+        cols,
+        keys=["lang", "source"],
+        values=["text", "length", "lang", "source"],
+    )
+
+
+def test_embeddings_generator_decorrelated():
+    cols = ["vec_id", "vec", "label"]
+    _assert_decorrelated(
+        _nasty_vectors(),
+        cols,
+        keys=["label"],
+        values=["vec"],
+    )
+
+
+def test_property_detects_the_degeneracy():
+    """The helper must FIRE on the exact r10 blind-spot shape: a value
+    cycled on the same modulus as its partition key."""
+    rows = [(i, i % 4, float(i % 4)) for i in range(64)]
+    findings = constant_classes(rows, ["id", "k", "v"], ["k"], ["v"])
+    assert len(findings) == 4  # every class constant
+
+    fixed = [(i, i % 4, float((i + i // 4) % 4)) for i in range(64)]
+    assert constant_classes(fixed, ["id", "k", "v"], ["k"], ["v"]) == []

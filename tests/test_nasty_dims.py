@@ -34,7 +34,10 @@ def _nasty_customer():
     for i in range(150):
         ck = i + 1
         nk = None if i % 13 == 0 else (99 if i % 17 == 0 else i % 25)  # 99 orphan
-        bal = [100.0, 100.0, None, 0.0, -999.99, 5000.5][i % 6]
+        # i//6 decorrelates balance from segment (both cycled mod 6, so
+        # balance was CONSTANT within every segment class — the
+        # nasty-events modulus-sharing degeneracy, dims edition)
+        bal = [100.0, 100.0, None, 0.0, -999.99, 5000.5][(i + i // 6) % 6]
         name = None if i % 29 == 0 else f"Customer#{ck:09d}"
         seg = _SEGMENTS[i % len(_SEGMENTS)]
         rows.append((ck, name, nk, bal, seg))
@@ -59,7 +62,8 @@ def _nasty_part():
         name = None if i % 31 == 0 else f"part {i} ghost linen"
         brand = _BRANDS[i % len(_BRANDS)]
         ptype = _TYPES[i % len(_TYPES)]
-        size = None if i % 11 == 0 else [1, 1, 5, 50, 5][i % 5]
+        # i//5 decorrelates size from brand (both cycled mod 5)
+        size = None if i % 11 == 0 else [1, 1, 5, 50, 5][(i + i // 5) % 5]
         price = [10.0, 10.0, None, 0.0, -1.0, 901.0, 10.0][i % 7]
         rows.append((pk, name, brand, ptype, size, price))
     return rows

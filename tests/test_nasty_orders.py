@@ -59,8 +59,11 @@ def _nasty_orders():
         price = [100.0, 100.0, 0.0, -50.0, None, 2500.25, 100.0, 999.99][i % 8]
         if i % 13 == 0:
             date = None
-        elif i % 3 == 0:
-            date = _HOT_DATE  # one hot date: quarter/cohort tie pile-up
+        elif (i + i // 3) % 3 == 0:
+            # one hot date: quarter/cohort tie pile-up. The i//3 drift
+            # keeps hot-date membership off every key modulus (a bare
+            # i%3 made the date constant within prio '1-URGENT' = i%6)
+            date = _HOT_DATE
         else:
             date = dt.datetime(1995 + (i % 6), 1 + (i % 12), 1 + (i % 28))
         prio = _PRIORITIES[i % len(_PRIORITIES)]
@@ -85,14 +88,29 @@ def _nasty_lineitems():
         # i//40 decorrelates qty from l_partkey (8 | 40 made qty constant
         # per part — FIFO allocation ran on uniform line sizes)
         qty = [10.0, 10.0, 0.0, -5.0, None, 50.0, 10.0, 37.0][(i + i // 40) % 8]
-        price = [1000.0, 1000.0, 0.0, None, 42.42, 1000.0][i % 6]
-        disc = [0.0, 0.05, 0.05, None, 0.5, 0.1][i % 6]
-        tax = [0.0, 0.08, None, 0.08][i % 4]
-        rf = ["R", "A", "N", None, ""][i % 5]
-        ls = ["O", "F", None][i % 3]
+        # i//40 and i//50 terms decorrelate the remaining value columns
+        # from the key moduli (the systematic audit the decorrelation
+        # property test now pins): price's mod 6 shared a factor 2 with
+        # partkey's mod 40 (constant 1000.0 in every odd partkey class),
+        # tax's mod 4 divided 40 (constant per partkey), and returnflag's
+        # mod 5 divided suppkey's mod 10 (one flag per supplier)
+        price = [1000.0, 1000.0, 0.0, None, 42.42, 1000.0][(i + i // 40) % 6]
+        disc = [0.0, 0.05, 0.05, None, 0.5, 0.1][(i + i // 48) % 6]
+        tax = [0.0, 0.08, None, 0.08][(i + i // 40) % 4]
+        rf = ["R", "A", "N", None, ""][(i + i // 50) % 5]
+        # hot order 1 is SELECTED BY i%3==0, so any mod-3-derived value
+        # was constant within the biggest order: linestatus mixes in
+        # i//3, and the hot-date pile-up moves to mod 4 (coprime spread
+        # inside the order-1 class) — the largest order must still carry
+        # ordering pressure on its own lines
+        ls = ["O", "F", None][(i + i // 3) % 3]
         if i % 29 == 0:
             ship = None
-        elif i % 3 == 0:
+        elif (i + i // 7) % 3 == 0:
+            # hot-date pile-up with i//7 drift: a bare i%3 made shipdate
+            # constant inside hot order 1 (selected by i%3==0), a mod-4
+            # rule would divide partkey's mod 40, and linestatus's own
+            # i//3 drift must not be reused (ls='O' would imply hot)
             ship = _HOT_DATE + dt.timedelta(days=30)
         else:
             ship = dt.datetime(1995 + (i % 6), 1 + ((i + 3) % 12), 1 + (i % 28))

@@ -349,6 +349,43 @@ def test_ckpt_leaf_fallback_warns(spark, monkeypatch):
     assert "LogicalRDD" not in out2._jdf.queryExecution().analyzed().toString()
 
 
+def test_ckpt_leaf_fallback_location_and_cleanup(spark):
+    """ADVICE r10: the fallback leaf must live somewhere EVERY executor
+    can see — checkpoint dir when set, driver tempdir only under a local
+    master, hard error otherwise (a driver-local path on a cluster means
+    silent row loss on read-back, not an error) — and every directory it
+    writes must be registered for atexit cleanup, not left to an OS temp
+    reaper that may never run."""
+    import os
+
+    import pytest
+
+    from enterprise_iot_bigdata_pipeline_spark.operators import dedup
+
+    # decision table
+    kind, path = dedup._leaf_target(None, "local[4]")
+    assert kind == "local" and os.path.isdir(path)
+    os.rmdir(path)
+    kind, path = dedup._leaf_target("/shared/ck/", "spark://host:7077")
+    assert kind == "shared" and path.startswith("/shared/ck/ckpt_leaf_")
+    with pytest.raises(RuntimeError, match="setCheckpointDir"):
+        dedup._leaf_target(None, "spark://host:7077")
+    with pytest.raises(RuntimeError, match="SHARED"):
+        dedup._leaf_target(None, "yarn")
+
+    # end-to-end on the local session: dir registered, cleanup removes it
+    before = list(dedup._LEAF_DIRS)
+    out = dedup._ckpt_leaf_fallback(spark.range(3))
+    assert out.count() == 3
+    new = [d for d in dedup._LEAF_DIRS if d not in before]
+    assert len(new) == 1 and new[0][0] == "local"
+    leaked = new[0][1]
+    assert os.path.isdir(leaked)
+    dedup._cleanup_leaf_dirs()
+    assert not os.path.exists(leaked)
+    assert dedup._LEAF_DIRS == []
+
+
 def test_sessionize_two_phase_matches_single_pass(spark):
     """Chunk-boundary algebra: sessions that straddle bucket edges, gaps
     exactly at the threshold, empty buckets in between, ties on ts, and a

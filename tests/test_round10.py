@@ -143,14 +143,23 @@ class TestH264IpcmDecode:
             decode_idr_ipcm,
         )
 
+        from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+            build_ipcm_idr,
+        )
+
         w = _BitWriter()
         w.ue(0); w.ue(0); w.u(1, 1)  # entropy_coding_mode = CABAC
         w.u(1, 0); w.ue(0); w.ue(0); w.ue(0)
         w.u(1, 0); w.u(2, 0); w.ue(0); w.ue(0); w.ue(0)
         w.u(1, 0); w.u(1, 0); w.u(1, 0)
         cabac_pps = b"\x68" + w.bytes()
+        # a REAL slice referencing pps_id 0: the gate fires once the
+        # slice header names the CABAC set (r11: entropy is a property
+        # of the SELECTED pps, so it cannot be checked before the
+        # header's pic_parameter_set_id is read)
+        slice_nal = build_ipcm_idr(1, 1, bytes(256), bytes(64), bytes(64))
         with pytest.raises(NotImplementedError, match="CABAC"):
-            decode_idr_ipcm(_make_sps(1, 1), cabac_pps, b"\x65\x00")
+            decode_idr_ipcm(_make_sps(1, 1), cabac_pps, slice_nal)
 
     def test_container_keyframe_decode(self):
         # full path: avc1 MP4 (real stbl tables) -> first sample ->

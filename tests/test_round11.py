@@ -1,0 +1,154 @@
+"""Round-11 additions: H.264 slice-header completeness (poc_type 1,
+PPS selection by pic_parameter_set_id — ADVICE r10)."""
+
+from __future__ import annotations
+
+import pytest
+
+from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+    _BitWriter,
+    _escape_emulation,
+    decode_idr_ipcm,
+)
+
+
+def _sps(gw: int, gh: int, poc_type: int = 2, delta_zero: int = 1) -> bytes:
+    """Baseline SPS; poc_type 1 carries the offset fields and the
+    delta_pic_order_always_zero_flag under test."""
+    w = _BitWriter()
+    w.u(8, 66)
+    w.u(8, 0)
+    w.u(8, 30)
+    w.ue(0)  # sps_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(poc_type)
+    if poc_type == 0:
+        w.ue(0)  # log2_max_poc_lsb_minus4
+    elif poc_type == 1:
+        w.u(1, delta_zero)
+        w.ue(0)  # offset_for_non_ref_pic: se(0)
+        w.ue(0)  # offset_for_top_to_bottom_field: se(0)
+        w.ue(0)  # num_ref_frames_in_pic_order_cnt_cycle
+    w.ue(1)  # max_num_ref_frames
+    w.u(1, 0)
+    w.ue(gw - 1)
+    w.ue(gh - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 0)
+    w.u(1, 0)  # no crop
+    w.u(1, 0)  # no vui
+    return b"\x67" + _escape_emulation(w.rbsp())
+
+
+def _pps(pps_id: int, cabac: bool = False) -> bytes:
+    w = _BitWriter()
+    w.ue(pps_id)
+    w.ue(0)  # sps_id
+    w.u(1, 1 if cabac else 0)
+    w.u(1, 0)  # bottom_field_pic_order_in_frame_present
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 0)
+    w.u(2, 0)
+    w.ue(0)  # pic_init_qp_minus26: se(0)
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 0)
+    w.u(1, 0)
+    w.u(1, 0)
+    return b"\x68" + _escape_emulation(w.rbsp())
+
+
+def _ipcm_slice(
+    gw: int,
+    gh: int,
+    y: bytes,
+    cb: bytes,
+    cr: bytes,
+    pps_id: int = 0,
+    n_delta_poc: int = 0,
+) -> bytes:
+    """IDR slice, all I_PCM — build_ipcm_idr with a pps_id knob and
+    optional delta_pic_order_cnt fields (poc_type-1, zero flag unset)."""
+    lw, cw = gw * 16, gw * 8
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type I
+    w.ue(pps_id)
+    w.u(4, 0)  # frame_num
+    w.ue(0)  # idr_pic_id
+    for _ in range(n_delta_poc):
+        w.ue(0)  # delta_pic_order_cnt[k]: se(0)
+    w.u(1, 0)  # no_output_of_prior_pics_flag
+    w.u(1, 0)  # long_term_reference_flag
+    w.ue(0)  # slice_qp_delta: se(0)
+    w.ue(25)  # mb_type I_PCM (first MB)
+    while len(w.bits) % 8:
+        w.u(1, 0)
+    out = bytearray(
+        int("".join(map(str, w.bits[i : i + 8])), 2)
+        for i in range(0, len(w.bits), 8)
+    )
+
+    def mb_samples(mb: int) -> bytes:
+        mx, my = (mb % gw) * 16, (mb // gw) * 16
+        cx, cy = (mb % gw) * 8, (mb // gw) * 8
+        chunks = [
+            y[(my + r) * lw + mx : (my + r) * lw + mx + 16] for r in range(16)
+        ]
+        for plane in (cb, cr):
+            chunks += [
+                plane[(cy + r) * cw + cx : (cy + r) * cw + cx + 8]
+                for r in range(8)
+            ]
+        return b"".join(chunks)
+
+    out += mb_samples(0)
+    for mb in range(1, gw * gh):
+        out += b"\x0d\x00" + mb_samples(mb)
+    out.append(0x80)
+    return b"\x65" + _escape_emulation(bytes(out))
+
+
+def _planes(gw: int, gh: int) -> tuple[bytes, bytes, bytes]:
+    y = bytes((7 * j) % 256 for j in range(gw * 16 * gh * 16))
+    cb = bytes((11 * j) % 256 for j in range(gw * 8 * gh * 8))
+    cr = bytes((13 * j) % 256 for j in range(gw * 8 * gh * 8))
+    return y, cb, cr
+
+
+def test_poc_type1_slice_decodes_pixel_true():
+    """A valid poc_type-1 IDR (delta_pic_order_always_zero_flag unset)
+    carries delta_pic_order_cnt[0] in its header; skipping it mis-parsed
+    every later field (ADVICE r10) — the decode must be bit-exact."""
+    gw, gh = 2, 1
+    y, cb, cr = _planes(gw, gh)
+    sps = _sps(gw, gh, poc_type=1, delta_zero=0)
+    out = decode_idr_ipcm(
+        sps, _pps(0), _ipcm_slice(gw, gh, y, cb, cr, n_delta_poc=1)
+    )
+    assert (out["y"], out["cb"], out["cr"]) == (y, cb, cr)
+    assert (out["width"], out["height"]) == (gw * 16, gh * 16)
+
+    # zero flag SET: no delta fields in the header
+    sps_z = _sps(gw, gh, poc_type=1, delta_zero=1)
+    out = decode_idr_ipcm(sps_z, _pps(0), _ipcm_slice(gw, gh, y, cb, cr))
+    assert out["y"] == y
+
+
+def test_pps_selected_by_slice_pps_id():
+    """With two PPS in the config, the slice's pic_parameter_set_id must
+    pick the matching one — PPS 0 here is CABAC (would raise the entropy
+    gate if wrongly used), PPS 1 is the CAVLC set the slice references."""
+    gw, gh = 1, 1
+    y, cb, cr = _planes(gw, gh)
+    sps = _sps(gw, gh)
+    slice_nal = _ipcm_slice(gw, gh, y, cb, cr, pps_id=1)
+    out = decode_idr_ipcm(sps, [_pps(0, cabac=True), _pps(1)], slice_nal)
+    assert out["y"] == y
+
+    # a slice referencing an absent PPS is a loud error, never a silent
+    # decode under the wrong parameter set
+    with pytest.raises(ValueError, match="pic_parameter_set_id 1"):
+        decode_idr_ipcm(sps, _pps(0), slice_nal)

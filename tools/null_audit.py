@@ -75,12 +75,14 @@ EXEMPT: dict[str, str] = {
 # divergence this audit hunts, whatever the parquet nullability flag
 # says — FOREIGN keys (o_custkey, l_partkey, ...) stay strict: the
 # orders/dims batteries nullify those deliberately.
+# (l_orderkey is NOT here: in lineitem it is a FOREIGN key the orders
+# battery nullifies — whitelisting it hid the fifo_return_allocation
+# NULL-ordering divergence until the r11 decorrelated battery hit it.)
 NONNULL_KEYS = {
     "event_id",
     "doc_id",
     "vec_id",
     "o_orderkey",
-    "l_orderkey",
     "l_linenumber",
     "c_custkey",
     "s_suppkey",

@@ -200,6 +200,10 @@ STRESSED = [
     "ingest_ndjson_quarantine",
     "events_decayed_type_weight",
     "timeseries_declining_streaks",
+    # round-10 new/changed slots (r11 verdict task 5): the keyframe slot's
+    # per-doc encode+decode is O(frame bytes) with frames bounded at
+    # 16x16/32x16 px, so rows-mode is the scaling axis that matters
+    "video_keyframe_stats",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -344,6 +348,7 @@ MAIN_TABLE = {
     "agg_mode_per_group": "events",
     "embeddings_label_centroids": "embeddings",
     "ann_hard_negatives": "embeddings",
+    "video_keyframe_stats": "documents",
     "dedup_incremental_lsh": "documents",
     "orders_price_reconcile": "lineitem",
     "events_grid_hotspots": "events",
