@@ -24,10 +24,11 @@ ORACLES: dict[str, str] = {}
 # Queries registered with ``late=True`` are appended AFTER every module's
 # eager registrations. The driver's correctness artifact samples the FIRST
 # 50 registered queries and treats a missing oracle as an error row, so the
-# principled rows-only slots (DEFLATE compression ratio — SQL cannot
-# compress; auto-planes dedup — plane count embeds runtime corpus-size
-# literals no fixed oracle string can carry) must sit past the window,
-# leaving all 50 sampled slots oracle-backed.
+# sole remaining principled rows-only slot (DEFLATE compression ratio —
+# SQL cannot compress) must sit past the window, leaving all 50 sampled
+# slots oracle-backed. (The auto-planes dedup twin was the other such
+# slot through r10; r11 gave it a hash-exact oracle via the plane-prefix
+# mask identity — see plans/vectors.py.)
 _LATE: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]] = []
 
 # Registration order matters: the round-1 driver's correctness artifact
@@ -90,6 +91,7 @@ def register(name: str, oracle: str | None = None, late: bool = False):
 _PRIORITY = [
     "tfidf_top_terms",
     "curation_assign",
+    "dedup_embedding_multiround_auto",
     "mixture_sample",
     "pack_sequences_budget",
     "sample_topk_per_source",
@@ -137,7 +139,6 @@ _PRIORITY = [
     "text_oov_rate",
     "text_pii_redact",
     "text_readability",
-    "text_secrets_scan",
 ]
 
 

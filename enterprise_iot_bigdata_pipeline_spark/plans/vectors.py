@@ -283,17 +283,67 @@ def dedup_embedding_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_multiround_auto", late=True)  # no oracle: planes auto-size by |corpus|; late=past the driver sample window
+# The auto twin's oracle (r11, retiring one of the two rows-only slots):
+# auto_planes(n) picks the FIRST P planes of the seeded stream
+# (operators.similarity.hyperplanes draws planes sequentially from one
+# random.Random(seed), so hyperplanes(P) IS a prefix of hyperplanes(24))
+# — therefore the auto-sized bucket equals the 24-plane bucket masked to
+# P bits, and P itself is pure arithmetic over the corpus count:
+# max(8, min(24, ceil(log2(n / 32)))). Both are SQL-expressible: the
+# oracle unrolls the max-plane (24) literals once per round and masks
+# with `% (1 << np)`, with np computed from count(*) in a 1-row CTE.
+# ceil(log2(...)) is exact in both engines (libm log2 is exact on powers
+# of two; elsewhere the true value is far from an integer boundary).
+_AUTO_MAX_PLANES = 24
+_AUTO_OCCUPANCY = 32
+
+
+def _bucket24_sql_for(seed: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_proj_sql('embedding', coefs)}) >= 0 THEN {1 << h} ELSE 0 END)"
+        for h, coefs in enumerate(
+            S.hyperplanes(n_planes=_AUTO_MAX_PLANES, seed=seed)
+        )
+    )
+
+
+_MR_AUTO_CTES = ",\n".join(
+    f"""b{r} AS (SELECT vec_id, embedding,
+    CAST(({_bucket24_sql_for(7 + 101 * r)}) AS BIGINT) % (CAST(1 AS BIGINT) << np) AS bucket
+    FROM embeddings, p WHERE embedding IS NOT NULL),
+s{r} AS (SELECT bucket, count(DISTINCT vec_id) AS cnt, min(vec_id) AS bmin FROM b{r} GROUP BY bucket),
+p{r} AS (
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           {_cos_sql("a.embedding", "c.embedding")} AS cos_sim
+    FROM b{r} a JOIN b{r} c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    JOIN s{r} s ON a.bucket = s.bucket
+    WHERE (s.cnt <= {DEFAULT_MAX_BUCKET} OR a.vec_id = s.bmin)
+      AND {_cos_sql("a.embedding", "c.embedding")} >= {_NEAR_T}
+)"""
+    for r in range(_MR_ROUNDS)
+)
+
+_MR_AUTO_ORACLE = f"""
+WITH c AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+p AS (SELECT greatest(8, least({_AUTO_MAX_PLANES},
+             CAST(ceil(log2(greatest(n, 1) / {_AUTO_OCCUPANCY}.0)) AS INTEGER))) AS np
+      FROM c),
+{_MR_AUTO_CTES}
+SELECT vec_a, vec_b, max(cos_sim) AS cos_sim
+FROM ({" UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(_MR_ROUNDS))})
+GROUP BY vec_a, vec_b
+"""
+
+
+@register("dedup_embedding_multiround_auto", _MR_AUTO_ORACLE)
 def dedup_embedding_multiround_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEPLOYMENT shape of embedding near-dup: `n_planes=None` →
     `auto_planes` sizes the hyperplane count from the corpus size, keeping
     expected bucket occupancy (and thus candidate-pair volume) bounded as
-    data grows — rows-mode exponent ~0.27 vs the 8-plane pin's 1.0. No
-    DuckDB oracle is possible (the plane literals depend on the runtime
-    corpus count), so this slot rides the rows-only gate; its SEMANTICS are
-    covered by the pinned twin above plus the recall pytest
-    (tests/test_similarity.py). Registered so the bench measures what a
-    100 TB run would actually execute, not just the oracle pin."""
+    data grows — rows-mode exponent ~0.27 vs the 8-plane pin's 1.0.
+    Oracle-backed since r11 via the prefix-mask identity (see above): the
+    hash gate now proves the auto-sizing arithmetic AND the masked
+    bucketing at every scale factor, not just the 8-plane pin."""
     # NULL-embedding rows do not participate in vector ops (round-9 pin)
     emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return S.embedding_near_dup_multiround(emb, threshold=_NEAR_T, rounds=_MR_ROUNDS)

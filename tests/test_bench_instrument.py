@@ -1,0 +1,160 @@
+"""Drift-aware bench instrument (round-10 verdict task 2 for r11).
+
+Round 10 proved a single-scalar calibration cannot correct non-uniform
+host drift: the driver artifact flagged 8 regressions and idle-box
+re-runs dissolved all 8. bench.py now (a) runs the calibration at
+start/mid/end and carries the phase-ratio spread as an uncertainty
+band, (b) auto-re-runs (min-of-3) any query whose pin-normalized ratio
+vs the last committed artifact exceeds the band before it may be
+reported as a regression, and (c) emits value_normalized_r9pin — the
+fixed-denominator headline (ADVICE r10: value_normalized's pin moved at
+r10, so that field is not cross-round comparable).
+
+These tests pin the pure logic with fake timers — no Spark session.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench
+
+
+class _FakeCatalog:
+    def clearCache(self):
+        pass
+
+
+class _FakeSpark:
+    catalog = _FakeCatalog()
+
+
+def _cal(ratio_r9pin: float, spread: float = 1.0) -> dict:
+    low = ratio_r9pin
+    high = round(ratio_r9pin * spread, 6)
+    return {
+        "ratio_r9pin": ratio_r9pin,
+        "band": {"low": low, "high": high, "spread": spread},
+    }
+
+
+def test_band_summarizes_phase_spread():
+    phases = {
+        k: {
+            "times": dict.fromkeys(bench.CALIBRATIONS, t),
+            "per_workload_ratio": {},
+            "ratio": 1.0,
+            "ratio_r9pin": r,
+        }
+        for k, (t, r) in {
+            "start": (0.30, 0.66),
+            "mid": (0.40, 0.90),
+            "end": (0.31, 0.68),
+        }.items()
+    }
+    c = bench.summarize_calibration(phases)
+    # merged times are the min across phases (least-contended observation)
+    assert all(c["times"][n] == 0.30 for n in bench.CALIBRATIONS)
+    assert c["band"] == {"low": 0.66, "high": 0.90, "spread": round(0.90 / 0.66, 3)}
+    assert set(c["phases"]) == {"start", "mid", "end"}
+
+
+def test_regression_gate_reruns_and_dissolves_noise(monkeypatch):
+    """A query 2x slower than the committed artifact gets re-run; when
+    the re-run lands back at the old speed the flag records
+    still_regressed=False and times[] carries the better observation."""
+    prev = {
+        "queries": {"q_noise": 1.0, "q_real": 1.0, "q_fine": 1.0},
+        "calibration": {"ratio_r9pin": 1.0},
+    }
+    monkeypatch.setattr(bench, "_prev_committed_bench", lambda: prev)
+
+    times = {"q_noise": 2.0, "q_real": 2.0, "q_fine": 1.05}
+    rerun_speeds = {"q_noise": 0.95, "q_real": 1.9}
+    clock = {"t": 0.0}
+
+    def fake_perf():
+        return clock["t"]
+
+    current: dict[str, str] = {}
+
+    def run(name):
+        current["name"] = name
+        clock["t"] += rerun_speeds[name]
+        return True
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake_perf)
+    samples: dict[str, list[float]] = {}
+    out = bench.check_regressions(
+        _FakeSpark(), run, times, samples, _cal(1.0, spread=1.0)
+    )
+    assert out["threshold"] == 1.25  # floor wins over a tight band
+    assert set(out["flagged"]) == {"q_noise", "q_real"}
+    assert out["flagged"]["q_noise"]["still_regressed"] is False
+    assert out["flagged"]["q_real"]["still_regressed"] is True
+    assert out["n_still_regressed"] == 1
+    # the faster re-run observation replaces the noisy min
+    assert times["q_noise"] == 0.95
+    assert times["q_real"] == 1.9
+    # q_fine never re-ran (inside threshold) and kept its timing
+    assert "q_fine" not in out["flagged"] and times["q_fine"] == 1.05
+    assert len(samples["q_noise"]) == 3  # min-of-3 re-run recorded
+
+
+def test_regression_gate_normalizes_by_both_pins(monkeypatch):
+    """A raw 1.5x slowdown on a box the calibration says is 1.5x slower
+    is NOT a regression — the pin-normalized ratio is ~1.0."""
+    prev = {
+        "queries": {"q": 1.0},
+        "calibration": {"ratio_r9pin": 0.70},
+    }
+    monkeypatch.setattr(bench, "_prev_committed_bench", lambda: prev)
+    times = {"q": 1.5}
+    out = bench.check_regressions(
+        _FakeSpark(),
+        lambda name: True,
+        times,
+        {},
+        _cal(1.05, spread=1.02),
+    )
+    assert out["flagged"] == {} and out["n_flagged"] == 0
+    assert times["q"] == 1.5  # untouched
+
+
+def test_regression_gate_small_absolute_deltas_never_flag(monkeypatch):
+    """Sub-threshold absolute deltas (< 0.15 s normalized) are scheduler
+    jitter on tiny queries, not regressions, whatever the ratio says."""
+    prev = {
+        "queries": {"tiny": 0.05},
+        "calibration": {"ratio_r9pin": 1.0},
+    }
+    monkeypatch.setattr(bench, "_prev_committed_bench", lambda: prev)
+    out = bench.check_regressions(
+        _FakeSpark(), lambda name: True, {"tiny": 0.15}, {}, _cal(1.0)
+    )
+    assert out["flagged"] == {}
+
+
+def test_regression_gate_skips_without_comparator(monkeypatch):
+    monkeypatch.setattr(bench, "_prev_committed_bench", lambda: None)
+    out = bench.check_regressions(_FakeSpark(), lambda n: True, {}, {}, _cal(1.0))
+    assert "skipped" in out
+
+
+def test_band_threshold_widens_with_spread(monkeypatch):
+    """On a visibly drifting box (band spread 1.4) the flag threshold
+    follows the spread — deltas the calibration itself exhibits must not
+    be reported as plan regressions."""
+    prev = {
+        "queries": {"q": 1.0},
+        "calibration": {"ratio_r9pin": 1.0},
+    }
+    monkeypatch.setattr(bench, "_prev_committed_bench", lambda: prev)
+    out = bench.check_regressions(
+        _FakeSpark(), lambda n: True, {"q": 1.45}, {}, _cal(1.0, spread=1.4)
+    )
+    assert out["threshold"] == round(1.4 * 1.1, 3)
+    assert out["flagged"] == {}
