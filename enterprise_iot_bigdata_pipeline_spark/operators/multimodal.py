@@ -2573,3 +2573,75 @@ def keyframe_luma_stats(
         "doc_id long, width int, height int, profile_idc int, "
         "luma_sum long, cb_sum long, cr_sum long",
     )
+
+
+_AUDIO_FRAMES = 4
+_AUDIO_FRAME_LEN = 1024
+_AUDIO_STEP = 37  # sample generator stride (coprime to 65536)
+
+
+def audio_frame_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize one 16-bit PCM WAV per document from the text-hash ramp
+    (``s[i] = ((h + 37·i) mod 65536) − 32768``, 4 frames × 1024 samples,
+    sample rate 8/12/16 kHz by ``h mod 3``), round-trip it through the
+    REAL RIFF container (encode_wav → parse_wav), and emit per-frame
+    time-domain features: energy (Σ s², exact BIGINT), zero-crossing
+    count (strict sign products < 0), and peak |s|. The generators are
+    pure integer functions of the hash, so a SQL oracle recomputes every
+    output with no audio stack — a hash-green row proves the container
+    encode, the chunk-walking parse, and the framing math end-to-end.
+    (The spectral path — Hann rFFT log-power — stays pytest-covered in
+    ``audio_spectrogram``: float FFTs are not SQL-recomputable.)
+
+    Scale shape: Arrow-batched map over the docs scan — no shuffle;
+    per-doc work is O(n_samples); payload bytes never leave executors."""
+    seeded = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = _AUDIO_FRAMES * _AUDIO_FRAME_LEN
+        for pdf in batches:
+            rows = []
+            for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+                h = int(h)
+                sr = 8000 + (h % 3) * 4000
+                samples = ((h + _AUDIO_STEP * np.arange(n)) % 65536) - 32768
+                payload = encode_wav(sr, samples.astype("<i2"))
+                parsed = parse_wav(payload)
+                s = parsed["samples"].astype(np.int64)
+                if parsed["sample_rate"] != sr or len(s) != n:
+                    raise ValueError("WAV round-trip mutated the stream")
+                for f in range(_AUDIO_FRAMES):
+                    fr = s[f * _AUDIO_FRAME_LEN : (f + 1) * _AUDIO_FRAME_LEN]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            parsed["sample_rate"],
+                            int((fr * fr).sum()),
+                            int(((fr[1:] * fr[:-1]) < 0).sum()),
+                            int(np.abs(fr).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame", "sample_rate", "energy", "zcr", "peak",
+                ],
+            )
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return fan_out(seeded).mapInPandas(
+        per_batch,
+        "doc_id long, frame int, sample_rate int, "
+        "energy long, zcr long, peak long",
+    )

@@ -83,12 +83,14 @@ def register(name: str, oracle: str | None = None, late: bool = False):
 # (latest driver-sampled round, name) — never-sampled names first, then
 # the stalest evidence. tests/test_rotation.py asserts this literal
 # matches the computation, so the list stays reviewable while drift from
-# the policy is a test failure. The round-11 window below refreshes the
-# 50 stalest driver rows: tfidf_top_terms (r5), the r6 curation cohort
-# (curation_assign, mixture_sample, pack_sequences_budget,
-# sample_topk_per_source, shuffle_assign), then r7 names.
+# the policy is a test failure. The round-11 window below samples the
+# never-driver-sampled r11 registrations first (audio_frame_features,
+# the newly oracle-backed dedup_embedding_multiround_auto), then the 50
+# stalest driver rows: tfidf_top_terms (r5), the r6 curation cohort,
+# then r7 names.
 # Regenerate with:  python tools/rotation.py --emit
 _PRIORITY = [
+    "audio_frame_features",
     "tfidf_top_terms",
     "curation_assign",
     "dedup_embedding_multiround_auto",
@@ -138,7 +140,6 @@ _PRIORITY = [
     "text_novelty_rate",
     "text_oov_rate",
     "text_pii_redact",
-    "text_readability",
 ]
 
 

@@ -753,6 +753,50 @@ def video_keyframe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio frame features under the gate (round 11): one 16-bit PCM WAV per
+# document (samples an integer ramp of the text hash), round-tripped
+# through the REAL RIFF container (encode_wav → chunk-walking parse_wav),
+# then per-frame time-domain features. Integer generators → the oracle
+# recomputes energy/zero-crossings/peak from the formulas alone, no audio
+# stack — the video_keyframe_stats trick, audio edition. The spectral
+# path (Hann rFFT) stays pytest-covered: float FFTs aren't SQL-exact.
+# ---------------------------------------------------------------------------
+
+_AUDIO_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+s AS (
+    SELECT m.doc_id, m.h,
+           CAST(fr.range AS INTEGER) AS frame,
+           CAST(i.range AS BIGINT) AS i,
+           ((m.h + 37 * (fr.range * 1024 + i.range)) % 65536) - 32768 AS v
+    FROM m, range(4) fr, range(1024) i
+)
+SELECT doc_id,
+       frame,
+       CAST(8000 + (h % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN i > 0
+                      AND v * (((h + 37 * (frame * 1024 + i - 1)) % 65536) - 32768) < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+       CAST(max(abs(v)) AS BIGINT) AS peak
+FROM s GROUP BY doc_id, frame, h
+"""
+
+
+@register("audio_frame_features", _AUDIO_ORACLE)
+def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        audio_frame_features as _affeat,
+    )
+
+    return _affeat(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Declarative data-quality expectations (operators/expectations.py): a
 # dbt-tests-style spec battery compiled into ONE aggregate scan — row-level
 # checks as conditional sums, uniqueness as count − count(DISTINCT) in the

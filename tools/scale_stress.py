@@ -204,6 +204,8 @@ STRESSED = [
     # per-doc encode+decode is O(frame bytes) with frames bounded at
     # 16x16/32x16 px, so rows-mode is the scaling axis that matters
     "video_keyframe_stats",
+    # round-11: audio WAV round-trip + frame features (per-doc O(n_samples))
+    "audio_frame_features",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -349,6 +351,7 @@ MAIN_TABLE = {
     "embeddings_label_centroids": "embeddings",
     "ann_hard_negatives": "embeddings",
     "video_keyframe_stats": "documents",
+    "audio_frame_features": "documents",
     "dedup_incremental_lsh": "documents",
     "orders_price_reconcile": "lineitem",
     "events_grid_hotspots": "events",
