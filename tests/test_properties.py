@@ -115,6 +115,107 @@ def test_wav_roundtrip_property(rate, samples):
     assert wav["samples"].tolist() == samples
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=0, max_value=1),
+    st.randoms(use_true_random=False),
+)
+def test_h264_ipcm_roundtrip_property(gw, gh, crop, rnd):
+    """encode_avc_ipcm_mp4 ∘ decode_h264_keyframe is the identity on any
+    macroblock grid, crop, and RANDOM plane bytes — random PCM hits the
+    00 00 0x emulation-prevention sequences the fixed hash-ramp assets
+    rarely produce, so this drills escape/unescape, NAL length framing,
+    and the byte-aligned bulk PCM paths together (r11)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.h264 import (
+        decode_h264_keyframe,
+        encode_avc_ipcm_mp4,
+    )
+
+    lw, cw = gw * 16, gw * 8
+    y = bytes(rnd.randrange(256) for _ in range(lw * gh * 16))
+    cb = bytes(rnd.randrange(256) for _ in range(cw * gh * 8))
+    cr = bytes(rnd.randrange(256) for _ in range(cw * gh * 8))
+    out = decode_h264_keyframe(encode_avc_ipcm_mp4(gw, gh, y, cb, cr, crop))
+    # bottom crop removes 2*crop luma rows / crop chroma rows (4:2:0)
+    h_y, h_c = gh * 16 - 2 * crop, gh * 8 - crop
+    assert (out["width"], out["height"]) == (lw, h_y)
+    assert out["y"] == y[: lw * h_y]
+    assert out["cb"] == cb[: cw * h_c]
+    assert out["cr"] == cr[: cw * h_c]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=7),
+    st.randoms(use_true_random=False),
+)
+def test_bmp_roundtrip_property(width, height, rnd):
+    """encode_bmp ∘ parse_bmp is the identity across every row-padding
+    residue (widths 1..9 hit all four (-3w) % 4 classes)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        parse_bmp,
+    )
+
+    pixels = bytes(rnd.randrange(256) for _ in range(3 * width * height))
+    img = parse_bmp(encode_bmp(width, height, pixels))
+    assert (img["width"], img["height"]) == (width, height)
+    assert img["pixels"] == pixels
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.randoms(use_true_random=False),
+)
+def test_gif_roundtrip_property(width, height, rnd):
+    """encode_gif ∘ parse_gif reproduces every pixel through the real LZW
+    coder — random index streams drive code-width growth and, at 256
+    pixels, dictionary pressure the fixed ramp assets never reach. The
+    default grayscale palette makes RGB = (i, i, i) per index."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.gif import (
+        encode_gif,
+        parse_gif,
+    )
+
+    indices = bytes(rnd.randrange(256) for _ in range(width * height))
+    img = parse_gif(encode_gif(width, height, indices))
+    assert (img["width"], img["height"]) == (width, height)
+    expected = b"".join(bytes((i, i, i)) for i in indices)
+    assert img["pixels"] == expected
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=8),
+    st.booleans(),
+    st.sampled_from([(False, False), (True, False), (True, True)]),
+    st.randoms(use_true_random=False),
+)
+def test_tiff_roundtrip_property(width, height, gray, comp, rnd):
+    """encode_tiff ∘ parse_tiff is the identity for gray and RGB across
+    all three written strip codings (raw, LZW, LZW+horizontal
+    predictor) on random samples."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        encode_tiff,
+        parse_tiff,
+    )
+
+    lzw, predictor = comp
+    spp = 1 if gray else 3
+    pixels = bytes(rnd.randrange(256) for _ in range(spp * width * height))
+    img = parse_tiff(
+        encode_tiff(width, height, pixels, gray=gray, lzw=lzw, predictor=predictor)
+    )
+    assert (img["width"], img["height"]) == (width, height)
+    assert img["pixels"] == pixels
+
+
 # --- PII redaction properties ----------------------------------------------
 
 _PII_FREE = st.text(
