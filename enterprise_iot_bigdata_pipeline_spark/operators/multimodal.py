@@ -2645,3 +2645,77 @@ def audio_frame_features(
         "doc_id long, frame int, sample_rate int, "
         "energy long, zcr long, peak long",
     )
+
+
+def image_thumbnail_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize one RGB PNG per document from the text-hash ramp
+    (``px[j] = (h + j) mod 256``, 8/16/24 × 8/16 px by hash, Adam7
+    interlace on ``(h//8) % 2``), decode it through the real zlib codec,
+    and 2× BOX-DOWNSAMPLE with exact integer means (``(a+b+c+d) // 4``
+    per 2×2 block per channel) — the thumbnailing/resize step of an
+    image-curation pipeline, under the oracle gate: every output is
+    integer math over the ramp, so SQL recomputes the per-channel
+    thumbnail sums with no imaging stack. (The float bilinear resize
+    stays pytest-covered in ``resize_images``.)
+
+    Scale shape: Arrow-batched map over the docs scan — no shuffle;
+    per-doc work is O(pixel bytes); payloads never leave executors."""
+    seeded = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+                h = int(h)
+                w, ht = 8 * (1 + h % 3), 8 * (1 + (h // 3) % 2)
+                px = ((h + np.arange(3 * w * ht)) % 256).astype(np.uint8)
+                payload = encode_png(
+                    w, ht, px.tobytes(), 3, interlace=bool((h // 8) % 2)
+                )
+                img = parse_png(payload)
+                if (img["width"], img["height"], img["n_channels"]) != (w, ht, 3):
+                    raise ValueError("PNG round-trip mutated the raster")
+                a = (
+                    np.frombuffer(img["pixels"], np.uint8)
+                    .reshape(ht, w, 3)
+                    .astype(np.int64)
+                )
+                t = (
+                    a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+                ) // 4
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        ht,
+                        w // 2,
+                        ht // 2,
+                        int(t[..., 0].sum()),
+                        int(t[..., 1].sum()),
+                        int(t[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_width", "src_height",
+                    "thumb_width", "thumb_height", "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return fan_out(seeded).mapInPandas(
+        per_batch,
+        "doc_id long, src_width int, src_height int, thumb_width int, "
+        "thumb_height int, r_sum long, g_sum long, b_sum long",
+    )

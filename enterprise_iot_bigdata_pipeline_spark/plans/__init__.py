@@ -91,6 +91,7 @@ def register(name: str, oracle: str | None = None, late: bool = False):
 # Regenerate with:  python tools/rotation.py --emit
 _PRIORITY = [
     "audio_frame_features",
+    "image_thumbnail_stats",
     "tfidf_top_terms",
     "curation_assign",
     "dedup_embedding_multiround_auto",
@@ -139,7 +140,6 @@ _PRIORITY = [
     "text_normalize_unicode",
     "text_novelty_rate",
     "text_oov_rate",
-    "text_pii_redact",
 ]
 
 

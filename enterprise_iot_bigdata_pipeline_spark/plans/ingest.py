@@ -797,6 +797,58 @@ def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Image thumbnailing under the gate (round 11): per-doc RGB PNG from the
+# hash ramp (Adam7 interlace on (h//8)%2, so the interlaced decode path
+# gets corpus coverage), decoded via the real zlib codec, then 2x box
+# downsample with EXACT integer means — the resize step of an image
+# pipeline as verifiable arithmetic. The oracle enumerates every output
+# pixel's four source indices and recomputes (sum of ramp bytes) // 4.
+# ---------------------------------------------------------------------------
+
+_THUMB_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+d AS (
+    SELECT doc_id, h,
+           8 * (1 + h % 3) AS w,
+           8 * (1 + (h // 3) % 2) AS ht
+    FROM m
+),
+px AS (
+    SELECT doc_id, w, ht, c.range AS c,
+           ( (h + ((2 * y.range    ) * (3 * w) + 3 * (2 * x.range    ) + c.range)) % 256
+           + (h + ((2 * y.range    ) * (3 * w) + 3 * (2 * x.range + 1) + c.range)) % 256
+           + (h + ((2 * y.range + 1) * (3 * w) + 3 * (2 * x.range    ) + c.range)) % 256
+           + (h + ((2 * y.range + 1) * (3 * w) + 3 * (2 * x.range + 1) + c.range)) % 256
+           ) // 4 AS v
+    FROM d, range(3) c, range(12) x, range(8) y
+    WHERE x.range < w // 2 AND y.range < ht // 2
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS src_width,
+       CAST(ht AS INTEGER) AS src_height,
+       CAST(w // 2 AS INTEGER) AS thumb_width,
+       CAST(ht // 2 AS INTEGER) AS thumb_height,
+       CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+       CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+       CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum
+FROM px GROUP BY doc_id, w, ht
+"""
+
+
+@register("image_thumbnail_stats", _THUMB_ORACLE)
+def image_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        image_thumbnail_stats as _thumb,
+    )
+
+    return _thumb(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Declarative data-quality expectations (operators/expectations.py): a
 # dbt-tests-style spec battery compiled into ONE aggregate scan — row-level
 # checks as conditional sums, uniqueness as count − count(DISTINCT) in the

@@ -206,6 +206,7 @@ STRESSED = [
     "video_keyframe_stats",
     # round-11: audio WAV round-trip + frame features (per-doc O(n_samples))
     "audio_frame_features",
+    "image_thumbnail_stats",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -352,6 +353,7 @@ MAIN_TABLE = {
     "ann_hard_negatives": "embeddings",
     "video_keyframe_stats": "documents",
     "audio_frame_features": "documents",
+    "image_thumbnail_stats": "documents",
     "dedup_incremental_lsh": "documents",
     "orders_price_reconcile": "lineitem",
     "events_grid_hotspots": "events",
