@@ -412,6 +412,77 @@ def run_calibration(spark) -> dict:
 _REG_EPS_SEC = 0.05
 _REG_MIN_DELTA_SEC = 0.15
 
+# Historical-minimum ledger (round-12, verdict task 2): the prev-artifact
+# comparison's threshold honestly widens with the calibration band, which
+# on a noisy host collapses its sensitivity (r11: effective 1.94x). The
+# ledger keeps, per query, the minimum pin-normalized observation ever
+# captured on a QUIET box (band spread <= _BEST_QUIET_SPREAD at capture
+# time), so the comparator itself never inflates — only the current
+# measurement's noise widens the gate.
+BEST_PATH = Path(__file__).resolve().parent / "BENCH_BEST.json"
+# Only runs whose calibration band is this tight may WRITE the ledger: a
+# mismeasured ratio on a contended box would pollute the minima and
+# falsely flag every future run.
+_BEST_QUIET_SPREAD = 1.2
+# Floor of the flag threshold vs best (quiet box => catches a 1.3x plan
+# regression; the verdict's acceptance bar).
+_BEST_MIN_THRESHOLD = 1.3
+
+
+def load_best_ledger() -> dict:
+    """BENCH_BEST.json: working tree first (minima only improve, so the
+    newest copy is the most complete), HEAD as fallback, empty if neither."""
+    import subprocess
+
+    try:
+        return json.loads(BEST_PATH.read_text())
+    except (OSError, json.JSONDecodeError):
+        pass
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_BEST.json"],
+            cwd=str(BEST_PATH.parent),
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout)
+    except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
+        pass
+    return {"queries": {}}
+
+
+def update_best_ledger(ledger: dict, times: dict, calibration: dict) -> dict:
+    """Merge this run's pin-normalized minima into the ledger (pure; the
+    caller writes the file). Updates only when the run's calibration band
+    is quiet enough to trust the normalization, and only improvements."""
+    band = calibration.get("band") or {}
+    spread = band.get("spread")
+    ratio = calibration.get("ratio_r9pin")
+    entries = ledger.setdefault("queries", {})
+    if not ratio or spread is None or spread > _BEST_QUIET_SPREAD:
+        ledger["last_update_skipped"] = (
+            f"spread={spread} > {_BEST_QUIET_SPREAD} or no ratio — "
+            "ledger only accepts quiet-box observations"
+        )
+        return ledger
+    ledger.pop("last_update_skipped", None)
+    n_updated = 0
+    for name, t in times.items():
+        norm = round((t + _REG_EPS_SEC) / ratio, 4)
+        cur = entries.get(name)
+        if cur is None or norm < cur["norm"]:
+            entries[name] = {
+                "best": t,
+                "ratio_r9pin": ratio,
+                "spread": spread,
+                "norm": norm,
+            }
+            n_updated += 1
+    ledger["n_updated_last_run"] = n_updated
+    return ledger
+
 
 def _prev_committed_bench() -> dict | None:
     """The last COMMITTED full bench artifact (HEAD's BENCH_LOCAL.json).
@@ -439,64 +510,133 @@ def _prev_committed_bench() -> dict | None:
     return None
 
 
-def check_regressions(spark, run, times, samples, calibration) -> dict:
-    """Flag pin-normalized per-query slowdowns beyond the calibration
-    band and re-run each flagged query (min-of-3, in-session) before it
-    may be reported as a regression. Mutates `times`/`samples` with any
-    faster re-run observations (they are real observations of the same
-    plan; keeping the stale max would double-report the noise)."""
-    prev = _prev_committed_bench()
-    if not prev:
-        return {"skipped": "no committed BENCH_LOCAL.json at HEAD"}
-    prev_cal = prev.get("calibration") or {}
-    prev_ratio = prev_cal.get("ratio_r9pin")
+def flag_candidates(
+    times: dict, calibration: dict, prev: dict | None, ledger: dict | None
+) -> dict:
+    """Pure flagging pass: for each benched query, compare its
+    pin-normalized time against (a) the last committed artifact and
+    (b) the historical-minimum ledger. Returns
+    {name: {"comparisons": {...}, "worst_ratio": float}} for every query
+    outside either threshold. Split from the re-run loop so the logic is
+    unit-testable without a SparkSession (r11 task 2 acceptance)."""
     now_ratio = calibration.get("ratio_r9pin")
-    if not (prev_ratio and now_ratio):
-        return {"skipped": "missing ratio_r9pin on one side"}
+    if not now_ratio:
+        return {}
     band = calibration.get("band") or {}
     spread = band.get("spread") or 1.0
     # Outside the band = slower than host drift itself explains, with a
     # floor so a tight band on a quiet box doesn't flag 15% jitter.
-    threshold = round(max(1.25, spread * 1.1), 3)
-    prev_q = prev.get("queries") or {}
+    prev_threshold = round(max(1.25, spread * 1.1), 3)
+    # The best-ledger comparator was captured on a quiet box, so only the
+    # CURRENT measurement's noise widens this gate — on a quiet box it
+    # bottoms out at 1.3x (the verdict's acceptance bar), and it stays
+    # tighter than prev_threshold whenever spread > 1.18.
+    best_threshold = round(max(_BEST_MIN_THRESHOLD, spread), 3)
 
-    def norm_ratio(t_now: float, t_prev: float) -> float:
-        return ((t_now + _REG_EPS_SEC) / now_ratio) / (
-            (t_prev + _REG_EPS_SEC) / prev_ratio
-        )
+    comparators: dict[str, tuple[dict, float, float]] = {}
+    if prev:
+        prev_ratio = (prev.get("calibration") or {}).get("ratio_r9pin")
+        if prev_ratio:
+            comparators["prev"] = (
+                {
+                    n: {"best": t, "ratio_r9pin": prev_ratio}
+                    for n, t in (prev.get("queries") or {}).items()
+                    if isinstance(t, (int, float))
+                },
+                prev_threshold,
+                prev_ratio,
+            )
+    if ledger and ledger.get("queries"):
+        comparators["best"] = (ledger["queries"], best_threshold, None)
 
     flagged: dict[str, dict] = {}
-    for name, t_prev in prev_q.items():
-        t_now = times.get(name)
-        if t_now is None or not isinstance(t_prev, (int, float)):
-            continue
-        r0 = norm_ratio(t_now, t_prev)
-        if r0 <= threshold or (t_now / now_ratio - t_prev / prev_ratio) < _REG_MIN_DELTA_SEC:
-            continue
-        best = t_now
+    for kind, (entries, threshold, _) in comparators.items():
+        for name, entry in entries.items():
+            t_now = times.get(name)
+            if t_now is None:
+                continue
+            ref_t, ref_ratio = entry["best"], entry["ratio_r9pin"]
+            ratio = ((t_now + _REG_EPS_SEC) / now_ratio) / (
+                (ref_t + _REG_EPS_SEC) / ref_ratio
+            )
+            delta = t_now / now_ratio - ref_t / ref_ratio
+            if ratio <= threshold or delta < _REG_MIN_DELTA_SEC:
+                continue
+            rec = flagged.setdefault(name, {"comparisons": {}, "worst_ratio": 0.0})
+            rec["comparisons"][kind] = {
+                "ref": ref_t,
+                "ref_ratio_r9pin": ref_ratio,
+                "threshold": threshold,
+                "norm_ratio": round(ratio, 3),
+            }
+            rec["worst_ratio"] = max(rec["worst_ratio"], round(ratio, 3))
+    return flagged
+
+
+def check_regressions(spark, run, times, samples, calibration, errors=None) -> dict:
+    """Flag pin-normalized per-query slowdowns beyond the calibration band
+    vs BOTH the last committed artifact (HEAD:BENCH_LOCAL.json) and the
+    historical-minimum ledger (BENCH_BEST.json), then re-run each flagged
+    query (min-of-3, in-session) before it may be reported as a
+    regression.
+
+    The re-run minima live in THIS block only: `times` keeps the plain
+    min-of-3 from the timed passes so the headline estimator has the same
+    sample count for every query across rounds (r11 ADVICE — a one-sided
+    resample could only lower the headline vs the comparator). Raw re-run
+    observations still ride along in `samples`. A re-run failure is
+    recorded under errors['rerun:<name>'] and the query keeps its (green)
+    timed-pass row — never timed-and-errored under one name."""
+    errors = {} if errors is None else errors
+    prev = _prev_committed_bench()
+    ledger = load_best_ledger()
+    now_ratio = calibration.get("ratio_r9pin")
+    if not now_ratio:
+        return {"skipped": "missing ratio_r9pin in this run's calibration"}
+    if not prev and not ledger.get("queries"):
+        return {"skipped": "no committed BENCH_LOCAL.json and empty BENCH_BEST.json"}
+
+    flagged = flag_candidates(times, calibration, prev, ledger)
+    band = calibration.get("band") or {}
+    spread = band.get("spread") or 1.0
+
+    for name, rec in flagged.items():
+        t_now = times[name]
+        rerun_min = t_now
+        rerun_failed = False
         for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             if not run(name):
+                rerun_failed = True
+                # run() recorded the failure under errors[name]; move it to
+                # a distinct key — the timed-pass row for this name is
+                # green and stays in `times`.
+                if name in errors:
+                    errors[f"rerun:{name}"] = errors.pop(name)
                 break
             dt = round(time.perf_counter() - t0, 3)
             samples.setdefault(name, []).append(dt)
-            best = min(best, dt)
-        times[name] = best
-        r1 = norm_ratio(best, t_prev)
-        flagged[name] = {
-            "prev": t_prev,
-            "flagged_at": t_now,
-            "rerun_min": best,
-            "norm_ratio_before": round(r0, 3),
-            "norm_ratio_after": round(r1, 3),
-            "still_regressed": r1 > threshold,
-        }
+            rerun_min = min(rerun_min, dt)
+        rec["flagged_at"] = t_now
+        rec["rerun_min"] = rerun_min
+        rec["rerun_failed"] = rerun_failed
+        still = False
+        for kind, cmp_rec in rec["comparisons"].items():
+            after = (
+                (rerun_min + _REG_EPS_SEC) / now_ratio
+            ) / ((cmp_rec["ref"] + _REG_EPS_SEC) / cmp_rec["ref_ratio_r9pin"])
+            cmp_rec["norm_ratio_after_rerun"] = round(after, 3)
+            cmp_rec["still_regressed"] = after > cmp_rec["threshold"]
+            still = still or cmp_rec["still_regressed"]
+        rec["still_regressed"] = still or rerun_failed
+
     return {
-        "prev_source": "HEAD:BENCH_LOCAL.json",
-        "prev_ratio_r9pin": prev_ratio,
+        "prev_source": "HEAD:BENCH_LOCAL.json" if prev else None,
+        "best_source": "BENCH_BEST.json" if ledger.get("queries") else None,
         "now_ratio_r9pin": now_ratio,
-        "threshold": threshold,
+        "threshold": round(max(1.25, spread * 1.1), 3),
+        "best_threshold": round(max(_BEST_MIN_THRESHOLD, spread), 3),
         "n_flagged": len(flagged),
         "n_still_regressed": sum(
             1 for v in flagged.values() if v["still_regressed"]
@@ -615,9 +755,20 @@ def main() -> None:
     # regression was host noise that a re-run dissolves.
     regression_check: dict = {}
     try:
-        regression_check = check_regressions(spark, run, times, samples, calibration)
+        regression_check = check_regressions(
+            spark, run, times, samples, calibration, errors
+        )
     except Exception as exc:  # noqa: BLE001 — the gate must not kill bench
         errors["regression_check"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # Historical-minimum ledger maintenance (round-12): quiet-box runs fold
+    # their pin-normalized minima into BENCH_BEST.json so future gates have
+    # a comparator whose noise never inflates.
+    try:
+        ledger = update_best_ledger(load_best_ledger(), times, calibration)
+        BEST_PATH.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+    except Exception as exc:  # noqa: BLE001 — ledger must not kill bench
+        errors["best_ledger"] = f"{type(exc).__name__}: {exc}"[:300]
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -678,6 +829,7 @@ def main() -> None:
     if regression_check.get("threshold") is not None:
         compact["regressions"] = {
             "threshold": regression_check["threshold"],
+            "best_threshold": regression_check.get("best_threshold"),
             "n_flagged": regression_check["n_flagged"],
             "n_still_regressed": regression_check["n_still_regressed"],
         }

@@ -83,65 +83,64 @@ def register(name: str, oracle: str | None = None, late: bool = False):
 # (latest driver-sampled round, name) — never-sampled names first, then
 # the stalest evidence. tests/test_rotation.py asserts this literal
 # matches the computation, so the list stays reviewable while drift from
-# the policy is a test failure. The round-11 window below samples the
-# never-driver-sampled r11 registrations first (audio_frame_features,
-# the newly oracle-backed dedup_embedding_multiround_auto), then the 50
-# stalest driver rows: tfidf_top_terms (r5), the r6 curation cohort,
-# then r7 names.
+# the policy is a test failure. The round-12 window below is the 50
+# stalest driver rows after the r11 artifact landed: the remaining r7
+# cohort (text suite tail, graph, TPC-H join shapes, streaming slots,
+# the timeseries battery) — every name's latest green driver evidence
+# is round 7 or 8.
 # Regenerate with:  python tools/rotation.py --emit
 _PRIORITY = [
-    "audio_frame_features",
-    "image_thumbnail_stats",
-    "tfidf_top_terms",
-    "curation_assign",
-    "dedup_embedding_multiround_auto",
-    "mixture_sample",
-    "pack_sequences_budget",
-    "sample_topk_per_source",
-    "shuffle_assign",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "corpus_source_overlap",
-    "dedup_canonical_map",
-    "dedup_components",
-    "dedup_embedding_multiround",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_chunk_sliding",
-    "embeddings_cluster_assign",
-    "embeddings_jl_project",
-    "embeddings_standardize",
-    "events_quality_profile",
-    "image_dhash_neardup",
-    "mmr_diversify_topk",
-    "multimodal_decode",
-    "pipeline_curate_corpus",
-    "pysource_ramp_scan",
-    "quality_expectations",
-    "quality_percentile_filter",
-    "repair_audit_partitions",
-    "segment_dedup_global",
-    "streaming_click_purchase_join",
-    "streaming_enrich_dim",
-    "streaming_hour_agg",
-    "text_bigram_corpus_freq",
-    "text_bigram_lift",
-    "text_bigram_perplexity",
-    "text_classify_quality",
-    "text_collapse_stutter",
-    "text_containment_join",
-    "text_decontaminate",
-    "text_extract_urls",
-    "text_inverted_index",
-    "text_metrics",
-    "text_normalize_unicode",
-    "text_novelty_rate",
-    "text_oov_rate",
+    "text_pii_redact",
+    "text_readability",
+    "text_secrets_scan",
+    "text_setsim_prefix_join",
+    "text_strip_markup",
+    "text_zipf_fit",
+    "vector_quantize_int8",
+    "video_container_audit",
+    "web_domain_filter",
+    "agg_forecast_revenue_q6",
+    "agg_important_values_q11",
+    "agg_promo_share_q14",
+    "agg_ship_delay_q12",
+    "ann_recall_eval",
+    "bpe_encode_apply",
+    "bpe_train_merges",
+    "dedup_incremental_lsh",
+    "dedup_recall_eval",
+    "entity_resolution_clusters",
+    "graph_bfs_recursive",
+    "graph_kcore_parts",
+    "graph_markov_stationary",
+    "graph_pagerank_nations",
+    "graph_triangle_count",
+    "ingest_ndjson_quarantine",
+    "join_custdist_q13",
+    "join_dormant_balances_q22",
+    "join_excess_suppliers_q20",
+    "join_exists_priority_q4",
+    "join_market_share_q8",
+    "join_min_cost_supplier_q2",
+    "join_product_profit_q9",
+    "sessionize_two_phase",
+    "skyline_parts",
+    "streaming_anomaly_zscore",
+    "streaming_dedup_keys",
+    "streaming_rollup_merge",
+    "streaming_sessionize_state",
+    "streaming_sink_parquet_epoch",
+    "timeseries_anomaly_chunked",
+    "timeseries_anomaly_zscore",
+    "timeseries_autocorr",
+    "timeseries_burst_windows",
+    "timeseries_cusum_shift",
+    "timeseries_declining_streaks",
+    "timeseries_fir_smooth",
+    "timeseries_gap_topk",
+    "timeseries_histogram",
+    "timeseries_interpolate",
+    "timeseries_m4_downsample",
 ]
-
 
 # Re-entrancy: three oracle builders (ann_recall_eval, dedup_recall_eval,
 # entity_resolution_clusters) call load_all() at module-import time to

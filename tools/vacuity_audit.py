@@ -1,0 +1,154 @@
+"""Vacuity audit: a green oracle hash must also MEAN something.
+
+Round-11 verdict task 4: `quality_expectations` was hand-tuned to be
+non-vacuous (its battery asserts the expectation compiler actually
+fails rows), but nothing checked the other 209 registrations — a query
+whose output is empty, constant, or insensitive to the input data
+hash-matches its oracle trivially, and ten rounds of green sweeps would
+never notice. This audit EXECUTES every registered query at two scale
+factors and flags:
+
+1. **empty** — zero rows at sf0.001. An operator that never produces a
+   row on the smoke corpus is either broken or untested.
+2. **constant** — more than one row, all identical. A multi-row output
+   with one distinct row is a fill pattern, not a computation.
+3. **scale-insensitive** — the canonical value-hash at sf0.01 equals
+   the sf0.001 hash. The two corpora differ by 10x in every table, so
+   an identical output is not reading the data. (Single-row aggregates
+   are NOT exempt by shape here: a real aggregate over a 10x corpus
+   moves. Genuinely fixed outputs — trained codebooks pinned by
+   sampling caps, bounded top-k over a shared head — carry named
+   exemptions with written reasons.)
+
+Exemptions are asserted to still fire: an entry whose query stops
+exhibiting the exempted behavior must be deleted (the null-audit's
+stale-whitelist lesson — fifo_return_allocation hid behind a stale
+NONNULL_KEYS entry for ten rounds).
+
+Run: python tools/vacuity_audit.py [--names n1,n2,...]
+Wired into pytest via tests/test_vacuity_audit.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_BIG = "/root/testdata/sf0.01"
+
+# name -> written reason the flagged behavior is legitimate. Every entry
+# must still fire (asserted by violations_outside_exemptions) — delete
+# the entry when the behavior changes.
+EXEMPT: dict[str, dict[str, str]] = {}
+
+
+def _hash_rows(rows: list[tuple[str, ...]]) -> str:
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def audit_query(spark, fn, sf_small: str = SF_SMALL, sf_big: str = SF_BIG) -> list[str]:
+    """Violations for one query callable. Executes at both SFs."""
+    from oracle_compare import canonical_rows
+
+    violations: list[str] = []
+    try:
+        rows_small = canonical_rows(fn(spark, sf_small).toPandas())
+    except Exception as exc:  # noqa: BLE001 — an erroring query IS a violation
+        return [f"error at {sf_small}: {type(exc).__name__}: {exc}"[:300]]
+    if not rows_small:
+        violations.append("empty: zero rows at sf0.001")
+    elif len(rows_small) > 1 and len(set(rows_small)) == 1:
+        violations.append(
+            f"constant: {len(rows_small)} rows, 1 distinct at sf0.001"
+        )
+    try:
+        rows_big = canonical_rows(fn(spark, sf_big).toPandas())
+    except Exception as exc:  # noqa: BLE001
+        return violations + [f"error at {sf_big}: {type(exc).__name__}: {exc}"[:300]]
+    if rows_small and _hash_rows(rows_small) == _hash_rows(rows_big):
+        violations.append(
+            f"scale-insensitive: identical {len(rows_small)}-row output at "
+            "sf0.001 and sf0.01"
+        )
+    return violations
+
+
+def audit_rows(spark, names: list[str] | None = None, queries: dict | None = None):
+    """[(name, [violation, ...]), ...] for every registered query (or the
+    given subset). Pass `queries` to audit a synthetic registry (self-test)."""
+    if queries is None:
+        from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+
+        queries = all_queries()
+    rows = []
+    for name in sorted(queries):
+        if names and name not in names:
+            continue
+        vs = audit_query(spark, queries[name])
+        if vs:
+            rows.append((name, vs))
+    return rows
+
+
+def violations_outside_exemptions(rows):
+    """(unexempted, stale): rows not covered by EXEMPT, plus EXEMPT
+    entries that no longer fire (delete those)."""
+    fired: set[tuple[str, str]] = set()
+    unexempted = []
+    for name, vs in rows:
+        exempt = EXEMPT.get(name, {})
+        bad = []
+        for v in vs:
+            kind = v.split(":", 1)[0]
+            if kind in exempt:
+                fired.add((name, kind))
+            else:
+                bad.append(v)
+        if bad:
+            unexempted.append((name, bad))
+    stale = [
+        f"{name}:{kind}"
+        for name, kinds in EXEMPT.items()
+        for kind in kinds
+        if (name, kind) not in fired
+    ]
+    return unexempted, stale
+
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--names", help="comma-separated subset to audit")
+    args = ap.parse_args()
+    names = args.names.split(",") if args.names else None
+
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="vacuity_audit")
+    rows = audit_rows(spark, names)
+    unexempted, stale = violations_outside_exemptions(rows)
+    for name, vs in rows:
+        status = "EXEMPT" if not any(n == name for n, _ in unexempted) else "FAIL"
+        print(f"{status} {name}: {'; '.join(vs)}")
+    if stale:
+        print("STALE exemptions (delete):", ", ".join(stale))
+    print(
+        f"audited {'subset' if names else 'registry'}: "
+        f"{len(rows)} flagged, {len(unexempted)} unexempted, {len(stale)} stale"
+    )
+    return 1 if (unexempted or stale) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
