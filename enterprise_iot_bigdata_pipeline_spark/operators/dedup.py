@@ -580,40 +580,52 @@ def _ckpt_leaf(df: DataFrame) -> DataFrame:
 # Directories written by _ckpt_leaf_fallback, deleted at interpreter
 # exit (the leaf must outlive every lazy consumer of the returned frame,
 # so per-call deletion is impossible; relying on an OS temp reaper is
-# not — most distros never reap /tmp between boots).
-_LEAF_DIRS: list[tuple[str, str]] = []
+# not — most distros never reap /tmp between boots). Entries are
+# (kind, path, deleter): the deleter for a shared dir is a Hadoop
+# FileSystem delete CAPTURED AT REGISTRATION TIME — at atexit the app
+# has usually called spark.stop() and SparkSession.getActiveSession()
+# is None, but the py4j gateway JVM outlives the context, so a handle
+# taken while the session was alive still works (r11 ADVICE: resolving
+# the session at cleanup time silently leaked every shared leaf).
+_LEAF_DIRS: list[tuple[str, str, object]] = []
 _LEAF_ATEXIT = False
 
 
 def _cleanup_leaf_dirs() -> None:
     import shutil
 
-    for kind, path in _LEAF_DIRS:
+    for kind, path, deleter in _LEAF_DIRS:
         if kind == "local":
             shutil.rmtree(path, ignore_errors=True)
-        else:  # a shared (possibly remote) checkpoint-dir subpath
+        elif deleter is not None:
             try:
-                from pyspark.sql import SparkSession
-
-                spark = SparkSession.getActiveSession()
-                if spark is not None:
-                    jvm = spark._jvm
-                    hpath = jvm.org.apache.hadoop.fs.Path(path)
-                    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-                    fs.delete(hpath, True)
+                deleter()
             except Exception:  # noqa: BLE001 — best-effort at shutdown
                 pass
     _LEAF_DIRS.clear()
 
 
-def _register_leaf_dir(kind: str, path: str) -> None:
+def _register_leaf_dir(kind: str, path: str, deleter=None) -> None:
     global _LEAF_ATEXIT
     if not _LEAF_ATEXIT:
         import atexit
 
         atexit.register(_cleanup_leaf_dirs)
         _LEAF_ATEXIT = True
-    _LEAF_DIRS.append((kind, path))
+    _LEAF_DIRS.append((kind, path, deleter))
+
+
+def _shared_dir_deleter(spark, path: str):
+    """A zero-arg recursive-delete closure over JVM handles resolved NOW,
+    while the session is alive; never raises at build time (cleanup is
+    best-effort, the write itself already succeeded)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return lambda: fs.delete(hpath, True)
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def _ckpt_leaf_fallback(df: DataFrame) -> DataFrame:
@@ -633,7 +645,8 @@ def _ckpt_leaf_fallback(df: DataFrame) -> DataFrame:
         ck_dir = None
     kind, path = _leaf_target(ck_dir, sc.master)
     df.write.mode("overwrite").parquet(path)
-    _register_leaf_dir(kind, path)
+    deleter = _shared_dir_deleter(spark, path) if kind == "shared" else None
+    _register_leaf_dir(kind, path, deleter)
     return spark.read.parquet(path)
 
 

@@ -375,7 +375,10 @@ def decode_idr_ipcm(
     pps_by_id = {}
     for nal in pps_nals:
         p = parse_pps(nal)
-        pps_by_id.setdefault(p["pps_id"], p)
+        # spec activation order for a repeated pic_parameter_set_id is
+        # REPLACEMENT (the last PPS NAL wins) — an in-band PPS update
+        # must not decode with the stale parameter set (r11 ADVICE)
+        pps_by_id[p["pps_id"]] = p
 
     body = slice_nal
     if body and body[0] & 0x1F == 5 and (body[0] & 0x80) == 0:

@@ -1290,12 +1290,19 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- under the hot order's repeating linenumbers, so qty breaks the
         -- remaining ties (equal-qty ties are interchangeable for every
         -- output; NULL-qty lines add nothing to the running sum, so
-        -- their position is free — both coalesce to a fixed sentinel)
+        -- their position is free). The NULL sentinel is long-min+1 —
+        -- OUTSIDE both domains: qty is round(l_quantity) and the nasty
+        -- corpus ships qty = -1, so a -1 sentinel would tie a real
+        -- sum-contributing line with a NULL one and the within-tie
+        -- order (hence cum_after) would be engine-dependent again
+        -- (r11 ADVICE)
         SELECT s.l_partkey, s.l_orderkey, s.qty, p.r_total,
                sum(s.qty) OVER (
                    PARTITION BY s.l_partkey
-                   ORDER BY s.l_shipdate, coalesce(s.l_orderkey, -1),
-                            s.l_linenumber, coalesce(s.qty, -1)
+                   ORDER BY s.l_shipdate,
+                            coalesce(s.l_orderkey, -9223372036854775807),
+                            s.l_linenumber,
+                            coalesce(s.qty, -9223372036854775807)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS cum_after
         FROM ships s JOIN pool p ON s.l_partkey = p.l_partkey
@@ -1337,9 +1344,9 @@ def fifo_return_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("l_partkey")
         .orderBy(
             "l_shipdate",
-            F.coalesce(F.col("l_orderkey"), F.lit(-1)),
+            F.coalesce(F.col("l_orderkey"), F.lit(-9223372036854775807)),
             "l_linenumber",
-            F.coalesce(F.col("qty"), F.lit(-1)),
+            F.coalesce(F.col("qty"), F.lit(-9223372036854775807)),
         )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )

@@ -8,9 +8,107 @@ partitions sized to cores rather than the 200 default.
 
 from __future__ import annotations
 
+import io
 import os
+import re
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Plain local[*] runs every Python worker from the driver's cwd with the
+# driver's sys.path, so the package resolves without help. ANY other
+# master (yarn, k8s, spark://, and local-cluster — which spawns separate
+# executor JVMs) runs workers that know nothing about the driver's
+# checkout: the ~30 registered queries whose Arrow kernels import this
+# package on executors (operators/multimodal.py, plans/bpe.py, the
+# Python data source, streaming foreachBatch) die there with
+# ModuleNotFoundError unless the package is shipped.
+_LOCAL_MASTER_RE = re.compile(r"^local(\[[^\]]*\])?$")
+
+# Set SPARK_GRAFT_PYFILES=external when the deployer ships the package
+# via spark-submit --py-files; auto-shipping is skipped and the session
+# trusts the deployment.
+PYFILES_ENV = "SPARK_GRAFT_PYFILES"
+
+
+def build_package_zip(out_dir: str | None = None) -> str:
+    """Deterministic zip of this package for ``SparkContext.addPyFile``.
+
+    Zip bytes depend only on source contents (fixed entry timestamps),
+    so the content-hashed filename is stable across processes — re-adding
+    the same file to a running context is a no-op instead of the
+    "file already exists with different contents" error a tempfile-named
+    zip would hit on the second ``get_spark`` call.
+    """
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = Path(__file__).resolve().parent
+    if not pkg_dir.is_dir():
+        # The package itself was imported from a zip (a --py-files
+        # deployment, or an artifact this function shipped earlier): its
+        # "directory" is a path inside the archive, rglob finds nothing,
+        # and the naive build would silently ship a 22-byte empty zip
+        # whose workers then die with ModuleNotFoundError. The archive we
+        # were loaded from IS the package — ship it verbatim.
+        for anc in pkg_dir.parents:
+            if anc.is_file() and zipfile.is_zipfile(anc):
+                return str(anc)
+        raise RuntimeError(
+            f"package loaded from {pkg_dir}, which is neither a directory "
+            "nor inside a zip archive — cannot build a shippable copy"
+        )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        n_entries = 0
+        for p in sorted(pkg_dir.rglob("*.py")):
+            rel = Path(pkg_dir.name) / p.relative_to(pkg_dir)
+            info = zipfile.ZipInfo(str(rel), date_time=(1980, 1, 1, 0, 0, 0))
+            info.external_attr = 0o644 << 16
+            zf.writestr(info, p.read_bytes())
+            n_entries += 1
+    if not n_entries:
+        raise RuntimeError(f"no modules found under {pkg_dir} — refusing to ship an empty zip")
+    data = buf.getvalue()
+    digest = hashlib.sha256(data).hexdigest()[:16]
+    out = Path(out_dir or tempfile.gettempdir()) / (
+        f"enterprise_iot_bigdata_pipeline_spark-{digest}.zip"
+    )
+    if not out.exists():
+        tmp = out.with_name(out.name + f".tmp-{os.getpid()}")
+        tmp.write_bytes(data)
+        tmp.replace(out)  # atomic publish; concurrent builders converge
+    return str(out)
+
+
+def ensure_package_on_executors(spark: SparkSession) -> str | None:
+    """Ship this package to executors when the master is non-local.
+
+    Returns the shipped zip path, or None when nothing needed shipping
+    (local master, or the deployer opted out via SPARK_GRAFT_PYFILES=
+    external). Raises loudly when shipping fails: a silent skip would
+    surface later as ModuleNotFoundError inside whichever executor first
+    runs an Arrow kernel — the failure mode this hook exists to kill.
+    """
+    master = spark.sparkContext.master or ""
+    if _LOCAL_MASTER_RE.match(master):
+        return None
+    if os.environ.get(PYFILES_ENV, "").lower() == "external":
+        return None
+    try:
+        zip_path = build_package_zip()
+        spark.sparkContext.addPyFile(zip_path)
+        return zip_path
+    except Exception as exc:
+        raise RuntimeError(
+            f"master {master!r} runs Python workers without the driver's "
+            "sys.path, and auto-shipping the package zip failed — Arrow "
+            "kernels would die on executors with ModuleNotFoundError. "
+            "Ship the package yourself (spark-submit --py-files <zip of "
+            "enterprise_iot_bigdata_pipeline_spark/>) and set "
+            f"{PYFILES_ENV}=external, or fix the cause below."
+        ) from exc
 
 
 def get_spark(
@@ -70,4 +168,7 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Cluster deployability: on any non-local master, ship the package so
+    # executor-side Python kernels can import it (no-op under local[*]).
+    ensure_package_on_executors(spark)
     return spark

@@ -143,12 +143,16 @@ def test_lineitem_generator_decorrelated():
 
 
 def test_customer_generator_decorrelated():
+    """r11 verdict task 5: the dims generators go under the FULL value-
+    column set — the fifo bug survived two rounds because a battery
+    blind spot (a column nobody asserted on) overlapped a lint
+    whitelist bug; no dims column stays unasserted."""
     cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
     _assert_decorrelated(
         _nasty_customer(),
         cols,
         keys=["c_mktsegment", "c_nationkey"],
-        values=["c_acctbal", "c_mktsegment"],
+        values=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
     )
 
 
@@ -158,7 +162,7 @@ def test_part_generator_decorrelated():
         _nasty_part(),
         cols,
         keys=["p_brand", "p_type"],
-        values=["p_size", "p_retailprice", "p_type", "p_brand"],
+        values=["p_name", "p_size", "p_retailprice", "p_type", "p_brand"],
     )
 
 
@@ -173,13 +177,27 @@ def test_documents_generator_decorrelated():
 
 
 def test_embeddings_generator_decorrelated():
-    cols = ["vec_id", "vec", "label"]
-    _assert_decorrelated(
-        _nasty_vectors(),
-        cols,
-        keys=["label"],
-        values=["vec"],
-    )
+    """Beyond whole-vector constancy, the vector queries consume DERIVED
+    scalars (norms for standardize/quantize, leading components for
+    plane buckets) — those must vary within label classes too, and the
+    generator's own 12-cycle vec-pattern classes must not pin labels
+    (a label constant per pattern would make every cluster-vs-label
+    eval vacuously clean)."""
+    raw = _nasty_vectors()
+    rows = [
+        (
+            vid,
+            repr(vec),
+            label,
+            vid % 12,  # the generator's own vec-pattern modulus
+            None if vec is None else round(vec[0], 9),
+            None if vec is None else round(sum(x * x for x in vec), 6),
+        )
+        for vid, vec, label in raw
+    ]
+    cols = ["vec_id", "vec", "label", "pattern", "v0", "norm_sq"]
+    _assert_decorrelated(rows, cols, keys=["label"], values=["vec", "v0", "norm_sq"])
+    _assert_decorrelated(rows, cols, keys=["pattern"], values=["label"])
 
 
 def test_property_detects_the_degeneracy():

@@ -386,6 +386,36 @@ def test_ckpt_leaf_fallback_location_and_cleanup(spark):
     assert dedup._LEAF_DIRS == []
 
 
+def test_shared_leaf_cleanup_survives_session_stop(spark, tmp_path):
+    """r11 ADVICE: shared-dir cleanup must not resolve the session at
+    atexit time — after spark.stop(), getActiveSession() is None and the
+    old code silently leaked every shared leaf. The deleter is a JVM
+    filesystem handle captured at REGISTRATION; cleanup only invokes it."""
+    from enterprise_iot_bigdata_pipeline_spark.operators import dedup
+
+    # the captured-handle path works against a real directory via the
+    # live session's Hadoop FS (local fs here; same API on hdfs/s3a)
+    victim = tmp_path / "shared_leaf"
+    victim.mkdir()
+    (victim / "part-0").write_text("x")
+    deleter = dedup._shared_dir_deleter(spark, str(victim))
+    assert deleter is not None
+
+    # cleanup path: never consults getActiveSession, only the closure
+    from pyspark.sql import SparkSession
+
+    before = list(dedup._LEAF_DIRS)
+    dedup._register_leaf_dir("shared", str(victim), deleter)
+    orig = SparkSession.getActiveSession
+    try:
+        SparkSession.getActiveSession = staticmethod(lambda: None)  # stopped app
+        dedup._cleanup_leaf_dirs()
+    finally:
+        SparkSession.getActiveSession = orig
+        dedup._LEAF_DIRS.extend(before)
+    assert not victim.exists()
+
+
 def test_sessionize_two_phase_matches_single_pass(spark):
     """Chunk-boundary algebra: sessions that straddle bucket edges, gaps
     exactly at the threshold, empty buckets in between, ties on ts, and a

@@ -152,3 +152,20 @@ def test_pps_selected_by_slice_pps_id():
     # decode under the wrong parameter set
     with pytest.raises(ValueError, match="pic_parameter_set_id 1"):
         decode_idr_ipcm(sps, _pps(0), slice_nal)
+
+
+def test_repeated_pps_id_last_activation_wins():
+    """H.264 semantics for a repeated pic_parameter_set_id is REPLACEMENT:
+    an in-band PPS update must override the earlier set (r11 ADVICE —
+    setdefault kept the FIRST, decoding updated streams with stale
+    parameters). First PPS 0 is CABAC: if the stale set won, the entropy
+    gate would fire; the updated CAVLC PPS 0 must decode clean."""
+    gw, gh = 1, 1
+    y, cb, cr = _planes(gw, gh)
+    sps = _sps(gw, gh)
+    slice_nal = _ipcm_slice(gw, gh, y, cb, cr, pps_id=0)
+    out = decode_idr_ipcm(sps, [_pps(0, cabac=True), _pps(0)], slice_nal)
+    assert out["y"] == y
+    # and symmetric: a CABAC update over a CAVLC original must now gate
+    with pytest.raises(NotImplementedError):
+        decode_idr_ipcm(sps, [_pps(0), _pps(0, cabac=True)], slice_nal)

@@ -78,6 +78,13 @@ EXEMPT: dict[str, str] = {
 # (l_orderkey is NOT here: in lineitem it is a FOREIGN key the orders
 # battery nullifies — whitelisting it hid the fifo_return_allocation
 # NULL-ordering divergence until the r11 decorrelated battery hit it.)
+# tests/test_whitelist_derivation.py RECOMPUTES this set from the data:
+# every entry must exist in a corpus table, be NULL-free at all three
+# SFs, and be NULL-free in its nasty-battery generator — so a battery
+# change can never silently invalidate an entry again (the fifo bug hid
+# for ten rounds behind a hand-asserted l_orderkey entry; ps_partkey/
+# ps_suppkey were deleted in r12 as dead entries naming columns no
+# table has).
 NONNULL_KEYS = {
     "event_id",
     "doc_id",
@@ -87,8 +94,6 @@ NONNULL_KEYS = {
     "c_custkey",
     "s_suppkey",
     "p_partkey",
-    "ps_partkey",
-    "ps_suppkey",
     "n_nationkey",
     "r_regionkey",
 }
