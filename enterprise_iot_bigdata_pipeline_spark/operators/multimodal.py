@@ -2647,6 +2647,99 @@ def audio_frame_features(
     )
 
 
+# Fixed-point DFT for the spectral slot: N-point transform with integer
+# twiddle tables (round(cos/sin * 2^10)), so spectral power is EXACT
+# int64 arithmetic both engines can replicate — the thumbnailing trick,
+# frequency-domain edition. N=16 / SCALE=1024 keep the worst case well
+# inside int64: |re| <= 16 * 32768 * 1024 = 2^29, power <= 2^59.
+_DFT_N = 16
+_DFT_BINS = _DFT_N // 2 + 1  # rFFT bins 0..8
+_DFT_SCALE = 1024
+_DFT_FRAMES = 4
+
+
+def dft_twiddle() -> list[tuple[int, int, int, int]]:
+    """(bin k, index i, re, im) integer twiddle rows, the SINGLE source
+    both the Arrow kernel and the SQL-oracle generator embed — table
+    equality is by construction, not by parallel derivation."""
+    import math
+
+    rows = []
+    for k in range(_DFT_BINS):
+        for i in range(_DFT_N):
+            ang = 2.0 * math.pi * k * i / _DFT_N
+            rows.append(
+                (
+                    k,
+                    i,
+                    int(round(math.cos(ang) * _DFT_SCALE)),
+                    int(round(-math.sin(ang) * _DFT_SCALE)),
+                )
+            )
+    return rows
+
+
+def audio_spectral_bins(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame spectral power through a FIXED-POINT DFT: synthesize the
+    same hash-ramp WAV as :func:`audio_frame_features`, round-trip it
+    through the real RIFF codec (encode_wav -> parse_wav), then transform
+    the first ``_DFT_FRAMES`` frames of ``_DFT_N`` samples with integer
+    twiddle tables — power[k] = re^2 + im^2 in exact int64. Unlike the
+    float rFFT path (``audio_spectrogram``, pytest-only), every output
+    here is integer arithmetic a SQL oracle recomputes from the sample
+    formula and the SAME twiddle rows, putting the spectral feature
+    chain under the hash-exact gate end-to-end.
+
+    Scale shape: Arrow-batched map over the docs scan — no shuffle;
+    per-doc work is O(bins x N); payload bytes never leave executors."""
+    seeded = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    tw = dft_twiddle()
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t_re = np.zeros((_DFT_BINS, _DFT_N), dtype=np.int64)
+        t_im = np.zeros((_DFT_BINS, _DFT_N), dtype=np.int64)
+        for k, i, re_, im_ in tw:
+            t_re[k, i] = re_
+            t_im[k, i] = im_
+        n = _DFT_FRAMES * _DFT_N
+        for pdf in batches:
+            rows = []
+            for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+                h = int(h)
+                sr = 8000 + (h % 3) * 4000
+                samples = ((h + _AUDIO_STEP * np.arange(n)) % 65536) - 32768
+                payload = encode_wav(sr, samples.astype("<i2"))
+                parsed = parse_wav(payload)
+                s = parsed["samples"].astype(np.int64)
+                if parsed["sample_rate"] != sr or len(s) != n:
+                    raise ValueError("WAV round-trip mutated the stream")
+                frames = s.reshape(_DFT_FRAMES, _DFT_N)
+                re = frames @ t_re.T  # (_DFT_FRAMES, _DFT_BINS), exact int64
+                im = frames @ t_im.T
+                power = re * re + im * im
+                for f in range(_DFT_FRAMES):
+                    for k in range(_DFT_BINS):
+                        rows.append((int(doc_id), f, k, int(power[f, k])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame", "bin", "power"]
+            )
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    return fan_out(seeded).mapInPandas(
+        per_batch, "doc_id long, frame int, bin int, power long"
+    )
+
+
 def image_thumbnail_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -797,3 +797,99 @@ def mmr_topk(
         # argmax otherwise nests the whole prior greedy plan
         selected = selected.unionByName(pick).localCheckpoint()
     return selected
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    eps: float,
+    max_cluster: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid, then
+    prune, WITHIN each cluster only, any vector that is >= ``eps``
+    cosine-similar to a kept vector closer to the cluster "edge" — the
+    paper keeps the examples LEAST similar to their centroid (they carry
+    the most marginal information), so the suppressor of a similar pair
+    is the one with the LOWER centroid cosine (id tiebreak).
+
+    Output: (id_col, cluster_id int, cos_cent, kept int) — one row per
+    input vector, kept=0 for pruned semantic duplicates.
+
+    Scale shape: assignment is map-side (K struct comparisons per row, no
+    explode, no shuffle); the pair search is an equi-self-join on
+    cluster_id — per-cluster all-pairs, NEVER corpus all-pairs, which is
+    the SemDeDup contract (K grows with the corpus so cluster sizes stay
+    bounded). Hot clusters above ``max_cluster`` degrade gracefully the
+    multiround-dedup way: only the cluster's canonical suppressor (the
+    min-(cos_cent, id) row — unprunable by construction) suppresses, so
+    the hot path is O(cnt) instead of O(cnt**2).
+
+    The suppression rule is PAIRWISE, not iteratively greedy: a pruned
+    vector still suppresses (the LSH-dedup approximation, same as
+    ``embedding_near_dup_multiround``) — this is what makes the result
+    order-free and expressible as one declarative plan on both engines.
+    """
+    emb = emb.filter(F.col(vec_col).isNotNull())
+    candidates = F.array(
+        *[
+            F.struct(
+                F.coalesce(
+                    cosine(F.col(vec_col), F.array(*[F.lit(v) for v in c])),
+                    F.lit(-2.0),
+                ).alias("cos_sim"),
+                F.lit(-i).alias("nid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(candidates)
+    wc = W.partitionBy("cluster_id")
+    assigned = (
+        emb.select(
+            id_col,
+            vec_col,
+            (-best["nid"]).cast("int").alias("cluster_id"),
+            best["cos_sim"].alias("cos_cent"),
+        )
+        # struct-atomic min (replay rule): canon = min (cos_cent, id) row,
+        # the vector most "edge-like" — it can never be suppressed, so it
+        # is the sole suppressor hot clusters fall back to
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "canon_id",
+            F.min(F.struct("cos_cent", id_col)).over(wc)[id_col],
+        )
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    suppressed = (
+        a.join(
+            b,
+            (F.col(f"a.cluster_id") == F.col(f"b.cluster_id"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .filter(
+            (F.col("a.cnt") <= max_cluster)
+            | (F.col(f"b.{id_col}") == F.col("a.canon_id"))
+        )
+        .filter(
+            (F.col("b.cos_cent") < F.col("a.cos_cent"))
+            | (
+                (F.col("b.cos_cent") == F.col("a.cos_cent"))
+                & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+            )
+        )
+        .filter(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) >= eps)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_kept0", F.lit(0))
+    )
+    return assigned.join(suppressed, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        "cos_cent",
+        F.coalesce(F.col("_kept0"), F.lit(1)).cast("int").alias("kept"),
+    )

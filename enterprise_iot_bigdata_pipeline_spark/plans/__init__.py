@@ -83,13 +83,15 @@ def register(name: str, oracle: str | None = None, late: bool = False):
 # (latest driver-sampled round, name) — never-sampled names first, then
 # the stalest evidence. tests/test_rotation.py asserts this literal
 # matches the computation, so the list stays reviewable while drift from
-# the policy is a test failure. The round-12 window below is the 50
-# stalest driver rows after the r11 artifact landed: the remaining r7
-# cohort (text suite tail, graph, TPC-H join shapes, streaming slots,
-# the timeseries battery) — every name's latest green driver evidence
-# is round 7 or 8.
+# the policy is a test failure. The round-12 window below samples the
+# never-driver-sampled r12 registrations first (audio_spectral_bins,
+# dedup_semantic_clusters), then the 48 stalest driver rows: the
+# remaining r7 cohort (text suite tail, graph, TPC-H join shapes,
+# streaming slots, the timeseries battery).
 # Regenerate with:  python tools/rotation.py --emit
 _PRIORITY = [
+    "audio_spectral_bins",
+    "dedup_semantic_clusters",
     "text_pii_redact",
     "text_readability",
     "text_secrets_scan",
@@ -138,8 +140,6 @@ _PRIORITY = [
     "timeseries_fir_smooth",
     "timeseries_gap_topk",
     "timeseries_histogram",
-    "timeseries_interpolate",
-    "timeseries_m4_downsample",
 ]
 
 # Re-entrancy: three oracle builders (ann_recall_eval, dedup_recall_eval,

@@ -797,6 +797,64 @@ def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spectral features under the gate (round 12): the frequency-domain path
+# joins the hash-exact family via a FIXED-POINT DFT — integer twiddle
+# tables (round(cos/sin * 2^10)) make per-frame spectral power exact
+# int64 arithmetic, so the oracle recomputes it from the sample formula
+# and the SAME twiddle rows (operators.multimodal.dft_twiddle, the
+# single source both sides embed). The Spark side still runs the REAL
+# WAV codec round-trip; only the transform is fixed-point. (The float
+# Hann-rFFT spectrogram stays pytest-covered — IEEE FFTs are not
+# SQL-recomputable; this slot gates the spectral ALGEBRA instead.)
+# ---------------------------------------------------------------------------
+
+
+def _spectral_oracle() -> str:
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        _DFT_FRAMES,
+        _DFT_N,
+        dft_twiddle,
+    )
+
+    tw_values = ", ".join(
+        f"({k}, {i}, {re_}, {im_})" for k, i, re_, im_ in dft_twiddle()
+    )
+    return f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+        FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+        SELECT m.doc_id,
+               CAST(fr.range AS INTEGER) AS frame,
+               CAST(i.range AS BIGINT) AS i,
+               ((m.h + 37 * (fr.range * {_DFT_N} + i.range)) % 65536) - 32768 AS v
+        FROM m, range({_DFT_FRAMES}) fr, range({_DFT_N}) i
+    ),
+    tw(k, i, tre, tim) AS (VALUES {tw_values}),
+    p AS (
+        SELECT doc_id, frame, k,
+               sum(tre * v) AS re, sum(tim * v) AS im
+        FROM s JOIN tw ON s.i = tw.i
+        GROUP BY doc_id, frame, k
+    )
+    SELECT doc_id, frame, CAST(k AS INTEGER) AS bin,
+           CAST(re * re + im * im AS BIGINT) AS power
+    FROM p
+    """
+
+
+@register("audio_spectral_bins", _spectral_oracle())
+def audio_spectral_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        audio_spectral_bins as _aspec,
+    )
+
+    return _aspec(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Image thumbnailing under the gate (round 11): per-doc RGB PNG from the
 # hash ramp (Adam7 interlace on (h//8)%2, so the interlaced decode path
 # gets corpus coverage), decoded via the real zlib codec, then 2x box

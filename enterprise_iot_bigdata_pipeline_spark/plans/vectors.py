@@ -1040,3 +1040,74 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_id", "q_label", "vec_id", "label", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup cluster-level semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540): assign to nearest centroid, prune WITHIN clusters
+# any vector >= eps cosine-similar to a kept vector with a lower
+# centroid cosine — the paper keeps the examples least similar to their
+# centroid. The fixed hyperplane "centroids" stand in for trained
+# k-means means exactly as in embeddings_cluster_assign (same seed, so
+# cluster ids are comparable across the two queries); the oracle mirrors
+# the operator's hot-cluster cap (clusters over _SEM_CAP fall back to
+# the canonical min-(cos_cent,id) suppressor, O(cnt) not O(cnt^2)) —
+# the cap BINDS at sf0.1 (2000 vecs / 8 clusters ~ 250 > 200), so the
+# degraded path has corpus coverage in the three-SF sweep. eps = 0.3
+# sits at the corpus's q99 pairwise cosine: a non-trivial prune set at
+# every SF without degenerating to all-pruned.
+# ---------------------------------------------------------------------------
+
+_SEM_EPS = 0.3
+_SEM_CAP = 200
+
+
+def _semdedup_oracle() -> str:
+    cen = S.hyperplanes(n_planes=_CLUSTER_K, dim=DIM, seed=_CLUSTER_SEED)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(cen)
+    )
+    return f"""
+    WITH cen(cid, cvec) AS (VALUES {values}),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               coalesce({_cos_sql("e.embedding", "c.cvec")}, -2.0) AS cos_sim
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+        CROSS JOIN cen c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cid, cos_sim AS cos_cent
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos_sim DESC, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    stats AS (
+        SELECT cid, count(*) AS cnt,
+               min({{'c': cos_cent, 'i': vec_id}}) AS canon
+        FROM assigned GROUP BY cid
+    ),
+    supp AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a
+        JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        JOIN stats s ON a.cid = s.cid
+        WHERE (s.cnt <= {_SEM_CAP} OR b.vec_id = (s.canon).i)
+          AND (b.cos_cent < a.cos_cent
+               OR (b.cos_cent = a.cos_cent AND b.vec_id < a.vec_id))
+          AND {_cos_sql("a.embedding", "b.embedding")} >= {_SEM_EPS}
+    )
+    SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster_id, a.cos_cent,
+           CAST(CASE WHEN s.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM assigned a LEFT JOIN supp s ON a.vec_id = s.vec_id
+    """
+
+
+@register("dedup_semantic_clusters", _semdedup_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-embedding rows do not participate in vector ops (round-9 pin)
+    emb = t(spark, sf_dir, "embeddings")
+    cen = S.hyperplanes(n_planes=_CLUSTER_K, dim=DIM, seed=_CLUSTER_SEED)
+    return S.semantic_dedup(emb, cen, eps=_SEM_EPS, max_cluster=_SEM_CAP)

@@ -1,0 +1,94 @@
+"""Round-12 slots: SemDeDup cluster-scoped semantic dedup and the
+fixed-point-DFT spectral slot (both under the oracle gate; see
+tests/test_similarity.py for the semantic_dedup rule/cap unit test).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+    _DFT_BINS,
+    _DFT_N,
+    _DFT_SCALE,
+    dft_twiddle,
+)
+
+
+def test_dft_twiddle_table_properties():
+    """The integer twiddle table is the single source both the kernel and
+    the oracle embed; pin the invariants a transcription slip would
+    break: row count, DC row all-(SCALE,0), scale bound, and the exact
+    quadrature values at the Nyquist and quarter bins."""
+    tw = dft_twiddle()
+    assert len(tw) == _DFT_BINS * _DFT_N
+    by = {(k, i): (re, im) for k, i, re, im in tw}
+    for i in range(_DFT_N):
+        assert by[(0, i)] == (_DFT_SCALE, 0)  # DC: cos=1, sin=0
+        # Nyquist bin alternates +/-SCALE, zero imaginary
+        assert by[(_DFT_N // 2, i)] == ((-1) ** i * _DFT_SCALE, 0)
+    # quarter bin: pure quadrature (0, -SCALE, 0, SCALE ... pattern)
+    k = _DFT_N // 4
+    assert by[(k, 0)] == (_DFT_SCALE, 0)
+    assert by[(k, 1)] == (0, -_DFT_SCALE)
+    assert by[(k, 2)] == (-_DFT_SCALE, 0)
+    assert by[(k, 3)] == (0, _DFT_SCALE)
+    for k, i, re, im in tw:
+        assert abs(re) <= _DFT_SCALE and abs(im) <= _DFT_SCALE
+
+
+def test_spectral_power_matches_float_dft(spark):
+    """The fixed-point spectral power must track a float DFT of the same
+    samples to within the quantization error bound — catching a twiddle
+    table that is internally consistent (kernel == oracle) but WRONG
+    (e.g. sign-flipped sin), which the hash gate alone cannot see."""
+    import numpy as np
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.multimodal import (
+        audio_spectral_bins,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "doc_id long, text string"
+    )
+    rows = audio_spectral_bins(docs).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert len(rows) == 2 * 4 * _DFT_BINS
+
+    import hashlib
+
+    for doc_id, text in [(1, "alpha"), (2, "beta")]:
+        h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+        s = ((h + 37 * np.arange(4 * _DFT_N)) % 65536) - 32768
+        frames = s.reshape(4, _DFT_N).astype(float)
+        spec = np.fft.rfft(frames, axis=1)
+        for r in [x for x in rows if x.doc_id == doc_id]:
+            ref = abs(spec[r.frame, r.bin]) ** 2 * _DFT_SCALE**2
+            # quantization: |twiddle error| <= 0.5/SCALE per term, N terms
+            tol = (
+                2 * (0.5 * _DFT_N * 32768) ** 2
+                + 2 * abs(spec[r.frame, r.bin]) * _DFT_SCALE * (0.5 * _DFT_N * 32768)
+            )
+            assert abs(r.power - ref) <= tol + 1e-6, (r, ref, tol)
+
+
+def test_semantic_dedup_registered_shape(spark):
+    """Registered-slot contract at the smoke SF: one row per non-NULL
+    embedding, kept is 0/1, every cluster keeps its canonical (min
+    cos_cent, id) row, and pruning is non-vacuous."""
+    from enterprise_iot_bigdata_pipeline_spark.plans import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["dedup_semantic_clusters"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(out) == 500 - out.isna().any(axis=1).sum()  # no NULL rows
+    assert set(out.kept.unique()) == {0, 1}
+    assert (out.kept == 0).sum() > 0  # non-vacuous prune set
+    for cid, grp in out.groupby("cluster_id"):
+        canon = grp.sort_values(["cos_cent", "vec_id"]).iloc[0]
+        assert canon.kept == 1, f"cluster {cid} pruned its canonical row"

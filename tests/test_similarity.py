@@ -341,3 +341,53 @@ def test_mmr_topk_flips_redundant_pick(spark):
     mmr = mmr_topk(corpus, queries, k=2, pool=3, lam=0.5)
     got = [(r.pick_order, r.vec_id) for r in mmr.orderBy("pick_order").collect()]
     assert got == [(1, 1), (2, 3)]
+
+
+def test_semantic_dedup_rule_and_cap(spark):
+    """SemDeDup pinned semantics: (a) the suppressor of an eps-similar
+    pair is the vector with the LOWER centroid cosine (paper: keep the
+    edge examples), id tiebreak; (b) suppression is pairwise (a pruned
+    vector still suppresses); (c) clusters over max_cluster fall back to
+    the canonical min-(cos_cent,id) suppressor only; (d) NULL/zero
+    vectors never pair (NULL cosine)."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # one centroid => one cluster; orthogonal-ish handmade vectors
+    dim = 4
+    cen = [[1.0, 0.0, 0.0, 0.0]]
+    rows = [
+        # id, vector            cos to centroid
+        (1, [1.0, 0.0, 0.0, 0.0]),   # 1.0   (closest to centroid)
+        (2, [1.0, 0.05, 0.0, 0.0]),  # ~0.9988 — ~0.9988 cos to id 1
+        (3, [0.9, 0.9, 0.0, 0.0]),   # ~0.707 — suppressor of 1 and 2? cos(3,1)=0.707<eps
+        (4, [0.0, 1.0, 0.0, 0.0]),   # 0.0 edge vector
+        (5, [0.01, 1.0, 0.0, 0.0]),  # ~0.01 — ~0.99995 cos to id 4
+        (6, [0.0, 0.0, 0.0, 0.0]),   # zero vector: NULL cosine everywhere
+        (7, None),                   # NULL embedding: excluded
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(emb, cen, eps=0.99, max_cluster=100).collect()
+    }
+    # 4 suppresses 5 (lower cos_cent side wins); 2 pruned by 1? cos_cent(1)=1.0
+    # > cos_cent(2) so 2 suppresses 1 — the EDGE vector survives
+    assert out[5] == 0 and out[4] == 1
+    assert out[1] == 0 and out[2] == 1
+    assert out[3] == 1
+    assert out[6] == 1  # zero vector: cosine NULL, never suppressed
+    assert 7 not in out  # NULL embeddings don't participate
+
+    # cap: same data, max_cluster=2 (cluster size 6 > 2) — only the
+    # canonical suppressor (min cos_cent = id 6's -2.0 coalesce? no:
+    # zero vector cos_cent coalesces to -2.0, making IT canonical, and
+    # its NULL pair-cosines suppress nothing => everything kept
+    out2 = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(emb, cen, eps=0.99, max_cluster=2).collect()
+    }
+    assert all(v == 1 for v in out2.values()), out2

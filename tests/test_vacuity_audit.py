@@ -1,0 +1,69 @@
+"""Vacuity gate over the registry (round-11 verdict task 4).
+
+A green oracle hash proves Spark and DuckDB agree, not that the query
+computes anything — empty, constant, or input-independent outputs
+hash-match trivially. tools/vacuity_audit.py EXECUTES every registered
+query at sf0.001/sf0.01 (escalating identical pairs to sf0.1, where the
+documents/embeddings tables first grow) and flags empty, constant, and
+scale-insensitive outputs. Registrations are conscripted at run time, so
+a future query whose output never moves with the data fails here before
+a driver round can green-stamp it. The exemption ledger carries a
+written reason per entry and is asserted to still fire.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+
+def test_registry_clean_under_vacuity_audit(spark):
+    from tools.vacuity_audit import audit_rows, violations_outside_exemptions
+
+    rows = audit_rows(spark)
+    unexempted, stale = violations_outside_exemptions(rows)
+    msg = "\n".join(f"{name}: {'; '.join(vs)}" for name, vs in unexempted) + (
+        "\nSTALE exemptions (behavior gone — delete the entry): "
+        + ", ".join(stale)
+        if stale
+        else ""
+    )
+    assert not unexempted and not stale, msg
+
+
+def test_audit_catches_planted_vacuous_queries(spark):
+    """Self-test: a constant-output query, an empty query, and a
+    scale-insensitive query must each be flagged; an honest query that
+    reads the corpus must not."""
+    from pyspark.sql import functions as F
+
+    from tools.vacuity_audit import audit_query
+
+    def planted_constant(spark, sf_dir):
+        return spark.range(16).select(F.lit("x").alias("c"))
+
+    def planted_empty(spark, sf_dir):
+        return spark.range(0).select(F.col("id"))
+
+    def planted_scale_blind(spark, sf_dir):
+        # reads NO table: same single row whatever sf_dir says
+        return spark.range(1).select(F.lit(42).alias("v"))
+
+    def honest(spark, sf_dir):
+        return (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    vs = audit_query(spark, planted_constant)
+    assert any(v.startswith("constant") for v in vs), vs
+    assert any(v.startswith("scale-insensitive") for v in vs), vs
+    assert audit_query(spark, planted_empty)[0].startswith("empty")
+    vs = audit_query(spark, planted_scale_blind)
+    assert any(v.startswith("scale-insensitive") for v in vs), vs
+    assert audit_query(spark, honest) == []

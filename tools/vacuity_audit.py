@@ -13,12 +13,14 @@ factors and flags:
 2. **constant** — more than one row, all identical. A multi-row output
    with one distinct row is a fill pattern, not a computation.
 3. **scale-insensitive** — the canonical value-hash at sf0.01 equals
-   the sf0.001 hash. The two corpora differ by 10x in every table, so
-   an identical output is not reading the data. (Single-row aggregates
-   are NOT exempt by shape here: a real aggregate over a 10x corpus
-   moves. Genuinely fixed outputs — trained codebooks pinned by
-   sampling caps, bounded top-k over a shared head — carry named
-   exemptions with written reasons.)
+   the sf0.001 hash, AND (lazy escalation) the sf0.1 hash matches too.
+   The escalation exists because the documents/embeddings tables are
+   generated at the SAME size (500 rows) for sf0.001 and sf0.01 and
+   only grow at sf0.1 — a pure-documents query is legitimately
+   identical across the first pair, so only a query identical across
+   ALL THREE corpora is flagged. (Single-row aggregates are NOT exempt
+   by shape: a real aggregate over a bigger corpus moves. Genuinely
+   input-independent outputs carry named exemptions with reasons.)
 
 Exemptions are asserted to still fire: an entry whose query stops
 exhibiting the exempted behavior must be deleted (the null-audit's
@@ -41,11 +43,30 @@ sys.path.insert(0, str(REPO / "tests"))
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_BIG = "/root/testdata/sf0.01"
+SF_ESCALATE = "/root/testdata/sf0.1"
 
-# name -> written reason the flagged behavior is legitimate. Every entry
-# must still fire (asserted by violations_outside_exemptions) — delete
-# the entry when the behavior changes.
-EXEMPT: dict[str, dict[str, str]] = {}
+# name -> {violation kind -> written reason it is legitimate}. Every
+# entry must still fire (asserted by violations_outside_exemptions) —
+# delete the entry when the behavior changes.
+EXEMPT: dict[str, dict[str, str]] = {
+    "pysource_ramp_scan": {
+        "scale-insensitive": (
+            "the Python DataSource V2 slot GENERATES its rows (a "
+            "deterministic arithmetic ramp) — it exercises reader "
+            "plumbing (partition planning, Arrow batches), not the "
+            "corpus; input-independence is its contract"
+        ),
+    },
+    "join_dormant_balances_q22": {
+        "empty": (
+            "dormant high-balance accounts (above-mean balance AND zero "
+            "orders) genuinely don't exist in the sf<=0.01 corpora — "
+            "every above-mean customer has at least one order; the shape "
+            "is non-vacuously covered at sf0.1 (1 row) and by the "
+            "nasty-dims battery (orphaned MACHINERY customer row)"
+        ),
+    },
+}
 
 
 def _hash_rows(rows: list[tuple[str, ...]]) -> str:
@@ -76,10 +97,21 @@ def audit_query(spark, fn, sf_small: str = SF_SMALL, sf_big: str = SF_BIG) -> li
     except Exception as exc:  # noqa: BLE001
         return violations + [f"error at {sf_big}: {type(exc).__name__}: {exc}"[:300]]
     if rows_small and _hash_rows(rows_small) == _hash_rows(rows_big):
-        violations.append(
-            f"scale-insensitive: identical {len(rows_small)}-row output at "
-            "sf0.001 and sf0.01"
-        )
+        # Lazy escalation: documents/embeddings are generated at the SAME
+        # size for sf0.001 and sf0.01 (they only grow at sf0.1), so a
+        # pure-documents query is legitimately identical across the first
+        # pair — only identical-at-all-three is a finding.
+        try:
+            rows_esc = canonical_rows(fn(spark, SF_ESCALATE).toPandas())
+        except Exception as exc:  # noqa: BLE001
+            return violations + [
+                f"error at {SF_ESCALATE}: {type(exc).__name__}: {exc}"[:300]
+            ]
+        if _hash_rows(rows_small) == _hash_rows(rows_esc):
+            violations.append(
+                f"scale-insensitive: identical {len(rows_small)}-row output "
+                "at sf0.001, sf0.01 AND sf0.1"
+            )
     return violations
 
 
@@ -100,9 +132,11 @@ def audit_rows(spark, names: list[str] | None = None, queries: dict | None = Non
     return rows
 
 
-def violations_outside_exemptions(rows):
+def violations_outside_exemptions(rows, audited: set[str] | None = None):
     """(unexempted, stale): rows not covered by EXEMPT, plus EXEMPT
-    entries that no longer fire (delete those)."""
+    entries that no longer fire (delete those). ``audited=None`` means a
+    full-registry run, so every exemption must fire; a subset run only
+    stale-checks exemptions whose query was actually audited."""
     fired: set[tuple[str, str]] = set()
     unexempted = []
     for name, vs in rows:
@@ -120,7 +154,7 @@ def violations_outside_exemptions(rows):
         f"{name}:{kind}"
         for name, kinds in EXEMPT.items()
         for kind in kinds
-        if (name, kind) not in fired
+        if (name, kind) not in fired and (audited is None or name in audited)
     ]
     return unexempted, stale
 
@@ -137,7 +171,9 @@ def main() -> int:
 
     spark = get_spark(app_name="vacuity_audit")
     rows = audit_rows(spark, names)
-    unexempted, stale = violations_outside_exemptions(rows)
+    unexempted, stale = violations_outside_exemptions(
+        rows, audited=set(names) if names else None
+    )
     for name, vs in rows:
         status = "EXEMPT" if not any(n == name for n, _ in unexempted) else "FAIL"
         print(f"{status} {name}: {'; '.join(vs)}")
