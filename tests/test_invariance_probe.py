@@ -1,0 +1,64 @@
+"""Parallelism-invariance gate (round-12 instrument).
+
+tools/invariance_probe.py executes every registered query under two
+degrees of parallelism (shuffle partitions 32 vs 7, input splits 4m vs
+512k) and compares canonical value-hashes, plus a DuckDB threads=1 vs 8
+determinism check on every oracle. A DOP-sensitive result (shuffle-order
+float sums, under-ordered windows, per-partition picks) is exactly the
+bug class that ships green from a fixed local[32] and corrupts answers
+at cluster DOP. Full-registry runs happen per-round via the tool; the
+pytest gate covers a rotating slice (cheap) plus a planted-bug
+self-test so the probe itself stays honest.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+
+def test_probe_slice_is_dop_invariant(spark):
+    """The driver-window rotation's first 12 names (the least-recently
+    driver-verified queries) under the full probe — the whole registry
+    runs per-round via the tool (see DEVNOTES for artifacts)."""
+    from enterprise_iot_bigdata_pipeline_spark.plans import _PRIORITY, load_all
+    from tools.invariance_probe import probe_rows, violations_outside_exemptions
+
+    load_all()
+    names = set(_PRIORITY[:12])
+    rows = probe_rows(spark, names)
+    unexempted, stale = violations_outside_exemptions(rows, audited=names)
+    msg = "\n".join(f"{n}: {'; '.join(vs)}" for n, vs in unexempted)
+    assert not unexempted and not stale, msg
+
+
+def test_probe_detects_planted_dop_sensitivity(spark):
+    """Self-test: a query whose output depends on the partition count
+    must be flagged; float sums behind the decimal-accumulation
+    discipline must not."""
+    from pyspark.sql import functions as F
+
+    from tools.invariance_probe import probe_query
+
+    def planted(spark, sf_dir):
+        # spark_partition_id leaks the physical DOP straight into values
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return df.groupBy(F.spark_partition_id().alias("p")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    vs = probe_query(spark, planted)
+    assert any("dop-sensitive" in v for v in vs), vs
+
+    def honest(spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # decimal accumulation: exact whatever the shuffle order
+        return df.groupBy("l_returnflag").agg(
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("q")
+        )
+
+    assert probe_query(spark, honest) == []

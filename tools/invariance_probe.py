@@ -1,0 +1,201 @@
+"""Parallelism-invariance probe: results must not depend on the DOP.
+
+The correctness gates so far vary the data (three SFs, five nasty
+batteries), the timezone (two non-UTC probes), and the engine (DuckDB
+oracle) — but every one of them runs Spark at ONE degree of
+parallelism. A query whose output changes with the partition count
+(float sums accumulated in shuffle order, window frames missing a
+total ordering, first()/head-style picks, per-partition RNG) is
+exactly the bug class that ships green from local[32] and corrupts
+answers on a 1000-executor cluster where the DOP is whatever the
+scheduler says.
+
+The probe executes every registered query under two deliberately
+different configurations and compares canonical value-hashes:
+
+  A: shuffle.partitions=32, maxPartitionBytes=4m   (the test default)
+  B: shuffle.partitions=7,  maxPartitionBytes=512k (odd fan-in, more
+     input splits -> different scan ordering and merge trees)
+
+Plus an ORACLE-side determinism check: each oracle runs under DuckDB
+threads=1 and threads=8 — a parallel-aggregation-order-sensitive
+oracle would make the cross-engine gate compare against a moving
+target.
+
+Run: python tools/invariance_probe.py [--names n1,n2,...] [--sf DIR]
+Wired into pytest via tests/test_invariance_probe.py (spark side; the
+oracle side is cheap and runs in the same test).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+CONF_A = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": "4m",
+}
+CONF_B = {
+    "spark.sql.shuffle.partitions": "7",
+    "spark.sql.files.maxPartitionBytes": "512k",
+    "spark.sql.files.openCostInBytes": "0",
+}
+
+# name -> {check kind -> written reason}. Asserted to still fire.
+EXEMPT: dict[str, dict[str, str]] = {}
+
+
+def _hash_df(df) -> str:
+    from oracle_compare import canonical_rows
+
+    h = hashlib.sha256()
+    for r in canonical_rows(df.toPandas()):
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def _set_conf(spark, conf: dict) -> dict:
+    old = {}
+    for k, v in conf.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    return old
+
+
+def probe_query(spark, fn, sf_dir: str = SF_DIR) -> list[str]:
+    """Violations for one query: Spark hash under CONF_A vs CONF_B."""
+    violations: list[str] = []
+    saved = _set_conf(spark, CONF_A)
+    try:
+        try:
+            h_a = _hash_df(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            return [f"error under CONF_A: {type(exc).__name__}: {exc}"[:300]]
+        _set_conf(spark, CONF_B)
+        try:
+            h_b = _hash_df(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            return [f"error under CONF_B: {type(exc).__name__}: {exc}"[:300]]
+        if h_a != h_b:
+            violations.append(
+                "dop-sensitive: value hash changes between "
+                "(shuffle=32, split=4m) and (shuffle=7, split=512k)"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return violations
+
+
+def probe_oracle(con1, con8, sql: str) -> list[str]:
+    """Oracle determinism: same hash under DuckDB threads=1 and 8."""
+    from oracle_compare import canonical_rows
+
+    def h(con):
+        df = con.sql(sql).fetchdf()
+        hh = hashlib.sha256()
+        for r in canonical_rows(df):
+            hh.update("\x1f".join(r).encode())
+            hh.update(b"\x1e")
+        return hh.hexdigest()
+
+    try:
+        if h(con1) != h(con8):
+            return ["oracle-dop-sensitive: DuckDB threads=1 vs 8 differ"]
+    except Exception as exc:  # noqa: BLE001
+        return [f"oracle error: {type(exc).__name__}: {exc}"[:300]]
+    return []
+
+
+def probe_rows(spark, names=None, sf_dir: str = SF_DIR, include_oracle=True):
+    from oracle_compare import duck_connection
+
+    from enterprise_iot_bigdata_pipeline_spark.plans import (
+        ORACLES,
+        all_queries,
+    )
+
+    queries = all_queries()
+    con1 = con8 = None
+    if include_oracle:
+        con1, con8 = duck_connection(sf_dir), duck_connection(sf_dir)
+        con1.execute("SET threads=1")
+        con8.execute("SET threads=8")
+    rows = []
+    for name in sorted(queries):
+        if names and name not in names:
+            continue
+        vs = probe_query(spark, queries[name], sf_dir)
+        if include_oracle and name in ORACLES:
+            vs += probe_oracle(con1, con8, ORACLES[name])
+        if vs:
+            rows.append((name, vs))
+    return rows
+
+
+def violations_outside_exemptions(rows, audited: set[str] | None = None):
+    fired: set[tuple[str, str]] = set()
+    unexempted = []
+    for name, vs in rows:
+        exempt = EXEMPT.get(name, {})
+        bad = []
+        for v in vs:
+            kind = v.split(":", 1)[0]
+            if kind in exempt:
+                fired.add((name, kind))
+            else:
+                bad.append(v)
+        if bad:
+            unexempted.append((name, bad))
+    stale = [
+        f"{name}:{kind}"
+        for name, kinds in EXEMPT.items()
+        for kind in kinds
+        if (name, kind) not in fired and (audited is None or name in audited)
+    ]
+    return unexempted, stale
+
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--names", help="comma-separated subset")
+    ap.add_argument("--sf", default=SF_DIR)
+    ap.add_argument("--no-oracle", action="store_true")
+    args = ap.parse_args()
+    names = set(args.names.split(",")) if args.names else None
+
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="invariance_probe")
+    rows = probe_rows(
+        spark, names, args.sf, include_oracle=not args.no_oracle
+    )
+    unexempted, stale = violations_outside_exemptions(rows, audited=names)
+    for name, vs in rows:
+        status = "FAIL" if any(n == name for n, _ in unexempted) else "EXEMPT"
+        print(f"{status} {name}: {'; '.join(vs)}")
+    if stale:
+        print("STALE exemptions (delete):", ", ".join(stale))
+    print(
+        f"probed {'subset' if names else 'registry'}: "
+        f"{len(rows)} flagged, {len(unexempted)} unexempted, {len(stale)} stale"
+    )
+    return 1 if (unexempted or stale) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
