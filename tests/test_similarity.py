@@ -391,3 +391,77 @@ def test_semantic_dedup_rule_and_cap(spark):
         for r in semantic_dedup(emb, cen, eps=0.99, max_cluster=2).collect()
     }
     assert all(v == 1 for v in out2.values()), out2
+
+
+def test_semantic_dedup_coverage_vs_exact_pairs(spark):
+    """SemDeDup quality eval: cluster-scoping only prunes WITHIN-cluster
+    near-dups — quantify what it misses. On planted near-dup pairs the
+    within-cluster fraction must be pruned exactly, and the measured
+    cross-cluster miss rate stays bounded (identical vectors always
+    co-assign, so true duplicates can never be missed; only borderline
+    eps-pairs can straddle a centroid boundary)."""
+    import itertools
+    import random
+
+    from enterprise_iot_bigdata_pipeline_spark.functions.vectors import ROUND_DP
+    from enterprise_iot_bigdata_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        semantic_dedup,
+    )
+
+    rnd = random.Random(13)
+    dim = 16
+    rows = []
+    # 40 base vectors + a planted near-dup of each (tiny perturbation:
+    # cosine ~0.999 >> eps) => every planted pair IS an eps-pair
+    for i in range(40):
+        v = [rnd.uniform(-1, 1) for _ in range(dim)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + 0.001 * rnd.uniform(-1, 1) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cen = hyperplanes(n_planes=4, dim=dim, seed=3)
+    eps = 0.98
+
+    out = semantic_dedup(emb, cen, eps=eps, max_cluster=1000).toPandas()
+    by_id = out.set_index("vec_id")
+
+    # exact ground truth: eps-pairs from brute force
+    import numpy as np
+
+    vecs = {i: np.array(v) for i, v in rows}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return round(float(a @ b / (na * nb)), ROUND_DP)
+
+    eps_pairs = [
+        (i, j)
+        for i, j in itertools.combinations(sorted(vecs), 2)
+        if cos(vecs[i], vecs[j]) >= eps
+    ]
+    assert len(eps_pairs) >= 40  # every planted pair qualifies
+
+    within = [
+        (i, j)
+        for i, j in eps_pairs
+        if by_id.loc[i, "cluster_id"] == by_id.loc[j, "cluster_id"]
+    ]
+    # contract: every within-cluster eps-pair loses (at least) one side
+    for i, j in within:
+        assert by_id.loc[i, "kept"] == 0 or by_id.loc[j, "kept"] == 0, (i, j)
+    # near-identical vectors co-assign: planted pairs are never missed
+    planted = [(2 * k, 2 * k + 1) for k in range(40)]
+    for i, j in planted:
+        assert by_id.loc[i, "cluster_id"] == by_id.loc[j, "cluster_id"], (i, j)
+    # measured miss rate (cross-cluster eps-pairs with both sides kept)
+    missed = [
+        (i, j)
+        for i, j in eps_pairs
+        if by_id.loc[i, "cluster_id"] != by_id.loc[j, "cluster_id"]
+        and by_id.loc[i, "kept"] == 1
+        and by_id.loc[j, "kept"] == 1
+    ]
+    assert len(missed) / len(eps_pairs) <= 0.2, (
+        f"{len(missed)}/{len(eps_pairs)} eps-pairs straddle clusters fully "
+        "kept — cluster scoping is missing too much"
+    )
