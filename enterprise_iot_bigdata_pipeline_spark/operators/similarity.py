@@ -864,16 +864,20 @@ def semantic_dedup(
         )
     )
     a = assigned.alias("a")
-    b = assigned.alias("b")
+    # hot-cluster cap, pushed to the SUPPRESSOR side before the join:
+    # cnt and canon_id are per-cluster constants, so "a's cluster is hot
+    # -> only canon suppresses" is equivalent to pre-pruning b to canon
+    # in hot clusters — cnt pairs instead of cnt**2 ever materialize
+    # (the post-join OR form references both sides, which Catalyst
+    # cannot push, and was measured 10x slower at sf0.1)
+    b = assigned.filter(
+        (F.col("cnt") <= max_cluster) | (F.col(id_col) == F.col("canon_id"))
+    ).select(id_col, vec_col, "cluster_id", "cos_cent").alias("b")
     suppressed = (
         a.join(
             b,
             (F.col(f"a.cluster_id") == F.col(f"b.cluster_id"))
             & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .filter(
-            (F.col("a.cnt") <= max_cluster)
-            | (F.col(f"b.{id_col}") == F.col("a.canon_id"))
         )
         .filter(
             (F.col("b.cos_cent") < F.col("a.cos_cent"))
