@@ -77,7 +77,12 @@ def run_expectations(df: DataFrame, specs: list[dict]) -> DataFrame:
 
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, s in enumerate(row_level):
-        aggs.append(F.sum(_violation(df, s).cast("long")).alias(f"v{i}"))
+        # coalesce: sum() over an EMPTY table is NULL, but a violation
+        # COUNT must be 0 — a day-one empty partition passes vacuously
+        # instead of reporting NULL/failed (empty-corpus probe, round 12)
+        aggs.append(
+            F.coalesce(F.sum(_violation(df, s).cast("long")), F.lit(0)).alias(f"v{i}")
+        )
     for s in uniques:
         c = F.col(s["col"])
         aggs.append(F.count(c).alias("u_nonnull"))

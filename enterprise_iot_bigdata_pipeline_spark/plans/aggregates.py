@@ -89,8 +89,43 @@ def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("gset"), "event_type", "user_bucket", "sum_value", "n"
         )
 
-    rollup = tag(ev.rollup("event_type", "user_bucket").agg(*aggs), "rollup")
-    cube = tag(ev.cube("event_type", "user_bucket").agg(*aggs), "cube")
+    # The () grouping set is a SEPARATE global aggregate, not part of the
+    # expand: SQL's GROUP BY ROLLUP/CUBE emits the grand-total row even on
+    # EMPTY input (the empty set aggregates like a global agg — one row,
+    # count 0), but Spark's .rollup/.cube treat spark_grouping_id as a
+    # group key and emit 0 rows (empty-corpus probe, round 12). df.agg()
+    # has the standard always-one-row semantics; 1 row, localCheckpointed
+    # so the two branches share one materialization.
+    glob = (
+        ev.agg(*aggs)
+        .select(
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("long").alias("user_bucket"),
+            "sum_value",
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    rollup = tag(
+        ev.groupingSets(
+            [["event_type", "user_bucket"], ["event_type"]],
+            "event_type",
+            "user_bucket",
+        )
+        .agg(*aggs)
+        .unionByName(glob),
+        "rollup",
+    )
+    cube = tag(
+        ev.groupingSets(
+            [["event_type", "user_bucket"], ["event_type"], ["user_bucket"]],
+            "event_type",
+            "user_bucket",
+        )
+        .agg(*aggs)
+        .unionByName(glob),
+        "cube",
+    )
     gsets = tag(
         ev.groupingSets(
             [["event_type"], ["user_bucket"]], "event_type", "user_bucket"
@@ -431,7 +466,10 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     take10 = F.greatest(F.least(F.lit(10) - F.col("kd"), F.col("m")), F.lit(0))
     agg = scan.agg(
-        F.sum("m").cast("long").alias("n_keys"),
+        # coalesce: the oracle's count(*) is 0 on an EMPTY table while
+        # sum(m) is NULL (empty-corpus probe, round 12); every other
+        # aggregate here is legitimately NULL-on-empty in both engines
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_keys"),
         F.sum(F.col("c") * F.col("m")).cast("long").alias("n_events"),
         F.max("c").cast("long").alias("max_count"),
         F.sum(block).alias("s"),

@@ -538,6 +538,11 @@ def graph_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     states = p.select(F.col("t_from").alias("state")).distinct()
     m = states.count()  # |types|-bounded control-plane scalar
+    # EMPTY input: states has no rows, so the uniform prior 1.0/m is never
+    # evaluated against data — but Catalyst constant-folds the literal
+    # division at plan time and ANSI mode raises DIVIDE_BY_ZERO before the
+    # zero-row shape can short-circuit (empty-corpus probe, round 12)
+    m = max(m, 1)
     r = states.select("state", F.round(F.lit(1.0) / m, 12).alias("pr"))
     for it in range(_MKV_ITER):
         contrib = p.join(r, p.t_from == r.state).select(

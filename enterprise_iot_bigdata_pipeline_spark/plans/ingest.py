@@ -554,8 +554,19 @@ def streaming_sink_parquet_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         record_stream_plan("streaming_sink_parquet_epoch", q)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from enterprise_iot_bigdata_pipeline_spark.sources.lake import read_lake
+
+        # the sink skips empty batches, so ZERO input rows leaves NO lake
+        # dir at all — the readback must see an empty typed table, not
+        # PATH_NOT_FOUND (empty-corpus probe, round 12); the schema is the
+        # enriched stream's plus the sink's ingest_epoch lineage column
+        sink_schema = StructType(
+            enriched.schema.fields + [StructField("ingest_epoch", LongType())]
+        )
         out = (
-            spark.read.parquet(target)
+            read_lake(spark, target, empty_schema=sink_schema)
             .groupBy("hiveperiod", "dstrct_code")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -919,18 +930,18 @@ def image_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXPECT_ORACLE = r"""
 WITH s AS (
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v0,
-           sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v1,
-           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v2,
-           sum(CASE WHEN event_type IS NOT NULL
+           coalesce(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END), 0) AS v0,
+           coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS v1,
+           coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS v2,
+           coalesce(sum(CASE WHEN event_type IS NOT NULL
                      AND event_type NOT IN ('view','click','purchase','signup')
-                    THEN 1 ELSE 0 END) AS v3,
-           sum(CASE WHEN value IS NOT NULL
+                    THEN 1 ELSE 0 END), 0) AS v3,
+           coalesce(sum(CASE WHEN value IS NOT NULL
                      AND NOT (value BETWEEN 0.0 AND 400.0)
-                    THEN 1 ELSE 0 END) AS v4,
-           sum(CASE WHEN props IS NOT NULL
+                    THEN 1 ELSE 0 END), 0) AS v4,
+           coalesce(sum(CASE WHEN props IS NOT NULL
                      AND NOT regexp_matches(props, '^\{.*\}$')
-                    THEN 1 ELSE 0 END) AS v5,
+                    THEN 1 ELSE 0 END), 0) AS v5,
            count(event_id) - count(DISTINCT event_id) AS v6
     FROM events
 )

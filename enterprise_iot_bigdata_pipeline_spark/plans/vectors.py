@@ -720,7 +720,14 @@ stats AS (
     FROM ex GROUP BY dim
 ),
 sd AS (
-    SELECT dim, mu, sqrt(round(m2 - mu * mu, 9)) AS sigma FROM stats
+    -- greatest(..., 0): a ZERO-VARIANCE dimension (n=1 corpus, or a
+    -- constant padding dim at scale) makes m2 - mu*mu a pure rounding
+    -- residual that can sit BELOW -1e-9 (mu carries the DECIMAL(25,6)
+    -- quantization, m2 the (38,12) one), where sqrt raises here and
+    -- goes NaN in Spark — and Spark orders NaN > 0, so the NaN walked
+    -- straight through the sigma>0 guard into an ANSI cast crash
+    -- (single-row-corpus probe, round 12)
+    SELECT dim, mu, sqrt(greatest(round(m2 - mu * mu, 9), 0)) AS sigma FROM stats
 ),
 z AS (
     SELECT e.vec_id, e.dim,
@@ -760,7 +767,12 @@ def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sd = stats.select(
-        "dim", "mu", F.sqrt(F.round(F.col("m2") - F.col("mu") * F.col("mu"), 9)).alias("sigma")
+        "dim",
+        "mu",
+        # greatest-0 clamp: zero-variance dims (see the oracle's note)
+        F.sqrt(
+            F.greatest(F.round(F.col("m2") - F.col("mu") * F.col("mu"), 9), F.lit(0.0))
+        ).alias("sigma"),
     )
     z_micro = F.when(
         F.col("sigma") > 0,

@@ -14,13 +14,40 @@ by few tasks (the big-file goal) instead of #tasks × #partitions shards.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 PARTITION_COLS = ("hiveperiod", "dstrct_code")
 
 
-def read_lake(spark: SparkSession, root: str, paths: list[str] | None = None) -> DataFrame:
-    """Whole-lake scan (glob, S2) or explicit file list under a basePath (S3)."""
+def read_lake(
+    spark: SparkSession,
+    root: str,
+    paths: list[str] | None = None,
+    empty_schema: StructType | str | None = None,
+) -> DataFrame:
+    """Whole-lake scan (glob, S2) or explicit file list under a basePath (S3).
+
+    ``empty_schema``: a lake that streaming sinks populate may not EXIST
+    yet — day-one deploy, new tenant, every micro-batch empty so far (the
+    skip-on-empty sink writes nothing). A dashboard read must see an empty
+    typed table then, not PATH_NOT_FOUND (empty-corpus probe, round 12).
+    With a schema provided, a missing root returns a zero-row frame of
+    that schema; without one, the loud error stands (a TYPO'd path must
+    not silently read as empty).
+    """
     if paths is None:
+        if empty_schema is not None:
+            from py4j.protocol import Py4JJavaError
+
+            jvm = spark.sparkContext._jvm
+            jconf = spark.sparkContext._jsc.hadoopConfiguration()
+            jpath = jvm.org.apache.hadoop.fs.Path(root)
+            try:
+                exists = jpath.getFileSystem(jconf).exists(jpath)
+            except Py4JJavaError:
+                exists = False
+            if not exists:
+                return spark.createDataFrame([], empty_schema)
         return spark.read.parquet(root)
     return spark.read.option("basePath", root).parquet(*paths)
 

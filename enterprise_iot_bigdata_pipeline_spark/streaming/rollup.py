@@ -104,7 +104,24 @@ def continuous_rollup(
     keys: tuple[str, ...] = ("dstrct_code",),
     watermark: str = "10 minutes",
 ) -> StreamingQuery:
-    """Start the maintenance stream: raw events in, rollup table kept fresh."""
+    """Start the maintenance stream: raw events in, rollup table kept fresh.
+
+    The rollup table exists from the moment the maintenance job is created
+    (a zero-row, schema-complete parquet init): a source that never
+    delivers a batch — day-one deploy, new tenant, upstream outage —
+    must leave ``read_rollup`` returning an empty table, not crashing on
+    PATH_NOT_FOUND (empty-corpus probe, round 12). ``_partials`` on the
+    streaming frame is schema-only (never executed), and the init goes
+    through ``overwrite_atomic`` so the commit-marker layout is identical
+    to a real merge; ``merge_rollup`` heals swap crashes before its
+    existence check, so the init can never clobber accumulated history.
+    """
+    recover_swap(spark, rollup_path)
+    if not path_exists(spark, rollup_path):
+        init_schema = _partials(source, ts_col, window, keys).schema
+        overwrite_atomic(
+            spark, spark.createDataFrame([], init_schema), rollup_path, epoch_id=None
+        )
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():

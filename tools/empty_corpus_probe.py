@@ -1,0 +1,210 @@
+"""Empty-corpus probe: every query, both engines, ZERO input rows.
+
+The fresh-partition / day-one production hazard: a pipeline that has
+only ever seen populated tables meets an empty one (new tenant, new
+date partition, upstream outage) and either crashes (driver-side
+``.collect()[0]``, argmax over nothing, division by a zero count that
+ANSI mode turns into an error) or silently diverges from the reference
+semantics (SUM over empty is NULL, COUNT is 0, quantiles are NULL,
+window frames vanish). None of the existing gates exercise n=0: the
+smallest corpus is sf0.001 and the nasty batteries always ship rows.
+
+This probe builds a corpus where every table keeps its exact parquet
+schema (schema copied from sf0.001, including the TIMESTAMP(NANOS)
+events column) with ZERO rows, then runs every registered query AND its
+DuckDB oracle on it:
+
+- both sides succeed -> hashes must match (usually both empty; global
+  aggregates may produce a legitimate 1-row NULL/0 summary — that row
+  must still match);
+- both sides raise -> acceptable only as a NAMED exemption (a loud,
+  documented empty-input contract);
+- one side raises or hashes differ -> a real divergence, the bug class
+  this probe exists to find.
+
+A second shape, ``--rows 1``, slices the FIRST ROW of every sf0.001
+table instead: single-row tables stress the n−1 variance denominators
+(sample stddev over one observation is NULL in SQL, NaN if computed as
+a float expression), percentile interpolation with one point, window
+frames where every lag/lead is NULL, and joins where every FK is an
+orphan — a different divergence family from n=0, for the same cost.
+
+Run: python tools/empty_corpus_probe.py [--names n1,n2,...] [--rows 0|1]
+Wired into pytest via tests/test_empty_corpus.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+SF_TEMPLATE = "/root/testdata/sf0.001"
+
+# name -> written reason the flagged behavior is the intended contract.
+# Asserted to still fire (subset runs only stale-check audited names).
+EXEMPT: dict[str, str] = {}
+
+# Same, for the --rows 1 shape.
+EXEMPT_N1: dict[str, str] = {}
+
+
+def build_empty_corpus(out_dir: str | None = None, rows: int = 0) -> str:
+    """Write an ``rows``-row copy of every corpus table (first rows of
+    the sf0.001 files, so ``rows=0`` is schema-identical empty — the
+    pyarrow round-trip keeps physical types, including events.ts
+    TIMESTAMP(NANOS) — and ``rows=1`` is the single-observation shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import TABLES
+
+    d = Path(out_dir or tempfile.mkdtemp(prefix=f"tiny_corpus_{rows}_"))
+    d.mkdir(parents=True, exist_ok=True)
+    for name in TABLES:
+        if rows == 0:
+            src = pq.read_schema(f"{SF_TEMPLATE}/{name}.parquet")
+            pq.write_table(src.empty_table(), str(d / f"{name}.parquet"))
+        else:
+            src = pq.read_table(f"{SF_TEMPLATE}/{name}.parquet").slice(0, rows)
+            pq.write_table(src, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def _hash_rows(rows) -> str:
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def probe_query(
+    spark, fn, oracle: str | None, con, empty_dir: str, label: str = "n=0"
+) -> list[str]:
+    """Violations for one query on the tiny corpus."""
+    from oracle_compare import canonical_rows
+
+    try:
+        sp_rows = canonical_rows(fn(spark, empty_dir).toPandas())
+        sp_err = None
+    except Exception as exc:  # noqa: BLE001
+        sp_rows, sp_err = None, f"{type(exc).__name__}: {exc}"[:200]
+    if oracle is None:
+        if sp_err is not None:
+            return [f"raises: spark-only (no oracle) failed on {label} — {sp_err}"]
+        return []
+    try:
+        rel = con.sql(oracle)
+        du = rel.fetchdf()
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ) == "DATE":
+                du[col] = du[col].dt.date
+        du_rows = canonical_rows(du)
+        du_err = None
+    except Exception as exc:  # noqa: BLE001
+        du_rows, du_err = None, f"{type(exc).__name__}: {exc}"[:200]
+
+    if sp_err and du_err:
+        return [f"raises: BOTH engines fail on {label} (spark: {sp_err} | duck: {du_err})"]
+    if sp_err:
+        return [f"diverges: spark raises on {label} ({sp_err}), oracle returns {len(du_rows)} rows"]
+    if du_err:
+        return [f"diverges: oracle raises on {label} ({du_err}), spark returns {len(sp_rows)} rows"]
+    if len(sp_rows) != len(du_rows):
+        return [f"diverges: {label} row counts spark={len(sp_rows)} duck={len(du_rows)}"]
+    if _hash_rows(sp_rows) != _hash_rows(du_rows):
+        diffs = [(a, b) for a, b in zip(sp_rows, du_rows) if a != b][:3]
+        return [f"diverges: {label} value mismatch, first diffs {diffs}"]
+    return []
+
+
+def probe_rows(spark, names=None, empty_dir: str | None = None, rows_n: int = 0):
+    import duckdb
+
+    from enterprise_iot_bigdata_pipeline_spark.plans import (
+        ORACLES,
+        all_queries,
+    )
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import TABLES
+
+    queries = all_queries()
+    empty_dir = empty_dir or build_empty_corpus(rows=rows_n)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{empty_dir}/{name}.parquet')"
+        )
+    rows = []
+    for name in sorted(queries):
+        if names and name not in names:
+            continue
+        vs = probe_query(
+            spark, queries[name], ORACLES.get(name), con, empty_dir,
+            label=f"n={rows_n}",
+        )
+        if vs:
+            rows.append((name, vs))
+    return rows
+
+
+def violations_outside_exemptions(
+    rows, audited: set[str] | None = None, exempt: dict[str, str] | None = None
+):
+    exempt = EXEMPT if exempt is None else exempt
+    fired: set[str] = set()
+    unexempted = []
+    for name, vs in rows:
+        reason = exempt.get(name)
+        kinds = {v.split(":", 1)[0] for v in vs}
+        if reason is not None and kinds <= {"raises"}:
+            # exemptions cover LOUD both-sides/spark-only failures only —
+            # a silent divergence is never exemptible
+            fired.add(name)
+        else:
+            unexempted.append((name, vs))
+    stale = [
+        name
+        for name in exempt
+        if name not in fired and (audited is None or name in audited)
+    ]
+    return unexempted, stale
+
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--names", help="comma-separated subset")
+    ap.add_argument("--rows", type=int, default=0, choices=(0, 1),
+                    help="corpus rows per table (0 = empty, 1 = single-row)")
+    args = ap.parse_args()
+    names = set(args.names.split(",")) if args.names else None
+
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="empty_corpus_probe")
+    rows = probe_rows(spark, names, rows_n=args.rows)
+    unexempted, stale = violations_outside_exemptions(
+        rows, audited=names, exempt=EXEMPT_N1 if args.rows else EXEMPT
+    )
+    for name, vs in rows:
+        status = "FAIL" if any(n == name for n, _ in unexempted) else "EXEMPT"
+        print(f"{status} {name}: {'; '.join(vs)}")
+    if stale:
+        print("STALE exemptions (delete):", ", ".join(stale))
+    print(
+        f"probed {'subset' if names else 'registry'}: "
+        f"{len(rows)} flagged, {len(unexempted)} unexempted, {len(stale)} stale"
+    )
+    return 1 if (unexempted or stale) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
