@@ -85,12 +85,13 @@ def register(name: str, oracle: str | None = None, late: bool = False):
 # matches the computation, so the list stays reviewable while drift from
 # the policy is a test failure. The round-12 window below samples the
 # never-driver-sampled r12 registrations first (audio_spectral_bins,
-# dedup_semantic_clusters), then the 48 stalest driver rows: the
-# remaining r7 cohort (text suite tail, graph, TPC-H join shapes,
-# streaming slots, the timeseries battery).
+# curation_dsir_weights, dedup_semantic_clusters), then the 47 stalest
+# driver rows: the remaining r7 cohort (text suite tail, graph, TPC-H
+# join shapes, streaming slots, the timeseries battery).
 # Regenerate with:  python tools/rotation.py --emit
 _PRIORITY = [
     "audio_spectral_bins",
+    "curation_dsir_weights",
     "dedup_semantic_clusters",
     "text_pii_redact",
     "text_readability",
@@ -139,7 +140,6 @@ _PRIORITY = [
     "timeseries_declining_streaks",
     "timeseries_fir_smooth",
     "timeseries_gap_topk",
-    "timeseries_histogram",
 ]
 
 # Re-entrancy: three oracle builders (ann_recall_eval, dedup_recall_eval,

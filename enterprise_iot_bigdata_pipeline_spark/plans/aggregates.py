@@ -183,15 +183,25 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    est = F.approx_count_distinct("l_orderkey", 0.02)
-    exact = F.countDistinct("l_orderkey")
-    return (
+    # NOT one agg mixing countDistinct with the HLL: that plan expands to
+    # a (l_returnflag, l_orderkey) grouping that carries the ~3.3 KB HLL
+    # buffer on EVERY distinct-key row through the wide shuffle (sketch ×
+    # distinct-cardinality bytes — measured 10× the whole query's budget
+    # at sf0.1, and unbounded at 100 TB). HLL is duplicate-insensitive,
+    # so building the sketch over the deduped first-phase frame is
+    # value-identical and sketches exist only at partial-aggregate
+    # granularity (#partitions × #flags of them, constant-bounded).
+    base = (
         t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+        .groupBy("l_returnflag", "l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        base.groupBy("l_returnflag")
         .agg(
-            est.alias("approx_orders"),
-            exact.alias("n_orders_exact"),
-            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.count(F.lit(1)).alias("n_orders_exact"),
+            F.sum("cnt").cast("long").alias("n"),
         )
         .select(
             "l_returnflag",

@@ -638,3 +638,184 @@ def split_group_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score every
+# document by how target-like it is under hashed n-gram bag-of-words
+# models — log w(x) = Σ_features [log p_target(f) − log p_raw(f)] — and
+# keep the highest-weight quarter per source (the paper's Gumbel-top-k
+# resample replaced by its deterministic twin, the mixture_sample
+# convention). Features are bigrams hashed into B=512 buckets
+# (md5-prefix, the engine-portable hash idiom); the target model is the
+# 'en' slice, the raw model the whole corpus, both add-1 smoothed.
+#
+# Float discipline: the per-occurrence log-ratio is fixed-point micro-nat
+# arithmetic — round(ln(k)·1e6) of INTEGER arguments, rounded BEFORE
+# summation (the text_bigram_perplexity contract) — so per-doc totals are
+# exact integer sums in both engines; the model-normalizer correction
+# n_feats·(ln(N_raw+B) − ln(N_target+B)) is the same fixed-point form.
+# N_target/N_raw are coalesced to 0 so a corpus with no target-language
+# rows (or no rows at all) scores cleanly instead of going NULL.
+#
+# Scale shape: two linear tokenize+explode aggregates build the models
+# (≤B=512 rows each — they ride PRINCIPLED broadcasts, unlike corpus-
+# cardinality frames); occurrences join the broadcast models map-side;
+# one per-doc hash re-aggregate; the selection window is partitioned by
+# source (bounded groups), never a global sort.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 512
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_ORACLE = rf"""
+WITH words AS (
+    SELECT doc_id, source, lang,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, source,
+           lang,
+           CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+    FROM (
+        SELECT doc_id, source, lang,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> array_to_string(ws[i:i+1], ' '))) AS g
+        FROM words WHERE len(ws) >= 2
+    )
+),
+tc AS (SELECT b, count(*) AS ct FROM feat
+       WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+rc AS (SELECT b, count(*) AS cr FROM feat GROUP BY b),
+tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS nt,
+               (SELECT coalesce(sum(cr), 0) FROM rc) AS nr),
+terms AS (
+    SELECT f.doc_id, f.source,
+           CAST(round(ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+           - CAST(round(ln(CAST(rc.cr + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS term
+    FROM feat f
+    LEFT JOIN tc ON f.b = tc.b
+    JOIN rc ON f.b = rc.b
+),
+doc AS (
+    SELECT doc_id, source,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(term) AS BIGINT) AS s
+    FROM terms GROUP BY doc_id, source
+),
+w AS (
+    SELECT d.doc_id, d.source, d.n_feats,
+           d.s + d.n_feats *
+             (CAST(round(ln(CAST(t.nr + {_DSIR_B} AS DOUBLE)) * 1e6, 0) AS BIGINT)
+            - CAST(round(ln(CAST(t.nt + {_DSIR_B} AS DOUBLE)) * 1e6, 0) AS BIGINT))
+           AS logw_micro
+    FROM doc d CROSS JOIN tot t
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY logw_micro DESC, doc_id) AS rk,
+           count(*) OVER (PARTITION BY source) AS ns
+    FROM w
+)
+SELECT doc_id, source, n_feats, logw_micro,
+       -- per-feature average stays FIXED-POINT: an explicit half-away
+       -- integer rounding on abs (floor-div of positives is identical in
+       -- both engines; double round() tie semantics are NOT — Spark
+       -- rounds half away, DuckDB half even, and micro/1e6/n ties hit
+       -- the 9-dp boundary for real at sf0.1)
+       CAST(CASE WHEN logw_micro < 0
+                 THEN -((2 * (-logw_micro) + n_feats) // (2 * n_feats))
+                 ELSE (2 * logw_micro + n_feats) // (2 * n_feats) END
+            AS BIGINT) AS avg_logw_micro,
+       CAST(CASE WHEN 4 * rk <= ns + 3 THEN 1 ELSE 0 END AS INTEGER) AS selected
+FROM r
+"""
+
+
+@register("curation_dsir_weights", _DSIR_ORACLE)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enterprise_iot_bigdata_pipeline_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    ws = X.words(F.col("text"))
+    sz = F.size(ws)
+    tail = F.slice(ws, 2, F.greatest(sz - 1, F.lit(0)))
+    grams = F.slice(
+        F.zip_with(ws, tail, lambda a, b: F.concat(a, F.lit(" "), b)),
+        1,
+        F.greatest(sz - 1, F.lit(0)),
+    )
+    feat = (
+        docs.filter(sz >= 2)
+        .select("doc_id", "source", "lang", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
+    tc = (
+        feat.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rc = feat.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
+        rc.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+    )
+    fixed_ln = lambda c: F.round(F.log(c.cast("double")) * 1e6, 0).cast("long")  # noqa: E731
+    terms = (
+        feat.join(F.broadcast(tc), "b", "left")
+        .join(F.broadcast(rc), "b")
+        .select(
+            "doc_id",
+            "source",
+            (
+                fixed_ln(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - fixed_ln(F.col("cr") + 1)
+            ).alias("term"),
+        )
+    )
+    doc = terms.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum("term").cast("long").alias("s"),
+    )
+    w = doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_feats",
+        (
+            F.col("s")
+            + F.col("n_feats")
+            * (
+                fixed_ln(F.col("nr") + _DSIR_B) - fixed_ln(F.col("nt") + _DSIR_B)
+            )
+        )
+        .cast("long")
+        .alias("logw_micro"),
+    )
+    win = W.partitionBy("source").orderBy(F.col("logw_micro").desc(), "doc_id")
+    r = w.withColumn("rk", F.row_number().over(win)).withColumn(
+        "ns", F.count(F.lit(1)).over(W.partitionBy("source"))
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "n_feats",
+        "logw_micro",
+        # half-away integer micro-average — see the oracle's tie note
+        F.when(
+            F.col("logw_micro") < 0,
+            -F.expr("(2 * (-logw_micro) + n_feats) div (2 * n_feats)"),
+        )
+        .otherwise(F.expr("(2 * logw_micro + n_feats) div (2 * n_feats)"))
+        .cast("long")
+        .alias("avg_logw_micro"),
+        (4 * F.col("rk") <= F.col("ns") + 3).cast("int").alias("selected"),
+    )

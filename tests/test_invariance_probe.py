@@ -36,6 +36,43 @@ def test_probe_slice_is_dop_invariant(spark):
     assert not unexempted and not stale, msg
 
 
+def test_probe_slice_is_ansi_invariant(spark):
+    """Second axis (round 12): values must not depend on
+    spark.sql.ansi.enabled — production clusters commonly run false (the
+    pre-Spark-4 default), and a silent NULL-where-ANSI-raises or a
+    wrapping cast would give different answers on identical data. Full
+    registry per-round via the tool (--axis ansi); rotating slice here."""
+    from enterprise_iot_bigdata_pipeline_spark.plans import _PRIORITY, load_all
+    from tools.invariance_probe import probe_rows, violations_outside_exemptions
+
+    load_all()
+    names = set(_PRIORITY[18:26])
+    rows = probe_rows(spark, names, axis="ansi")
+    unexempted, stale = violations_outside_exemptions(rows, audited=names)
+    msg = "\n".join(f"{n}: {'; '.join(vs)}" for n, vs in unexempted)
+    assert not unexempted and not stale, msg
+
+
+def test_probe_detects_planted_ansi_sensitivity(spark):
+    """Self-test: a query whose values change with the ANSI flag (here a
+    try-division that is NULL under ansi=true semantics differences is
+    hard to plant portably, so plant the flag itself) must be flagged."""
+    from pyspark.sql import functions as F
+
+    from tools.invariance_probe import probe_query
+
+    def planted(spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(5)
+        # leaks the session's ANSI setting straight into the output
+        return df.select(
+            "o_orderkey",
+            F.lit(spark.conf.get("spark.sql.ansi.enabled")).alias("mode"),
+        )
+
+    vs = probe_query(spark, planted, axis="ansi")
+    assert any("ansi-sensitive" in v for v in vs), vs
+
+
 def test_probe_detects_planted_dop_sensitivity(spark):
     """Self-test: a query whose output depends on the partition count
     must be flagged; float sums behind the decimal-accumulation

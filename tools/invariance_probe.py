@@ -49,6 +49,28 @@ CONF_B = {
     "spark.sql.files.openCostInBytes": "0",
 }
 
+# Second axis (round 12): ANSI mode. Production clusters commonly run
+# spark.sql.ansi.enabled=false (the pre-Spark-4 default, and the first
+# thing an ops team flips when a legacy job starts throwing); a query
+# whose VALUES change with the flag (a silent NULL where ANSI would
+# have raised, try_* fallbacks, cast overflow wrapping) gives different
+# answers on different clusters with identical data. The registry must
+# be hash-identical under both. The oracle side has no analogue, so the
+# ansi axis is Spark-only.
+AXES = {
+    "dop": (
+        CONF_A,
+        CONF_B,
+        "value hash changes between (shuffle=32, split=4m) and "
+        "(shuffle=7, split=512k)",
+    ),
+    "ansi": (
+        {"spark.sql.ansi.enabled": "true"},
+        {"spark.sql.ansi.enabled": "false"},
+        "value hash changes between ansi=true and ansi=false",
+    ),
+}
+
 # name -> {check kind -> written reason}. Asserted to still fire.
 EXEMPT: dict[str, dict[str, str]] = {}
 
@@ -71,25 +93,30 @@ def _set_conf(spark, conf: dict) -> dict:
     return old
 
 
-def probe_query(spark, fn, sf_dir: str = SF_DIR) -> list[str]:
-    """Violations for one query: Spark hash under CONF_A vs CONF_B."""
+def probe_query(spark, fn, sf_dir: str = SF_DIR, axis: str = "dop") -> list[str]:
+    """Violations for one query: Spark hash under the axis's A vs B conf."""
+    conf_a, conf_b, sensitive_msg = AXES[axis]
     violations: list[str] = []
-    saved = _set_conf(spark, CONF_A)
+    # save the UNION of both confs' keys up front: CONF_B can set keys
+    # CONF_A does not (openCostInBytes), and restoring only CONF_A's keys
+    # would leak CONF_B state into the session for every later caller
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in {**conf_a, **conf_b}
+    }
+    _set_conf(spark, conf_a)
     try:
         try:
             h_a = _hash_df(fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001
-            return [f"error under CONF_A: {type(exc).__name__}: {exc}"[:300]]
-        _set_conf(spark, CONF_B)
+            return [f"error under {axis} CONF_A: {type(exc).__name__}: {exc}"[:300]]
+        _set_conf(spark, conf_b)
         try:
             h_b = _hash_df(fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001
-            return [f"error under CONF_B: {type(exc).__name__}: {exc}"[:300]]
+            return [f"error under {axis} CONF_B: {type(exc).__name__}: {exc}"[:300]]
         if h_a != h_b:
-            violations.append(
-                "dop-sensitive: value hash changes between "
-                "(shuffle=32, split=4m) and (shuffle=7, split=512k)"
-            )
+            violations.append(f"{axis}-sensitive: {sensitive_msg}")
     finally:
         for k, v in saved.items():
             if v is None:
@@ -119,7 +146,9 @@ def probe_oracle(con1, con8, sql: str) -> list[str]:
     return []
 
 
-def probe_rows(spark, names=None, sf_dir: str = SF_DIR, include_oracle=True):
+def probe_rows(
+    spark, names=None, sf_dir: str = SF_DIR, include_oracle=True, axis: str = "dop"
+):
     from oracle_compare import duck_connection
 
     from enterprise_iot_bigdata_pipeline_spark.plans import (
@@ -128,6 +157,7 @@ def probe_rows(spark, names=None, sf_dir: str = SF_DIR, include_oracle=True):
     )
 
     queries = all_queries()
+    include_oracle = include_oracle and axis == "dop"  # no oracle ANSI analogue
     con1 = con8 = None
     if include_oracle:
         con1, con8 = duck_connection(sf_dir), duck_connection(sf_dir)
@@ -137,7 +167,7 @@ def probe_rows(spark, names=None, sf_dir: str = SF_DIR, include_oracle=True):
     for name in sorted(queries):
         if names and name not in names:
             continue
-        vs = probe_query(spark, queries[name], sf_dir)
+        vs = probe_query(spark, queries[name], sf_dir, axis=axis)
         if include_oracle and name in ORACLES:
             vs += probe_oracle(con1, con8, ORACLES[name])
         if vs:
@@ -175,6 +205,7 @@ def main() -> int:
     ap.add_argument("--names", help="comma-separated subset")
     ap.add_argument("--sf", default=SF_DIR)
     ap.add_argument("--no-oracle", action="store_true")
+    ap.add_argument("--axis", default="dop", choices=sorted(AXES))
     args = ap.parse_args()
     names = set(args.names.split(",")) if args.names else None
 
@@ -182,7 +213,7 @@ def main() -> int:
 
     spark = get_spark(app_name="invariance_probe")
     rows = probe_rows(
-        spark, names, args.sf, include_oracle=not args.no_oracle
+        spark, names, args.sf, include_oracle=not args.no_oracle, axis=args.axis
     )
     unexempted, stale = violations_outside_exemptions(rows, audited=names)
     for name, vs in rows:
