@@ -200,7 +200,10 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-            F.count(F.lit(1)).alias("n_orders_exact"),
+            # count(col), not count(*): a NULL l_orderkey becomes a GROUP
+            # ROW in base, and count(DISTINCT ...) semantics exclude NULL
+            # (nasty-orders battery caught the count(*) form)
+            F.count("l_orderkey").alias("n_orders_exact"),
             F.sum("cnt").cast("long").alias("n"),
         )
         .select(
