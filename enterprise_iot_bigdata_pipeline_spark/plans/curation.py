@@ -658,9 +658,10 @@ def split_group_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N_target/N_raw are coalesced to 0 so a corpus with no target-language
 # rows (or no rows at all) scores cleanly instead of going NULL.
 #
-# Scale shape: two linear tokenize+explode aggregates build the models
-# (≤B=512 rows each — they ride PRINCIPLED broadcasts, unlike corpus-
-# cardinality frames); occurrences join the broadcast models map-side;
+# Scale shape: ONE linear tokenize+explode aggregate builds both models
+# (raw count + conditional target count per bucket, ≤B=512 rows — they
+# ride a PRINCIPLED broadcast, unlike corpus-cardinality frames);
+# occurrences join the broadcast model map-side;
 # one per-doc hash re-aggregate; the selection window is partitioned by
 # source (bounded groups), never a global sort.
 # ---------------------------------------------------------------------------
@@ -685,18 +686,18 @@ feat AS (
         FROM words WHERE len(ws) >= 2
     )
 ),
-tc AS (SELECT b, count(*) AS ct FROM feat
-       WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
-rc AS (SELECT b, count(*) AS cr FROM feat GROUP BY b),
-tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS nt,
-               (SELECT coalesce(sum(cr), 0) FROM rc) AS nr),
+model AS (
+    SELECT b, count(*) AS cr,
+           sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+    FROM feat GROUP BY b
+),
+tot AS (SELECT coalesce(sum(ct), 0) AS nt, coalesce(sum(cr), 0) AS nr FROM model),
 terms AS (
     SELECT f.doc_id, f.source,
-           CAST(round(ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
-           - CAST(round(ln(CAST(rc.cr + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS term
+           CAST(round(ln(CAST(m.ct + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+           - CAST(round(ln(CAST(m.cr + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS term
     FROM feat f
-    LEFT JOIN tc ON f.b = tc.b
-    JOIN rc ON f.b = rc.b
+    JOIN model m ON f.b = m.b
 ),
 doc AS (
     SELECT doc_id, source,
@@ -760,27 +761,24 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    tc = (
-        feat.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # BOTH models in ONE grouped pass over the occurrences (the target
+    # count as a conditional sum) — two passes would re-run the
+    # tokenize+explode for a <=B-row reduction
+    model = feat.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
     )
-    rc = feat.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tot = tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
-        rc.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+    tot = model.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"),
     )
     fixed_ln = lambda c: F.round(F.log(c.cast("double")) * 1e6, 0).cast("long")  # noqa: E731
-    terms = (
-        feat.join(F.broadcast(tc), "b", "left")
-        .join(F.broadcast(rc), "b")
-        .select(
-            "doc_id",
-            "source",
-            (
-                fixed_ln(F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                - fixed_ln(F.col("cr") + 1)
-            ).alias("term"),
-        )
+    terms = feat.join(F.broadcast(model), "b").select(
+        "doc_id",
+        "source",
+        (fixed_ln(F.col("ct") + 1) - fixed_ln(F.col("cr") + 1)).alias("term"),
     )
     doc = terms.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_feats"),
