@@ -207,6 +207,13 @@ STRESSED = [
     # round-11: audio WAV round-trip + frame features (per-doc O(n_samples))
     "audio_frame_features",
     "image_thumbnail_stats",
+    # round-12: SemDeDup (suppressor-side cap prune), fixed-point DFT,
+    # DSIR importance weights, the restructured HLL/grouping-sets aggs
+    "dedup_semantic_clusters",
+    "audio_spectral_bins",
+    "curation_dsir_weights",
+    "agg_approx_distinct",
+    "agg_grouping_multi",
 ]
 # which table each query mainly scans → which copy to amplify
 MAIN_TABLE = {
@@ -354,6 +361,11 @@ MAIN_TABLE = {
     "video_keyframe_stats": "documents",
     "audio_frame_features": "documents",
     "image_thumbnail_stats": "documents",
+    "dedup_semantic_clusters": "embeddings",
+    "audio_spectral_bins": "documents",
+    "curation_dsir_weights": "documents",
+    "agg_approx_distinct": "lineitem",
+    "agg_grouping_multi": "events",
     "dedup_incremental_lsh": "documents",
     "orders_price_reconcile": "lineitem",
     "events_grid_hotspots": "events",
