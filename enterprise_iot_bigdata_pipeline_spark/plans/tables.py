@@ -32,6 +32,22 @@ TABLES = (
 # driver-side and cheap; cache it per file).
 _NS_COLS: dict[str, list[str]] = {}
 
+# path -> discovered Spark read schema (r12): a schema-less
+# ``spark.read.parquet`` spends ~75 ms of DRIVER time per call on footer
+# schema discovery, and the registry's queries construct each scan fresh
+# on every invocation (1–5 ``t()`` calls per query × 200+ queries ≈ tens
+# of seconds of pure plan-construction overhead per bench pass). The
+# corpus files are immutable per path, so the first discovery is cached
+# and later reads pass the schema explicitly (~17 ms). Only the SCHEMA is
+# memoized — never a DataFrame or any computed rows; every action still
+# scans the parquet inputs. Discovery happens under the nanosAsLong pin
+# below, so the cached schema is exactly what discovery would return.
+_SCHEMAS: dict[str, "object"] = {}
+
+# exprId-normalized optimized-plan text -> scan partition count (see
+# fan_out); bounded, decision-only — never rows.
+_FAN_OUT_PROBE: dict[str, int] = {}
+
 
 def _ns_timestamp_cols(path: str) -> list[str]:
     if path not in _NS_COLS:
@@ -109,7 +125,20 @@ def fan_out(df: DataFrame) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Probe-result cache (r12): ``df.rdd.getNumPartitions()`` costs ~60 ms
+    # of driver time per call, and the registry re-constructs identical
+    # scan frames on every invocation. The partition count of a
+    # scan-shaped frame depends only on its files and reader confs, both
+    # stable within a session, so the probe is memoized on the optimized
+    # plan text with expression IDs (#123 — fresh per construction)
+    # stripped. Keyed per plan shape, never per result.
+    key = re.sub(r"#\d+", "", plan)
+    n_parts = _FAN_OUT_PROBE.get(key)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        if len(_FAN_OUT_PROBE) < 4096:
+            _FAN_OUT_PROBE[key] = n_parts
+    if n_parts >= target:
         return df
     return df.repartition(target)
 
@@ -129,7 +158,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    df = spark.read.parquet(path)
+    if path in _SCHEMAS:
+        df = spark.read.schema(_SCHEMAS[path]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMAS[path] = df.schema
     for c in _ns_timestamp_cols(path):
         df = df.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")

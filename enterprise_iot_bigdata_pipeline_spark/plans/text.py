@@ -1009,7 +1009,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = D.simhash(
         t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
         "text", "doc_id",
-    )
+    # two consumers (fingerprint branch + banding join) — without this the
+    # tokenize+hash+Arrow fold runs once per branch in the one action; the
+    # frame is two longs per doc (at real scale: the fingerprint table a
+    # dedup pipeline persists anyway). Measured 5.5 s → 2.0 s at sf0.1.
+    ).localCheckpoint()
     fingerprints = sims.select(
         F.lit("fingerprint").alias("kind"),
         F.col("doc").alias("a"),
@@ -1913,12 +1917,32 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         prefix.groupBy("h")
         .agg(
-            F.array_sort(F.collect_set(F.struct("doc", "n"))).alias("ms")
+            F.array_sort(F.collect_set(F.struct("doc", "n", "pos"))).alias("ms")
         )
         .filter(F.size("ms") >= 2)
         .select(F.explode(_pairs_of_sorted(F.col("ms"))).alias("p"))
         .filter(
             F.lit(2) * F.least("p.a.n", "p.b.n") >= F.greatest("p.a.n", "p.b.n")
+        )
+        # PPJoin POSITIONAL filter (r12, lossless): overlap ≤ 1 +
+        # min(n−pos) counted from this bucket's element — exact for the
+        # pair's FIRST common prefix element in the global (df, h) order
+        # (every other overlap element ranks strictly later in BOTH
+        # docs), and a qualifying pair needs 3·overlap ≥ na+nb at τ=1/2,
+        # so it always survives in that first bucket; later buckets may
+        # prune it, the distinct keeps one survival. Integer-exact, same
+        # verified output (oracle enumerates unpruned). Measured: 310k →
+        # 125k candidates at sf0.1, candidate+verify time ≈ halved.
+        .filter(
+            F.lit(3)
+            * (
+                F.lit(1)
+                + F.least(
+                    F.col("p.a.n") - F.col("p.a.pos"),
+                    F.col("p.b.n") - F.col("p.b.pos"),
+                )
+            )
+            >= F.col("p.a.n") + F.col("p.b.n")
         )
         .select(F.col("p.a.doc").alias("da"), F.col("p.b.doc").alias("db"))
         .distinct()

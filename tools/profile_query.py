@@ -1,0 +1,98 @@
+"""Isolate and profile registered queries (round-12 optimization round).
+
+Usage:
+    python tools/profile_query.py NAME [NAME...] [--sf DIR] [--runs N]
+        [--explain-dir plans/r12] [--suffix before]
+
+For each name: warm-up run, then min-of-N timed runs through the noop sink
+(guide §1.4), with the Spark job/stage counts observed via the status
+tracker so "many tiny jobs" shows up as the bottleneck it is. Optionally
+writes `.explain("formatted")` to <explain-dir>/<name>_<suffix>.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--explain-dir", default=None)
+    ap.add_argument("--suffix", default="before")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    import os
+
+    if args.cpus:
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+
+    from enterprise_iot_bigdata_pipeline_spark.plans import all_queries
+    from enterprise_iot_bigdata_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="profile")
+    sc = spark.sparkContext
+    queries = all_queries()
+    out: dict[str, dict] = {}
+    for name in args.names:
+        if name not in queries:
+            print(f"!! unknown query: {name}", file=sys.stderr)
+            continue
+        fn = queries[name]
+        sc.setJobDescription(f"profile:{name}")
+        # warmup
+        t0 = time.perf_counter()
+        fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+        warm = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        times = []
+        jobs_before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+        job0 = None
+        for _ in range(args.runs):
+            spark.catalog.clearCache()
+            st = sc.statusTracker()
+            j_pre = max(st.getJobIdsForGroup(None) or [-1])
+            t0 = time.perf_counter()
+            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 3))
+            j_post = max(sc.statusTracker().getJobIdsForGroup(None) or [-1])
+            if job0 is None:
+                job0 = j_post - j_pre
+        rec = {
+            "warm": round(warm, 3),
+            "min": min(times),
+            "times": times,
+            "n_jobs_per_run": job0,
+        }
+        out[name] = rec
+        print(f"{name}: min={rec['min']}s jobs/run={job0} times={times}", flush=True)
+        if args.explain_dir:
+            d = Path(args.explain_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            try:
+                df = fn(spark, args.sf)
+                import contextlib
+                import io as _io
+
+                buf = _io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                (d / f"{name}_{args.suffix}.txt").write_text(buf.getvalue())
+            except Exception as exc:  # noqa: BLE001
+                print(f"!! explain failed for {name}: {exc}", file=sys.stderr)
+        sc.setJobDescription(None)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
