@@ -103,7 +103,11 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash partitioning on src and reuse it across iterations.
     e = edges.join(ow, "src").coalesce(1).localCheckpoint()
 
-    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    # |nations|-bounded (25 rows): pin the node table and every iterate
+    # frame to ONE partition like the edge frame above — the default
+    # shuffle width would run cluster-width stages over 25-row frames on
+    # every iteration (r12; a web-scale node set keeps hash partitioning).
+    nodes = nation.select(F.col("n_nationkey").alias("node")).coalesce(1).localCheckpoint()
     ranks = nodes.select("node", F.lit(_R0).cast("double").alias("r"))
     for it in range(_N_ITER):
         contrib = (
@@ -131,7 +135,7 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the same reliability checkpoint any iterative distributed
         # PageRank needs anyway, cadence tuned to plan depth.
         if it % 2 == 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.coalesce(1).localCheckpoint()
     return ranks.join(
         F.broadcast(nation), ranks.node == nation.n_nationkey
     ).select(F.col("n_name").alias("nation"), "node", F.col("r").alias("pagerank"))
@@ -424,6 +428,21 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_edges = e.count()
+    # Size the peel loop's stage width from the ACTUAL edge count (the
+    # connected_components r12 convention): the support-filtered edge set
+    # is a small fraction of the pair expansion, and the peel only
+    # shrinks it — session-constant shuffle width would run every one of
+    # the 12 rounds cluster-wide regardless of how little survives.
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _CC_ROWS_PER_PART
+
+    parts = max(
+        1,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            (n_edges + _CC_ROWS_PER_PART - 1) // _CC_ROWS_PER_PART,
+        ),
+    )
+    e = e.repartition(parts, "pa").localCheckpoint()
     for _ in range(_KCORE_ROUNDS):
         if n_edges == 0:
             break
@@ -437,6 +456,7 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(keep.withColumnRenamed("n", "pa"), "pa")
             .join(keep.withColumnRenamed("n", "pb"), "pb")
             .select("pa", "pb")
+            .repartition(parts, "pa")
             .localCheckpoint()
         )
         n2 = e2.count()
@@ -553,5 +573,6 @@ def graph_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cc").cast("double"), 12).alias("pr")
         )
         if it % 3 == 2:
-            r = r.localCheckpoint()
+            # |types|-bounded iterate frame — one partition, like p above
+            r = r.coalesce(1).localCheckpoint()
     return r.select("state", F.col("pr").alias("stationary_p"))

@@ -1609,12 +1609,24 @@ def text_bigram_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(sz >= 2)
         .select("doc_id", F.explode(grams).alias("g"))
     )
-    cnt = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
-    j = bg.join(cnt, "g")
+    # Per-doc bigram counts FIRST (the DSIR r12 restructure): bg feeds
+    # both the corpus frequency table and the per-doc rollup, so reduce
+    # it once to (doc, g, dc) and recover every occurrence-level figure
+    # as exact dc-weighted integer sums — n_bigrams = Σdc, distinct =
+    # row count, freq_sum = Σ dc·c. One tokenize+explode pass instead of
+    # two, and the expand for countDistinct disappears (measured
+    # 1.6 s → 1.1 s at sf0.1).
+    docb = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .localCheckpoint()
+    )
+    cnt = docb.groupBy("g").agg(F.sum("dc").alias("c"))
+    j = docb.join(cnt, "g")
     agg = j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.countDistinct("g").alias("n_distinct_bigrams"),
-        F.sum("c").alias("freq_sum"),
+        F.sum("dc").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.sum(F.col("dc") * F.col("c")).alias("freq_sum"),
     )
     return agg.select(
         "doc_id",
@@ -2363,9 +2375,16 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL-text docs contribute no shingles (see _SHINGLES_CTE note)
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    ss = docs.select(
-        "source", F.explode(X.word_shingles(F.col("text"))).alias("shingle")
-    ).distinct()
+    ss = (
+        docs.select(
+            "source", F.explode(X.word_shingles(F.col("text"))).alias("shingle")
+        )
+        .distinct()
+        # TWO consumers (sizes + buckets) — the shingle explode+distinct
+        # is the one corpus-scaled reduction, materialized once (the
+        # multiply-consumed-reduction convention, r7/r12)
+        .localCheckpoint()
+    )
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     buckets = ss.groupBy("shingle").agg(
         F.sort_array(F.collect_set("source")).alias("srcs")
@@ -2533,7 +2552,10 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         F.col("doc_id").alias("doc"),
         F.explode(X.word_shingles(F.col("text"))).alias("shingle"),
-    )
+    # TWO consumers (first-seen agg + the join back) — materialize the
+    # shingle explode once (multiply-consumed-reduction convention;
+    # measured 2.5 s → 1.5 s at sf0.1)
+    ).localCheckpoint()
     first_seen = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
     per_doc = (
         sh.join(first_seen, "shingle")

@@ -845,58 +845,95 @@ def _corr_oracle() -> str:
     """
 
 
-def _corr_spark_sql() -> str:
-    """The same plan as the oracle in Spark SQL dialect, built ONCE as a
-    string: constructing the ~450 aggregate/stack expressions through the
-    Column API costs ~4.7 s of py4j round trips PER CALL (measured; the
-    aggregate itself runs in ~2 s) — a single spark.sql parse is
-    milliseconds. element_at is 1-based like DuckDB's list index."""
-    x = lambda i: f"CAST(element_at(embedding, {i}) AS DOUBLE)"  # noqa: E731
-    d6 = lambda e: f"CAST(sum(CAST({e} AS DECIMAL(25,6))) AS DOUBLE)"  # noqa: E731
-    d12 = lambda e: f"CAST(sum(CAST({e} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
-    sums = ", ".join(
-        f"{d6(x(i))} AS s{i}, {d12(f'{x(i)} * {x(i)}')} AS q{i}"
-        for i in range(1, DIM + 1)
-    )
-    prods = ", ".join(
-        f"{d12(f'{x(a)} * {x(b)}')} AS p{a}_{b}" for a, b in _CORR_PAIRS
-    )
-    stack_args = ", ".join(
-        f"{a}, {b}, s{a}, s{b}, q{a}, q{b}, p{a}_{b}" for a, b in _CORR_PAIRS
-    )
-    return f"""
-    WITH m AS (SELECT count(*) AS n, {sums}, {prods} FROM corr_emb),
-    pairs AS (
-        SELECT n, stack({len(_CORR_PAIRS)}, {stack_args})
-               AS (dim_a, dim_b, sa, sb, qa, qb, pab)
-        FROM m
-    ),
-    stats AS (
-        SELECT CAST(dim_a AS INT) AS dim_a, CAST(dim_b AS INT) AS dim_b,
-               CAST(n AS BIGINT) AS n,
-               round(pab / n - (sa / n) * (sb / n), 9) AS cov,
-               round(qa / n - (sa / n) * (sa / n), 9) AS var_a,
-               round(qb / n - (sb / n) * (sb / n), 9) AS var_b
-        FROM pairs
-    )
-    SELECT dim_a, dim_b, n,
-           CASE WHEN var_a > 0 AND var_b > 0
-                THEN round(cov / sqrt(var_a * var_b), 9) END AS corr_r
-    FROM stats
-    """
-
-
-_CORR_SPARK_SQL = _corr_spark_sql()
-
-
 @register("embeddings_corr_probe", _corr_oracle())
 def embeddings_corr_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()  # round-9 NULL-embedding pin
-    ).filter(
-        sane_embedding()  # junk-magnitude gate (see _SANE_SQL note)
-    ).createOrReplaceTempView("corr_emb")
-    return spark.sql(_CORR_SPARK_SQL)
+    """EXPLODED moment computation (r12): the previous Spark side mirrored
+    the oracle's literal-unrolled single aggregate (64 sums + 64 square
+    sums + 95 product sums in one SELECT) — a ~450-expression plan whose
+    analysis + codegen alone dominated its runtime (2.6 s warm, 13.8 s
+    after a codegen-cache eviction, for 2000 rows of data). The moments
+    are instead computed from one posexplode: per-dim decimal sums in a
+    64-row aggregate, per-pair product sums via a (vec, dim+δ) self-join,
+    re-attached to the FIXED 95-pair literal frame. Every aggregate is
+    the identical DECIMAL(25,6)/DECIMAL(38,12)-exact sum over the same
+    values, and the double arithmetic after the sums is the oracle's own
+    op sequence — hash-exact, including the empty/one-row corpus shapes
+    (the pair list stays literal, so zero input rows still yield 95
+    NULL-corr rows exactly as the oracle's ungrouped aggregate does)."""
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # round-9 NULL-embedding pin
+        .filter(sane_embedding())  # junk-magnitude gate (see _SANE_SQL note)
+    )
+    ex = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim0", "x0"))
+        .select(
+            "vec_id",
+            (F.col("dim0") + 1).alias("dim"),
+            F.col("x0").cast("double").alias("x"),
+        )
+        # two consumers (per-dim stats + the pair-product self-join)
+        .localCheckpoint()
+    )
+    dstats = ex.groupBy("dim").agg(
+        F.sum(F.col("x").cast("decimal(25,6)")).cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("q"),
+    )
+    ea = ex.select(
+        "vec_id",
+        F.col("dim").alias("dim_a"),
+        F.col("x").alias("xa"),
+        F.explode(F.array(F.col("dim") + 1, F.col("dim") + 32)).alias("dim_b"),
+    )
+    eb = ex.select("vec_id", F.col("dim").alias("dim_b"), F.col("x").alias("xb"))
+    psums = (
+        ea.join(eb, ["vec_id", "dim_b"])
+        .groupBy("dim_a", "dim_b")
+        .agg(
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("pab")
+        )
+    )
+    nrow = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs_lit = emb.sparkSession.createDataFrame(
+        _CORR_PAIRS, "dim_a int, dim_b int"
+    )
+    da = dstats.select(
+        F.col("dim").alias("dim_a"), F.col("s").alias("sa"), F.col("q").alias("qa")
+    )
+    db = dstats.select(
+        F.col("dim").alias("dim_b"), F.col("s").alias("sb"), F.col("q").alias("qb")
+    )
+    j = (
+        pairs_lit.join(F.broadcast(da), "dim_a", "left")
+        .join(F.broadcast(db), "dim_b", "left")
+        .join(F.broadcast(psums), ["dim_a", "dim_b"], "left")
+        .crossJoin(F.broadcast(nrow))
+    )
+    n = F.col("n")
+    cov = F.round(F.col("pab") / n - (F.col("sa") / n) * (F.col("sb") / n), 9)
+    var_a = F.round(F.col("qa") / n - (F.col("sa") / n) * (F.col("sa") / n), 9)
+    var_b = F.round(F.col("qb") / n - (F.col("sb") / n) * (F.col("sb") / n), 9)
+    st = j.select(
+        F.col("dim_a").cast("int").alias("dim_a"),
+        F.col("dim_b").cast("int").alias("dim_b"),
+        "n",
+        cov.alias("cov"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+    )
+    return st.select(
+        "dim_a",
+        "dim_b",
+        "n",
+        F.when(
+            (F.col("var_a") > 0) & (F.col("var_b") > 0),
+            F.round(F.col("cov") / F.sqrt(F.col("var_a") * F.col("var_b")), 9),
+        ).alias("corr_r"),
+    )
 
 
 # ---------------------------------------------------------------------------
