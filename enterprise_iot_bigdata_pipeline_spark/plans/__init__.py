@@ -90,56 +90,56 @@ def register(name: str, oracle: str | None = None, late: bool = False):
 # join shapes, streaming slots, the timeseries battery).
 # Regenerate with:  python tools/rotation.py --emit
 _PRIORITY = [
-    "audio_spectral_bins",
-    "curation_dsir_weights",
-    "dedup_semantic_clusters",
-    "text_pii_redact",
-    "text_readability",
-    "text_secrets_scan",
-    "text_setsim_prefix_join",
-    "text_strip_markup",
-    "text_zipf_fit",
-    "vector_quantize_int8",
-    "video_container_audit",
-    "web_domain_filter",
-    "agg_forecast_revenue_q6",
-    "agg_important_values_q11",
-    "agg_promo_share_q14",
-    "agg_ship_delay_q12",
-    "ann_recall_eval",
-    "bpe_encode_apply",
-    "bpe_train_merges",
-    "dedup_incremental_lsh",
-    "dedup_recall_eval",
-    "entity_resolution_clusters",
-    "graph_bfs_recursive",
-    "graph_kcore_parts",
-    "graph_markov_stationary",
-    "graph_pagerank_nations",
-    "graph_triangle_count",
-    "ingest_ndjson_quarantine",
-    "join_custdist_q13",
-    "join_dormant_balances_q22",
-    "join_excess_suppliers_q20",
-    "join_exists_priority_q4",
-    "join_market_share_q8",
-    "join_min_cost_supplier_q2",
-    "join_product_profit_q9",
-    "sessionize_two_phase",
-    "skyline_parts",
-    "streaming_anomaly_zscore",
-    "streaming_dedup_keys",
-    "streaming_rollup_merge",
-    "streaming_sessionize_state",
-    "streaming_sink_parquet_epoch",
-    "timeseries_anomaly_chunked",
-    "timeseries_anomaly_zscore",
-    "timeseries_autocorr",
-    "timeseries_burst_windows",
-    "timeseries_cusum_shift",
-    "timeseries_declining_streaks",
-    "timeseries_fir_smooth",
-    "timeseries_gap_topk",
+    "timeseries_histogram",
+    "timeseries_interpolate",
+    "timeseries_m4_downsample",
+    "timeseries_mad_outliers",
+    "timeseries_mase_baseline",
+    "timeseries_range_window",
+    "timeseries_seasonal_profile",
+    "timeseries_stl_decompose",
+    "timeseries_time_weighted_avg",
+    "timeseries_trend_ols",
+    "timeseries_winsorize",
+    "users_rfm_segments",
+    "csv_extract_fields",
+    "events_ab_test_summary",
+    "events_attribution_touch",
+    "events_benford_audit",
+    "events_chi_square",
+    "events_column_entropy",
+    "events_countmin_freq",
+    "events_cumulative_users",
+    "events_dau_mau",
+    "events_decayed_type_weight",
+    "events_fill_gaps",
+    "events_grid_hotspots",
+    "events_interval_islands",
+    "events_key_skew_profile",
+    "events_kmv_distinct",
+    "events_kmv_type_overlap",
+    "events_pattern_match",
+    "events_psi_drift",
+    "events_quartile_banded",
+    "events_rank_battery",
+    "events_relational_division",
+    "events_rolling_wau",
+    "events_session_window_agg",
+    "events_spatial_pairs",
+    "events_top_paths",
+    "events_transition_dwell",
+    "events_transition_matrix",
+    "events_type_cooccurrence",
+    "events_value_quartiles",
+    "funnel_view_click_purchase",
+    "join_blame_suppliers",
+    "join_bloom_prune",
+    "join_disjunctive_revenue",
+    "join_fuzzy_names",
+    "join_interval_overlap",
+    "join_point_in_time",
+    "join_small_quantity_revenue",
+    "join_snapshot_diff",
 ]
 
 # Re-entrancy: three oracle builders (ann_recall_eval, dedup_recall_eval,

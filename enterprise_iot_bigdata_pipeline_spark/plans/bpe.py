@@ -95,6 +95,7 @@ def train_bpe_state(
     state = vocab.select("w", "cnt", syms.alias("syms")).localCheckpoint()
 
     merges: list[tuple[int, str, str, int]] = []
+    state_is_leaf = True  # tracks whether `state` is currently checkpointed
     for r in range(1, n_rounds + 1):
         sz = F.size("syms")
         head = F.slice("syms", 1, F.greatest(sz - 1, F.lit(0)))
@@ -119,15 +120,22 @@ def train_bpe_state(
         state = state.select(
             "w", "cnt", merge_pair_udf(a, b)(F.col("syms")).alias("syms")
         )
+        state_is_leaf = False
         # Checkpoint every THIRD merge, not every merge (the PageRank
         # cadence argument): a merge map is one Arrow kernel, so letting
         # up to three stack between leaves trades ≤2 extra kernel
         # re-applications inside the next pair count for two fewer
         # materialization jobs per cycle — measured 2.9 s → 2.1 s for the
-        # 6-round loop at sf0.1, merges identical. The final state is
-        # always checkpointed (its consumers fan out).
+        # 6-round loop at sf0.1, merges identical.
         if r % 3 == 0 or r == n_rounds:
             state = state.localCheckpoint()
+            state_is_leaf = True
+    # The final state must always be a checkpointed leaf (its consumers
+    # fan out — vsub + encode join each re-run un-checkpointed kernels
+    # otherwise). The early `if not best: break` path can leave up to 2
+    # merge-kernel applications un-checkpointed (r13, ADVICE fix).
+    if not state_is_leaf:
+        state = state.localCheckpoint()
     return merges, state
 
 

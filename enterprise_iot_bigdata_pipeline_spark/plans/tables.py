@@ -48,6 +48,29 @@ _SCHEMAS: dict[str, "object"] = {}
 # fan_out); bounded, decision-only — never rows.
 _FAN_OUT_PROBE: dict[str, int] = {}
 
+# applicationId that populated the caches above (r13, ADVICE): the dicts
+# are module-level so they would outlive a SparkSession — a later session
+# in the same process (e.g. profile_query --cpus) can carry different
+# reader confs (parallelism, maxPartitionBytes) that change a scan's
+# partition count. Invalidate everything when the application changes;
+# within one application the entries are stable by construction.
+_CACHE_APP_ID: list[str] = [""]
+
+
+def _check_cache_epoch(spark: SparkSession) -> None:
+    # applicationId is immutable per SparkContext, so memoize it on the
+    # python context object itself — the py4j round-trip is paid once per
+    # context, not once per t()/fan_out call.
+    sc = spark.sparkContext
+    app_id = getattr(sc, "_graft_app_id", None)
+    if app_id is None:
+        app_id = sc.applicationId
+        sc._graft_app_id = app_id
+    if app_id != _CACHE_APP_ID[0]:
+        _SCHEMAS.clear()
+        _FAN_OUT_PROBE.clear()
+        _CACHE_APP_ID[0] = app_id
+
 
 def _ns_timestamp_cols(path: str) -> list[str]:
     if path not in _NS_COLS:
@@ -132,6 +155,7 @@ def fan_out(df: DataFrame) -> DataFrame:
     # stable within a session, so the probe is memoized on the optimized
     # plan text with expression IDs (#123 — fresh per construction)
     # stripped. Keyed per plan shape, never per result.
+    _check_cache_epoch(df.sparkSession)
     key = re.sub(r"#\d+", "", plan)
     n_parts = _FAN_OUT_PROBE.get(key)
     if n_parts is None:
@@ -158,6 +182,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    _check_cache_epoch(spark)
     if path in _SCHEMAS:
         df = spark.read.schema(_SCHEMAS[path]).parquet(path)
     else:

@@ -1933,6 +1933,12 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("ms") >= 2)
         .select(F.explode(_pairs_of_sorted(F.col("ms"))).alias("p"))
+        # structural self-pair guard (r13, ADVICE): carrying pos in the
+        # collect_set struct means an in-doc xxhash64 collision (two
+        # distinct shingles, one h) would create two bucket entries for
+        # one doc and emit a doc_a == doc_b pair; exclude it by
+        # construction instead of trusting the 2^-64.
+        .filter(F.col("p.a.doc") != F.col("p.b.doc"))
         .filter(
             F.lit(2) * F.least("p.a.n", "p.b.n") >= F.greatest("p.a.n", "p.b.n")
         )

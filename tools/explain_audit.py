@@ -391,7 +391,12 @@ CHECKS_R6 = {
         ("BatchEvalPython", False, "all K cosines + struct argmax stay JVM-side"),
     ],
     "text_bigram_corpus_freq": [
-        ("Generate", True, "bigram occurrences fan out via explode, map-side"),
+        # r12: the per-doc (doc,g,dc) reduction is localCheckpoint()ed so the
+        # tokenize+explode pass runs ONCE for its two consumers; the explode
+        # executes eagerly at checkpoint build (inside the same action) and
+        # the audited final plan therefore starts at the checkpoint leaf —
+        # same convention as lake_sorted_roundtrip.
+        ("Scan ExistingRDD", True, "per-doc bigram counts reduced once behind the checkpoint leaf"),
         ("HashAggregate", True, "frequency table and per-doc stats are hash aggs"),
         ("CartesianProduct", False, "occurrence↔frequency is a keyed join only"),
     ],

@@ -1,0 +1,64 @@
+"""Targeted oracle verification: run NAMED queries against their DuckDB
+oracles at the given SFs (default sf0.001 + sf0.01) with the same strict
+comparison the sweep uses. For per-change re-verification during
+optimization rounds — the full cross_scale_sweep stays the round-end gate.
+
+Run: python tools/verify_queries.py NAME [NAME...] [--sf DIR ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--sf", action="append", default=None)
+    args = ap.parse_args()
+    sf_dirs = args.sf or DEFAULT_SF_DIRS
+
+    from pyspark.sql import SparkSession
+
+    from oracle_compare import compare, duck_connection
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "Asia/Makassar")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    n_fail = 0
+    for sf_dir in sf_dirs:
+        con = duck_connection(sf_dir)
+        for name in args.names:
+            if name not in q:
+                print(f"!! unknown query {name}")
+                n_fail += 1
+                continue
+            try:
+                if name in o:
+                    compare(q[name](spark, sf_dir), o[name], con, name)
+                    print(f"{sf_dir} {name}: ok")
+                else:
+                    q[name](spark, sf_dir).count()
+                    print(f"{sf_dir} {name}: rows-only-ok")
+            except Exception as ex:  # noqa: BLE001
+                print(f"{sf_dir} {name}: FAIL {str(ex)[:300]}")
+                n_fail += 1
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
