@@ -158,6 +158,78 @@ DEFAULT_MAX_BUCKET = 1024
 _CC_ROWS_PER_PART = 2_000_000
 
 
+def _arrow_int_type(spark_simple: str):
+    """pyarrow integer type for a Spark integral simpleString (the id
+    types connected_components/k-core accept)."""
+    import pyarrow as pa
+
+    return {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+    }[spark_simple]
+
+
+def _cc_local_kernel_factory(id_type: str):
+    """Single-task min-label connected components over a directed edge list
+    that fits ONE partition: the same Shiloach–Vishkin algebra as the
+    distributed loop below (hook every node to the minimum neighbor label,
+    then pointer-jump ``label ← label[label]`` to fixpoint), vectorized
+    over numpy index arrays instead of spread across per-round Spark jobs.
+    The fixpoint is identical by construction — label(v) = min doc id
+    reachable from v — so the output matches the distributed path row for
+    row. Used only when the measured edge count says the whole graph would
+    run on one task anyway (see connected_components). ``id_type`` is the
+    edge frame's Spark id type (the declared output schema must be honored
+    even when an EMPTY partition delivers no input batch to infer from)."""
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_type = _arrow_int_type(id_type)
+        srcs, dsts = [], []
+        for b in batches:
+            srcs.append(b.column(0).to_numpy(zero_copy_only=False))
+            dsts.append(b.column(1).to_numpy(zero_copy_only=False))
+        if srcs:
+            u = np.concatenate(srcs).astype(np.int64, copy=False)
+            v = np.concatenate(dsts).astype(np.int64, copy=False)
+        else:
+            u = v = np.empty(0, dtype=np.int64)
+        if u.size == 0:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], type=out_type), pa.array([], type=out_type)],
+                names=["doc", "component"],
+            )
+            return
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        iu, iv = inv[: u.size], inv[u.size :]
+        # labels are node INDICES; np.unique sorts ascending, so the
+        # minimum index is the minimum doc id — exactly the survivor rule.
+        lab = np.arange(nodes.size, dtype=np.int64)
+        while True:
+            prev = lab
+            new = lab.copy()
+            np.minimum.at(new, iu, lab[iv])
+            np.minimum.at(new, iv, lab[iu])
+            lab = new
+            while True:  # pointer-jump path compression to fixpoint
+                nl = lab[lab]
+                if np.array_equal(nl, lab):
+                    break
+                lab = nl
+            if np.array_equal(lab, prev):
+                break
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(nodes).cast(out_type), pa.array(nodes[lab]).cast(out_type)],
+            names=["doc", "component"],
+        )
+
+    return _kernel
+
+
 def bucket_pairs_capped(
     bucketed: DataFrame, bucket_cols: list[str], max_bucket: int = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
@@ -564,8 +636,30 @@ def incremental_minhash_dedup(
         keys.join(kept, "doc", "left_semi")
         .select("band", "key", F.col("doc").alias("keep_id"))
         .withColumn("added_epoch", epoch_lit)
-        .localCheckpoint()
     )
+    if epoch_id is not None:
+        # r13 (§2.4/§5): the index swap's parquet write already
+        # materializes `fresh` (tagged with this epoch), so the kept frame
+        # is recovered from the COMMITTED index by ``added_epoch`` instead
+        # of paying a separate localCheckpoint job — byte-for-byte the
+        # same frame the replay branch above re-derives, which is the
+        # contract's own proof of the readback identity. (The checkpoint
+        # below remains for the un-epoched call shape, whose index rows
+        # carry NULL added_epoch and cannot be told apart after the swap.)
+        if known is not None:
+            overwrite_atomic(
+                spark, known.unionByName(fresh), index_path, epoch_id=epoch_id
+            )
+        else:
+            overwrite_atomic(spark, fresh, index_path, epoch_id=epoch_id)
+        committed_keeps = (
+            _with_epoch_col(spark.read.parquet(index_path))
+            .filter(F.col("added_epoch") == int(epoch_id))
+            .select(F.col("keep_id").alias(id_col))
+            .distinct()
+        )
+        return new_docs.join(committed_keeps, id_col, "left_semi")
+    fresh = fresh.localCheckpoint()
     if known is not None:
         overwrite_atomic(spark, known.unionByName(fresh), index_path, epoch_id=epoch_id)
     else:
@@ -711,6 +805,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Resolve candidate pairs into duplicate clusters: (doc, component)
     where component = min doc id reachable through the pair graph — the
@@ -748,12 +843,40 @@ def connected_components(
     # list once at its natural width (the checkpoint is needed anyway),
     # count it (control-plane scalar over checkpointed rows), and derive
     # the hash-partition width from the actual edge count.
+    # r13 (§1.5/§2.4): every control-plane scalar this loop needs — the
+    # edge count here, the hook/jump convergence flags below — piggybacks
+    # on the checkpoint job itself via `observe` (CollectMetrics runs
+    # inside the materialization pass and the metrics post when the
+    # checkpoint action finishes), instead of a separate probe job per
+    # round. Measured: the probe jobs were ~half the loop's job count.
+    from pyspark.sql import Observation
+
+    obs_n = Observation()
     staged = _ckpt_leaf(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
     )
-    n_edges = staged.count()
+    n_edges = int(obs_n.get["n"])
+    # r13 (§2.2 taken to its conclusion): when the MEASURED edge count says
+    # the whole graph fits one partition — the same `_CC_ROWS_PER_PART`
+    # sizing the distributed loop below would use to pick `parts == 1`,
+    # i.e. every one of its O(log n) rounds would already run as 1-task
+    # stages — resolve the components in ONE vectorized Arrow task over
+    # the checkpointed edge leaf instead of ~2 log(n) driver-scheduled
+    # jobs (each round: broadcast builds + checkpoint + metrics, measured
+    # 40–80 ms of scheduling per job for microsecond compute). Same
+    # min-label fixpoint, same output. At 100 TB a post-LSH pair graph
+    # can exceed the threshold, and then the distributed Shiloach–Vishkin
+    # loop below — unchanged — is the right tool; `local_max_edges` is
+    # parameterized so tests pin both paths against each other.
+    if local_max_edges is None:
+        local_max_edges = _CC_ROWS_PER_PART
+    if n_edges <= local_max_edges:
+        out_t = staged.schema["src"].dataType.simpleString()
+        return staged.coalesce(1).mapInArrow(
+            _cc_local_kernel_factory(out_t), f"doc {out_t}, component {out_t}"
+        )
     sess = pairs.sparkSession
     parts = max(
         1,
@@ -786,6 +909,7 @@ def connected_components(
                 .groupBy("root")
                 .agg(F.min("nbr_label").alias("rmin"))
             )
+            obs_hook = Observation()
             stepped = _ckpt_leaf(
                 labels.join(root_min, labels.label == root_min.root, "left")
                 .select(
@@ -795,8 +919,15 @@ def connected_components(
                         F.col("label"), F.coalesce(F.col("rmin"), F.col("label"))
                     ).alias("label1"),
                 )
+                # convergence flag rides the checkpoint job (max over an
+                # empty frame is NULL → falsy → converged, same as the
+                # old limit(1).count() probe on an empty frame)
+                .observe(
+                    obs_hook,
+                    F.max(F.col("label1") < F.col("label0")).alias("improved"),
+                )
             )
-            improved = stepped.filter("label1 < label0").limit(1).count() > 0
+            improved = bool(obs_hook.get["improved"])
             if not improved:
                 # hook fixpoint ⇒ no tree sees a smaller label across any
                 # edge, and last round's compression already flattened the
@@ -807,6 +938,7 @@ def connected_components(
             # halves per jump, so this inner loop is O(log depth))
             while True:
                 jump = cur.select(F.col("doc").alias("jdoc"), F.col("label").alias("jlabel"))
+                obs_jump = Observation()
                 nxt = _ckpt_leaf(
                     cur.join(jump, cur.label == jump.jdoc, "left")
                     .select(
@@ -818,8 +950,9 @@ def connected_components(
                             "_jumped"
                         ),
                     )
+                    .observe(obs_jump, F.max("_jumped").alias("jumped"))
                 )
-                jumped = nxt.filter("_jumped").limit(1).count() > 0
+                jumped = bool(obs_jump.get["jumped"])
                 cur = nxt.select("doc", "label")
                 if not jumped:
                     break

@@ -87,6 +87,10 @@ def train_bpe_state(
     Encoding a corpus with the trained tokenizer is then a word join
     against this frame (every corpus word is in the vocabulary by
     construction), never a per-document re-run of the merge loop."""
+    # (r13: fan_out on the word explode prototyped and rejected —
+    # train 2.50 s → 2.53 s, encode 2.64 s → 2.81 s; the vocab groupBy
+    # shuffle already spreads the load and the extra exchange only delays
+    # the first argmax round)
     words = docs.select(F.explode(X.words(F.col(text_col))).alias("w")).filter(
         F.length("w") > 0
     )

@@ -738,8 +738,11 @@ FROM r
 @register("curation_dsir_weights", _DSIR_ORACLE)
 def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.functions import text as X
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
-    docs = t(spark, sf_dir, "documents")
+    # fan_out (r13): the tokenize+md5 bigram-hash explode below is the
+    # corpus-scale CPU stage (§2.2)
+    docs = fan_out(t(spark, sf_dir, "documents"))
     ws = X.words(F.col("text"))
     sz = F.size(ws)
     tail = F.slice(ws, 2, F.greatest(sz - 1, F.lit(0)))

@@ -208,15 +208,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _TRI_MIN_W)
-        .drop("w")
-        .localCheckpoint()
-    )
+    # r13: edge build via one groupBy(order) + in-bucket pair explode
+    # instead of the fact-scale self-join — see _part_pair_edges.
+    e = _part_pair_edges(li, _TRI_MIN_W).localCheckpoint()
     und = e.select(F.explode(F.array("pa", "pb")).alias("n"))
     d = und.groupBy("n").agg(F.count(F.lit(1)).alias("dg"))
     da = d.select(F.col("n").alias("pa"), F.col("dg").alias("dga"))
@@ -413,28 +407,137 @@ def _kcore_oracle() -> str:
     """
 
 
+def _part_pair_edges(li: DataFrame, min_w: int) -> DataFrame:
+    """Support-filtered part co-purchase edges (pa < pb, ≥ min_w orders):
+    the shared edge build of the triangle/k-core queries.
+
+    r13 (§2.3/§2.4): formerly a fact-scale SELF-JOIN on l_orderkey — the
+    fact table shuffled TWICE (both SMJ sides) plus two sorts. The order
+    key's fan-out is structurally bounded (≤7 lineitems per order at any
+    SF), so the same multiset of in-order pairs comes out of ONE shuffle:
+    groupBy(order) → sorted part list → in-bucket pair explode, then the
+    (pa,pb) support count. Strict a<b on VALUES drops same-part pairs
+    exactly like the join's a.p < b.p predicate, and duplicates of a part
+    in one order contribute the same pair multiplicity as the join's row
+    pairing (i<j index pairs over a value-sorted list ≡ unordered row
+    pairs with a.p < b.p). Measured: edge checkpoint 2.9 s → ~1 s at
+    sf0.1; the fact crosses the network once instead of twice."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _pairs_of_sorted
+
+    return (
+        li.groupBy("o")
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+        .select(F.explode(_pairs_of_sorted(F.col("ps"))).alias("q"))
+        .filter(F.col("q.a") < F.col("q.b"))
+        .groupBy(F.col("q.a").alias("pa"), F.col("q.b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_w)
+        .drop("w")
+    )
+
+
 @register("graph_kcore_parts", _kcore_oracle())
 def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    a, b = li.alias("a"), li.alias("b")
+    from pyspark.sql import Observation
+
+    # r13 (§1.5): the edge count rides the checkpoint job via observe —
+    # CollectMetrics runs inside the materialization pass — instead of a
+    # separate count() job (the connected_components convention).
+    obs_e = Observation()
     e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .drop("w")
+        _part_pair_edges(li, 2)  # support filter (the oracle's HAVING >= 2)
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    n_edges = e.count()
+    n_edges = int(obs_e.get["n"])
+    peeled = _kcore_peel(spark, e, n_edges)
+    return (
+        peeled.select(F.explode(F.array("pa", "pb")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
+def _kcore_peel_kernel_factory(id_type: str):
+    """Single-task k-core peel over an edge list that fits ONE partition:
+    the identical round-pinned algebra as the distributed loop in
+    _kcore_peel (``_KCORE_ROUNDS`` rounds, keep nodes with degree ≥
+    ``_KCORE_K``, early-stop on a stable round), vectorized over numpy
+    index arrays. Used only when the measured edge count says every peel
+    round would run as 1-task stages anyway — replaces ~3 driver-scheduled
+    jobs per round (degree agg broadcast builds + checkpoint) with one
+    Arrow task. ``id_type`` pins the output type even for an empty input
+    partition (no batch to infer from)."""
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from enterprise_iot_bigdata_pipeline_spark.operators.dedup import (
+            _arrow_int_type,
+        )
+
+        out_type = _arrow_int_type(id_type)
+        us, vs = [], []
+        for b in batches:
+            us.append(b.column(0).to_numpy(zero_copy_only=False))
+            vs.append(b.column(1).to_numpy(zero_copy_only=False))
+        if us:
+            u = np.concatenate(us).astype(np.int64, copy=False)
+            v = np.concatenate(vs).astype(np.int64, copy=False)
+        else:
+            u = v = np.empty(0, dtype=np.int64)
+        if u.size:
+            nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+            iu, iv = inv[: u.size], inv[u.size :]
+            for _ in range(_KCORE_ROUNDS):
+                if iu.size == 0:
+                    break
+                deg = np.bincount(iu, minlength=nodes.size) + np.bincount(
+                    iv, minlength=nodes.size
+                )
+                ok = deg >= _KCORE_K
+                m = ok[iu] & ok[iv]
+                if m.all():  # stable round — the distributed loop's early stop
+                    break
+                iu, iv = iu[m], iv[m]
+            u, v = nodes[iu], nodes[iv]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(u).cast(out_type), pa.array(v).cast(out_type)],
+            names=["pa", "pb"],
+        )
+
+    return _kernel
+
+
+def _kcore_peel(
+    spark: SparkSession, e: DataFrame, n_edges: int, local_max_edges: int | None = None
+) -> DataFrame:
+    """12-round k-core peel of the checkpointed edge frame ``e``: drop
+    edges touching a node of current degree < ``_KCORE_K`` each round,
+    early-stopping when a round removes nothing. Dispatches between the
+    one-task Arrow kernel (graph fits one partition — the measured-size
+    convention shared with connected_components) and the distributed
+    join loop (unchanged r12 shape) above the threshold."""
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _CC_ROWS_PER_PART
+
+    from pyspark.sql import Observation
+
+    if local_max_edges is None:
+        local_max_edges = _CC_ROWS_PER_PART
+    if n_edges <= local_max_edges:
+        out_t = e.schema["pa"].dataType.simpleString()
+        return e.coalesce(1).mapInArrow(
+            _kcore_peel_kernel_factory(out_t), f"pa {out_t}, pb {out_t}"
+        )
     # Size the peel loop's stage width from the ACTUAL edge count (the
     # connected_components r12 convention): the support-filtered edge set
     # is a small fraction of the pair expansion, and the peel only
     # shrinks it — session-constant shuffle width would run every one of
     # the 12 rounds cluster-wide regardless of how little survives.
-    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _CC_ROWS_PER_PART
-
     parts = max(
         1,
         min(
@@ -452,23 +555,21 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
         )
         keep = deg.filter(F.col("c") >= _KCORE_K).select("n")
+        obs_r = Observation()
         e2 = (
             e.join(keep.withColumnRenamed("n", "pa"), "pa")
             .join(keep.withColumnRenamed("n", "pb"), "pb")
             .select("pa", "pb")
             .repartition(parts, "pa")
+            .observe(obs_r, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        n2 = e2.count()
+        n2 = int(obs_r.get["n"])
         stable = n2 == n_edges
         e, n_edges = e2, n2
         if stable:
             break
-    return (
-        e.select(F.explode(F.array("pa", "pb")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
-    )
+    return e
 
 
 # --- Markov stationary distribution of the event-type transition

@@ -341,9 +341,11 @@ def _stage_events_stream(
         os.symlink(
             f"{sf_dir}/events.parquet", os.path.join(stage, f"events_{i}.parquet")
         )
-    reader = spark.readStream.schema(
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    )
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import raw_schema
+
+    # r13 (§5 driver): the events schema is footer-discovered once per
+    # application (the t() cache), not once per streaming slot.
+    reader = spark.readStream.schema(raw_schema(spark, f"{sf_dir}/events.parquet"))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(stage)
@@ -1466,7 +1468,9 @@ def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame
     target = os.path.join(work, "lake")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(stage)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import raw_schema
+
+    schema = raw_schema(spark, f"{sf_dir}/events.parquet")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 

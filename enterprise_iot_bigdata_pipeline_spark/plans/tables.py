@@ -167,6 +167,19 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def raw_schema(spark: SparkSession, path: str):
+    """The DISCOVERED (pre-ns-rewrite) read schema of a parquet path,
+    through the same per-application cache ``t`` uses — for callers that
+    need the file's raw schema (e.g. streaming readers, which must see
+    the file's own ts dtype, not a proxy frame's) without paying the
+    ~75 ms footer-discovery driver cost per query. Caller owns the
+    session-conf preconditions (nanosAsLong), exactly as with ``t``."""
+    _check_cache_epoch(spark)
+    if path not in _SCHEMAS:
+        _SCHEMAS[path] = spark.read.parquet(path).schema
+    return _SCHEMAS[path]
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")

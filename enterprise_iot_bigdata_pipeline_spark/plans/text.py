@@ -1593,7 +1593,11 @@ cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g)
     """,
 )
 def text_bigram_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    # fan_out (r13): the tokenize+bigram explode is the corpus-scale CPU
+    # stage; single-row-group scans would run it one-task (§2.2)
+    docs = fan_out(t(spark, sf_dir, "documents"))
     w = X.words(F.col("text"))
     sz = F.size(w)
     tail = F.slice(w, 2, F.greatest(sz - 1, F.lit(0)))
@@ -1690,6 +1694,9 @@ def text_bigram_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    # (r13: fan_out prototyped here and REJECTED — 0.98 s → 1.15 s; unlike
+    # the corpus_freq sibling there is no checkpointed reduction whose
+    # build the extra shuffle would parallelize)
     docs = t(spark, sf_dir, "documents")
     w = X.words(F.col("text"))
     sz = F.size(w)
@@ -1973,7 +1980,15 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle of narrow rows and restores full-width parallelism.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ni = F.size(F.array_intersect("ha", "hb"))
-    verified = (
+    # r13 (§1.2 per-task work): without a barrier the τ-filter is pushed
+    # INTO the broadcast join's condition, where Catalyst substitutes the
+    # ni/nu expressions — the plan then evaluates array_intersect up to
+    # 4× per candidate pair (twice in the join condition, twice in the
+    # post-join project; codegen does not CSE across operators). The lazy
+    # localCheckpoint pins ONE projection that intersects each pair once
+    # and materializes only the NARROW (da, db, ni, nu) rows — the heavy
+    # hash arrays never cross the barrier; same single downstream action.
+    inter = (
         cand.repartition(n_shuffle, "da", "db")
         .join(
             sets.select(
@@ -1988,8 +2003,9 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db",
         )
         .select("da", "db", ni.alias("ni"), (F.col("na") + F.col("nb") - ni).alias("nu"))
-        .filter(F.lit(2) * F.col("ni") >= F.col("nu"))
+        .localCheckpoint(eager=False)
     )
+    verified = inter.filter(F.lit(2) * F.col("ni") >= F.col("nu"))
     return verified.select(
         F.col("da").alias("doc_a"),
         F.col("db").alias("doc_b"),
@@ -2051,6 +2067,7 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (r13: fan_out prototyped and rejected — 1.48 s → 1.51 s, inside noise)
     docs = t(spark, sf_dir, "documents")
     w = X.words(F.col("text"))
     sz = F.size(w)
@@ -2249,7 +2266,11 @@ def text_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ni = F.size(F.array_intersect("ha", "hb"))
-    verified = (
+    # r13: same single-evaluation barrier as text_setsim_prefix_join — the
+    # τ-filter otherwise pushes into the join condition and re-evaluates
+    # array_intersect per pair; only the narrow (da, db, ni, na) rows
+    # materialize behind the lazy checkpoint.
+    inter = (
         cand.repartition(n_shuffle, "da", "db")
         .join(
             sets.select(
@@ -2261,8 +2282,9 @@ def text_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             sets.select(F.col("doc").alias("db"), F.col("hs").alias("hb")), "db"
         )
         .select("da", "db", ni.alias("ni"), "na")
-        .filter(F.lit(5) * F.col("ni") >= 4 * F.col("na"))
+        .localCheckpoint(eager=False)
     )
+    verified = inter.filter(F.lit(5) * F.col("ni") >= 4 * F.col("na"))
     return verified.select(
         F.col("da").alias("doc_small"),
         F.col("db").alias("doc_big"),
@@ -2378,9 +2400,12 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enterprise_iot_bigdata_pipeline_spark.operators.dedup import _pairs_of_sorted
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
 
-    # NULL-text docs contribute no shingles (see _SHINGLES_CTE note)
-    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # NULL-text docs contribute no shingles (see _SHINGLES_CTE note).
+    # fan_out (r13): the shingle explode below is the corpus-scaled CPU
+    # stage and single-row-group files would run it one-task (§2.2).
+    docs = fan_out(t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     ss = (
         docs.select(
             "source", F.explode(X.word_shingles(F.col("text"))).alias("shingle")
@@ -2553,8 +2578,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL-text docs contribute no shingles (see _SHINGLES_CTE note)
-    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from enterprise_iot_bigdata_pipeline_spark.plans.tables import fan_out
+
+    # NULL-text docs contribute no shingles (see _SHINGLES_CTE note).
+    # fan_out (r13): parallelize the corpus-scale shingle explode (§2.2).
+    docs = fan_out(t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     sh = docs.select(
         F.col("doc_id").alias("doc"),
         F.explode(X.word_shingles(F.col("text"))).alias("shingle"),

@@ -511,8 +511,10 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="stream_anom_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
     try:
+        from enterprise_iot_bigdata_pipeline_spark.plans.tables import raw_schema
+
         stream = spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            raw_schema(spark, f"{sf_dir}/events.parquet")
         ).parquet(stage)
         raw_ts = dict(stream.dtypes).get("ts")
         if raw_ts == "bigint":

@@ -207,6 +207,75 @@ def test_connected_components_deep_chain_converges(spark):
     assert got.count() == 201
 
 
+def test_connected_components_local_kernel_matches_distributed(spark):
+    """r13: below `_CC_ROWS_PER_PART` edges the operator resolves
+    components in one vectorized Arrow task instead of the distributed
+    SV loop. Both paths must produce the identical (doc, component) set —
+    pin them against each other on a random multi-component graph, a deep
+    chain (pointer-jump stress), and the empty graph."""
+    import random
+
+    from enterprise_iot_bigdata_pipeline_spark.operators.dedup import connected_components
+
+    rnd = random.Random(7)
+    edges = set()
+    for _ in range(400):
+        a, b = rnd.randrange(0, 150), rnd.randrange(0, 150)
+        if a != b:
+            edges.add((min(a, b) * 7 + 3, max(a, b) * 7 + 3))
+    chain_ids = list(range(5000, 5120))
+    rnd.shuffle(chain_ids)
+    edges |= {(chain_ids[i], chain_ids[i + 1]) for i in range(len(chain_ids) - 1)}
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    fast = {(r["doc"], r["component"]) for r in connected_components(pairs).collect()}
+    slow = {
+        (r["doc"], r["component"])
+        for r in connected_components(pairs, local_max_edges=0).collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+    empty = pairs.filter("doc_a < 0")
+    out = connected_components(empty)
+    assert out.columns == ["doc", "component"]
+    assert out.count() == 0
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint", "bigint"]
+
+
+def test_kcore_peel_local_kernel_matches_distributed(spark):
+    """r13: the k-core peel dispatches to a one-task Arrow kernel below
+    the one-partition edge threshold. Both paths must survive-peel the
+    identical edge set (12 pinned rounds, early stability stop)."""
+    import random
+
+    from enterprise_iot_bigdata_pipeline_spark.plans.graph import _kcore_peel
+
+    rnd = random.Random(11)
+    edges = set()
+    # a clique (survives), a long chain (fully peeled at K=2), stars
+    for a in range(5):
+        for b in range(a + 1, 5):
+            edges.add((100 + a, 100 + b))
+    edges |= {(200 + i, 200 + i + 1) for i in range(40)}
+    for _ in range(120):
+        a, b = rnd.randrange(0, 60), rnd.randrange(0, 60)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    e = spark.createDataFrame(sorted(edges), "pa long, pb long").localCheckpoint()
+    n = len(edges)
+    fast = {(r["pa"], r["pb"]) for r in _kcore_peel(spark, e, n).collect()}
+    slow = {
+        (r["pa"], r["pb"])
+        for r in _kcore_peel(spark, e, n, local_max_edges=0).collect()
+    }
+    assert fast == slow
+    # the 5-clique must survive a K=2 peel; the chain's ENDS are peeled
+    # one node per pinned round (12 rounds → 12 nodes off each side),
+    # its middle legitimately survives the round-pinned peel
+    assert {(100, 101), (103, 104)} <= fast
+    assert (200, 201) not in fast and (239, 240) not in fast
+    assert (219, 220) in fast
+
+
 def test_hot_lsh_bucket_star_fallback(spark):
     """Adversarial corpus: 1000 identical docs collide into one bucket per
     band. The capped expansion must switch to star pairs (linear, no
